@@ -1,0 +1,178 @@
+"""Deduplication operators for training-data pipelines (north-star).
+
+Five families, all deterministic and (except where noted) pure JVM-side
+column expressions, so each has a DuckDB-oracle twin:
+
+- exact            — fingerprint groupBy (hash-dedup)
+- minhash + LSH    — shingle → k md5-minhashes → banded bucket join
+- simhash          — 32-bit sign-aggregated word-hash fingerprint
+- n-gram Jaccard   — exact set overlap via relational explode/join
+- embedding cosine — near-dup by vector similarity (operators/similarity.py)
+
+Hashing: both Spark and DuckDB produce identical md5 hex strings, which is
+what makes minhash/simhash signatures oracle-checkable bit for bit. Each
+"independent" hash function h_i(x) = md5(i || ':' || x).
+
+Scale notes (100 TB):
+- exact dedup = one shuffle on the 32-hex fingerprint (≈ even distribution
+  by construction, no skew);
+- minhash-LSH candidate generation = groupBy (band, band_key) — documents
+  only meet inside a bucket; never an O(n²) cross join;
+- n-gram Jaccard is reserved for *verifying* candidate pairs (input is the
+  LSH bucket output), not for all-pairs: the relational form below keeps
+  the join keyed on shingle so Spark distributes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokenize, word_ngrams, word_set
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicates by normalized-text fingerprint; keeps the lowest id
+    per group (deterministic canonical representative)."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _mh(shingle: Column, seed: int) -> Column:
+    # one minhash function: min over md5(seed:shingle); hex-string min is a
+    # valid uniform order because md5 hex is fixed-width lower-case
+    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 8, ngram: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values over word n-gram shingles."""
+    shingles = F.array_distinct(word_ngrams(text, ngram))
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s, i=i: _mh(s, i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH banding: (id, band, band_key) — docs sharing a band_key within a
+    band are near-dup candidates. band_key = md5 of the band's slice of the
+    signature."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, ngram)
+    out = df.select(F.col(id_col), sig.alias("sig"))
+    return out.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Self-join inside (band, band_key) buckets → candidate pairs (a<b).
+    This is the scale path: the shuffle key is the bucket, not the pair."""
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash: per-word 32-bit hash (md5 first 8 hex → uint32); each bit
+    votes +1/-1 weighted by presence; sign of the vote sets the output bit.
+    Near-dups have small Hamming distance. 32 bits keeps the arithmetic
+    inside signed-64 range in both engines."""
+    words = word_set(text)
+    # per word, value = first 8 hex of md5 as a bigint
+    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard similarity between document pairs, relationally:
+
+        explode distinct words → self-join on word → |A∩B| per pair
+        |A∪B| = |A| + |B| - |A∩B|
+
+    ``group_cols`` optionally restricts pairs to the same group (in
+    production: the LSH bucket from minhash_candidate_pairs; in the oracle
+    fixture: (lang, source) to bound the pair count). The join is keyed on
+    the word — fully distributed, no cross join.
+    """
+    group_cols = group_cols or []
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in group_cols],
+        F.explode(word_set(text_col)).alias("w"),
+    )
+    sizes = words.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = words.select(F.col("doc").alias("doc_a"), *[F.col(c) for c in group_cols], "w")
+    b = words.select(F.col("doc").alias("doc_b"), *[F.col(c).alias(f"__g_{c}") for c in group_cols], "w")
+    cond = [a["w"] == b["w"]] + [a[c] == b[f"__g_{c}"] for c in group_cols]
+    inter = (
+        a.join(b, cond)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )

@@ -1,0 +1,132 @@
+"""Join operators — SURVEY.md §2.3 (J1-J9).
+
+The reference's join surface is equi/semi/anti joins (ORM FK traversal +
+Exists subqueries) plus ONE nontrivial algorithm: the as-of price lookup
+(J6, tokens/models.py:64-74 — find a TokenHistoricalPrice within ±24 h of
+the donation timestamp). Everything else maps 1:1 to DataFrame joins and
+is used inline by plans/; this module implements the pieces that need
+actual design:
+
+- ``as_of_nearest``      — deterministic nearest-within-tolerance as-of join
+- ``semi`` / ``anti``    — EXISTS / NOT EXISTS shapes (J4/J5/J7)
+- ``fk_join``            — N:1 dim join with automatic broadcast for small dims
+
+Scale notes (100 TB): a naive time-range join compiles to a sort-merge join
+with a range residual — or worse, a broadcast nested loop. ``as_of_nearest``
+therefore *bucketizes* the time axis: each right row is exploded into the
+tolerance-sized buckets it can serve, and the join becomes a pure equi-join
+on (key, bucket) that shuffles both sides once and scales linearly. The
+right side grows 3x (bucket-1, bucket, bucket+1) — cheap for a price dim,
+and still shuffle-friendly for a large one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def semi(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
+    """EXISTS — J4/J5 (accounts/api.py:82-83: accounts having donations)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
+    """NOT EXISTS — J7 (tasks.py:153-161: rows still lacking USD)."""
+    return left.join(right, on, "left_anti")
+
+
+def fk_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column | str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """N:1 FK join — J1 (select_related, accounts/api.py:351).
+
+    Dimension tables in this domain (tokens, chains, accounts-as-dim) are
+    small relative to facts; broadcast by default so the fact side never
+    shuffles. Pass broadcast_dim=False for dim tables that are themselves
+    fact-scale (then AQE picks sort-merge and can split skew).
+    """
+    return fact.join(F.broadcast(dim) if broadcast_dim else dim, on, how)
+
+
+def as_of_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str | list[str],
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int,
+    strategy: str = "bucketed",
+) -> DataFrame:
+    """J6 — nearest-within-±tolerance as-of join, deterministic.
+
+    Semantics: for each left row, attach the right row with the SAME ``key``
+    whose ``right_ts`` lies within ±tolerance of ``left_ts`` and is NEAREST
+    (|Δt| minimal); ties broken by earlier right_ts. Left rows with no match
+    keep NULL right columns (the reference re-selects those next run —
+    tasks.py:153-161).
+
+    The reference takes ``.first()`` of the window with no ORDER BY
+    (tokens/models.py:67-73) — an *arbitrary* row. We pin the stricter
+    nearest-row semantic (SURVEY.md §7 hard-part (a)) so results are
+    reproducible and oracle-checkable.
+
+    strategy='bucketed' (default, the 100 TB path): explode right rows into
+    floor(ts/tol) buckets {b-1, b, b+1} and equi-join on (key, bucket) —
+    one shuffle each side, no range residual blow-up, AQE-skew-splittable.
+    strategy='range': plain conditional join (fine when right broadcasts).
+
+    ``left_id`` must uniquely identify left rows (natural key), so the
+    row_number dedup is deterministic.
+    """
+    left_ids = [left_id] if isinstance(left_id, str) else list(left_id)
+    lt = F.col("__l_ts")
+    rt = F.col("__r_ts")
+
+    l = left.withColumn("__l_ts", F.col(left_ts).cast("long"))
+    r = right.withColumn("__r_ts", F.col(right_ts).cast("long"))
+    # prefix right columns to avoid collisions
+    r = r.select(
+        F.col(key).alias("__r_key"),
+        "__r_ts",
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+
+    if strategy == "bucketed":
+        l = l.withColumn("__bucket", F.floor(lt / F.lit(tolerance_s)))
+        r = r.withColumn(
+            "__bucket",
+            F.explode(
+                F.array(
+                    F.floor(rt / F.lit(tolerance_s)) - 1,
+                    F.floor(rt / F.lit(tolerance_s)),
+                    F.floor(rt / F.lit(tolerance_s)) + 1,
+                )
+            ),
+        )
+        cond = (
+            (F.col(key) == F.col("__r_key"))
+            & (l["__bucket"] == r["__bucket"])
+            & (F.abs(lt - rt) <= F.lit(tolerance_s))
+        )
+        joined = l.join(r, cond, "left").drop(r["__bucket"]).drop("__bucket")
+    elif strategy == "range":
+        cond = (F.col(key) == F.col("__r_key")) & (F.abs(lt - rt) <= F.lit(tolerance_s))
+        joined = l.join(r, cond, "left")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    w = Window.partitionBy(*left_ids).orderBy(
+        F.abs(lt - rt).asc_nulls_last(), rt.asc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__l_ts", "__r_ts", "__r_key")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators over document corpora (north-star extensions).
+
+Everything here is deterministic, JVM-side (no Python UDFs) and therefore
+oracle-checkable against DuckDB — the hashing primitive shared by both
+engines is MD5 (identical hex output), used for fingerprints, minhash and
+simhash (operators/dedup.py builds on ``tokenize``/``word_set``).
+
+Scale: all operators are embarrassingly parallel per-row expressions except
+where noted; they run inside whole-stage codegen and scale to 100 TB by
+partition count alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[^a-zA-Z0-9]+"
+
+# tiny multilingual stopword lists — heuristic language-ID evidence
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "una", "que"],
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lower-cased word tokens (whitespace+punct split, empties removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), WORD_RE), lambda t: t != "")
+
+
+def word_set(col: Column | str) -> Column:
+    return F.array_distinct(tokenize(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punct token count — the 'how many training tokens' column.
+    (A BPE estimate is ~= word_count * 1.3; we expose the deterministic
+    word count and leave the multiplier to callers.)"""
+    return F.size(tokenize(col))
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-grams of the lower-cased text (shingles for minhash)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles, space-joined."""
+    toks = tokenize(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lower-cased text.
+    Identical expression exists in DuckDB (md5), so exact-dup detection is
+    oracle-checkable end to end."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), "\\s+", " "))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
+    return (n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double"))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = tokenize(col)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1] — the Gopher-rules-shaped
+    family of cheap filters (length band + mean word length band +
+    stopword evidence + low punctuation noise). Deterministic; rounded to
+    4 dp so the double arithmetic hashes identically cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    mean_wlen = F.length(F.regexp_replace(F.lower(c), WORD_RE, "")) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(c) >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(c) <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return F.round(score, 4)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: script ranges first (CJK / diacritics), then
+    stopword-list hit counts; falls back to 'en'. Deterministic CASE chain —
+    a real model would be a pandas_udf, but the engine keeps the cheap
+    pre-filter JVM-side (this is the 100 TB first-pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+
+    def hits(lang: str) -> Column:
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+    de, fr, es = hits("de"), hits("fr"), hits("es")
+    return (
+        F.when(c.rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(c.rlike("[äöüßÄÖÜ]") | ((de > fr) & (de > es) & (de > 0)), F.lit("de"))
+        .when((fr > es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("en"))
+    )

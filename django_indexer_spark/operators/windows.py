@@ -1,0 +1,40 @@
+"""Window operators — SURVEY.md §2.5 (W1-W3).
+
+The reference's two window-shaped computations (latest price per token,
+nearest price in ±24 h) plus the leaderboard rank it materializes by sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top1_per_group(
+    df: DataFrame, part_by: list[str], order_by: list, keep_ties: bool = False
+) -> DataFrame:
+    """W1 — latest row per group (tokens/models.py:56-57
+    order_by('-timestamp').first()). row_number for a single winner;
+    rank() if callers want ties."""
+    fn = F.rank() if keep_ties else F.row_number()
+    w = Window.partitionBy(*part_by).orderBy(*order_by)
+    return df.withColumn("__rn", fn.over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def topk_per_group(df: DataFrame, part_by: list[str], order_by: list, k: int) -> DataFrame:
+    w = Window.partitionBy(*part_by).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def ranked(df: DataFrame, order_by: list, alias: str = "rank", dense: bool = False) -> DataFrame:
+    """W3 — leaderboard rank (accounts/api.py:85-88 materializes by sort;
+    we expose the explicit rank column variant).
+
+    Scale note: an un-partitioned window is a single-reducer sort — fine for
+    a leaderboard page; for full-table ranking at 100 TB prefer
+    top-k (sorts.top_k) or range-partitioned sort (orderBy) which Spark
+    executes with sampled range partitioning, then zipWithIndex-style rank.
+    """
+    fn = F.dense_rank() if dense else F.rank()
+    return df.withColumn(alias, fn.over(Window.orderBy(*order_by)))

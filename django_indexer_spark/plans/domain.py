@@ -1,0 +1,161 @@
+"""Domain query plans — the reference's REST endpoints and beat jobs as
+pure DataFrame functions over ENTITY_SCHEMAS-shaped frames (SURVEY.md §3).
+
+Each function is the declarative twin of one reference code path (cited).
+They run on any DataFrames with the right columns — unit tests feed tiny
+literal frames (FIXTURES.md §B); production feeds the silver tables.
+
+Every reference quirk that affects results is preserved and called out:
+falsy-zero skipping (A7), isdigit guards (A6), paid_at IS NOT NULL (F3),
+the ±24 h arbitrary-row price window pinned to nearest (J6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.amounts import guarded_sum, usd_sum
+from ..operators.aggregates import conditional_count, conditional_sum
+from ..operators.joins import as_of_nearest, semi
+from ..operators.sorts import top_k
+from ..operators.windows import top1_per_group
+
+PRICE_WINDOW_S = 24 * 3600  # HISTORICAL_PRICE_QUERY_HOURS (base/settings.py:82)
+
+
+def stats(donations: DataFrame, pot_payouts: DataFrame) -> DataFrame:
+    """/api/v1/stats (base/api.py:60-89): five global aggregates.
+
+    One pass over each fact table; the two frames are combined with a
+    cross join of two 1-row aggregates (no shuffle of fact data beyond the
+    partial-agg reduce).
+    """
+    d = donations.agg(
+        F.sum("total_amount_usd").alias("total_donations_usd"),
+        F.count(F.lit(1)).alias("total_donations_count"),
+        F.countDistinct("donor_id").alias("unique_donors"),
+        F.countDistinct("recipient_id").alias("unique_recipients"),
+    )
+    p = pot_payouts.filter(F.col("paid_at").isNotNull()).agg(
+        F.sum("amount_paid_usd").alias("total_payouts_usd")
+    )
+    return d.crossJoin(p)
+
+
+def donors_leaderboard(accounts: DataFrame, donations: DataFrame, k: int | None = None) -> DataFrame:
+    """DonorsAPI (accounts/api.py:80-92): accounts with ≥1 donation,
+    ordered by total donated USD desc (sort param accounts/api.py:85-88)."""
+    donors = semi(accounts, donations, accounts["id"] == donations["donor_id"])
+    ordered = donors.orderBy(F.desc("total_donations_out_usd"))
+    return top_k(donors, [F.desc("total_donations_out_usd"), F.asc("id")], k) if k else ordered
+
+
+def account_donations_received(donations: DataFrame, account_id: str) -> DataFrame:
+    """AccountDonationsReceivedAPI (accounts/api.py:310)."""
+    return donations.filter(F.col("recipient_id") == account_id)
+
+
+def active_pots(pots: DataFrame, now: Column) -> DataFrame:
+    """PotsAPI live filter (accounts/api.py:211-214): round in progress."""
+    return pots.filter(
+        (F.col("matching_round_start") <= now) & (F.col("matching_round_end") >= now)
+    )
+
+
+def account_stats(accounts: DataFrame, donations: DataFrame, pot_payouts: DataFrame) -> DataFrame:
+    """update_account_statistics (tasks.py:275-327) — the reference loops
+    one QuerySet per account; here: THREE grouped aggregates + broadcast
+    joins back. Quirk parity: USD sums skip falsy zero (A7)."""
+    received = donations.groupBy(F.col("recipient_id").alias("id")).agg(
+        usd_sum("total_amount_usd", "total_donations_in_usd"),
+        F.countDistinct("donor_id").alias("donors_count"),
+    )
+    sent = donations.groupBy(F.col("donor_id").alias("id")).agg(
+        usd_sum("total_amount_usd", "total_donations_out_usd")
+    )
+    payouts = pot_payouts.filter(F.col("paid_at").isNotNull()).groupBy(
+        F.col("recipient_id").alias("id")
+    ).agg(usd_sum("amount_paid_usd", "total_matching_pool_allocations_usd"))
+    base = accounts.select("id", "chain_id", "near_social_profile_data")
+    out = base.join(received, "id", "left").join(sent, "id", "left").join(payouts, "id", "left")
+    return out.fillna(
+        {
+            "total_donations_in_usd": 0,
+            "total_donations_out_usd": 0,
+            "total_matching_pool_allocations_usd": 0,
+            "donors_count": 0,
+        }
+    )
+
+
+def pot_stats(pots: DataFrame, donations: DataFrame) -> DataFrame:
+    """update_pot_statistics (tasks.py:188-272) — per-pot matching-pool vs
+    public split, in ONE pass (A5 conditional aggregation) instead of two
+    filtered queries per pot. Quirk parity: amount sums are digit-guarded
+    (A6, tasks.py:200-204), USD sums skip falsy zero (A7)."""
+    mp = F.col("matching_pool")
+    agg = donations.filter(F.col("pot_id").isNotNull()).groupBy(
+        F.col("pot_id").alias("account_id")
+    ).agg(
+        guarded_sum_when(mp, "total_amount", "total_matching_pool"),
+        usd_sum_when(mp, "total_amount_usd", "total_matching_pool_usd"),
+        conditional_count(mp, "matching_pool_donations_count"),
+        guarded_sum_when(~mp, "total_amount", "total_public_donations"),
+        usd_sum_when(~mp, "total_amount_usd", "total_public_donations_usd"),
+        conditional_count(~mp, "public_donations_count"),
+    )
+    keep = [c for c in pots.columns if c not in {
+        "total_matching_pool", "total_matching_pool_usd", "matching_pool_donations_count",
+        "total_public_donations", "total_public_donations_usd", "public_donations_count",
+    }]
+    return pots.select(*keep).join(agg, "account_id", "left")
+
+
+def guarded_sum_when(flag: Column, col: str, alias: str) -> Column:
+    from ..functions.amounts import guarded_amount
+
+    return F.sum(F.when(flag, guarded_amount(col))).alias(alias)
+
+
+def usd_sum_when(flag: Column, col: str, alias: str) -> Column:
+    c = F.col(col)
+    return F.sum(F.when(flag & c.isNotNull() & (c != 0), c)).alias(alias)
+
+
+def price_donations(
+    donations: DataFrame, token_prices: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """fetch_usd_prices (tasks.py:153-185) + Donation.fetch_usd_prices
+    (donations/models.py:210-247): attach the nearest token price within
+    ±24 h (J6), scale the u128 amount by token decimals (C6), multiply
+    (C7). Rows with no in-window price keep NULL USD — the next run's F6
+    selector re-picks them (the reference's repair loop)."""
+    priced = as_of_nearest(
+        donations,
+        token_prices.select(F.col("token_id"), F.col("timestamp"), F.col("price_usd")),
+        left_id=["id"],
+        key="token_id",
+        left_ts="donated_at",
+        right_ts="timestamp",
+        tolerance_s=PRICE_WINDOW_S,
+    )
+    withdec = priced.join(
+        F.broadcast(tokens.select(F.col("account_id").alias("token_id"), "decimals")),
+        "token_id",
+        "left",
+    )
+    formatted = F.col("total_amount").cast("decimal(38,0)") / F.pow(
+        F.lit(10.0), F.col("decimals")
+    ).cast("decimal(38,0)")
+    return withdec.withColumn(
+        "total_amount_usd_computed",
+        F.round(formatted * F.col("r_price_usd"), 2).cast("decimal(20,2)"),
+    )
+
+
+def latest_price_per_token(token_prices: DataFrame) -> DataFrame:
+    """Token.current_price (tokens/models.py:56-57) — W1 top-1 per group."""
+    return top1_per_group(
+        token_prices, ["token_id"], [F.desc("timestamp")]
+    )

@@ -1,0 +1,524 @@
+"""Driver-gate queries: SURVEY.md §2 operators projected onto the driver's
+TPC-H-ish fixture tables (FIXTURES.md §A mapping), each with a DuckDB
+oracle twin in ``oracles.py``.
+
+Registry contract (__spark_entry__.py):
+- ``QUERIES[name] (spark, sf_dir) -> DataFrame``
+- ``ORACLES[name] -> ANSI SQL`` (omitted for non-SQL-expressible ops)
+
+Cross-engine parity policy (why every query looks the way it does):
+- money math uses exact DECIMAL intermediates (sums of doubles are
+  order-dependent; decimal sums are not), final output cast to DOUBLE;
+- output columns are only double / bigint / string / bool — no raw
+  timestamps or decimals (pandas dtype canonicalization differs);
+- every aggregate/computed column is aliased IDENTICALLY here and in the
+  oracle (driver hash-compares by sorted column name);
+- hashes shared across engines are md5 hex or the portable rolling hash
+  (functions below) — never engine-native hash().
+
+Role analogy (FIXTURES.md): orders/lineitem ≈ donations/payouts facts,
+customer ≈ accounts, events ≈ activity stream with JSON props.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup, multimodal, similarity, sorts, text, windows
+from ..operators.joins import as_of_nearest
+from ..sources.merge import upsert
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # parity policy: timestamp rendering must be UTC regardless of the
+    # caller session's default (DuckDB oracle timestamps are UTC-naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark has no ns timestamp
+        # type, so read it as long ns (C3 — handler.py:52's ns handling).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (µs long) — matches DuckDB's ns→µs truncation
+    (its TIMESTAMP is µs), so epoch_us(ts) over there == ts_us here."""
+    e = _t(spark, sf_dir, "events")
+    return e.withColumn("ts_us", F.expr("ts DIV 1000"))
+
+
+def _dec(col: str, p: int = 18, s: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------------------
+# Flagship — the /stats endpoint shape (base/api.py:60-89): A1+A2+A3
+# --------------------------------------------------------------------------
+
+
+@query("stats_overview")
+def stats_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five global aggregates in two single-pass jobs + cross join.
+    orders ≈ donations (o_totalprice = USD), lineitem(linestatus=F) ≈ paid
+    payouts. Reference: base/api.py:60-89."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    d = orders.agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_donations_usd"),
+        F.count(F.lit(1)).alias("total_donations_count"),
+        F.countDistinct("o_custkey").alias("unique_donors"),
+    )
+    p = lineitem.filter(F.col("l_linestatus") == "F").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_payouts_usd"),
+        F.countDistinct("l_suppkey").alias("unique_recipients"),
+    )
+    return d.crossJoin(p)
+
+
+# --------------------------------------------------------------------------
+# Filters / projections (F1-F12)
+# --------------------------------------------------------------------------
+
+
+@query("f1_eq_filter")
+def f1_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 equality filter + F12 projection (accounts/api.py:269 shape)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query("f2_in_list")
+def f2_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 IN-list (accounts/api.py:209-210 shape)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query("f4_range_pred")
+def f4_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 interval predicate (live-pots shape, accounts/api.py:211-214).
+    Date boundaries as literals; o_orderdate emitted as a yyyy-MM-dd string."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@query("f6_or_null_repair")
+def f6_or_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 disjunctive repair selector (tasks.py:155-161 shape): rows
+    'needing work' = any of three independent conditions."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.filter(
+        F.col("value").isNull() | (k < 10) | ((F.col("event_type") == "error") & (F.col("value") > 150))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query("f7_json_regex")
+def f7_json_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 regex over a JSON field (lists/api.py:157-161 shape)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return e.filter(k.rlike("^9[0-9]$")).select("event_id", k.alias("k"))
+
+
+@query("f9_suffix_match")
+def f9_suffix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 suffix + regex routing (handler.py:84-90, pots/utils.py:5-22)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").endswith("Y") | F.col("p_name").rlike("^[a-z]+ [a-z]*e$")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query("f10_prefix_extract")
+def f10_prefix_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 prefix match + payload extraction (EVENT_JSON shape,
+    handler.py:100)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").startswith("S")).select(
+        "p_partkey", F.substring("p_type", 2, 1000).alias("type_rest")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J1-J8)
+# --------------------------------------------------------------------------
+
+
+@query("j1_fk_chain_revenue")
+def j1_fk_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 N:1 FK chain ⋈x4 + grouped revenue (select_related shape,
+    accounts/api.py:351; TPC-H Q5 family). Dims broadcast; revenue in
+    exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query("j4_semi_join")
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 EXISTS semi-join (donors shape, accounts/api.py:82-83):
+    customers having ≥1 open ('O') order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query("j7_anti_join")
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 NOT EXISTS anti-join (unpriced-rows repair shape,
+    tasks.py:153-161): customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query("j6_asof_nearest")
+def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of join, nearest-within-±1h (price lookup shape,
+    tokens/models.py:64-74 pinned to deterministic nearest): each
+    'purchase' event matched to the nearest 'click' by the same user.
+    Bucketed equi-join strategy — the 100 TB path."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    out = as_of_nearest(
+        purchases,
+        clicks,
+        left_id=["event_id"],
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="click_us",
+        tolerance_s=3_600_000_000,  # ±1 h in µs (ts cols are µs longs)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_click_id").alias("click_id"),
+        F.abs(F.col("ts_us") - F.col("r_click_us")).alias("diff_us"),
+    )
+
+
+@query("j8_self_double_fk")
+def j8_self_double_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 same dim joined twice under different roles (donor AND recipient,
+    donations/models.py:30-37 + 111-119): nation joined as customer-nation
+    and as supplier-nation; trade volume per nation pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum(vol).cast("double").alias("volume"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A9)
+# --------------------------------------------------------------------------
+
+
+@query("a3_distinct_by_group")
+def a3_distinct_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 grouped COUNT DISTINCT (base/api.py:74-79, tasks.py:285-287)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("a4_grouped_stats")
+def a4_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A8 — the account-stats gold-table shape (tasks.py:275-327):
+    grouped sums joined back to the entity table, replacing the
+    reference's per-account query loop. Customers with no orders keep 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        c.join(stats, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@query("a5_conditional_pivot")
+def a5_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 one-pass conditional pivot (matching_pool split,
+    tasks.py:188-257): per order-priority, returned vs kept revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    price = _dec("l_extendedprice")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(ret, price)).cast("double").alias("returned_revenue"),
+            F.count(F.when(ret, F.lit(1))).alias("returned_count"),
+            F.sum(F.when(~ret, price)).cast("double").alias("kept_revenue"),
+            F.count(F.when(~ret, F.lit(1))).alias("kept_count"),
+        )
+    )
+
+
+@query("a6_guarded_sum")
+def a6_guarded_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 digit-guarded string-amount sum (tasks.py:200-204) + A7
+    falsy-zero skip (tasks.py:208-212): treat events.props.$.k as a
+    u128-style string amount."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    guarded = F.when(k.rlike("^[0-9]+$") & (F.length(k) <= 38), k.cast("decimal(38,0)"))
+    nz = F.when(guarded.isNotNull() & (guarded != 0), guarded)
+    return e.groupBy("event_type").agg(
+        F.sum(guarded).cast("long").alias("amount_sum"),
+        F.sum(nz).cast("long").alias("amount_sum_nonzero"),
+        F.count(F.when(guarded.isNull(), F.lit(1))).alias("n_unparsable"),
+    )
+
+
+@query("a9_distinct_projection")
+def a9_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 projection-level DISTINCT (pots/api.py:250-254)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (W1-W3)
+# --------------------------------------------------------------------------
+
+
+@query("w1_latest_per_user")
+def w1_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-1 per group (latest price per token, tokens/models.py:56-57):
+    latest event per user, deterministic tie-break on event_id."""
+    e = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
+    return windows.top1_per_group(e, ["user_id"], [F.desc("ts_us"), F.desc("event_id")])
+
+
+@query("w3_rank_leaderboard")
+def w3_rank_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 leaderboard rank (accounts/api.py:85-88 + explicit rank()):
+    nations ranked by customer account balance total."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"))
+    )
+    return per_nation.withColumn(
+        "rank", F.rank().over(Window.orderBy(F.desc("total_balance"), F.asc("n_name")))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / pagination / top-k / sampling (O1-O5)
+# --------------------------------------------------------------------------
+
+
+@query("o3_pagination")
+def o3_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 deterministic pagination, page 2 of 30 (api/pagination.py:8-9,
+    default page size base/settings.py:111-115) with the O2 total order."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return sorts.paginate(c, [F.asc("c_custkey")], page=2, page_size=30)
+
+
+@query("o4_top_k")
+def o4_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 leaderboard head (O1 sort + limit): top 25 customers by balance,
+    tie-broken by key — compiles to TakeOrderedAndProject (no full sort)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return sorts.top_k(c, [F.desc("c_acctbal"), F.asc("c_custkey")], 25)
+
+
+@query("o5_seeded_sample")
+def o5_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 seeded single-row sample (lists/api.py:216-223 random.choice).
+    rand(seed) is engine-specific → no SQL oracle; driver rows-only check."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return sorts.seeded_sample_one(c, seed=42)
+
+
+# --------------------------------------------------------------------------
+# Set ops + idempotent upsert (§2.7, S3/T3)
+# --------------------------------------------------------------------------
+
+
+@query("setop_union_dedup")
+def setop_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream/backfill union + dedup (§2.7): two overlapping order slices
+    unioned, duplicates collapsed."""
+    # slices defined on the full table so they overlap: status F ∪ totalprice>200k
+    full = _t(spark, sf_dir, "orders")
+    s1 = full.filter(F.col("o_orderstatus") == "F")
+    s2 = full.filter(F.col("o_totalprice") > 200000)
+    return (
+        s1.unionByName(s2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .distinct()
+    )
+
+
+@query("t3_upsert_last_writer")
+def t3_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/T3 last-writer-wins upsert (update_or_create, utils.py:978-982):
+    incoming batch doubles o_totalprice for keys ≡ 0 (mod 10); merge keyed
+    on o_orderkey, version ordered."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    existing = o.withColumn("version", F.lit(1))
+    incoming = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("version", F.lit(2))
+    )
+    return upsert(existing, incoming, ["o_orderkey"], "version").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "version"
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function shapes (C3-C8)
+# --------------------------------------------------------------------------
+
+
+@query("c3_ts_convert")
+def c3_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4/C5 timestamp plumbing: µs epoch, dd-MM-yyyy Coingecko-style
+    date key (base/utils.py:4-8), hour bucket — per event."""
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.col("ts_us"))  # C3: ns→µs→timestamp
+    return e.select(
+        "event_id",
+        "ts_us",
+        F.date_format(ts, "dd-MM-yyyy").alias("date_key"),
+        F.hour(ts).cast("long").alias("hour_of_day"),
+    )
+
+
+@query("c6_decimal_math")
+def c6_decimal_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7/C8 exact decimal money math (tokens/models.py:59-62,
+    donations/models.py:228-243): per returnflag, sum of
+    price x (1-discount) x (1+tax) computed in decimal, emitted as double."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    charge = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)) * (one + _dec("l_tax", 4, 2))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(charge).cast("double").alias("total_charge"),
+        F.sum(_dec("l_quantity", 18, 2)).cast("double").alias("total_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 — the bench headline (A1/A5/C6 composite)
+# --------------------------------------------------------------------------
+
+
+@query("q1_pricing_summary")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 family: the canonical scan-heavy aggregate; exercises
+    whole-stage codegen + partial aggregation. Decimal-exact sums; avg as
+    sum/count in decimal then double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    charge = disc_price * (one + _dec("l_tax", 4, 2))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", 18, 2)).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

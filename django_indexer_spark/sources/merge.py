@@ -1,0 +1,75 @@
+"""Idempotent upsert — SURVEY.md §2.1 S3 / §2.9 T3.
+
+The reference makes every write replay-safe with update_or_create /
+bulk_create(ignore_conflicts=True) keyed on natural keys
+(utils.py:978-982, 418-431; constraints donations/models.py:188-200).
+That is the cornerstone of its at-least-once streaming model: the stream
+resumes at checkpoint-1 (tasks.py:104-107), the backfill command re-plays
+history (populatedata.py), and duplicates collapse in the store.
+
+Spark-native equivalent, pure-parquet (no Delta dependency in this
+container): LAST-WRITER-WINS dedup —
+
+    union(existing, incoming) -> row_number() over (
+        partition by natural_key order by version desc) = 1
+
+On a Delta/Iceberg table this becomes MERGE INTO (same keys); the
+``merge_statement`` helper renders it for production use.
+
+Scale notes: the window shuffles on the natural key — the same shuffle a
+MERGE's join needs; with the target table bucketed/clustered by the key the
+shuffle is one-sided. Versions must be totally ordered per key; we use
+(block_height, receipt_ordinal) for stream data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def upsert(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    natural_key: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Last-writer-wins merge of ``incoming`` into ``existing``.
+
+    Both frames must share a schema including ``version_col``; for equal
+    versions, incoming wins (matching update_or_create overwrite semantics).
+    """
+    inc = incoming.withColumn("__src", F.lit(1))
+    if existing is None:
+        all_rows = inc
+    else:
+        all_rows = existing.withColumn("__src", F.lit(0)).unionByName(inc)
+    w = Window.partitionBy(*natural_key).orderBy(
+        F.col(version_col).desc_nulls_last(), F.col("__src").desc()
+    )
+    return (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def dedup_last_writer(df: DataFrame, natural_key: list[str], version_col: str) -> DataFrame:
+    """Collapse duplicates inside one batch (replay overlap, T2's
+    checkpoint-1 re-read)."""
+    return upsert(None, df, natural_key, version_col)
+
+
+def merge_statement(target: str, source: str, natural_key: list[str], columns: list[str]) -> str:
+    """Render the production MERGE INTO (Delta/Iceberg) for the same
+    semantics — documentation + integration-test artifact."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in natural_key)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )

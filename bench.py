@@ -1,0 +1,70 @@
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver-side collect overhead). One warm-up pass of the smallest query
+absorbs JVM/codegen start-up so per-query numbers measure the plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from django_indexer_spark.plans.fixture_queries import QUERIES
+from django_indexer_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",      # scan-heavy aggregate (TPC-H Q1)
+    "j1_fk_chain_revenue",     # 4-way broadcast FK chain + group
+    "j8_self_double_fk",       # fact join + same dim twice
+    "j6_asof_nearest",         # bucketed as-of join
+    "a4_grouped_stats",        # gold-table stats shape
+    "a5_conditional_pivot",    # one-pass conditional pivot
+    "w1_latest_per_user",      # top-1 per group window
+    "t3_upsert_last_writer",   # last-writer-wins merge
+    "setop_union_dedup",       # union + distinct
+    "stats_overview",          # flagship /stats shape
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("stats_overview")  # warm-up: JVM + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    out = {
+        "metric": "headline query wall-time at sf (noop sink, local[$SPARK_GRAFT_CPUS])",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

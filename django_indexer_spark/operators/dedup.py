@@ -53,8 +53,14 @@ def _mh(shingle: Column, seed: int) -> Column:
 def minhash_signature(text: Column | str, num_hashes: int = 8, ngram: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values over word n-gram shingles."""
     shingles = F.array_distinct(word_ngrams(text, ngram))
+
+    def hasher(seed: int):
+        # single-arg lambda on purpose: a two-arg lambda would make
+        # F.transform pass the element INDEX as the second argument
+        return lambda s: _mh(s, seed)
+
     return F.array(
-        *[F.array_min(F.transform(shingles, lambda s, i=i: _mh(s, i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(num_hashes)]
     )
 
 
@@ -103,24 +109,49 @@ def minhash_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def simhash(text: Column | str, bits: int = 32) -> Column:
-    """SimHash: per-word 32-bit hash (md5 first 8 hex → uint32); each bit
-    votes +1/-1 weighted by presence; sign of the vote sets the output bit.
-    Near-dups have small Hamming distance. 32 bits keeps the arithmetic
-    inside signed-64 range in both engines."""
-    words = word_set(text)
-    # per word, value = first 8 hex of md5 as a bigint
-    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
-    out = F.lit(0).cast("long")
+ROLLING_MOD = 2147483647  # 2^31-1: keeps acc*31+code inside int64
+
+
+def rolling_hash(word: Column) -> Column:
+    """Portable 31-polynomial rolling hash over character codes — the
+    'document fingerprinting (rolling hash)' primitive, and the word hash
+    for simhash. Chosen over md5-hex→int because hex→int conversion is not
+    portable SQL; a left fold of (acc*31 + ascii) % (2^31-1) is exact and
+    identical in any engine with list-reduce semantics."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.ascii(word.substr(i, F.lit(1)))
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % ROLLING_MOD,
+    )
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash per document, relationally: explode distinct words, hash
+    each with the rolling hash, let every bit vote +1/-1 per word, sign of
+    the vote sets the output bit. Near-dups ⇒ small Hamming distance.
+
+    The explode/groupBy shape (instead of one giant per-row array
+    expression) is deliberate: at 100 TB the per-(doc,word) rows shuffle
+    once and partial-aggregate map-side; 32 conditional sums fuse into one
+    whole-stage-codegen pass."""
+    words = df.select(F.col(id_col), F.explode(word_set(text_col)).alias("w"))
+    h = rolling_hash(F.col("w"))
+    votes = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = None
     for i in range(bits):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        out = out + F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

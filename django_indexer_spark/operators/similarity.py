@@ -76,21 +76,34 @@ def cosine_topk(
     )
 
 
-def _plane_weight(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1):
-    md5("p:<plane>:<dim>") first 8 hex → uint32 → scaled. Reproducible in
-    any engine with md5 — which is the point (oracle parity)."""
-    h = F.conv(F.substring(F.md5(F.lit(f"p:{plane}:{dim}")), 1, 8), 16, 10).cast("double")
-    return h / F.lit(2147483648.0) - F.lit(1.0)
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1):
+    md5("p:<plane>:<dim>") first 8 hex → uint32 → scaled. Computed in
+    Python and inlined as literals on BOTH engines (Spark expression and
+    DuckDB oracle SQL), so bucket assignment is reproducible anywhere."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"p:{p}:{d}".encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def sign_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """LSH bucket id: bit b = sign(v . plane_b)."""
+def sign_bucket(vec: Column, weights: list[list[float]]) -> Column:
+    """LSH bucket id: bit b = sign(v . plane_b). Each projection is a
+    sequential left-to-right double fold — bit-identical to DuckDB's
+    list_dot_product over the same literal plane."""
     out = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            proj = proj + vec.getItem(d).cast("double") * _plane_weight(p, d)
+    for p, plane in enumerate(weights):
+        lits = F.array(*[F.lit(w) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         out = out + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
 
@@ -113,15 +126,16 @@ def lsh_ann_topk(
     recall & cost). Multi-probe (flip one bit) is the standard recall
     booster — left for callers via union of probes.
     """
+    weights = plane_weights(n_planes, dim)
     q = queries.select(
         F.col(query_id).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        sign_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        sign_bucket(F.col(vec_col), weights).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        sign_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        sign_bucket(F.col(vec_col), weights).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -215,9 +215,11 @@ def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("j7_anti_join")
 def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 NOT EXISTS anti-join (unpriced-rows repair shape,
-    tasks.py:153-161): customers with no orders at all."""
+    tasks.py:153-161): customers with no order above 300k (a predicate that
+    stays non-empty at every fixture SF — every customer has SOME order at
+    sf≥0.01, which would make a bare no-orders anti-join vacuous)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -521,4 +523,122 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# North-star extensions: dedup / similarity / text / multimodal
+# (BASELINE.json "LLM-data-pipeline operators"; SURVEY.md §7 phase 7)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_exact")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text md5 fingerprint: one shuffle on the
+    fingerprint (uniform 32-hex key — no skew at any scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@query("dedup_minhash_bands")
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH signatures: 8 md5-minhashes over word-3-gram shingles,
+    banded 4x2 → (doc_id, band, band_key). Docs sharing a band_key are
+    near-dup candidates; the bucket key is the shuffle key at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_bands(docs, "text", "doc_id", num_hashes=8, bands=4, ngram=3)
+
+
+@query("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: self-join inside (band, band_key) buckets —
+    never an all-pairs cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs, "text", "doc_id", num_hashes=8, bands=4, ngram=3)
+    return dedup.minhash_candidate_pairs(bands, "doc_id")
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document via portable rolling word hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs, "text", "doc_id", bits=32)
+
+
+@query("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.8 between same-(lang,source) documents —
+    the verify stage that LSH candidates feed at scale (here grouped by
+    (lang, source) to bound pairs on the fixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", group_cols=["lang", "source"], threshold=0.8
+    )
+
+
+@query("sim_cosine_topk")
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 8 query vectors: the ANN
+    correctness baseline. Query side broadcasts; corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(q, emb, "vec_id", "vec_id", "embedding", k=5)
+
+
+@query("sim_ann_lsh")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (4 deterministic hyperplanes → 16 buckets):
+    the 100 TB path — cross join becomes an equi-join on bucket."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_ann_topk(
+        q, emb, "vec_id", "vec_id", "embedding", k=5, n_planes=4, dim=64
+    )
+
+
+@query("text_metrics")
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, quality score, fingerprint (the cheap
+    JVM-side first-pass filters of a training-data pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+        text.fingerprint("text").alias("fp"),
+    )
+
+
+@query("text_lang_id")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.lang_id("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("agree"),
+    )
+
+
+@query("multimodal_meta")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column plumbing (JVM-side slice): byte length + md5 of
+    the payload without decoding. The mapInPandas decode path is covered by
+    tests (stubbed codecs — no image libs in this container)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.media_metadata(media)
+
+
+@query("a3_approx_distinct")
+def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at scale: HyperLogLog++ distinct sketch (map-side combinable,
+    fixed state — the 100 TB replacement for exact countDistinct). Sketch
+    internals are engine-specific → rows-only driver check."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
     )

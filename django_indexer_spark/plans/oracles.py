@@ -90,7 +90,9 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus
 ORACLES["j7_anti_join"] = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
 """
 
 ORACLES["j6_asof_nearest"] = """
@@ -263,3 +265,254 @@ WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+# --------------------------------------------------------------------------
+# North-star extension oracles. Several are generated programmatically so
+# the hash seeds / hyperplane literals are BY CONSTRUCTION identical to the
+# Spark expressions (both derive from the same Python values).
+# --------------------------------------------------------------------------
+
+# shared DuckDB fragments mirroring operators/text.py
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_WORDSET = f"list_distinct({_TOKS})"
+_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+ORACLES["dedup_exact"] = f"""
+SELECT {_FP} AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> tuple[str, str]:
+    """(bands_sql, pairs_sql) mirroring dedup.minhash_bands/candidate_pairs:
+    word-3-gram shingles, h_i = min md5('<i>:'||shingle), band_key =
+    md5(concat_ws('|', slice of signature))."""
+    rows_per_band = num_hashes // bands
+    hcols = ",\n         ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = ",\n    ".join(
+        "({b}, md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    bands_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM sh
+)
+SELECT doc_id, bk.band AS band, bk.band_key AS band_key
+FROM sig, (VALUES {band_rows}) ignored(x, y)
+CROSS JOIN LATERAL (SELECT x AS band, y AS band_key) bk
+"""
+    # simpler formulation: unnest a per-row list of (band, band_key) structs
+    band_structs = ", ".join(
+        "{{'band': {b}, 'band_key': md5(concat_ws('|', {cols}))}}".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    bands_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM sh
+), banded AS (
+  SELECT doc_id, unnest([{band_structs}]) AS bk FROM sig
+)
+SELECT doc_id, bk.band AS band, bk.band_key AS band_key FROM banded
+"""
+    pairs_sql = f"""
+WITH b AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM b a JOIN b c ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+"""
+    return bands_sql, pairs_sql
+
+
+_BANDS_SQL, _PAIRS_SQL = _minhash_sql(8, 4)
+ORACLES["dedup_minhash_bands"] = _BANDS_SQL
+ORACLES["dedup_minhash_pairs"] = _PAIRS_SQL
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    """Mirrors dedup.simhash_table: rolling word hash
+    fold((acc*31+ascii)%(2^31-1)), 32 ±1 bit votes, sign → bit."""
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    terms = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest({_WORDSET}) AS w FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, length(w) + 1), i -> ascii(substr(w, i, 1))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 2147483647) AS h
+  FROM words
+), votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLES["dedup_simhash"] = _simhash_sql(32)
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH w AS (
+  SELECT doc_id, lang, source, unnest({_WORDSET}) AS word FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM w a JOIN w b
+    ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.8
+"""
+
+_COS = (
+    "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+)
+
+ORACLES["sim_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_COS}, 6) AS cosine
+  FROM q, c WHERE q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    from ..operators.similarity import plane_weights
+
+    ws = plane_weights(n_planes, dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{', '.join(repr(w) for w in ws[p])}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket FROM embeddings
+), q AS (SELECT * FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_COS}, 6) AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+FROM scored
+QUALIFY rnk <= {k}
+"""
+
+
+ORACLES["sim_ann_lsh"] = _ann_lsh_sql(4, 64, 5)
+
+# text metrics — mirrors operators/text.py quality_score/token_count/fingerprint
+_STOP_EN = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it']"
+_STOP_DE = "['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein']"
+_STOP_FR = "['le', 'la', 'les', 'et', 'est', 'une', 'dans']"
+_STOP_ES = "['el', 'la', 'los', 'y', 'es', 'una', 'que']"
+
+ORACLES["text_metrics"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id, text, len(toks) AS n_tok,
+         length(regexp_replace(lower(text), '[^a-zA-Z0-9]+', '', 'g')) AS n_alnum,
+         len(list_filter(toks, t -> list_contains({_STOP_EN}, t))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(
+         (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN n_alnum / greatest(n_tok, 1) >= 2.0
+               AND n_alnum / greatest(n_tok, 1) <= 12.0 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= 0.01 THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.2 THEN 0.1 ELSE 0.0 END)
+       , 4) AS quality,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+FROM m
+"""
+
+ORACLES["text_lang_id"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(toks, t -> list_contains({_STOP_DE}, t))) AS de,
+         len(list_filter(toks, t -> list_contains({_STOP_FR}, t))) AS fr,
+         len(list_filter(toks, t -> list_contains({_STOP_ES}, t))) AS es
+  FROM base
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN regexp_matches(text, '[äöüßÄÖÜ]') OR (de > fr AND de > es AND de > 0) THEN 'de'
+         WHEN fr > es AND fr > 0 THEN 'fr'
+         WHEN es > 0 THEN 'es'
+         ELSE 'en'
+       END AS lang_pred,
+       (CASE
+         WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN regexp_matches(text, '[äöüßÄÖÜ]') OR (de > fr AND de > es AND de > 0) THEN 'de'
+         WHEN fr > es AND fr > 0 THEN 'fr'
+         WHEN es > 0 THEN 'es'
+         ELSE 'en'
+       END) = lang AS agree
+FROM hits
+"""
+
+ORACLES["multimodal_meta"] = """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       'fixture://documents/' || doc_id AS source_uri
+FROM documents
+"""
+
+# a3_approx_distinct: intentionally no oracle — HLL sketches are
+# engine-specific; driver records a rows-only check.

@@ -145,7 +145,12 @@ def price_donations(
         "token_id",
         "left",
     )
-    formatted = F.col("total_amount").cast("decimal(38,0)") / F.pow(
+    # digit-guarded cast (A6): ANSI mode would abort on malformed amounts;
+    # the reference's int() throws inside a broad except → row skipped —
+    # same net effect as a NULL here (picked up by the F6 repair selector)
+    from ..functions.amounts import guarded_amount
+
+    formatted = guarded_amount("total_amount") / F.pow(
         F.lit(10.0), F.col("decimals")
     ).cast("decimal(38,0)")
     return withdec.withColumn(

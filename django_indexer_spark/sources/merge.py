@@ -34,20 +34,29 @@ def upsert(
     incoming: DataFrame,
     natural_key: list[str],
     version_col: str,
+    keep: str = "last",
 ) -> DataFrame:
-    """Last-writer-wins merge of ``incoming`` into ``existing``.
+    """Merge of ``incoming`` into ``existing`` keyed on the natural key.
 
-    Both frames must share a schema including ``version_col``; for equal
-    versions, incoming wins (matching update_or_create overwrite semantics).
+    keep='last'  → last-writer-wins: update_or_create overwrite semantics
+                   (utils.py:978-982); for equal versions incoming wins.
+    keep='first' → first-writer-wins: bulk_create(ignore_conflicts=True)
+                   semantics (utils.py:427-431); existing rows survive.
+
+    Both frames must share a schema including ``version_col``.
     """
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
     inc = incoming.withColumn("__src", F.lit(1))
     if existing is None:
         all_rows = inc
     else:
         all_rows = existing.withColumn("__src", F.lit(0)).unionByName(inc)
-    w = Window.partitionBy(*natural_key).orderBy(
-        F.col(version_col).desc_nulls_last(), F.col("__src").desc()
-    )
+    if keep == "last":
+        order = [F.col(version_col).desc_nulls_last(), F.col("__src").desc()]
+    else:
+        order = [F.col(version_col).asc_nulls_last(), F.col("__src").asc()]
+    w = Window.partitionBy(*natural_key).orderBy(*order)
     return (
         all_rows.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

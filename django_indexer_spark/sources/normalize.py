@@ -1,0 +1,454 @@
+"""Bronze → silver entity normalizers (SURVEY.md §2.9 T4/T8, §7 phase 4).
+
+The reference routes each receipt imperatively (match method_name, 20+
+cases, handler.py:197-443; EVENT_JSON dispatch handler.py:95-139) and
+upserts entities row by row inside async handlers (utils.py). Here every
+route is a FILTER over one shared bronze DataFrame and every handler is a
+pure column transform producing an entity-shaped frame — the whole batch
+becomes a deterministic dataflow:
+
+    bronze ─┬─ donations ──────────┬─ accounts (union of all roles, T8)
+            ├─ list_registrations ─┤
+            ├─ pot_applications ───┤
+            ├─ list_upvotes ───────┤
+            ├─ new_lists ──────────┘
+            └─ event_json logs → nadabot providers/stamps/...
+
+Replay safety (T3): each normalizer emits its natural key plus a total
+``version`` (block_height, receipt_ordinal); sources.merge.upsert collapses
+duplicates. Two distinct conflict semantics exist in the reference and are
+preserved:
+  - update_or_create      → LAST writer wins (donations utils.py:978-982,
+                            applications utils.py:515-522)
+  - bulk_create(ignore_conflicts=True) → FIRST writer wins
+                            (registrations utils.py:427-431)
+
+One code path serves stream AND backfill (S6): populatedata.py's paginated
+contract scans produce the same entity dicts; feeding them through these
+transforms (as JSON rows) yields identical tables — the §2.7 union.
+
+No UDFs: base64, JSON, timestamp and decimal work are all built-in
+expressions (C1-C17 in functions/scalars.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalars import b64_json, ms_to_timestamp, ns_to_timestamp
+
+# contract addresses (reference: handler.py:160-161, donations/api.py:22)
+POTLOCK_TLA = "potlock.near"
+DONATE_CONTRACT = f"donate.{POTLOCK_TLA}"
+LISTS_CONTRACT = f"lists.{POTLOCK_TLA}"
+SOCIAL_CONTRACT = "social.near"
+
+DONATE_METHODS = (
+    "donate",
+    "handle_protocol_fee_callback",
+    "sybil_callback",
+    "transfer_funds_callback",
+)  # handler.py:279-284
+
+# explicit payload schemas — schema-on-read islands (§1.2), never inferred
+DONATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("donor_id", T.StringType()),
+        T.StructField("total_amount", T.StringType()),
+        T.StructField("net_amount", T.StringType()),
+        T.StructField("ft_id", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("donated_at", T.LongType()),
+        T.StructField("donated_at_ms", T.LongType()),
+        T.StructField("matching_pool", T.BooleanType()),
+        T.StructField("recipient_id", T.StringType()),
+        T.StructField("project_id", T.StringType()),
+        T.StructField("protocol_fee", T.StringType()),
+        T.StructField("referrer_id", T.StringType()),
+        T.StructField("referrer_fee", T.StringType()),
+        T.StructField("chef_id", T.StringType()),
+        T.StructField("chef_fee", T.StringType()),
+    ]
+)
+
+REGISTRATION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("registrant_id", T.StringType()),
+            T.StructField("list_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("submitted_ms", T.LongType()),
+            T.StructField("updated_ms", T.LongType()),
+            T.StructField("registered_by", T.StringType()),
+            T.StructField("admin_notes", T.StringType()),
+            T.StructField("registrant_notes", T.StringType()),
+        ]
+    )
+)
+
+APPLICATION_SCHEMA = T.StructType(
+    [
+        T.StructField("project_id", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("submitted_at", T.LongType()),
+    ]
+)
+
+LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("owner", T.StringType()),
+        T.StructField("admins", T.ArrayType(T.StringType())),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("cover_image_url", T.StringType()),
+        T.StructField("admin_only_registrations", T.BooleanType()),
+        T.StructField("default_registration_status", T.StringType()),
+        T.StructField("created_at", T.LongType()),
+        T.StructField("updated_at", T.LongType()),
+    ]
+)
+
+EVENT_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("standard", T.StringType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("data", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def prepare(bronze: DataFrame) -> DataFrame:
+    """Shared prep over the flat bronze stream (BLOCK_STREAM_SCHEMA):
+    success filter (F8, handler.py:75-82), base64+JSON decode of args and
+    SuccessValue (C1/C2, handler.py:172-196, 294-302), block timestamp
+    (C3), and the per-key total version order (block_height, ordinal)."""
+    decoded_success = b64_json("success_value_b64")
+    return (
+        bronze.filter(F.col("status_kind").isin("SuccessReceiptId", "SuccessValue"))
+        .withColumn("args_json", F.coalesce(b64_json("args_b64"), F.lit("{}")))
+        .withColumn(
+            "success_json",
+            F.when(decoded_success != F.lit("null"), decoded_success),  # C13
+        )
+        .withColumn("block_time", ns_to_timestamp("block_timestamp_ns"))
+        .withColumn(
+            "version",
+            F.col("block_height") * F.lit(10_000_000) + F.col("receipt_ordinal"),
+        )
+    )
+
+
+def donations(prepared: DataFrame, donate_contract: str = DONATE_CONTRACT) -> DataFrame:
+    """handle_new_donation (utils.py:863-1016) as one transform.
+
+    Route: method in DONATE_METHODS with a non-null, non-"null" result
+    (handler.py:279-317). Type: direct iff receiver == donate contract
+    (handler.py:285-287). The payload is the decoded SuccessValue
+    (DonationExternal). Semantics preserved:
+      - net_amount used when present and != "0", else
+        total - protocol - coalesce(referrer,0) - coalesce(chef,0)
+        (utils.py:874-884, C8);
+      - donated_at = coalesce(donated_at, donated_at_ms) ms → timestamp
+        (utils.py:886-888, C4/C17);
+      - recipient = coalesce(recipient_id, project_id) — direct vs pot
+        payloads (utils.py:898-907);
+      - token = coalesce(ft_id, 'near') (utils.py:917);
+      - pot donations carry pot_id = receiver (utils.py:974);
+      - natural key (on_chain_id, pot|'__direct__') (F11,
+        donations/models.py:188-200); tx_hash = receipt_id (utils.py:968).
+    """
+    from ..functions.amounts import guarded_amount
+
+    d = F.col("donation")
+    net_raw = d["net_amount"]
+    # digit-guarded casts: ANSI mode aborts on malformed amounts; the
+    # reference's int() raises into a broad except (row skipped) — a NULL
+    # net_amount here is the declarative equivalent
+    computed_net = (
+        guarded_amount(d["total_amount"])
+        - guarded_amount(d["protocol_fee"])
+        - F.coalesce(guarded_amount(d["referrer_fee"]), F.lit(0).cast("decimal(38,0)"))
+        - F.coalesce(guarded_amount(d["chef_fee"]), F.lit(0).cast("decimal(38,0)"))
+    ).cast("string")
+    is_pot = F.col("receiver_id") != donate_contract
+    return (
+        prepared.filter(F.col("method_name").isin(*DONATE_METHODS))
+        .filter(F.col("success_json").isNotNull())
+        .withColumn("donation", F.from_json("success_json", DONATION_SCHEMA))
+        .filter(d["id"].isNotNull())
+        .select(
+            d["id"].alias("on_chain_id"),
+            d["donor_id"].alias("donor_id"),
+            d["total_amount"].alias("total_amount"),
+            F.when((net_raw.isNotNull()) & (net_raw != "0"), net_raw)
+            .otherwise(computed_net)
+            .alias("net_amount"),
+            F.lit(None).cast("decimal(20,2)").alias("total_amount_usd"),
+            F.lit(None).cast("decimal(20,2)").alias("net_amount_usd"),
+            F.coalesce(d["ft_id"], F.lit("near")).alias("token_id"),
+            F.when(is_pot, F.col("receiver_id")).alias("pot_id"),
+            F.coalesce(d["matching_pool"], F.lit(False)).alias("matching_pool"),
+            d["message"].alias("message"),
+            ms_to_timestamp(F.coalesce(d["donated_at"], d["donated_at_ms"])).alias("donated_at"),
+            F.coalesce(d["recipient_id"], d["project_id"]).alias("recipient_id"),
+            d["protocol_fee"].alias("protocol_fee"),
+            F.lit(None).cast("decimal(20,2)").alias("protocol_fee_usd"),
+            d["referrer_id"].alias("referrer_id"),
+            d["referrer_fee"].alias("referrer_fee"),
+            F.lit(None).cast("decimal(20,2)").alias("referrer_fee_usd"),
+            d["chef_id"].alias("chef_id"),
+            d["chef_fee"].alias("chef_fee"),
+            F.lit(None).cast("decimal(20,2)").alias("chef_fee_usd"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("signer_id"),
+            F.col("receiver_id"),
+            F.col("version"),
+        )
+        .withColumn(
+            "dedup_key",
+            F.concat_ws(
+                "|", F.col("on_chain_id").cast("string"), F.coalesce("pot_id", F.lit("__direct__"))
+            ),
+        )
+    )
+
+
+def donation_accounts(donation_rows: DataFrame) -> DataFrame:
+    """T8 cascade: every donation upserts ≤6 accounts + the token account
+    (utils.py:890-922). Emitted as one distinct id frame for the accounts
+    merge — the loop becomes a union."""
+    ids = [
+        "donor_id",
+        "recipient_id",
+        "referrer_id",
+        "chef_id",
+        "token_id",
+        "receiver_id",
+        "signer_id",
+    ]
+    stacked = donation_rows.select(
+        F.explode(F.array(*[F.col(c) for c in ids])).alias("id")
+    )
+    return stacked.filter(F.col("id").isNotNull()).distinct()
+
+
+def donation_activities(donation_rows: DataFrame) -> DataFrame:
+    """Activity rows for donations (utils.py:991-1016): type depends on
+    direct vs pot vs matching-pool."""
+    activity_type = (
+        F.when(F.col("pot_id").isNull(), "Donate_Direct")
+        .when(F.col("matching_pool"), "Donate_Pot_Matching_Pool")
+        .otherwise("Donate_Pot_Public")
+    )
+    return donation_rows.select(
+        F.col("signer_id"),
+        F.col("receiver_id"),
+        F.col("donated_at").alias("timestamp"),
+        F.to_json(
+            F.struct(
+                F.col("on_chain_id").alias("id"),
+                F.col("donor_id"),
+                F.col("total_amount"),
+            )
+        ).alias("action_result"),
+        F.col("tx_hash"),
+        activity_type.alias("type"),
+        F.col("version"),
+    )
+
+
+def list_registrations(prepared: DataFrame, lists_contract: str = LISTS_CONTRACT) -> DataFrame:
+    """handle_new_list_registration (utils.py:377-446): register_batch on
+    the lists contract; payload = decoded SuccessValue ARRAY of
+    registrations → explode. First-writer-wins on (list_id, registrant_id)
+    (ignore_conflicts, utils.py:427-431; unique lists/models.py:184-187)."""
+    return (
+        prepared.filter(
+            (F.col("method_name") == "register_batch")
+            & (F.col("receiver_id") == lists_contract)
+            & F.col("success_json").isNotNull()
+        )
+        .withColumn("reg", F.explode(F.from_json("success_json", REGISTRATION_SCHEMA)))
+        .select(
+            F.col("reg.id").alias("id"),
+            F.col("reg.list_id").alias("list_id"),
+            F.col("reg.registrant_id").alias("registrant_id"),
+            F.col("reg.registered_by").alias("registered_by_id"),
+            F.col("reg.status").alias("status"),
+            ms_to_timestamp(F.col("reg.submitted_ms")).alias("submitted_at"),
+            ms_to_timestamp(F.col("reg.updated_ms")).alias("updated_at"),
+            F.col("reg.registrant_notes").alias("registrant_notes"),
+            F.col("reg.admin_notes").alias("admin_notes"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("signer_id"),
+            F.col("version"),
+        )
+    )
+
+
+def pot_applications(prepared: DataFrame, pot_pattern: str = r"^[a-zA-Z0-9_]+\.v\d+\.potfactory\.potlock\.near$") -> DataFrame:
+    """handle_pot_application (utils.py:474-546): apply /
+    assert_can_apply_callback on a pot account; payload = SuccessValue;
+    natural key (pot_id, applicant_id) (pots/models.py:452-455),
+    last-writer-wins (update_or_create utils.py:515-522)."""
+    return (
+        prepared.filter(
+            F.col("method_name").isin("apply", "assert_can_apply_callback")
+            & F.col("receiver_id").rlike(pot_pattern)
+            & F.col("success_json").isNotNull()
+        )
+        .withColumn("appl", F.from_json("success_json", APPLICATION_SCHEMA))
+        .filter(F.col("appl.project_id").isNotNull())
+        .select(
+            F.col("receiver_id").alias("pot_id"),
+            F.col("appl.project_id").alias("applicant_id"),
+            F.col("appl.message").alias("message"),
+            F.col("appl.status").alias("status"),
+            ms_to_timestamp(F.col("appl.submitted_at")).alias("submitted_at"),
+            F.col("block_time").alias("updated_at"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("signer_id"),
+            F.col("version"),
+        )
+    )
+
+
+def list_upvotes(prepared: DataFrame, lists_contract: str = LISTS_CONTRACT) -> DataFrame:
+    """handle_list_upvote (utils.py:631-664): upvote on the lists contract;
+    args carry {list_id}; the account is the signer; unique (list, account)
+    (lists/models.py:86-115)."""
+    return (
+        prepared.filter(
+            (F.col("method_name") == "upvote") & (F.col("receiver_id") == lists_contract)
+        )
+        .select(
+            F.get_json_object("args_json", "$.list_id").cast("long").alias("list_id"),
+            F.col("signer_id").alias("account_id"),
+            F.col("block_time").alias("created_at"),
+            F.col("version"),
+        )
+        .filter(F.col("list_id").isNotNull())
+    )
+
+
+def new_lists(prepared: DataFrame, lists_contract: str = LISTS_CONTRACT) -> DataFrame:
+    """handle_new_list (utils.py:333-374): create_list on the lists
+    contract; payload = SuccessValue List object; ms → timestamps;
+    admins as an array column (§1.3 choice)."""
+    l = F.col("lst")
+    return (
+        prepared.filter(
+            (F.col("method_name") == "create_list")
+            & (F.col("receiver_id") == lists_contract)
+            & F.col("success_json").isNotNull()
+        )
+        .withColumn("lst", F.from_json("success_json", LIST_SCHEMA))
+        .filter(l["id"].isNotNull())
+        .select(
+            l["id"].alias("id"),
+            l["id"].cast("int").alias("on_chain_id"),
+            l["owner"].alias("owner_id"),
+            l["admins"].alias("admins"),
+            l["name"].alias("name"),
+            l["description"].alias("description"),
+            l["cover_image_url"].alias("cover_image_url"),
+            l["admin_only_registrations"].alias("admin_only_registrations"),
+            l["default_registration_status"].alias("default_registration_status"),
+            ms_to_timestamp(l["created_at"]).alias("created_at"),
+            ms_to_timestamp(l["updated_at"]).alias("updated_at"),
+            F.col("version"),
+        )
+    )
+
+
+def event_json_logs(prepared: DataFrame) -> DataFrame:
+    """EVENT_JSON log dispatch (handler.py:95-139): explode log lines,
+    keep the EVENT_JSON-prefixed ones (F10), parse {event, data[0]}.
+    Downstream nadabot/pot-config normalizers filter on ``event``."""
+    logline = F.col("logline")
+    return (
+        prepared.select(
+            "block_height",
+            "block_time",
+            "receiver_id",
+            "signer_id",
+            "receipt_id",
+            "version",
+            F.explode_outer("logs").alias("logline"),
+        )
+        .filter(logline.startswith("EVENT_JSON:"))
+        .withColumn(
+            "ev", F.from_json(F.expr("substring(logline, 12)"), EVENT_JSON_SCHEMA)
+        )
+        .select(
+            "block_height",
+            "block_time",
+            "receiver_id",
+            "signer_id",
+            "receipt_id",
+            "version",
+            F.col("ev.event").alias("event"),
+            F.col("ev.data").getItem(0).alias("data_json"),
+        )
+    )
+
+
+def nadabot_stamps(events: DataFrame) -> DataFrame:
+    """handle_add_stamp via add_stamp event (handler.py:116-118,
+    utils.py — stamp = (user, provider, verified_at))."""
+    return events.filter(F.col("event") == "add_stamp").select(
+        F.get_json_object("data_json", "$.stamp.user_id").alias("user_id"),
+        F.get_json_object("data_json", "$.stamp.provider_id").cast("long").alias("provider_id"),
+        F.col("block_time").cast("date").alias("verified_at"),
+        F.col("version"),
+    )
+
+
+def nadabot_providers(events: DataFrame) -> DataFrame:
+    """handle_new_provider via add_or_update_provider event
+    (handler.py:111-114): provider config upsert keyed on on_chain_id."""
+    return events.filter(F.col("event") == "add_or_update_provider").select(
+        F.get_json_object("data_json", "$.provider.id").cast("int").alias("on_chain_id"),
+        F.get_json_object("data_json", "$.provider.contract_id").alias("contract_id"),
+        F.get_json_object("data_json", "$.provider.method_name").alias("method_name"),
+        F.get_json_object("data_json", "$.provider.name").alias("name"),
+        F.get_json_object("data_json", "$.provider.status").alias("status"),
+        F.get_json_object("data_json", "$.provider.default_weight").cast("int").alias("default_weight"),
+        F.col("receiver_id").alias("registry_id"),
+        F.col("signer_id").alias("submitted_by_id"),
+        F.col("block_time").alias("submitted_at"),
+        F.col("version"),
+    )
+
+
+def social_profile_updates(prepared: DataFrame, social_contract: str = SOCIAL_CONTRACT) -> DataFrame:
+    """handle_social_profile_update (utils.py:36-52): 'set' on the social
+    contract where args.data[<signer>].profile exists. Emits the signer ids
+    whose profile changed; the gold job joins them against existing
+    accounts (J9 existence-gated update) and refreshes profile data."""
+    data_map = F.from_json(
+        F.get_json_object("args_json", "$.data"), "map<string,string>"
+    )
+    profile = F.get_json_object(
+        F.element_at(data_map, F.col("signer_id")), "$.profile"
+    )
+    return (
+        prepared.filter(
+            (F.col("method_name") == "set") & (F.col("receiver_id") == social_contract)
+        )
+        .withColumn("profile_json", profile)
+        .filter(F.col("profile_json").isNotNull())
+        .select(
+            F.col("signer_id").alias("account_id"),
+            "profile_json",
+            F.col("block_time").alias("updated_at"),
+            F.col("version"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Ingest pipeline assembly — batch core + Structured Streaming wrapper
+(SURVEY.md §2.9 T1-T8, §7 phase 6).
+
+``run_batch`` is the single normalize-and-merge step shared by all three
+execution modes the reference runs as separate code paths:
+
+  - live stream  (runindexer → asyncio loop, tasks.py:28-93)
+  - spot replay  (runspotindexer over a height range, tasks.py:114-126)
+  - backfill     (populatedata.py contract scans)
+
+Batch/replay call ``run_batch`` directly; streaming wraps it in
+``foreachBatch`` so every micro-batch applies the same deterministic
+dataflow with exactly-once sink semantics via checkpointLocation (T2 —
+replacing the reference's BlockHeight singleton, utils.py:1194-1203).
+At-least-once replay overlap (the reference resumes at height-1,
+tasks.py:104-107) is harmless by construction: every merge is keyed and
+versioned (T3).
+
+Scale notes: each entity merge shuffles on its natural key only; the
+bronze explode is narrow; the per-batch work is a fixed set of ~8
+independent jobs that Spark schedules concurrently (the reference's
+multi-queue isolation T7 maps to fair-scheduler pools if desired).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import normalize
+from ..sources.lake import explode_receipts, read_lake_stream
+from ..sources.merge import upsert
+
+
+def _accounts(prepared: DataFrame) -> DataFrame:
+    # accounts are id-only get_or_create upserts — every writer is
+    # identical, so version is constant (utils.py:890-922)
+    return normalize.donation_accounts(normalize.donations(prepared)).withColumn(
+        "version", F.lit(0).cast("long")
+    )
+
+
+# entity -> (normalizer over prepared bronze, natural key, conflict policy)
+ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], str]] = {
+    # last-writer-wins: update_or_create (utils.py:978-982) on the F11 key
+    "donations": (normalize.donations, ["dedup_key"], "last"),
+    # first-writer-wins: bulk_create(ignore_conflicts) (utils.py:427-431)
+    "list_registrations": (normalize.list_registrations, ["list_id", "registrant_id"], "first"),
+    # last-writer-wins: update_or_create (utils.py:515-522)
+    "pot_applications": (normalize.pot_applications, ["pot_id", "applicant_id"], "last"),
+    # get_or_create: first wins (utils.py:649-655)
+    "list_upvotes": (normalize.list_upvotes, ["list_id", "account_id"], "first"),
+    # acreate / unique on_chain_id (lists/models.py:21-26): first wins
+    "lists": (normalize.new_lists, ["id"], "first"),
+    "accounts": (_accounts, ["id"], "first"),
+}
+
+
+def run_batch(
+    bronze: DataFrame, existing: dict[str, DataFrame] | None = None
+) -> dict[str, DataFrame]:
+    """Normalize one bronze batch and merge into the existing silver tables
+    (None → bootstrap). Returns the updated silver frames."""
+    existing = existing or {}
+    prepared = normalize.prepare(bronze)
+    out: dict[str, DataFrame] = {}
+    for name, (fn, key, keep) in ENTITY_PIPELINES.items():
+        incoming = fn(prepared)
+        out[name] = upsert(existing.get(name), incoming, key, "version", keep=keep)
+    return out
+
+
+def stream_ingest(
+    spark: SparkSession,
+    lake_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 300,
+    max_files_per_trigger: int = 32,
+):
+    """T1/T2/T6: continuous ingest. Each micro-batch explodes the lake
+    messages to bronze, runs the shared normalize+merge against the parquet
+    silver tables, and overwrites them. 300 s default trigger mirrors the
+    reference's 5-minute beat cadence (base/celery.py:27-43).
+
+    (On a Delta/Iceberg lakehouse the overwrite becomes MERGE INTO — see
+    sources.merge.merge_statement; plain parquet keeps this container
+    dependency-free.)
+    """
+
+    def process_batch(lake_batch: DataFrame, batch_id: int) -> None:
+        bronze = explode_receipts(lake_batch)
+        existing = {}
+        for name in ENTITY_PIPELINES:
+            try:
+                existing[name] = spark.read.parquet(f"{out_dir}/{name}")
+            except Exception:
+                pass  # first batch: table does not exist yet
+        merged = run_batch(bronze, existing)
+        for name, df in merged.items():
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}.tmp")
+            tmp = spark.read.parquet(f"{out_dir}/{name}.tmp")
+            tmp.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+
+    stream = read_lake_stream(spark, lake_path, max_files_per_trigger)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,324 @@
+"""Ingest pipeline tests: bronze explode, normalizers, replay idempotence
+(SURVEY.md §5.3 golden invariants; FIXTURES.md §B block_stream shape)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from django_indexer_spark.schemas import BLOCK_STREAM_SCHEMA, LAKE_MESSAGE_SCHEMA
+from django_indexer_spark.sources import normalize
+from django_indexer_spark.sources.lake import explode_receipts, last_processed_height
+from django_indexer_spark.streaming.pipeline import run_batch
+
+
+def b64(obj) -> str:
+    return base64.b64encode(json.dumps(obj).encode()).decode()
+
+
+def bronze_row(
+    height=100,
+    shard=0,
+    ordinal=0,
+    receipt_id="r1",
+    receiver="donate.potlock.near",
+    signer="alice.near",
+    method="donate",
+    args=None,
+    success=None,
+    raw_success=None,
+    logs=(),
+    status_kind="SuccessValue",
+):
+    if raw_success is not None:
+        success_b64 = base64.b64encode(raw_success.encode()).decode()
+    elif success is not None:
+        success_b64 = b64(success)
+    else:
+        success_b64 = None
+    return (
+        height,
+        height * 1_000_000_000_000_000_000 // 10**9 + 1_700_000_000_000_000_000,
+        shard,
+        ordinal,
+        receipt_id,
+        "pred.near",
+        receiver,
+        signer,
+        status_kind,
+        success_b64,
+        method,
+        b64(args or {}),
+        list(logs),
+    )
+
+
+BRONZE_COLS = [f.name for f in BLOCK_STREAM_SCHEMA.fields]
+
+
+def make_bronze(spark, rows_):
+    schema = (
+        "block_height long, block_timestamp_ns long, shard_id int, receipt_ordinal long,"
+        " receipt_id string,"
+        " predecessor_id string, receiver_id string, signer_id string, status_kind string,"
+        " success_value_b64 string, method_name string, args_b64 string, logs array<string>"
+    )
+    return spark.createDataFrame(rows_, schema)
+
+
+DONATION = {
+    "id": 7,
+    "donor_id": "alice.near",
+    "total_amount": "1000000",
+    "protocol_fee": "25000",
+    "referrer_id": "bob.near",
+    "referrer_fee": "10000",
+    "recipient_id": "charity.near",
+    "donated_at_ms": 1700000000123,
+    "message": "gm",
+}
+
+POT_DONATION = {
+    "id": 7,  # same on_chain_id as the direct one — F11 must keep both
+    "donor_id": "dana.near",
+    "total_amount": "500",
+    "net_amount": "490",
+    "protocol_fee": "10",
+    "project_id": "project.near",
+    "ft_id": "usdc.near",
+    "matching_pool": True,
+    "donated_at": 1700000001000,
+}
+
+
+def test_donation_normalizer_direct_vs_pot(spark):
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(receipt_id="r1", success=DONATION),
+            bronze_row(
+                receipt_id="r2",
+                receiver="mygrants.v1.potfactory.potlock.near",
+                method="handle_protocol_fee_callback",
+                success=POT_DONATION,
+                ordinal=1,
+            ),
+        ],
+    )
+    out = {r["tx_hash"]: r.asDict() for r in normalize.donations(normalize.prepare(bronze)).collect()}
+    direct, pot = out["r1"], out["r2"]
+
+    # C8: net = 1000000 - 25000 - 10000 - 0 (utils.py:874-884)
+    assert direct["net_amount"] == "965000"
+    assert direct["pot_id"] is None
+    assert direct["token_id"] == "near"  # ft_id default (utils.py:917)
+    assert direct["recipient_id"] == "charity.near"
+    assert direct["dedup_key"] == "7|__direct__"
+    assert direct["matching_pool"] is False
+
+    assert pot["net_amount"] == "490"  # provided, not recomputed
+    assert pot["pot_id"] == "mygrants.v1.potfactory.potlock.near"
+    assert pot["recipient_id"] == "project.near"  # project_id coalesce
+    assert pot["token_id"] == "usdc.near"
+    assert pot["dedup_key"] == "7|mygrants.v1.potfactory.potlock.near"
+    assert pot["matching_pool"] is True
+
+
+def test_donation_skips_failed_null_and_missing_results(spark):
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(receipt_id="ok", success=DONATION),
+            bronze_row(receipt_id="failed", success=DONATION, status_kind="Failure"),
+            bronze_row(receipt_id="no_result", success=None),
+            # "null" literal SuccessValue (C13, handler.py:298-302)
+            bronze_row(receipt_id="null_lit", raw_success="null"),
+        ],
+    )
+    got = [r["tx_hash"] for r in normalize.donations(normalize.prepare(bronze)).collect()]
+    assert got == ["ok"]
+
+
+def test_accounts_cascade_and_activities(spark):
+    bronze = make_bronze(spark, [bronze_row(success=DONATION)])
+    prepared = normalize.prepare(bronze)
+    accounts = {r["id"] for r in normalize.donation_accounts(normalize.donations(prepared)).collect()}
+    # T8: donor, referrer, recipient, token, receiver, signer (utils.py:890-922)
+    assert accounts == {
+        "alice.near", "bob.near", "charity.near", "near", "donate.potlock.near",
+    }
+    acts = normalize.donation_activities(normalize.donations(prepared)).collect()
+    assert len(acts) == 1 and acts[0]["type"] == "Donate_Direct"
+
+
+def test_replay_idempotence(spark):
+    """Golden invariant: ingesting the stream twice ≡ once (T3)."""
+    base = [
+        bronze_row(receipt_id="r1", success=DONATION),
+        bronze_row(
+            receipt_id="r2",
+            receiver="lists.potlock.near",
+            method="register_batch",
+            success=[
+                {
+                    "id": 1, "registrant_id": "p1.near", "list_id": 5, "status": "Approved",
+                    "submitted_ms": 1700000000000, "updated_ms": 1700000000000,
+                    "registered_by": "admin.near",
+                }
+            ],
+            ordinal=1,
+        ),
+    ]
+    once = run_batch(make_bronze(spark, base))
+    twice_bronze = make_bronze(spark, base + base)
+    twice = run_batch(twice_bronze)
+    for name in once:
+        a = sorted(map(str, once[name].collect()))
+        b = sorted(map(str, twice[name].collect()))
+        assert a == b, f"{name} not replay-idempotent"
+
+
+def test_conflict_policies_last_vs_first(spark):
+    v1 = dict(DONATION, message="v1")
+    v2 = dict(DONATION, message="v2")
+    reg = {
+        "id": 1, "registrant_id": "p1.near", "list_id": 5, "status": "Pending",
+        "submitted_ms": 1, "updated_ms": 1, "registered_by": "admin.near",
+    }
+    reg_later = dict(reg, status="Approved")
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(height=100, ordinal=0, receipt_id="a", success=v1),
+            bronze_row(height=101, ordinal=0, receipt_id="b", success=v2),
+            bronze_row(
+                height=100, ordinal=1, receipt_id="c", receiver="lists.potlock.near",
+                method="register_batch", success=[reg],
+            ),
+            bronze_row(
+                height=101, ordinal=1, receipt_id="d", receiver="lists.potlock.near",
+                method="register_batch", success=[reg_later],
+            ),
+        ],
+    )
+    out = run_batch(bronze)
+    donation = out["donations"].collect()
+    assert len(donation) == 1 and donation[0]["message"] == "v2"  # LWW (utils.py:978)
+    regs = out["list_registrations"].collect()
+    assert len(regs) == 1 and regs[0]["status"] == "Pending"  # FWW ignore_conflicts
+
+
+def test_upvote_application_list_normalizers(spark):
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(
+                receipt_id="u1", receiver="lists.potlock.near", method="upvote",
+                args={"list_id": 9}, signer="voter.near",
+            ),
+            bronze_row(
+                receipt_id="ap1", receiver="cool.v1.potfactory.potlock.near",
+                method="apply",
+                success={"project_id": "proj.near", "message": "hi", "status": "Pending",
+                         "submitted_at": 1700000000000},
+                ordinal=1,
+            ),
+            bronze_row(
+                receipt_id="l1", receiver="lists.potlock.near", method="create_list",
+                success={"id": 3, "owner": "own.near", "admins": ["a.near"], "name": "L",
+                         "description": "d", "cover_image_url": None,
+                         "admin_only_registrations": False,
+                         "default_registration_status": "Approved",
+                         "created_at": 1700000000000, "updated_at": 1700000000000},
+                ordinal=2,
+            ),
+        ],
+    )
+    p = normalize.prepare(bronze)
+    up = normalize.list_upvotes(p).collect()
+    assert len(up) == 1 and (up[0]["list_id"], up[0]["account_id"]) == (9, "voter.near")
+    ap = normalize.pot_applications(p).collect()
+    assert len(ap) == 1 and ap[0]["applicant_id"] == "proj.near"
+    ls = normalize.new_lists(p).collect()
+    assert len(ls) == 1 and ls[0]["admins"] == ["a.near"]
+
+
+def test_event_json_and_nadabot(spark):
+    stamp_log = "EVENT_JSON:" + json.dumps(
+        {"standard": "nadabot", "version": "1.0.0", "event": "add_stamp",
+         "data": [{"stamp": {"user_id": "u.near", "provider_id": 4}}]}
+    )
+    bronze = make_bronze(
+        spark,
+        [bronze_row(receipt_id="s1", receiver="v1.nadabot.near", method="whatever",
+                    logs=[stamp_log, "not an event"])],
+    )
+    events = normalize.event_json_logs(normalize.prepare(bronze))
+    assert events.count() == 1
+    stamps = normalize.nadabot_stamps(events).collect()
+    assert len(stamps) == 1
+    assert (stamps[0]["user_id"], stamps[0]["provider_id"]) == ("u.near", 4)
+
+
+def test_social_profile_update_gate(spark):
+    args = {"data": {"alice.near": {"profile": {"name": "Alice"}}}}
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(receipt_id="p1", receiver="social.near", method="set",
+                       signer="alice.near", args=args),
+            # signer whose args do NOT contain their own profile → no row
+            bronze_row(receipt_id="p2", receiver="social.near", method="set",
+                       signer="eve.near", args=args, ordinal=1),
+        ],
+    )
+    got = normalize.social_profile_updates(normalize.prepare(bronze)).collect()
+    assert len(got) == 1 and got[0]["account_id"] == "alice.near"
+
+
+def test_lake_explode_and_checkpoint(spark):
+    msg = {
+        "block": {"header": {"height": 55, "timestamp": 1_700_000_000_000_000_000}},
+        "shards": [
+            {
+                "shard_id": 0,
+                "receipt_execution_outcomes": [
+                    {
+                        "receipt": {
+                            "receipt_id": "rx1",
+                            "predecessor_id": "p.near",
+                            "receiver_id": "donate.potlock.near",
+                            "receipt": {
+                                "Action": {
+                                    "signer_id": "s.near",
+                                    "actions": [
+                                        {"FunctionCall": {"method_name": "donate", "args": b64({})}}
+                                    ],
+                                }
+                            },
+                        },
+                        "execution_outcome": {
+                            "outcome": {"logs": [], "status": {"SuccessValue": b64({"id": 1})}}
+                        },
+                    }
+                ],
+            }
+        ],
+    }
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "block.json")
+        with open(path, "w") as f:
+            f.write(json.dumps(msg))
+        lake = spark.read.schema(LAKE_MESSAGE_SCHEMA).json(d)
+        bronze = explode_receipts(lake)
+        row = bronze.collect()[0].asDict()
+        assert row["block_height"] == 55
+        assert row["method_name"] == "donate"
+        assert row["status_kind"] == "SuccessValue"
+        assert row["receipt_id"] == "rx1"
+        assert last_processed_height(bronze) == 55

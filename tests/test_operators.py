@@ -1,0 +1,281 @@
+"""Unit tests per operator on tiny literal DataFrames (SURVEY.md §5.2):
+edge cases the oracle fixtures can't isolate — null fees (C8), non-digit
+amounts (A6), conflict policies (T3), as-of tie-breaks (J6)."""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from django_indexer_spark.functions import scalars
+from django_indexer_spark.functions.amounts import guarded_amount
+from django_indexer_spark.operators import dedup, similarity, sorts, text, windows
+from django_indexer_spark.operators.joins import as_of_nearest
+from django_indexer_spark.sources.merge import upsert
+
+from conftest import rows
+
+
+# ---------------------------------------------------------------- J6 as-of
+
+
+def test_asof_nearest_picks_nearest_and_tiebreaks_earlier(spark):
+    left = spark.createDataFrame(
+        [("e1", "k1", 1000), ("e2", "k1", 5000), ("e3", "k2", 1000)],
+        "id string, key string, ts long",
+    )
+    right = spark.createDataFrame(
+        # for e1: r10 at Δ=100 beats r20 at Δ=200; for e2 tie Δ=500 → earlier wins
+        [("r10", "k1", 900), ("r20", "k1", 1200), ("r45", "k1", 4500), ("r55", "k1", 5500)],
+        "rid string, key string, rts long",
+    )
+    out = {
+        r["id"]: (r["r_rid"], r["r_rts"])
+        for r in as_of_nearest(
+            left, right, left_id=["id"], key="key", left_ts="ts", right_ts="rts", tolerance_s=1000
+        ).collect()
+    }
+    assert out["e1"] == ("r10", 900)
+    assert out["e2"] == ("r45", 4500)  # tie |Δ|=500 both sides → earlier rts wins
+    assert out["e3"] == (None, None)  # k2 has no right rows → left row kept with nulls
+
+
+def test_asof_strategies_agree(spark):
+    left = spark.createDataFrame(
+        [(i, "k", i * 37 % 1000) for i in range(50)], "id long, key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(i, "k", i * 91 % 1000) for i in range(40)], "rid long, key string, rts long"
+    )
+    a = as_of_nearest(left, right, ["id"], "key", "ts", "rts", 100, strategy="bucketed")
+    b = as_of_nearest(left, right, ["id"], "key", "ts", "rts", 100, strategy="range")
+    assert sorted(map(tuple, a.select("id", "r_rid").collect())) == sorted(
+        map(tuple, b.select("id", "r_rid").collect())
+    )
+
+
+# ---------------------------------------------------------------- T3 merge
+
+
+def test_upsert_last_writer_wins(spark):
+    existing = spark.createDataFrame([("a", 1, 1), ("b", 1, 1)], "k string, v int, version int")
+    incoming = spark.createDataFrame([("a", 2, 2), ("c", 9, 2)], "k string, v int, version int")
+    out = {r["k"]: r["v"] for r in upsert(existing, incoming, ["k"], "version").collect()}
+    assert out == {"a": 2, "b": 1, "c": 9}
+
+
+def test_upsert_first_writer_wins(spark):
+    existing = spark.createDataFrame([("a", 1, 1)], "k string, v int, version int")
+    incoming = spark.createDataFrame([("a", 2, 2), ("c", 9, 2)], "k string, v int, version int")
+    out = {
+        r["k"]: r["v"]
+        for r in upsert(existing, incoming, ["k"], "version", keep="first").collect()
+    }
+    assert out == {"a": 1, "c": 9}
+
+
+def test_upsert_equal_versions_incoming_wins_on_last(spark):
+    existing = spark.createDataFrame([("a", 1, 5)], "k string, v int, version int")
+    incoming = spark.createDataFrame([("a", 2, 5)], "k string, v int, version int")
+    out = upsert(existing, incoming, ["k"], "version").collect()
+    assert out[0]["v"] == 2
+
+
+# ------------------------------------------------------------ A6/C8 amounts
+
+
+def test_guarded_amount_edges(spark):
+    df = spark.createDataFrame(
+        [("123",), ("00042",), ("12x",), ("",), (None,), ("9" * 39,), ("9" * 38,)],
+        "amt string",
+    )
+    got = [r[0] for r in df.select(guarded_amount("amt")).collect()]
+    assert got[0] == decimal.Decimal(123)
+    assert got[1] == decimal.Decimal(42)
+    assert got[2] is None  # non-digit (isdigit guard, tasks.py:203)
+    assert got[3] is None  # empty
+    assert got[4] is None  # null
+    assert got[5] is None  # 39 digits: beyond Decimal(38) — explicit drop
+    assert got[6] == decimal.Decimal("9" * 38)
+
+
+def test_net_amount_null_fees_treated_as_zero(spark):
+    df = spark.createDataFrame([("100", "7", None, None)], "total string, pf string, rf string, cf string")
+    out = df.select(
+        scalars.net_amount("total", "pf", "rf", "cf").alias("net")
+    ).collect()[0]["net"]
+    assert out == decimal.Decimal(93)  # utils.py:875-884 null-as-0
+
+
+# ----------------------------------------------------------- C14/C15 rules
+
+
+def test_rule_type_enum_dict_unwrap(spark):
+    df = spark.createDataFrame(
+        [('{"IncreasingReturns": 10}',), ("Highest",)], "rule string"
+    )
+    got = df.select(
+        scalars.rule_type("rule").alias("t"), scalars.rule_val("rule").alias("v")
+    ).collect()
+    assert (got[0]["t"], got[0]["v"]) == ("IncreasingReturns", 10)
+    assert (got[1]["t"], got[1]["v"]) == ("Highest", None)
+
+
+def test_b64_json_roundtrip(spark):
+    import base64
+
+    payload = base64.b64encode(b'{"k": 1}').decode()
+    df = spark.createDataFrame([(payload,)], "args string")
+    assert df.select(scalars.b64_json("args").alias("j")).collect()[0]["j"] == '{"k": 1}'
+
+
+def test_ns_ms_timestamps(spark):
+    df = spark.createDataFrame([(1704067200_123_456_789, 1704067200_123)], "ns long, ms long")
+    got = df.select(
+        scalars.ns_to_timestamp("ns").cast("string").alias("from_ns"),
+        scalars.ms_to_timestamp("ms").cast("string").alias("from_ms"),
+    ).collect()[0]
+    assert got["from_ns"] == "2024-01-01 00:00:00.123456"
+    assert got["from_ms"] == "2024-01-01 00:00:00.123"
+
+
+# ------------------------------------------------------------- W1/O3 shapes
+
+
+def test_top1_per_group(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, 10), ("u1", 2, 20), ("u2", 3, 5)], "u string, id int, ts int"
+    )
+    got = {r["u"]: r["id"] for r in windows.top1_per_group(df, ["u"], [F.desc("ts")]).collect()}
+    assert got == {"u1": 2, "u2": 3}
+
+
+def test_pagination_partitions_ordered_set(spark):
+    df = spark.range(95).withColumnRenamed("id", "k")
+    pages = [
+        rows(sorts.paginate(df, [F.asc("k")], page=p, page_size=30), "k") for p in range(1, 5)
+    ]
+    flat = [r["k"] for page in pages for r in page]
+    assert flat == list(range(95))  # disjoint, exhaustive, ordered (SURVEY §5.3)
+
+
+# ----------------------------------------------------------- dedup family
+
+
+def test_exact_dedup_collapses_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], "doc_id long, text string"
+    )
+    got = {r["canonical_id"]: r["n_copies"] for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely unrelated text about spark execution engines")],
+        "doc_id long, text string",
+    )
+    bands = dedup.minhash_bands(df, "text", "doc_id")
+    pairs = [tuple(r) for r in dedup.minhash_candidate_pairs(bands, "doc_id").collect()]
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_simhash_similarity_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "zzz completely different words entirely unrelated corpus")],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(df, "text", "doc_id").collect()}
+    near = bin(h[1] ^ h[2]).count("1")
+    far = bin(h[1] ^ h[3]).count("1")
+    assert near < far
+
+
+def test_jaccard_pairs_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "g", "s"), (2, "a b c e", "g", "s"), (3, "x y", "g", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = dedup.ngram_jaccard_pairs(df, "text", "doc_id", ["lang", "source"], threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"], r["n_inter"]) == (1, 2, 3)
+    assert r["jaccard"] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_cosine_topk_excludes_self_and_respects_k(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [(4, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    got = similarity.cosine_topk(q, df, "vec_id", "vec_id", k=2).collect()
+    assert len(got) == 2
+    assert all(r["c_id"] != 0 for r in got)
+    assert got[0]["c_id"] == 4  # cos(e0, e0+e1) ≈ 0.707 is the best match
+
+
+def test_lsh_bucket_deterministic(spark):
+    ws = similarity.plane_weights(4, 4)
+    df = spark.createDataFrame([(1, [0.5, -0.25, 1.0, 0.0])], "vec_id long, embedding array<float>")
+    b1 = df.select(similarity.sign_bucket(F.col("embedding"), ws).alias("b")).collect()[0]["b"]
+    b2 = df.select(similarity.sign_bucket(F.col("embedding"), ws).alias("b")).collect()[0]["b"]
+    assert b1 == b2
+    assert 0 <= b1 < 16
+
+
+# -------------------------------------------------------------- text ops
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "  Hello,   WORLD  example ")], "doc_id long, text string")
+    r = df.select(
+        text.token_count("text").alias("n"), text.fingerprint("text").alias("fp")
+    ).collect()[0]
+    assert r["n"] == 3
+    import hashlib
+
+    assert r["fp"] == hashlib.md5(b"hello, world example").hexdigest()
+
+
+def test_lang_id_script_detection(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund ist nicht ein spiel"), (2, "你好世界"), (3, "plain words only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", text.lang_id("text").alias("p")).collect()}
+    assert got == {1: "de", 2: "zh", 3: "en"}
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_feature_extraction_stub(spark):
+    from django_indexer_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "longer payload here")], "doc_id long, text string")
+    media = multimodal.documents_as_media(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    import hashlib
+
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["content_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert feats[1]["width"] == 4 and feats[1]["height"] == 4  # (3 % 640)+1
+    assert feats[2]["n_bytes"] == 19
+
+
+def test_decode_image_is_stubbed():
+    from django_indexer_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -642,3 +642,59 @@ def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage fill-ins: F3, F5, J2/J3, C12 (SURVEY.md §2 line items)
+# --------------------------------------------------------------------------
+
+
+@query("f3_null_pred")
+def f3_null_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 NULL predicates (paid_at__isnull=False, accounts/api.py:392):
+    lineitems 'paid' (shipdate non-null) before a boundary, projected."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").isNotNull() & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query("f5_time_window")
+def f5_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 ±Δ time-window predicate (price lookup window,
+    tokens/models.py:66-71): events within ±24 h of a pivot instant."""
+    e = _events(spark, sf_dir)
+    pivot_us = 1705276800000000  # 2024-01-15 00:00:00 UTC in µs
+    day_us = 86400000000
+    return e.filter(
+        (F.col("ts_us") >= pivot_us - day_us) & (F.col("ts_us") <= pivot_us + day_us)
+    ).select("event_id", "user_id", "ts_us")
+
+
+@query("j2_prefetch_array")
+def j2_prefetch_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 prefetch-shaped nested rebuild (prefetch_related,
+    accounts/api.py:351; admins arrays pots/serializers.py:55-58): per
+    customer, the sorted array of their urgent order keys + count. The
+    M2M/1:N nested serializer output is a deterministic collect_list."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    agg = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_urgent"),
+    )
+    return (
+        c.join(agg, "c_custkey", "inner")
+        .select("c_custkey", "c_name", "order_keys", "n_urgent")
+    )
+
+
+@query("c12_format_2dp")
+def c12_format_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 2-decimal serving-edge formatting (base/serializers.py:4-9):
+    canonical decimal(18,2) string rendering (negative balances included)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string").alias("acctbal_str"),
+    )

@@ -516,3 +516,33 @@ FROM documents
 
 # a3_approx_distinct: intentionally no oracle — HLL sketches are
 # engine-specific; driver records a rows-only check.
+
+ORACLES["f3_null_pred"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_shipdate < TIMESTAMP '1996-06-01'
+"""
+
+ORACLES["f5_time_window"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us
+FROM events
+WHERE epoch_us(ts) >= 1705276800000000 - 86400000000
+  AND epoch_us(ts) <= 1705276800000000 + 86400000000
+"""
+
+ORACLES["j2_prefetch_array"] = """
+SELECT c.c_custkey, c.c_name, s.order_keys, s.n_urgent
+FROM customer c
+JOIN (
+  SELECT o_custkey AS c_custkey,
+         list_sort(list(o_orderkey)) AS order_keys,
+         count(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+) s USING (c_custkey)
+"""
+
+ORACLES["c12_format_2dp"] = """
+SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal_str
+FROM customer
+"""

@@ -79,6 +79,7 @@ def stream_ingest(
     checkpoint_dir: str,
     trigger_seconds: int = 300,
     max_files_per_trigger: int = 32,
+    available_now: bool = False,
 ):
     """T1/T2/T6: continuous ingest. Each micro-batch explodes the lake
     messages to bronze, runs the shared normalize+merge against the parquet
@@ -105,9 +106,14 @@ def stream_ingest(
             tmp.write.mode("overwrite").parquet(f"{out_dir}/{name}")
 
     stream = read_lake_stream(spark, lake_path, max_files_per_trigger)
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        # drain everything currently in the lake then stop — replay/backfill
+        # mode and the test path (same semantics as tasks.py:114-126's
+        # spot indexer over a fixed height range)
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -689,6 +689,96 @@ def j2_prefetch_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("f11_conditional_unique")
+def f11_conditional_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 conditional-uniqueness dedup (donations/models.py:188-200):
+    unique on_chain_id when pot IS NULL, unique (on_chain_id, pot)
+    otherwise — one composite key ``(coalesce(pot,'__direct__'),
+    on_chain_id)``, winner = min surrogate id. events.value stands in for
+    the nullable pot FK, props.$.k for on_chain_id."""
+    e = _events(spark, sf_dir)
+    pot_key = F.when(F.col("value").isNotNull(), F.col("event_type")).otherwise(
+        F.lit("__direct__")
+    )
+    on_chain = F.get_json_object("props", "$.k")
+    return e.groupBy(pot_key.alias("pot_key"), on_chain.alias("on_chain_id")).agg(
+        F.min("event_id").alias("winner_event_id"),
+        F.count(F.lit(1)).alias("n_claimants"),
+    )
+
+
+@query("j5_semi_in_subquery")
+def j5_semi_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 semi-join via IN-subquery (approved-application pot ids →
+    pots, accounts/api.py:206-210; distinct donors → accounts,
+    pots/api.py:250-255): suppliers whose key appears in the distinct
+    returned-lineitem supplier set. Catalyst rewrites to left-semi."""
+    s = _t(spark, sf_dir, "supplier")
+    keys = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(keys, s["s_suppkey"] == keys["l_suppkey"], "left_semi").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
+@query("c1_c2_event_decode")
+def c1_c2_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2+F10 log decode pipeline (handler.py:100-139,172-196): build
+    'EVENT_JSON:'+base64(json) log lines, then the consumer side — prefix
+    filter, strip, unbase64, JSON-extract. Round-trips inside one engine so
+    base64 chunking conventions can't skew parity."""
+    e = _events(spark, sf_dir)
+    logged = e.select(
+        "event_id",
+        F.concat(
+            F.lit("EVENT_JSON:"), F.base64(F.col("props").cast("binary"))
+        ).alias("log_line"),
+    )
+    return (
+        logged.filter(F.col("log_line").startswith("EVENT_JSON:"))
+        .select(
+            "event_id",
+            F.unbase64(F.expr("substring(log_line, 12)")).cast("string").alias("payload"),
+        )
+        .select(
+            "event_id",
+            F.get_json_object("payload", "$.k").cast("long").alias("k"),
+        )
+    )
+
+
+@query("c7_c8_net_usd")
+def c7_c8_net_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7+C8 donation fee math (utils.py:875-884, donations/models.py:
+    228-243): net = total − protocol − coalesce(referrer,0) −
+    coalesce(chef,0) in exact decimal, then USD multiply rounded to 2dp.
+    referrer/chef fees are conditionally NULL, exercising the coalesce
+    guards. All money rounded to 2dp before the double cast so both
+    engines emit bit-identical output."""
+    li = _t(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(20,2)")
+    total = _dec("l_extendedprice")
+    protocol = F.round(total * F.lit(0.05).cast("decimal(4,2)"), 2).cast("decimal(20,2)")
+    referrer = F.when(
+        F.col("l_linenumber") % 2 == 0, F.round(total * _dec("l_discount", 4, 2), 2)
+    ).cast("decimal(20,2)")
+    chef = F.when(
+        F.col("l_returnflag") == "R", F.round(total * _dec("l_tax", 4, 2), 2)
+    ).cast("decimal(20,2)")
+    net = total - protocol - F.coalesce(referrer, zero) - F.coalesce(chef, zero)
+    usd = F.round(net * F.lit(0.85).cast("decimal(4,2)"), 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.cast("double").alias("net_amount"),
+        usd.cast("double").alias("net_usd"),
+    )
+
+
 @query("c12_format_2dp")
 def c12_format_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 2-decimal serving-edge formatting (base/serializers.py:4-9):

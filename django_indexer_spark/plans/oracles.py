@@ -546,3 +546,48 @@ ORACLES["c12_format_2dp"] = """
 SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal_str
 FROM customer
 """
+
+ORACLES["f11_conditional_unique"] = """
+SELECT CASE WHEN value IS NOT NULL THEN event_type ELSE '__direct__' END AS pot_key,
+       json_extract_string(props, '$.k') AS on_chain_id,
+       MIN(event_id) AS winner_event_id,
+       COUNT(*) AS n_claimants
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["j5_semi_in_subquery"] = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+"""
+
+ORACLES["c1_c2_event_decode"] = """
+WITH logged AS (
+  SELECT event_id, 'EVENT_JSON:' || base64(encode(props)) AS log_line
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract_string(decode(from_base64(substr(log_line, 12))), '$.k') AS BIGINT) AS k
+FROM logged
+WHERE log_line LIKE 'EVENT_JSON:%'
+"""
+
+ORACLES["c7_c8_net_usd"] = """
+WITH fees AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS total,
+         CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.05 AS DECIMAL(4,2)), 2) AS DECIMAL(20,2)) AS protocol,
+         CASE WHEN l_linenumber % 2 = 0
+              THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2)), 2) AS DECIMAL(20,2))
+         END AS referrer,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(4,2)), 2) AS DECIMAL(20,2))
+         END AS chef
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(total - protocol - COALESCE(referrer, 0) - COALESCE(chef, 0) AS DOUBLE) AS net_amount,
+       CAST(round((total - protocol - COALESCE(referrer, 0) - COALESCE(chef, 0)) * CAST(0.85 AS DECIMAL(4,2)), 2) AS DOUBLE) AS net_usd
+FROM fees
+"""

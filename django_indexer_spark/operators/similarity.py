@@ -108,6 +108,42 @@ def sign_bucket(vec: Column, weights: list[list[float]]) -> Column:
     return out
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    dim: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine(a, b) >= threshold, candidates restricted to the same sign-LSH
+    bucket (near-identical vectors agree on every hyperplane sign, so true
+    near-dups co-bucket with high probability; multi-probe unions raise
+    recall). The all-pairs cross join never materializes — the self-join
+    is an equi-join on bucket, which is THE property that survives 100 TB.
+    Threshold compares the rounded cosine so engine parity is exact."""
+    weights = plane_weights(n_planes, dim)
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        sign_bucket(F.col(vec_col), weights).alias("bucket"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        sign_bucket(F.col(vec_col), weights).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cosine(F.col("a_vec"), F.col("b_vec")), round_dp))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

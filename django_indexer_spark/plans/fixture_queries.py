@@ -596,6 +596,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.3 — the fixture's
+    embeddings are near-orthogonal random vectors, so the threshold sits
+    in the observable tail): LSH-bucketed self-join, never all-pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4, dim=64
+    )
+
+
 @query("text_metrics")
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, quality score, fingerprint (the cheap

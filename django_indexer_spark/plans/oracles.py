@@ -447,6 +447,32 @@ QUALIFY rnk <= {k}
 
 ORACLES["sim_ann_lsh"] = _ann_lsh_sql(4, 64, 5)
 
+
+def _near_dup_sql(threshold: float, n_planes: int = 4, dim: int = 64) -> str:
+    from ..operators.similarity import plane_weights
+
+    ws = plane_weights(n_planes, dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{', '.join(repr(w) for w in ws[p])}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    pair_cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+WITH bkt AS (
+  SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, round({pair_cos}, 6) AS cosine
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({pair_cos}, 6) >= {threshold}
+"""
+
+
+ORACLES["dedup_embedding_cosine"] = _near_dup_sql(0.3, 4, 64)
+
 # text metrics — mirrors operators/text.py quality_score/token_count/fingerprint
 _STOP_EN = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it']"
 _STOP_DE = "['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein']"

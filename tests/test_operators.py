@@ -234,6 +234,23 @@ def test_lsh_bucket_deterministic(spark):
     assert 0 <= b1 < 16
 
 
+def test_cosine_near_dup_pairs_finds_only_near_duplicates(spark):
+    # v1 ≈ v2 (cosine ~0.9997), v3 orthogonal to both
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.01]),
+            (2, [1.0, 0.02, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.cosine_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, n_planes=4, dim=4
+    ).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(1, 2)]
+    assert got[0]["cosine"] > 0.99
+
+
 # -------------------------------------------------------------- text ops
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.amounts import grouped_exact_sums, to_fixed
 from ..operators import dedup, multimodal, similarity, sorts, text, windows
 from ..operators.joins import as_of_nearest
 from ..sources.merge import upsert
@@ -186,18 +187,19 @@ def j1_fk_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
-    return (
+    revenue_e4 = to_fixed("l_extendedprice", 2) * (F.lit(100) - to_fixed("l_discount", 2))
+    joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    )
+    return grouped_exact_sums(
+        joined,
+        ["n_name"],
+        sums={"revenue": (revenue_e4, 4)},
+        counts={"n_items": F.lit(1)},
     )
 
 
@@ -269,16 +271,20 @@ def j8_self_double_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
-    return (
+    vol_e4 = to_fixed("l_extendedprice", 2) * (F.lit(100) - to_fixed("l_discount", 2))
+    joined = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
-        .groupBy("cust_nation", "supp_nation")
-        .agg(F.sum(vol).cast("double").alias("volume"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return grouped_exact_sums(
+        joined,
+        ["cust_nation", "supp_nation"],
+        sums={"volume": (vol_e4, 4)},
+        counts={"n_items": F.lit(1)},
     )
 
 
@@ -307,9 +313,11 @@ def a4_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-account query loop. Customers with no orders keep 0."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    stats = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
-        F.count(F.lit(1)).alias("n_orders"),
+    stats = grouped_exact_sums(
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        ["c_custkey"],
+        sums={"total_spent": (to_fixed("o_totalprice", 2), 2)},
+        counts={"n_orders": F.lit(1)},
     )
     return (
         c.join(stats, "c_custkey", "left")
@@ -328,17 +336,21 @@ def a5_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks.py:188-257): per order-priority, returned vs kept revenue."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    price = _dec("l_extendedprice")
+    price_e2 = to_fixed("l_extendedprice", 2)
     ret = F.col("l_returnflag") == "R"
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(F.when(ret, price)).cast("double").alias("returned_revenue"),
-            F.count(F.when(ret, F.lit(1))).alias("returned_count"),
-            F.sum(F.when(~ret, price)).cast("double").alias("kept_revenue"),
-            F.count(F.when(~ret, F.lit(1))).alias("kept_count"),
-        )
+    return grouped_exact_sums(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
+        ["o_orderpriority"],
+        sums={
+            "returned_revenue": (F.when(ret, price_e2), 2),
+            "kept_revenue": (F.when(~ret, price_e2), 2),
+        },
+        counts={
+            "returned_count": F.when(ret, F.lit(1)),
+            "kept_count": F.when(~ret, F.lit(1)),
+        },
+    ).select(
+        "o_orderpriority", "returned_revenue", "returned_count", "kept_revenue", "kept_count"
     )
 
 
@@ -510,20 +522,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
-    charge = disc_price * (one + _dec("l_tax", 4, 2))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_quantity", 18, 2)).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    # exact fixed-point: price/qty/disc/tax are 2dp → integer cents;
+    # disc_price lands at scale 4, charge at scale 6 (still exact longs)
+    price_e2 = to_fixed("l_extendedprice", 2)
+    disc_price_e4 = price_e2 * (F.lit(100) - to_fixed("l_discount", 2))
+    charge_e6 = disc_price_e4 * (F.lit(100) + to_fixed("l_tax", 2))
+    return grouped_exact_sums(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": (to_fixed("l_quantity", 2), 2),
+            "sum_base_price": (price_e2, 2),
+            "sum_disc_price": (disc_price_e4, 4),
+            "sum_charge": (charge_e6, 6),
+        },
+        counts={"count_order": F.lit(1)},
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 # --------------------------------------------------------------------------

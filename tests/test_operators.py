@@ -10,7 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from django_indexer_spark.functions import scalars
-from django_indexer_spark.functions.amounts import guarded_amount
+from django_indexer_spark.functions.amounts import (
+    grouped_exact_sums,
+    guarded_amount,
+    to_fixed,
+)
 from django_indexer_spark.operators import dedup, similarity, sorts, text, windows
 from django_indexer_spark.operators.joins import as_of_nearest
 from django_indexer_spark.sources.merge import upsert
@@ -232,6 +236,35 @@ def test_lsh_bucket_deterministic(spark):
     b2 = df.select(similarity.sign_bucket(F.col("embedding"), ws).alias("b")).collect()[0]["b"]
     assert b1 == b2
     assert 0 <= b1 < 16
+
+
+def test_grouped_exact_sums_matches_decimal_and_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 10.01, 1),
+            ("a", 0.02, 1),
+            ("a", None, 0),  # NULL skipped by sum, not counted
+            ("b", 99999999.99, 1),
+            ("c", None, 0),  # all-NULL group → NULL sum, count 0
+        ],
+        "grp string, amt double, flag int",
+    ).repartition(3)  # force multiple partial partitions
+    got = {
+        r["grp"]: r.asDict()
+        for r in grouped_exact_sums(
+            df,
+            ["grp"],
+            sums={"total": (to_fixed("amt", 2), 2)},
+            counts={"n": F.when(F.col("flag") == 1, F.lit(1))},
+        ).collect()
+    }
+    assert got["a"]["total"] == 10.03 and got["a"]["n"] == 2
+    assert got["b"]["total"] == 99999999.99 and got["b"]["n"] == 1
+    assert got["c"]["total"] is None and got["c"]["n"] == 0
+    # exactness: 0.1+0.2 in double is 0.30000000000000004; fixed-point is 0.3
+    df2 = spark.createDataFrame([("x", 0.1), ("x", 0.2)], "grp string, amt double")
+    out = grouped_exact_sums(df2, ["grp"], sums={"t": (to_fixed("amt", 2), 2)}).collect()
+    assert out[0]["t"] == 0.3
 
 
 def test_cosine_near_dup_pairs_finds_only_near_duplicates(spark):

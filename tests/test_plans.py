@@ -1,0 +1,76 @@
+"""Physical-plan regression guards (SURVEY.md §4; README '100 TB' notes).
+
+Correct results can still ship a wrong plan — these tests pin the plan
+properties the engine's scale story depends on, so a refactor that
+silently drops a broadcast hint or breaks predicate pushdown fails CI,
+not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from django_indexer_spark.plans.fixture_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_filters_push_into_parquet_scan(spark):
+    plan = plan_of(spark, "f1_eq_filter")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = plan_of(spark, "f1_eq_filter")
+    # ReadSchema carries only the 3 projected columns, not all 9
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_comment" not in read and "o_orderdate" not in read
+
+
+def test_fk_chain_joins_all_broadcast(spark):
+    plan = plan_of(spark, "j1_fk_chain_revenue")
+    # all four dim joins broadcast; the only SortMergeJoin allowed is
+    # none — lineitem⋈orders also broadcasts at fixture scale, and the
+    # fact side must never appear on a build side
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_joins_compile_to_join_types(spark):
+    assert "LeftSemi" in plan_of(spark, "j4_semi_join")
+    assert "LeftSemi" in plan_of(spark, "j5_semi_in_subquery")
+    assert "LeftAnti" in plan_of(spark, "j7_anti_join")
+
+
+def test_top1_windows_use_group_limit(spark):
+    # W1/J6 top-1-per-group must run the partial WindowGroupLimit
+    # (map-side candidate pruning BEFORE the shuffle)
+    assert "WindowGroupLimit" in plan_of(spark, "w1_latest_per_user")
+    assert "WindowGroupLimit" in plan_of(spark, "j6_asof_nearest")
+
+
+def test_top_k_avoids_global_sort(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "o4_top_k")
+
+
+def test_no_python_udfs_in_gate_queries(spark):
+    # the whole §2 parity surface is JVM-side: no BatchEvalPython /
+    # ArrowEvalPython stages anywhere
+    for name in (
+        "q1_pricing_summary",
+        "j6_asof_nearest",
+        "dedup_minhash_pairs",
+        "sim_cosine_topk",
+        "text_metrics",
+        "multimodal_meta",
+    ):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, name

@@ -108,6 +108,93 @@ def sign_bucket(vec: Column, weights: list[list[float]]) -> Column:
     return out
 
 
+def _cell_sims(vec: Column, centroids: list[list[float]], round_dp: int) -> Column:
+    """Array of (sim, -cid) structs, one per centroid. Struct ordering is
+    lexicographic, so array_max = highest sim with ties broken toward the
+    LOWEST centroid id (negated cid)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(w) for w in c])), round_dp).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF cell assignment: each vector → nearest centroid by cosine
+    (tie → lowest centroid id). Centroids arrive as plain Python lists
+    (k-means output, or any deterministic seed set) inlined as literals —
+    the assignment is a narrow map over the corpus: no shuffle, no UDF.
+
+    At 100 TB this runs once per corpus rebuild and persists as the
+    partition/cluster key of the vector table; queries then touch only
+    their probed cells (ivf_search).
+    """
+    best = F.array_max(_cell_sims(F.col(vec_col), centroids, round_dp))
+    return df.select(
+        F.col(id_col),
+        (-best["ncid"]).cast("long").alias("centroid_id"),
+        best["sim"].alias("centroid_sim"),
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells and scores exact cosine only against vectors assigned there —
+    the IVF twin of lsh_ann_topk (hash buckets → learned centroids; same
+    join shape: equi-join on cell id, never a cross join)."""
+    best_c = F.array_max(_cell_sims(F.col(vec_col), centroids, round_dp))
+    assigned = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        (-best_c["ncid"]).cast("long").alias("centroid_id"),
+    )
+    probes = (
+        queries.select(
+            F.col(query_id).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.slice(
+                F.reverse(F.array_sort(_cell_sims(F.col(vec_col), centroids, round_dp))),
+                1,
+                nprobe,
+            ).alias("probed"),
+        )
+        .select("q_id", "q_vec", F.explode("probed").alias("p"))
+        .select("q_id", "q_vec", (-F.col("p.ncid")).cast("long").alias("centroid_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -610,6 +610,35 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str, k: int = 8) -> list[list[float]]:
+    """Deterministic 'trained' centroid set: the first k corpus vectors
+    (stand-in for a k-means fit — IVF trains offline, then inlines the
+    centroids into every assign/search plan as literals)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+@query("sim_ivf_assign")
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment over the full corpus: nearest of 8 centroids
+    by cosine (tie → lowest cell). Narrow map, no shuffle — the cell id
+    becomes the vector table's partition key at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, "vec_id", "embedding", _ivf_centroids(spark, sf_dir))
+
+
+@query("sim_ivf_search")
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 8 query vectors, nprobe=2: the learned-
+    centroid twin of sim_ann_lsh (same equi-join-on-cell shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return similarity.ivf_search(
+        q, emb, "vec_id", "vec_id", "embedding", _ivf_centroids(spark, sf_dir), k=5, nprobe=2
+    )
+
+
 @query("dedup_embedding_cosine")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.3 — the fixture's

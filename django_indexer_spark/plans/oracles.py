@@ -473,6 +473,56 @@ WHERE round({pair_cos}, 6) >= {threshold}
 
 ORACLES["dedup_embedding_cosine"] = _near_dup_sql(0.3, 4, 64)
 
+# IVF: centroids = embeddings vec_id<8 (same deterministic 'trained' set
+# the Spark side collects and inlines); cosine rounded to 6dp, ties to
+# the lowest centroid id — mirrors _cell_sims/array_max exactly.
+_IVF_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], c.cv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+ORACLES["sim_ivf_assign"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT e.vec_id, c.cid, round({_IVF_COS}, 6) AS sim
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, sim AS centroid_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+"""
+
+ORACLES["sim_ivf_search"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT e.vec_id AS c_id, e.embedding AS c_vec, c.cid AS centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY round({_IVF_COS}, 6) DESC, c.cid ASC) = 1
+),
+probes AS (
+  SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cid AS centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id >= 8 AND e.vec_id < 16
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY round({_IVF_COS}, 6) DESC, c.cid ASC) <= 2
+),
+scored AS (
+  SELECT p.q_id, a.c_id,
+         round(list_dot_product(p.q_vec::DOUBLE[], a.c_vec::DOUBLE[]) /
+               (sqrt(list_dot_product(p.q_vec::DOUBLE[], p.q_vec::DOUBLE[])) *
+                sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))), 6) AS cosine
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id AND p.q_id <> a.c_id
+)
+SELECT q_id, c_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
 # text metrics — mirrors operators/text.py quality_score/token_count/fingerprint
 _STOP_EN = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it']"
 _STOP_DE = "['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein']"

@@ -267,6 +267,36 @@ def test_grouped_exact_sums_matches_decimal_and_skips_nulls(spark):
     assert out[0]["t"] == 0.3
 
 
+def test_ivf_assign_nearest_cell_and_tiebreak(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]  # cell 2 duplicates cell 0
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.1]), (2, [0.1, 3.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in similarity.ivf_assign(df, "vec_id", "embedding", cents).collect()
+    }
+    assert got[1]["centroid_id"] == 0  # tie between 0 and 2 → lowest id
+    assert got[2]["centroid_id"] == 1
+    assert got[3]["centroid_id"] == 0 and got[3]["centroid_sim"] == 1.0
+
+
+def test_ivf_search_probes_limit_candidates(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    corpus = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [-0.9, -0.1]), (13, [0.95, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(1, [1.0, 0.05])], "vec_id long, embedding array<float>")
+    got = similarity.ivf_search(
+        q, corpus, "vec_id", "vec_id", "embedding", cents, k=10, nprobe=2
+    ).collect()
+    found = {r["c_id"] for r in got}
+    # probes = cells 0 and 1 → vector 12 (cell 2) is never scored
+    assert found == {10, 11, 13}
+
+
 def test_cosine_near_dup_pairs_finds_only_near_duplicates(spark):
     # v1 ≈ v2 (cosine ~0.9997), v3 orthogonal to both
     df = spark.createDataFrame(

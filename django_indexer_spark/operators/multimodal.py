@@ -122,6 +122,76 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas 1→1 resize — the transcode shape. A real deployment
+    decodes, resizes, re-encodes per payload inside the batch loop; the
+    stub emits a deterministic payload (md5 of input + target dims) so
+    schema/batching are exercised without codecs."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(b).digest() + bytes([width % 256, height % 256])
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas 1→N frame sampling — the video-explode shape (output
+    cardinality differs from input, which plain pandas_udf can't do). The
+    stub slices the payload into n_frames chunks standing in for decoded
+    frames; a real implementation seeks keyframes via the video codec.
+
+    Scale note: frames inherit the input's partitioning — no shuffle; a
+    60-frame-per-video sample only multiplies rows inside each task."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes | None] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                step = max(1, len(payload) // n_frames)
+                for i in range(min(n_frames, len(payload))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step : i * step + step]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
+
+    return media.select("media_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata projection (no UDF): byte length + md5 — the part
     of feature extraction Spark can do without decoding, and therefore the

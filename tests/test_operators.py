@@ -354,6 +354,29 @@ def test_multimodal_feature_extraction_stub(spark):
     assert feats[2]["n_bytes"] == 19
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    from django_indexer_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdef"), (2, "xy")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(docs)
+
+    resized = {r["media_id"]: r for r in multimodal.resize_images(media, 64, 48).collect()}
+    assert resized[1]["width"] == 64 and resized[1]["height"] == 48
+    assert len(resized[1]["payload"]) == 18  # md5 digest + 2 dim bytes
+    assert resized[1]["payload"] != resized[2]["payload"]
+
+    frames = multimodal.sample_frames(media, n_frames=4).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 16-byte payload → 4 frames of 4 bytes; 2-byte payload → 2 frames
+    assert [f["frame_idx"] for f in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert bytes(by_id[1][0]["frame_payload"]) == b"0123"
+    assert len(by_id[2]) == 2
+
+
 def test_decode_image_is_stubbed():
     from django_indexer_spark.operators.multimodal import decode_image
 

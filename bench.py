@@ -37,6 +37,11 @@ HEADLINE = [
     "t3_upsert_last_writer",   # last-writer-wins merge
     "setop_union_dedup",       # union + distinct
     "stats_overview",          # flagship /stats shape
+    # training-data pipeline operators (north-star extensions)
+    "dedup_minhash_bands",     # shingle→minhash→band signatures
+    "dedup_embedding_cosine",  # LSH-bucketed near-dup pair mining
+    "sim_cosine_topk",         # exact ANN baseline (broadcast queries)
+    "text_metrics",            # token/quality/fingerprint pass
 ]
 
 

@@ -428,6 +428,200 @@ def nadabot_providers(events: DataFrame) -> DataFrame:
     )
 
 
+POT_PATTERN = r"^[a-zA-Z0-9_]+\.v\d+\.potfactory\.potlock\.near$"
+
+SET_PAYOUTS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payouts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("project_id", T.StringType()),
+                        T.StructField("amount", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+TRANSFER_PAYOUT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payout",
+            T.StructType(
+                [
+                    T.StructField("project_id", T.StringType()),
+                    T.StructField("amount", T.StringType()),
+                    T.StructField("paid_at", T.LongType()),
+                ]
+            ),
+        )
+    ]
+)
+
+APP_STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.StringType()),
+        T.StructField("review_notes", T.StringType()),
+        T.StructField("updated_at", T.LongType()),
+    ]
+)
+
+REG_UPDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("admin_notes", T.StringType()),
+        T.StructField("updated_ms", T.LongType()),
+    ]
+)
+
+
+def pot_payouts(prepared: DataFrame, pot_pattern: str = POT_PATTERN) -> DataFrame:
+    """handle_set_payouts + handle_transfer_payout as one frame
+    (utils.py:667-733, routes handler.py:362-365,389-395).
+
+    chef_set_payouts appends pending rows (paid_at NULL, token 'near' —
+    pots pay native NEAR only, utils.py:674-676); transfer_payout_callback
+    fulfills with paid_at = payload.paid_at or block time (utils.py:716).
+    The reference has no unique constraint here and updates by recipient
+    across pots (utils.py:721-723 — a known looseness); we pin the sane
+    key: (pot_id, recipient_id), last writer wins, so a fulfillment row
+    supersedes its pending row in the merge.
+    """
+    base = prepared.filter(F.col("receiver_id").rlike(pot_pattern))
+    p = F.col("p")
+    sets = (
+        base.filter(F.col("method_name") == "chef_set_payouts")
+        .withColumn("parsed", F.from_json("args_json", SET_PAYOUTS_SCHEMA))
+        .select(
+            F.col("receiver_id").alias("pot_id"),
+            F.explode("parsed.payouts").alias("p"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("version"),
+        )
+        .select(
+            "pot_id",
+            p["project_id"].alias("recipient_id"),
+            p["amount"].alias("amount"),
+            F.lit("near").alias("token_id"),
+            F.lit(None).cast("timestamp").alias("paid_at"),
+            "tx_hash",
+            "version",
+        )
+    )
+    t = F.from_json("args_json", TRANSFER_PAYOUT_SCHEMA)["payout"]
+    transfers = (
+        base.filter(F.col("method_name") == "transfer_payout_callback")
+        .withColumn("p", t)
+        .filter(p["project_id"].isNotNull())
+        .select(
+            F.col("receiver_id").alias("pot_id"),
+            p["project_id"].alias("recipient_id"),
+            p["amount"].alias("amount"),
+            F.lit("near").alias("token_id"),
+            F.coalesce(ms_to_timestamp(p["paid_at"]), F.col("block_time")).alias("paid_at"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("version"),
+        )
+    )
+    return sets.unionByName(transfers)
+
+
+def payout_challenges(prepared: DataFrame, pot_pattern: str = POT_PATTERN) -> DataFrame:
+    """handle_payout_challenge (utils.py:735-761, route handler.py:367):
+    challenger = signer, message = args.reason; natural key
+    (challenger, pot) with last writer winning (aupdate_or_create)."""
+    return (
+        prepared.filter(F.col("receiver_id").rlike(pot_pattern))
+        .filter(F.col("method_name") == "challenge_payouts")
+        .select(
+            F.col("signer_id").alias("challenger_id"),
+            F.col("receiver_id").alias("pot_id"),
+            F.get_json_object("args_json", "$.reason").alias("message"),
+            F.col("block_time").alias("created_at"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("version"),
+        )
+    )
+
+
+def challenge_responses(prepared: DataFrame, pot_pattern: str = POT_PATTERN) -> DataFrame:
+    """handle_payout_challenge_response (utils.py:764-782, route
+    handler.py:378): admin = signer; key (challenger, pot, created_at)
+    (pots/models.py:692-695), last writer wins."""
+    return (
+        prepared.filter(F.col("receiver_id").rlike(pot_pattern))
+        .filter(F.col("method_name") == "admin_update_payouts_challenge")
+        .select(
+            F.get_json_object("args_json", "$.challenger_id").alias("challenger_id"),
+            F.col("receiver_id").alias("pot_id"),
+            F.col("signer_id").alias("admin_id"),
+            F.get_json_object("args_json", "$.notes").alias("message"),
+            F.get_json_object("args_json", "$.resolve_challenge")
+            .cast("boolean")
+            .alias("resolved"),
+            F.col("block_time").alias("created_at"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("version"),
+        )
+    )
+
+
+def application_reviews(prepared: DataFrame, pot_pattern: str = POT_PATTERN) -> DataFrame:
+    """handle_pot_application_status_change (utils.py:542-595, route
+    handler.py:333-341): review payload is the decoded SuccessValue,
+    applicant from args.project_id, reviewer = signer; key
+    (application=(pot,applicant), reviewer, reviewed_at)
+    (pots/models.py:507-510). The reference then mutates the application
+    row's status in place; we event-source instead — the gold view picks
+    the latest review per application (W1) for current status, which
+    reaches the same final state replay-safely."""
+    u = F.from_json("success_json", APP_STATUS_SCHEMA)
+    return (
+        prepared.filter(F.col("receiver_id").rlike(pot_pattern))
+        .filter(F.col("method_name") == "chef_set_application_status")
+        .filter(F.col("success_json").isNotNull())
+        .withColumn("u", u)
+        .select(
+            F.col("receiver_id").alias("pot_id"),
+            F.get_json_object("args_json", "$.project_id").alias("applicant_id"),
+            F.col("signer_id").alias("reviewer_id"),
+            F.col("u")["status"].alias("status"),
+            F.col("u")["review_notes"].alias("notes"),
+            F.col("u")["updated_at"].alias("reviewed_ms"),
+            ms_to_timestamp(F.col("u")["updated_at"]).alias("reviewed_at"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("version"),
+        )
+    )
+
+
+def registration_updates(prepared: DataFrame, lists_contract: str = LISTS_CONTRACT) -> DataFrame:
+    """handle_list_registration_update (utils.py:449-471, route
+    handler.py:351-361): update payload is the decoded SuccessValue,
+    keyed on the registration's on-chain id; last writer wins. Gold
+    joins the latest update onto list_registrations (same event-sourcing
+    note as application_reviews)."""
+    u = F.from_json("success_json", REG_UPDATE_SCHEMA)
+    return (
+        prepared.filter(F.col("receiver_id") == lists_contract)
+        .filter(F.col("method_name") == "update_registration")
+        .filter(F.col("success_json").isNotNull())
+        .withColumn("u", u)
+        .filter(F.col("u")["id"].isNotNull())
+        .select(
+            F.col("u")["id"].alias("registration_id"),
+            F.col("u")["status"].alias("status"),
+            F.col("u")["admin_notes"].alias("admin_notes"),
+            ms_to_timestamp(F.col("u")["updated_ms"]).alias("updated_at"),
+            F.col("version"),
+        )
+    )
+
+
 def social_profile_updates(prepared: DataFrame, social_contract: str = SOCIAL_CONTRACT) -> DataFrame:
     """handle_social_profile_update (utils.py:36-52): 'set' on the social
     contract where args.data[<signer>].profile exists. Emits the signer ids

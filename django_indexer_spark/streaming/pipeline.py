@@ -55,6 +55,38 @@ ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], s
     # acreate / unique on_chain_id (lists/models.py:21-26): first wins
     "lists": (normalize.new_lists, ["id"], "first"),
     "accounts": (_accounts, ["id"], "first"),
+    # set_payouts appends + transfer fulfills (utils.py:667-733): pinned
+    # to (pot, recipient) last-wins so fulfillments supersede pendings
+    "pot_payouts": (normalize.pot_payouts, ["pot_id", "recipient_id"], "last"),
+    # update_or_create (challenger, pot) (utils.py:755-757)
+    "payout_challenges": (normalize.payout_challenges, ["challenger_id", "pot_id"], "last"),
+    # update_or_create (challenger, pot, created_at) (utils.py:775-780)
+    "challenge_responses": (
+        normalize.challenge_responses,
+        ["challenger_id", "pot_id", "created_at"],
+        "last",
+    ),
+    # update_or_create (application, reviewer, reviewed_at) (utils.py:577-584)
+    "application_reviews": (
+        normalize.application_reviews,
+        ["pot_id", "applicant_id", "reviewer_id", "reviewed_ms"],
+        "last",
+    ),
+    # in-place registration update (utils.py:467-469) → event-sourced latest
+    "registration_updates": (normalize.registration_updates, ["registration_id"], "last"),
+    # profile set (utils.py:36-52): latest profile JSON per account
+    "social_profiles": (normalize.social_profile_updates, ["account_id"], "last"),
+    # EVENT_JSON routes (handler.py:111-118)
+    "nadabot_providers": (
+        lambda p: normalize.nadabot_providers(normalize.event_json_logs(p)),
+        ["on_chain_id", "registry_id"],
+        "last",
+    ),
+    "nadabot_stamps": (
+        lambda p: normalize.nadabot_stamps(normalize.event_json_logs(p)),
+        ["user_id", "provider_id", "verified_at"],
+        "first",
+    ),
 }
 
 

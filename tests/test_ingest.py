@@ -322,3 +322,146 @@ def test_lake_explode_and_checkpoint(spark):
         assert row["status_kind"] == "SuccessValue"
         assert row["receipt_id"] == "rx1"
         assert last_processed_height(bronze) == 55
+
+
+def test_payout_set_then_transfer_fulfills(spark):
+    pot = "grants.v1.potfactory.potlock.near"
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(
+                receipt_id="s1", receiver=pot, method="chef_set_payouts",
+                args={"payouts": [
+                    {"project_id": "p1.near", "amount": "100"},
+                    {"project_id": "p2.near", "amount": "200"},
+                ]},
+                height=100,
+            ),
+            bronze_row(
+                receipt_id="t1", receiver=pot, method="transfer_payout_callback",
+                args={"payout": {"project_id": "p1.near", "amount": "100",
+                                 "paid_at": 1700000005000}},
+                height=101,
+            ),
+            # fulfillment with null paid_at falls back to block time
+            bronze_row(
+                receipt_id="t2", receiver=pot, method="transfer_payout_callback",
+                args={"payout": {"project_id": "p2.near", "amount": "200",
+                                 "paid_at": None}},
+                height=102,
+            ),
+            # non-pot receiver never routes
+            bronze_row(
+                receipt_id="x1", receiver="donate.potlock.near",
+                method="chef_set_payouts",
+                args={"payouts": [{"project_id": "x.near", "amount": "1"}]},
+                height=103,
+            ),
+        ],
+    )
+    p = normalize.prepare(bronze)
+    rows_ = normalize.pot_payouts(p).collect()
+    assert len(rows_) == 4  # 2 pendings + 2 fulfillments; x1 dropped
+
+    from django_indexer_spark.sources.merge import upsert
+
+    merged = {
+        r["recipient_id"]: r.asDict()
+        for r in upsert(None, normalize.pot_payouts(p),
+                        ["pot_id", "recipient_id"], "version").collect()
+    }
+    assert merged["p1.near"]["paid_at"] is not None
+    assert merged["p1.near"]["tx_hash"] == "t1"
+    assert merged["p2.near"]["paid_at"] is not None  # block-time fallback
+    assert merged["p2.near"]["token_id"] == "near"
+
+
+def test_challenge_and_response_normalizers(spark):
+    pot = "grants.v1.potfactory.potlock.near"
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(
+                receipt_id="c1", receiver=pot, method="challenge_payouts",
+                signer="angry.near", args={"reason": "wrong split"},
+            ),
+            bronze_row(
+                receipt_id="r1", receiver=pot, method="admin_update_payouts_challenge",
+                signer="admin.near",
+                args={"challenger_id": "angry.near", "notes": "fixed",
+                      "resolve_challenge": True},
+                ordinal=1,
+            ),
+        ],
+    )
+    p = normalize.prepare(bronze)
+    ch = normalize.payout_challenges(p).collect()
+    assert len(ch) == 1
+    assert (ch[0]["challenger_id"], ch[0]["message"]) == ("angry.near", "wrong split")
+    resp = normalize.challenge_responses(p).collect()
+    assert len(resp) == 1
+    assert resp[0]["admin_id"] == "admin.near" and resp[0]["resolved"] is True
+
+
+def test_application_review_and_registration_update(spark):
+    pot = "grants.v1.potfactory.potlock.near"
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(
+                receipt_id="st1", receiver=pot, method="chef_set_application_status",
+                signer="chef.near", args={"project_id": "proj.near"},
+                success={"status": "Approved", "review_notes": "ok",
+                         "updated_at": 1700000007000},
+            ),
+            bronze_row(
+                receipt_id="ru1", receiver="lists.potlock.near",
+                method="update_registration",
+                success={"id": 44, "status": "Approved", "admin_notes": "fine",
+                         "updated_ms": 1700000008000},
+                ordinal=1,
+            ),
+        ],
+    )
+    p = normalize.prepare(bronze)
+    rev = normalize.application_reviews(p).collect()
+    assert len(rev) == 1
+    assert rev[0]["applicant_id"] == "proj.near"
+    assert rev[0]["reviewer_id"] == "chef.near"
+    assert rev[0]["status"] == "Approved"
+    ru = normalize.registration_updates(p).collect()
+    assert len(ru) == 1 and ru[0]["registration_id"] == 44
+
+
+def test_run_batch_covers_all_entities(spark):
+    from django_indexer_spark.streaming.pipeline import ENTITY_PIPELINES, run_batch
+
+    pot = "grants.v1.potfactory.potlock.near"
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(receipt_id="d1", success=DONATION),
+            bronze_row(
+                receipt_id="s1", receiver=pot, method="chef_set_payouts",
+                args={"payouts": [{"project_id": "p1.near", "amount": "5"}]},
+                ordinal=1,
+            ),
+            bronze_row(
+                receipt_id="e1", receiver="v1.nadabot.near", method="whatever",
+                logs=["EVENT_JSON:" + json.dumps(
+                    {"standard": "nadabot", "version": "1.0.0", "event": "add_stamp",
+                     "data": [json.dumps({"stamp": {"user_id": "u.near", "provider_id": 3}})]}
+                )],
+                ordinal=2,
+            ),
+        ],
+    )
+    out = run_batch(bronze)
+    assert set(out) == set(ENTITY_PIPELINES)
+    assert out["donations"].count() == 1
+    assert out["pot_payouts"].count() == 1
+    assert out["nadabot_stamps"].count() == 1
+    # running the same batch twice is a no-op (T3 idempotence)
+    again = run_batch(bronze, out)
+    for name, df in again.items():
+        assert df.count() == out[name].count(), name

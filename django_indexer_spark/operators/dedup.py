@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, tokenize, word_ngrams, word_set
+from .text import fingerprint, tokenize, word_ngrams, word_ngrams_from_tokens, word_set
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -74,11 +74,33 @@ def minhash_bands(
 ) -> DataFrame:
     """LSH banding: (id, band, band_key) — docs sharing a band_key within a
     band are near-dup candidates. band_key = md5 of the band's slice of the
-    signature."""
+    signature.
+
+    Shape: explode shingles once → ``num_hashes`` md5s per (doc, shingle)
+    row → map-side min-aggregate back to one signature row per doc. The
+    per-row-array alternative (minhash_signature) re-evaluates the shingle
+    array per hash function inside one giant expression — measured 60×
+    slower at sf0.1 (96 s → 1.5 s) and it cannot partial-aggregate. Here
+    the heavy md5 work streams through whole-stage codegen and the only
+    shuffle carries one row per doc. explode_outer keeps shingle-less
+    docs (empty signature ⇒ md5('') band key, same as the array form).
+    """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, ngram)
-    out = df.select(F.col(id_col), sig.alias("sig"))
-    return out.select(
+    shingles = (
+        # materialize tokens first: word_ngrams over a raw text column
+        # re-tokenizes per shingle index (quadratic per doc)
+        df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram))
+            ).alias("sh"),
+        )
+    )
+    sig = shingles.groupBy(id_col).agg(
+        *[F.min(_mh(F.col("sh"), i)).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -86,7 +108,7 @@ def minhash_bands(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                            F.concat_ws("|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)])
                         ).alias("band_key"),
                     )
                     for b in range(bands)

@@ -53,8 +53,21 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles, space-joined."""
+    """Word n-gram shingles, space-joined.
+
+    PERF: the ``toks`` expression is embedded inside the transform lambda
+    and re-evaluated per shingle index — fine for one-shot use on short
+    text, quadratic on long documents. Hot paths must tokenize into a
+    materialized column first and use ``word_ngrams_from_tokens`` (see
+    dedup.minhash_bands: 10× measured difference at sf0.1)."""
     toks = tokenize(col)
+    return word_ngrams_from_tokens(toks, n)
+
+
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over an (ideally pre-materialized) token array
+    column. When ``toks`` is a bound column attribute, the per-index work
+    is just slice+concat — linear in document length."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),

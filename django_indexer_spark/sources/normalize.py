@@ -428,7 +428,10 @@ def nadabot_providers(events: DataFrame) -> DataFrame:
     )
 
 
-POT_PATTERN = r"^[a-zA-Z0-9_]+\.v\d+\.potfactory\.potlock\.near$"
+#  pots/utils.py:5-22 (subaccount incl. '-'), nadabot/utils.py:5-16
+POT_PATTERN = r"^[a-zA-Z0-9_-]+\.v\d+\.potfactory\.potlock\.near$"
+FACTORY_PATTERN = r"^v\d+\.potfactory\.potlock\.near$"
+REGISTRY_PATTERN = r"^v\d+(?:new)?\.[a-zA-Z]+\.nadabot\.near$"
 
 SET_PAYOUTS_SCHEMA = T.StructType(
     [
@@ -477,6 +480,127 @@ REG_UPDATE_SCHEMA = T.StructType(
         T.StructField("updated_ms", T.LongType()),
     ]
 )
+
+
+def _j(path: str) -> F.Column:
+    return F.get_json_object("args_json", path)
+
+
+def _jarr(path: str) -> F.Column:
+    return F.from_json(_j(path), "array<string>")
+
+
+def new_pots(prepared: DataFrame, pot_pattern: str = POT_PATTERN) -> DataFrame:
+    """handle_new_pot (utils.py:117-216; route handler.py:204,216-227:
+    'new' on a pot subaccount). Key fields of the deployment config;
+    owner falls back to signer (the contract's own rule, utils.py:130-133,
+    C17); admins kept as an array column (§1.3); stats columns start at
+    zero and are owned by the gold jobs. First writer wins — the
+    reference skips creation when the pot exists (utils.py:138-143)."""
+    return (
+        prepared.filter((F.col("method_name") == "new") & F.col("receiver_id").rlike(pot_pattern))
+        .select(
+            F.col("receiver_id").alias("id"),
+            F.col("predecessor_id").alias("pot_factory_id"),
+            F.col("signer_id").alias("deployer_id"),
+            F.col("block_time").alias("deployed_at"),
+            F.coalesce(_j("$.owner"), F.col("signer_id")).alias("owner_id"),
+            _j("$.chef").alias("chef_id"),
+            _j("$.pot_name").alias("name"),
+            _j("$.pot_description").alias("description"),
+            _j("$.max_projects").cast("int").alias("max_approved_applicants"),
+            F.lit("near").alias("base_currency"),
+            ms_to_timestamp(_j("$.application_start_ms").cast("long")).alias("application_start"),
+            ms_to_timestamp(_j("$.application_end_ms").cast("long")).alias("application_end"),
+            ms_to_timestamp(_j("$.public_round_start_ms").cast("long")).alias("matching_round_start"),
+            ms_to_timestamp(_j("$.public_round_end_ms").cast("long")).alias("matching_round_end"),
+            _j("$.registry_provider").alias("registry_provider"),
+            _j("$.min_matching_pool_donation_amount").alias("min_matching_pool_donation_amount"),
+            _j("$.sybil_wrapper_provider").alias("sybil_wrapper_provider"),
+            _j("$.custom_sybil_checks").alias("custom_sybil_checks"),
+            _j("$.custom_min_threshold_score").cast("int").alias("custom_min_threshold_score"),
+            _j("$.referral_fee_matching_pool_basis_points").cast("int").alias(
+                "referral_fee_matching_pool_basis_points"
+            ),
+            _j("$.referral_fee_public_round_basis_points").cast("int").alias(
+                "referral_fee_public_round_basis_points"
+            ),
+            _j("$.chef_fee_basis_points").cast("int").alias("chef_fee_basis_points"),
+            _jarr("$.admins").alias("admins"),
+            _j("$.source_metadata").alias("source_metadata"),
+            F.lit("0").alias("total_matching_pool"),
+            F.lit("0").alias("total_public_donations"),
+            F.lit(False).alias("all_paid_out"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.col("version"),
+        )
+    )
+
+
+def new_pot_factories(prepared: DataFrame, factory_pattern: str = FACTORY_PATTERN) -> DataFrame:
+    """handle_new_pot_factory (utils.py:285-331; route handler.py:205-209:
+    'new' on the bare factory account). Last writer wins
+    (aupdate_or_create, utils.py:313-315)."""
+    return (
+        prepared.filter(
+            (F.col("method_name") == "new") & F.col("receiver_id").rlike(factory_pattern)
+        )
+        .select(
+            F.col("receiver_id").alias("id"),
+            _j("$.owner").alias("owner_id"),
+            F.col("block_time").alias("deployed_at"),
+            _j("$.source_metadata").alias("source_metadata"),
+            _j("$.protocol_fee_basis_points").cast("int").alias("protocol_fee_basis_points"),
+            _j("$.protocol_fee_recipient_account").alias("protocol_fee_recipient_id"),
+            _j("$.require_whitelist").cast("boolean").alias("require_whitelist"),
+            _jarr("$.admins").alias("admins"),
+            _jarr("$.whitelisted_deployers").alias("whitelisted_deployers"),
+            F.col("version"),
+        )
+    )
+
+
+def new_nadabot_registries(prepared: DataFrame, registry_pattern: str = REGISTRY_PATTERN) -> DataFrame:
+    """handle_new_nadabot_registry (utils.py:55-76; route handler.py:
+    210-215). Last writer wins (aupdate_or_create)."""
+    return (
+        prepared.filter(
+            (F.col("method_name") == "new") & F.col("receiver_id").rlike(registry_pattern)
+        )
+        .select(
+            F.col("receiver_id").alias("id"),
+            _j("$.owner").alias("owner_id"),
+            F.col("block_time").alias("created_at"),
+            F.col("block_time").alias("updated_at"),
+            _j("$.source_metadata").alias("source_metadata"),
+            _jarr("$.admins").alias("admins"),
+            F.col("version"),
+        )
+    )
+
+
+def deployment_accounts(prepared: DataFrame) -> DataFrame:
+    """T8 cascade for deployments: every pot/factory/registry init upserts
+    its owner/chef/admins/deployer accounts (utils.py:129-135,148-150,
+    290-306,61-75)."""
+    pots = new_pots(prepared)
+    factories = new_pot_factories(prepared)
+    registries = new_nadabot_registries(prepared)
+    singles = [
+        pots.select(F.explode(F.array("id", "owner_id", "chef_id", "deployer_id")).alias("id")),
+        pots.select(F.explode_outer("admins").alias("id")),
+        factories.select(
+            F.explode(F.array("id", "owner_id", "protocol_fee_recipient_id")).alias("id")
+        ),
+        factories.select(F.explode_outer("admins").alias("id")),
+        factories.select(F.explode_outer("whitelisted_deployers").alias("id")),
+        registries.select(F.explode(F.array("id", "owner_id")).alias("id")),
+        registries.select(F.explode_outer("admins").alias("id")),
+    ]
+    out = singles[0]
+    for s in singles[1:]:
+        out = out.unionByName(s)
+    return out.filter(F.col("id").isNotNull()).distinct()
 
 
 def pot_payouts(prepared: DataFrame, pot_pattern: str = POT_PATTERN) -> DataFrame:

@@ -36,9 +36,13 @@ from ..sources.merge import upsert
 
 def _accounts(prepared: DataFrame) -> DataFrame:
     # accounts are id-only get_or_create upserts — every writer is
-    # identical, so version is constant (utils.py:890-922)
-    return normalize.donation_accounts(normalize.donations(prepared)).withColumn(
-        "version", F.lit(0).cast("long")
+    # identical, so version is constant (utils.py:890-922); deployment
+    # cascades (pot/factory/registry owners, admins, deployers) union in
+    return (
+        normalize.donation_accounts(normalize.donations(prepared))
+        .unionByName(normalize.deployment_accounts(prepared))
+        .distinct()
+        .withColumn("version", F.lit(0).cast("long"))
     )
 
 
@@ -76,6 +80,12 @@ ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], s
     "registration_updates": (normalize.registration_updates, ["registration_id"], "last"),
     # profile set (utils.py:36-52): latest profile JSON per account
     "social_profiles": (normalize.social_profile_updates, ["account_id"], "last"),
+    # deployments ('new' routes, handler.py:204-227): pot creation skips
+    # existing pots (utils.py:138-143) → first; factory/registry use
+    # aupdate_or_create → last
+    "pots": (normalize.new_pots, ["id"], "first"),
+    "pot_factories": (normalize.new_pot_factories, ["id"], "last"),
+    "nadabot_registries": (normalize.new_nadabot_registries, ["id"], "last"),
     # EVENT_JSON routes (handler.py:111-118)
     "nadabot_providers": (
         lambda p: normalize.nadabot_providers(normalize.event_json_logs(p)),

@@ -465,3 +465,80 @@ def test_run_batch_covers_all_entities(spark):
     again = run_batch(bronze, out)
     for name, df in again.items():
         assert df.count() == out[name].count(), name
+
+
+def test_deployment_normalizers_route_and_cascade(spark):
+    pot_args = {
+        "owner": None,  # falls back to signer (utils.py:130-133)
+        "chef": "chef.near",
+        "pot_name": "Grants R1",
+        "pot_description": "d",
+        "max_projects": 25,
+        "application_start_ms": 1700000000000,
+        "application_end_ms": 1700005000000,
+        "public_round_start_ms": 1700010000000,
+        "public_round_end_ms": 1700020000000,
+        "registry_provider": None,
+        "min_matching_pool_donation_amount": "1",
+        "sybil_wrapper_provider": None,
+        "custom_sybil_checks": None,
+        "custom_min_threshold_score": None,
+        "referral_fee_matching_pool_basis_points": 100,
+        "referral_fee_public_round_basis_points": 50,
+        "chef_fee_basis_points": 200,
+        "admins": ["adm1.near", "adm2.near"],
+        "source_metadata": {"commit_hash": "abc"},
+    }
+    factory_args = {
+        "owner": "fowner.near",
+        "protocol_fee_basis_points": 250,
+        "protocol_fee_recipient_account": "fees.near",
+        "require_whitelist": False,
+        "admins": ["fadm.near"],
+        "whitelisted_deployers": ["dep.near"],
+        "source_metadata": {"commit_hash": "fff"},
+    }
+    registry_args = {"owner": "rowner.near", "admins": ["radm.near"], "source_metadata": None}
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(
+                receipt_id="np", receiver="grants.v1.potfactory.potlock.near",
+                method="new", signer="deployer.near", args=pot_args,
+            ),
+            bronze_row(
+                receipt_id="nf", receiver="v1.potfactory.potlock.near",
+                method="new", args=factory_args, ordinal=1,
+            ),
+            bronze_row(
+                receipt_id="nr", receiver="v1.staging.nadabot.near",
+                method="new", args=registry_args, ordinal=2,
+            ),
+        ],
+    )
+    p = normalize.prepare(bronze)
+
+    pots = normalize.new_pots(p).collect()
+    assert len(pots) == 1
+    pot = pots[0].asDict()
+    assert pot["id"] == "grants.v1.potfactory.potlock.near"
+    assert pot["owner_id"] == "deployer.near"  # owner fallback
+    assert pot["chef_id"] == "chef.near"
+    assert pot["admins"] == ["adm1.near", "adm2.near"]
+    assert pot["max_approved_applicants"] == 25
+    assert pot["matching_round_end"].isoformat().startswith("2023-11-15")
+
+    fs = normalize.new_pot_factories(p).collect()
+    assert len(fs) == 1 and fs[0]["protocol_fee_recipient_id"] == "fees.near"
+    assert fs[0]["whitelisted_deployers"] == ["dep.near"]
+
+    rs = normalize.new_nadabot_registries(p).collect()
+    assert len(rs) == 1 and rs[0]["owner_id"] == "rowner.near"
+
+    acct_ids = {r["id"] for r in normalize.deployment_accounts(p).collect()}
+    assert {
+        "grants.v1.potfactory.potlock.near", "deployer.near", "chef.near",
+        "adm1.near", "adm2.near", "v1.potfactory.potlock.near", "fowner.near",
+        "fees.near", "fadm.near", "dep.near", "v1.staging.nadabot.near",
+        "rowner.near", "radm.near",
+    } == acct_ids

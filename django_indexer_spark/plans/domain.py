@@ -164,3 +164,45 @@ def latest_price_per_token(token_prices: DataFrame) -> DataFrame:
     return top1_per_group(
         token_prices, ["token_id"], [F.desc("timestamp")]
     )
+
+
+def current_applications(applications: DataFrame, reviews: DataFrame) -> DataFrame:
+    """PotApplication with its current status: the reference mutates the
+    application row per review (utils.py:585-588); event-sourced here —
+    latest review per (pot, applicant) wins (W1), original status when no
+    review exists. Review history stays queryable (the reference keeps it
+    in PotApplicationReview, pots/models.py:461-510)."""
+    latest = top1_per_group(
+        reviews, ["pot_id", "applicant_id"], [F.desc("reviewed_ms"), F.desc("version")]
+    ).select(
+        "pot_id",
+        "applicant_id",
+        F.col("status").alias("review_status"),
+        F.col("reviewed_at").alias("last_reviewed_at"),
+    )
+    return (
+        applications.join(latest, ["pot_id", "applicant_id"], "left")
+        .withColumn("current_status", F.coalesce("review_status", "status"))
+        .withColumn("updated_at", F.coalesce("last_reviewed_at", "updated_at"))
+        .drop("review_status")
+    )
+
+
+def current_registrations(registrations: DataFrame, updates: DataFrame) -> DataFrame:
+    """ListRegistration with update_registration mutations applied
+    (utils.py:449-471): latest update per registration id overrides
+    status/admin_notes/updated_at; registration row is authoritative for
+    everything else."""
+    latest = top1_per_group(updates, ["registration_id"], [F.desc("version")]).select(
+        F.col("registration_id").alias("id"),
+        F.col("status").alias("u_status"),
+        F.col("admin_notes").alias("u_admin_notes"),
+        F.col("updated_at").alias("u_updated_at"),
+    )
+    out = registrations.join(latest, "id", "left")
+    return (
+        out.withColumn("status", F.coalesce("u_status", "status"))
+        .withColumn("admin_notes", F.coalesce("u_admin_notes", "admin_notes"))
+        .withColumn("updated_at", F.coalesce("u_updated_at", "updated_at"))
+        .drop("u_status", "u_admin_notes", "u_updated_at")
+    )

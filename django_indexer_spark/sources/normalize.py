@@ -293,7 +293,7 @@ def list_registrations(prepared: DataFrame, lists_contract: str = LISTS_CONTRACT
     )
 
 
-def pot_applications(prepared: DataFrame, pot_pattern: str = r"^[a-zA-Z0-9_]+\.v\d+\.potfactory\.potlock\.near$") -> DataFrame:
+def pot_applications(prepared: DataFrame, pot_pattern: str = POT_PATTERN) -> DataFrame:
     """handle_pot_application (utils.py:474-546): apply /
     assert_can_apply_callback on a pot account; payload = SuccessValue;
     natural key (pot_id, applicant_id) (pots/models.py:452-455),

@@ -142,3 +142,47 @@ def test_donors_leaderboard_semi_join_and_order(spark):
     donations = donations_df(spark)
     got = [r["id"] for r in domain.donors_leaderboard(accounts, donations).collect()]
     assert got == ["b", "a"]  # idle has no donations → semi-join drops it
+
+
+def test_current_applications_latest_review_wins(spark):
+    from django_indexer_spark.plans.domain import current_applications
+
+    apps = spark.createDataFrame(
+        [
+            ("pot.near", "a.near", "Pending", "2024-01-01 00:00:00"),
+            ("pot.near", "b.near", "Pending", "2024-01-01 00:00:00"),
+        ],
+        "pot_id string, applicant_id string, status string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    reviews = spark.createDataFrame(
+        [
+            ("pot.near", "a.near", "rev.near", "Rejected", 100, "2024-01-02 00:00:00", 1),
+            ("pot.near", "a.near", "rev.near", "Approved", 200, "2024-01-03 00:00:00", 2),
+        ],
+        "pot_id string, applicant_id string, reviewer_id string, status string,"
+        " reviewed_ms long, reviewed_at string, version long",
+    ).withColumn("reviewed_at", F.col("reviewed_at").cast("timestamp"))
+    got = {r["applicant_id"]: r.asDict() for r in current_applications(apps, reviews).collect()}
+    assert got["a.near"]["current_status"] == "Approved"
+    assert got["a.near"]["updated_at"].isoformat().startswith("2024-01-03")
+    assert got["b.near"]["current_status"] == "Pending"  # no review → original
+
+
+def test_current_registrations_update_overrides(spark):
+    from django_indexer_spark.plans.domain import current_registrations
+
+    regs = spark.createDataFrame(
+        [
+            (7, 1, "r.near", "Pending", None, "2024-01-01 00:00:00"),
+            (8, 1, "s.near", "Approved", "n1", "2024-01-01 00:00:00"),
+        ],
+        "id long, list_id long, registrant_id string, status string,"
+        " admin_notes string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    ups = spark.createDataFrame(
+        [(7, "Approved", "looks good", "2024-01-05 00:00:00", 5)],
+        "registration_id long, status string, admin_notes string, updated_at string, version long",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    got = {r["id"]: r.asDict() for r in current_registrations(regs, ups).collect()}
+    assert got[7]["status"] == "Approved" and got[7]["admin_notes"] == "looks good"
+    assert got[8]["status"] == "Approved" and got[8]["admin_notes"] == "n1"

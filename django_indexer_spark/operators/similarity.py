@@ -61,11 +61,27 @@ def cosine_topk(
     never shuffles; per-corpus-partition each task emits QxP scored pairs
     and the row_number window keeps k per query. Self-matches excluded.
     """
-    q = queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    # norms materialize per side BEFORE the join: norm(v) is O(dim) and
+    # would otherwise re-fold per scored pair (Q x N times instead of Q+N)
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ),
+        )
         .select("q_id", "c_id", "cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -166,25 +182,33 @@ def ivf_search(
     assigned = corpus.select(
         F.col(corpus_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),  # once per vector, not per pair
         (-best_c["ncid"]).cast("long").alias("centroid_id"),
     )
     probes = (
         queries.select(
             F.col(query_id).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
             F.slice(
                 F.reverse(F.array_sort(_cell_sims(F.col(vec_col), centroids, round_dp))),
                 1,
                 nprobe,
             ).alias("probed"),
         )
-        .select("q_id", "q_vec", F.explode("probed").alias("p"))
-        .select("q_id", "q_vec", (-F.col("p.ncid")).cast("long").alias("centroid_id"))
+        .select("q_id", "q_vec", "q_norm", F.explode("probed").alias("p"))
+        .select("q_id", "q_vec", "q_norm", (-F.col("p.ncid")).cast("long").alias("centroid_id"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ),
+        )
         .select("q_id", "c_id", "cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -215,17 +239,25 @@ def cosine_near_dup_pairs(
     a = df.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_norm"),  # once per vector, not per pair
         sign_bucket(F.col(vec_col), weights).alias("bucket"),
     )
-    b = df.select(
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("b_vec"),
-        sign_bucket(F.col(vec_col), weights).alias("bucket"),
+    b = a.select(
+        F.col("a_id").alias("b_id"),
+        F.col("a_vec").alias("b_vec"),
+        F.col("a_norm").alias("b_norm"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", F.round(cosine(F.col("a_vec"), F.col("b_vec")), round_dp))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")),
+                round_dp,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
@@ -253,17 +285,25 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(query_id).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),  # once per vector, not per pair
         sign_bucket(F.col(vec_col), weights).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         sign_bucket(F.col(vec_col), weights).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ),
+        )
         .select("q_id", "c_id", "cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())

@@ -45,6 +45,11 @@ DONATE_CONTRACT = f"donate.{POTLOCK_TLA}"
 LISTS_CONTRACT = f"lists.{POTLOCK_TLA}"
 SOCIAL_CONTRACT = "social.near"
 
+#  pots/utils.py:5-22 (subaccount incl. '-'), nadabot/utils.py:5-16
+POT_PATTERN = r"^[a-zA-Z0-9_-]+\.v\d+\.potfactory\.potlock\.near$"
+FACTORY_PATTERN = r"^v\d+\.potfactory\.potlock\.near$"
+REGISTRY_PATTERN = r"^v\d+(?:new)?\.[a-zA-Z]+\.nadabot\.near$"
+
 DONATE_METHODS = (
     "donate",
     "handle_protocol_fee_callback",
@@ -428,10 +433,6 @@ def nadabot_providers(events: DataFrame) -> DataFrame:
     )
 
 
-#  pots/utils.py:5-22 (subaccount incl. '-'), nadabot/utils.py:5-16
-POT_PATTERN = r"^[a-zA-Z0-9_-]+\.v\d+\.potfactory\.potlock\.near$"
-FACTORY_PATTERN = r"^v\d+\.potfactory\.potlock\.near$"
-REGISTRY_PATTERN = r"^v\d+(?:new)?\.[a-zA-Z]+\.nadabot\.near$"
 
 SET_PAYOUTS_SCHEMA = T.StructType(
     [

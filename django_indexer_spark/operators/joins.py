@@ -130,3 +130,31 @@ def as_of_nearest(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__l_ts", "__r_ts", "__r_key")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: split each hot LEFT key across ``n_salts``
+    shuffle partitions by salting, replicate the RIGHT side once per salt,
+    join on (key, salt).
+
+    AQE's skew-join split (on by default, session.py) handles most skew by
+    splitting oversized partitions at runtime — prefer it. This explicit
+    form is for the pathological case AQE can't fix: ONE key so hot that
+    even a split partition exceeds executor memory (the '30% of donations
+    are to one pot' shape). Cost model: right side is duplicated
+    ``n_salts``× — use only with a small-to-medium right side, and pick
+    n_salts ≈ (hot key rows / rows-per-healthy-partition).
+
+    The join key columns are preserved; output equals the unsalted join.
+    """
+    l = left.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    r = right.select("*", salts)
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -59,3 +59,27 @@ def read_pruned(spark: SparkSession, path: str, predicate: Column) -> DataFrame:
     directories (visible as PartitionFilters in .explain), the rest push
     into parquet row-group stats."""
     return spark.read.parquet(path).filter(predicate)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-managed bucketed table: rows hash-distributed into
+    ``n_buckets`` files by ``bucket_cols``, optionally sorted within each.
+
+    This is the co-located join mechanism for repeated fact⋈fact joins
+    (donations⋈payouts on account, silver⋈silver on natural key): two
+    tables bucketed the same way join with ZERO exchange — the shuffle is
+    paid once at write time instead of per query. Bucket counts must
+    match (or divide) across join sides; pick ~(table size / 128 MB)
+    rounded to a power of two so buckets stay scan-sized at 100 TB.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

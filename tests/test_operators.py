@@ -382,3 +382,19 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from django_indexer_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d")], "k int, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y"), (3, "Z")], "k int, rv string")
+    got = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in salted_join(left, right, "k", n_salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
+    )
+    assert got == want

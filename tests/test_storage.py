@@ -68,3 +68,35 @@ def test_write_clustered_files_per_partition_buckets(spark, tmp_path):
         files = glob.glob(f"{out}/part={p}/*.parquet")
         assert 1 <= len(files) <= 3
     assert spark.read.parquet(out).count() == 400
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    from django_indexer_spark.sources.storage import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets_t")
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "buckets_t.fact_a", ["k"], 8, sort_cols=["k"])
+    write_bucketed(b, "buckets_t.fact_b", ["k"], 8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the fact⋈fact (sort-merge) path: at real scale neither
+        # side broadcasts; locally the 10k-row table would
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta = spark.table("buckets_t.fact_a")
+        tb = spark.table("buckets_t.fact_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: the write paid the shuffle once; the join pays none
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS buckets_t.fact_a")
+        spark.sql("DROP TABLE IF EXISTS buckets_t.fact_b")
+        spark.sql("DROP DATABASE IF EXISTS buckets_t")

@@ -205,8 +205,12 @@ def ngram_jaccard_pairs(
     )
     sizes = words.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = words.select(F.col("doc").alias("doc_a"), *[F.col(c) for c in group_cols], "w")
-    b = words.select(F.col("doc").alias("doc_b"), *[F.col(c).alias(f"__g_{c}") for c in group_cols], "w")
-    cond = [a["w"] == b["w"]] + [a[c] == b[f"__g_{c}"] for c in group_cols]
+    b = words.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col("w").alias("__w_b"),  # renamed: self-join attribute ambiguity
+    )
+    cond = [a["w"] == b["__w_b"]] + [a[c] == b[f"__g_{c}"] for c in group_cols]
     inter = (
         a.join(b, cond)
         .filter(F.col("doc_a") < F.col("doc_b"))

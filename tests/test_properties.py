@@ -1,0 +1,87 @@
+"""Property-based invariants (SURVEY.md §5.3) via hypothesis.
+
+Small max_examples: each example spins Spark jobs, so we trade example
+count for breadth of generated shapes. Deadline disabled for JVM warmup.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from django_indexer_spark.functions.amounts import grouped_exact_sums, to_fixed
+from django_indexer_spark.operators import sorts
+from django_indexer_spark.sources.merge import upsert
+
+MONEY = st.decimals(
+    min_value=decimal.Decimal("-99999999.99"),
+    max_value=decimal.Decimal("99999999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), MONEY), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ROWS)
+def test_grouped_exact_sums_equals_python_decimal(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "grp string, amt double"
+    ).repartition(4)
+    got = {
+        r["grp"]: r["total"]
+        for r in grouped_exact_sums(
+            df, ["grp"], sums={"total": (to_fixed("amt", 2), 2)}
+        ).collect()
+    }
+    want: dict[str, decimal.Decimal] = {}
+    for g, v in rows:
+        want[g] = want.get(g, decimal.Decimal(0)) + v
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == float(want[g]), g  # exact, not approx
+
+
+VERSIONED = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 10)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch=VERSIONED)
+def test_upsert_idempotent_and_order_free(spark, batch):
+    df = spark.createDataFrame(batch, "k int, v int, version int")
+    once = upsert(None, df, ["k"], "version")
+    twice = upsert(once, df, ["k"], "version")  # replay (T3)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # one winner per key, and it carries the max version
+    win = {r["k"]: r["version"] for r in once.collect()}
+    expect = {}
+    for k, _, ver in batch:
+        expect[k] = max(expect.get(k, -1), ver)
+    assert win == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(0, 120), page_size=st.integers(1, 40))
+def test_pagination_partitions_any_sized_set(spark, n, page_size):
+    df = spark.range(n).withColumnRenamed("id", "k")
+    seen: list[int] = []
+    page = 1
+    while True:
+        chunk = [r["k"] for r in sorts.paginate(df, [F.asc("k")], page, page_size).collect()]
+        if not chunk:
+            break
+        seen.extend(chunk)
+        page += 1
+    assert seen == list(range(n))

@@ -59,6 +59,13 @@ ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], s
     # acreate / unique on_chain_id (lists/models.py:21-26): first wins
     "lists": (normalize.new_lists, ["id"], "first"),
     "accounts": (_accounts, ["id"], "first"),
+    # Activity audit rows — reference key is the quirky (action_result,
+    # type) unique (activities/models.py:69-72); same dedup effect here
+    "activities": (
+        lambda p: normalize.donation_activities(normalize.donations(p)),
+        ["action_result", "type"],
+        "last",
+    ),
     # set_payouts appends + transfer fulfills (utils.py:667-733): pinned
     # to (pot, recipient) last-wins so fulfillments supersede pendings
     "pot_payouts": (normalize.pot_payouts, ["pot_id", "recipient_id"], "last"),

@@ -206,3 +206,16 @@ def current_registrations(registrations: DataFrame, updates: DataFrame) -> DataF
         .withColumn("updated_at", F.coalesce("u_updated_at", "updated_at"))
         .drop("u_status", "u_admin_notes", "u_updated_at")
     )
+
+
+def current_blacklist(blacklist_actions: DataFrame) -> DataFrame:
+    """Live blacklist membership from the action stream (utils.py:79-115
+    insert/delete re-expressed event-sourced): latest action per
+    (registry, account) wins; members are those whose latest action is
+    'blacklist'."""
+    latest = top1_per_group(
+        blacklist_actions, ["registry_id", "account_id"], [F.desc("version")]
+    )
+    return latest.filter(F.col("action") == "blacklist").select(
+        "registry_id", "account_id", "reason", F.col("action_at").alias("date_blacklisted")
+    )

@@ -771,3 +771,73 @@ def social_profile_updates(prepared: DataFrame, social_contract: str = SOCIAL_CO
             F.col("version"),
         )
     )
+
+
+def nadabot_groups(events: DataFrame) -> DataFrame:
+    """handle_new_group via add_or_update_group event (handler.py:123-124,
+    utils.py:1160-1191): group payload under $.group; the rule enum is
+    either a bare string or a one-entry dict — C14/C15 unwrap via
+    scalars.rule_type/rule_val. acreate → first writer wins."""
+    from ..functions.scalars import rule_type, rule_val
+
+    g = F.get_json_object("data_json", "$.group")
+    rule_raw = F.get_json_object("data_json", "$.group.rule")
+    return events.filter(F.col("event") == "add_or_update_group").select(
+        F.get_json_object("data_json", "$.group.id").cast("int").alias("id"),
+        F.get_json_object("data_json", "$.group.name").alias("name"),
+        rule_type(rule_raw).alias("rule_type"),
+        rule_val(rule_raw).alias("rule_val"),
+        F.from_json(F.get_json_object("data_json", "$.group.providers"), "array<int>").alias(
+            "providers"
+        ),
+        F.col("block_time").alias("created_at"),
+        F.col("block_time").alias("updated_at"),
+        F.col("version"),
+    )
+
+
+def human_threshold_updates(events: DataFrame) -> DataFrame:
+    """handle_update_default_human_threshold (handler.py:118-121,
+    utils.py:1079-1089): registry threshold update, last writer wins."""
+    return events.filter(F.col("event") == "update_default_human_threshold").select(
+        F.col("receiver_id").alias("registry_id"),
+        F.get_json_object("data_json", "$.default_human_threshold")
+        .cast("int")
+        .alias("default_human_threshold"),
+        F.col("version"),
+    )
+
+
+def blacklist_actions(events: DataFrame) -> DataFrame:
+    """handle_registry_blacklist_action / unblacklist (handler.py:125-133,
+    utils.py:79-115): explode the account list into one action row each.
+    The reference inserts rows on blacklist (ignore_conflicts) and DELETES
+    by account on unblacklist (utils.py:111-113 — across registries, a
+    looseness); event-sourced here: latest action per (registry, account)
+    decides membership (domain.current_blacklist)."""
+    acts = events.filter(F.col("event").isin("blacklist_account", "unblacklist_account"))
+    return acts.select(
+        F.col("receiver_id").alias("registry_id"),
+        F.explode(
+            F.from_json(F.get_json_object("data_json", "$.accounts"), "array<string>")
+        ).alias("account_id"),
+        F.when(F.col("event") == "blacklist_account", "blacklist")
+        .otherwise("unblacklist")
+        .alias("action"),
+        F.get_json_object("data_json", "$.reason").alias("reason"),
+        F.col("block_time").alias("action_at"),
+        F.col("version"),
+    )
+
+
+def pot_config_events(events: DataFrame) -> DataFrame:
+    """update_pot_config events (handler.py:105-108): the reference
+    refreshes the pot from RPC (S4; its merge body is commented out,
+    utils.py:219-283). Event-sourced: raw config payload per pot, latest
+    wins; the S4 enrichment join parses it with the pot schema."""
+    return events.filter(F.col("event") == "update_pot_config").select(
+        F.col("receiver_id").alias("pot_id"),
+        F.col("data_json").alias("config_json"),
+        F.col("block_time").alias("updated_at"),
+        F.col("version"),
+    )

@@ -104,6 +104,29 @@ ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], s
         ["user_id", "provider_id", "verified_at"],
         "first",
     ),
+    # acreate → first (utils.py:1174-1181)
+    "nadabot_groups": (
+        lambda p: normalize.nadabot_groups(normalize.event_json_logs(p)),
+        ["id"],
+        "first",
+    ),
+    "human_threshold_updates": (
+        lambda p: normalize.human_threshold_updates(normalize.event_json_logs(p)),
+        ["registry_id"],
+        "last",
+    ),
+    # event-sourced membership: keep EVERY action (key includes version);
+    # domain.current_blacklist derives the live set
+    "blacklist_actions": (
+        lambda p: normalize.blacklist_actions(normalize.event_json_logs(p)),
+        ["registry_id", "account_id", "version"],
+        "last",
+    ),
+    "pot_config_events": (
+        lambda p: normalize.pot_config_events(normalize.event_json_logs(p)),
+        ["pot_id"],
+        "last",
+    ),
 }
 
 

@@ -542,3 +542,53 @@ def test_deployment_normalizers_route_and_cascade(spark):
         "fees.near", "fadm.near", "dep.near", "v1.staging.nadabot.near",
         "rowner.near", "radm.near",
     } == acct_ids
+
+
+def ev_row(receiver, event, data, ordinal=0, height=100):
+    return bronze_row(
+        receipt_id=f"ev{height}_{ordinal}", receiver=receiver, method="x",
+        logs=["EVENT_JSON:" + json.dumps(
+            {"standard": "s", "version": "1.0.0", "event": event, "data": [json.dumps(data)]}
+        )],
+        ordinal=ordinal, height=height,
+    )
+
+
+def test_event_routes_groups_threshold_blacklist_potconfig(spark):
+    reg = "v1.staging.nadabot.near"
+    pot = "grants.v1.potfactory.potlock.near"
+    bronze = make_bronze(
+        spark,
+        [
+            ev_row(reg, "add_or_update_group",
+                   {"group": {"id": 5, "name": "G", "providers": [8, 1], "rule": {"IncreasingReturns": 10}}}),
+            ev_row(reg, "add_or_update_group",
+                   {"group": {"id": 6, "name": "H", "providers": [2], "rule": "Highest"}}, ordinal=1),
+            ev_row(reg, "update_default_human_threshold", {"default_human_threshold": 25}, ordinal=2),
+            ev_row(reg, "blacklist_account", {"accounts": ["bad.near", "worse.near"], "reason": "sybil"}, ordinal=3),
+            ev_row(reg, "unblacklist_account", {"accounts": ["bad.near"]}, ordinal=4, height=101),
+            ev_row(pot, "update_pot_config", {"owner": "o.near", "pot_name": "P"}, ordinal=5),
+        ],
+    )
+    ev = normalize.event_json_logs(normalize.prepare(bronze))
+
+    groups = {r["id"]: r.asDict() for r in normalize.nadabot_groups(ev).collect()}
+    assert groups[5]["rule_type"] == "IncreasingReturns" and groups[5]["rule_val"] == 10
+    assert groups[6]["rule_type"] == "Highest" and groups[6]["rule_val"] is None
+    assert groups[5]["providers"] == [8, 1]
+
+    thr = normalize.human_threshold_updates(ev).collect()
+    assert len(thr) == 1 and thr[0]["default_human_threshold"] == 25
+
+    actions = normalize.blacklist_actions(ev).collect()
+    assert len(actions) == 3  # 2 blacklists + 1 unblacklist
+
+    from django_indexer_spark.plans.domain import current_blacklist
+
+    live = {r["account_id"]: r.asDict() for r in current_blacklist(
+        normalize.blacklist_actions(ev)).collect()}
+    assert set(live) == {"worse.near"}  # bad.near was unblacklisted later
+    assert live["worse.near"]["reason"] == "sybil"
+
+    cfg = normalize.pot_config_events(ev).collect()
+    assert len(cfg) == 1 and cfg[0]["pot_id"] == pot

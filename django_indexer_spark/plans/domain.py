@@ -219,3 +219,59 @@ def current_blacklist(blacklist_actions: DataFrame) -> DataFrame:
     return latest.filter(F.col("action") == "blacklist").select(
         "registry_id", "account_id", "reason", F.col("action_at").alias("date_blacklisted")
     )
+
+
+def current_role_members(seed: DataFrame, ops: DataFrame) -> DataFrame:
+    """Live role membership (list/registry admins, factory deployers) from
+    the immutable seed arrays + the admin_ops event stream: seed rows count
+    as 'add' at their creation version; the latest op per
+    (entity_type, entity_id, role, account_id) decides membership.
+    Replaces the reference's in-place M2M mutations
+    (utils.py:785-829) replay-safely."""
+    seeded = seed.select(
+        "entity_type", "entity_id", "role", "account_id", F.lit("add").alias("op"), "version"
+    )
+    all_ops = seeded.unionByName(
+        ops.select("entity_type", "entity_id", "role", "account_id", "op", "version")
+    )
+    latest = top1_per_group(
+        all_ops, ["entity_type", "entity_id", "role", "account_id"], [F.desc("version")]
+    )
+    return latest.filter(F.col("op") == "add").select(
+        "entity_type", "entity_id", "role", "account_id"
+    )
+
+
+def current_lists(lists: DataFrame, updates: DataFrame) -> DataFrame:
+    """List rows with admin_set_default_project_status updates applied
+    (utils.py:598-629): latest update per list overrides the changed
+    fields; NULL update fields mean 'keep' (the handler's conditional
+    description/cover assignment)."""
+    latest = top1_per_group(updates, ["list_id"], [F.desc("version")])
+    u = latest.select(
+        F.col("list_id").alias("id"),
+        *[
+            F.col(c).alias(f"__u_{c}")
+            for c in [
+                "name",
+                "owner_id",
+                "default_registration_status",
+                "admin_only_registrations",
+                "updated_at",
+                "description",
+                "cover_image_url",
+            ]
+        ],
+    )
+    out = lists.join(u, "id", "left")
+    for c in [
+        "name",
+        "owner_id",
+        "default_registration_status",
+        "admin_only_registrations",
+        "updated_at",
+        "description",
+        "cover_image_url",
+    ]:
+        out = out.withColumn(c, F.coalesce(f"__u_{c}", c)).drop(f"__u_{c}")
+    return out

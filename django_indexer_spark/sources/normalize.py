@@ -841,3 +841,125 @@ def pot_config_events(events: DataFrame) -> DataFrame:
         F.col("block_time").alias("updated_at"),
         F.col("version"),
     )
+
+
+LIST_UPDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("owner", T.StringType()),
+        T.StructField("default_registration_status", T.StringType()),
+        T.StructField("admin_only_registrations", T.BooleanType()),
+        T.StructField("updated_at", T.LongType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("cover_image_url", T.StringType()),
+    ]
+)
+
+# handler.py:428-443: factory admin/config methods that trigger an RPC
+# config refresh (handle_set_factory_configs — S4). Effective set only:
+# owner_add_admins / owner_remove_admins are listed in the tuple but
+# unreachable for factories (earlier cases at handler.py:396-406 and
+# 422-427 break first); admin_add_whitelisted_deployers IS config-routed
+# (handle_add_factory_deployers at utils.py:820-829 is dead code —
+# nothing dispatches it).
+FACTORY_CONFIG_METHODS = (
+    "admin_set_require_whitelist",
+    "admin_add_whitelisted_deployers",
+    "admin_set_protocol_config",
+    "admin_set_protocol_fee_recipient_account",
+    "admin_set_protocol_fee_basis_points",
+    "owner_set_admins",
+    "owner_clear_admins",
+)
+
+
+def list_updates(prepared: DataFrame, lists_contract: str = LISTS_CONTRACT) -> DataFrame:
+    """handle_default_list_status_change (utils.py:598-629, route
+    handler.py:342-350): list field updates from the decoded SuccessValue,
+    keyed on args.registration_id (which the handler uses as the LIST id);
+    last writer wins. description/cover_image_url update only when present
+    (the handler's conditional assignment) — NULL here means 'keep',
+    applied by domain.current_lists' coalesce."""
+    u = F.from_json("success_json", LIST_UPDATE_SCHEMA)
+    return (
+        prepared.filter(F.col("receiver_id") == lists_contract)
+        .filter(F.col("method_name") == "admin_set_default_project_status")
+        .filter(F.col("success_json").isNotNull())
+        .withColumn("u", u)
+        .select(
+            F.get_json_object("args_json", "$.registration_id").cast("long").alias("list_id"),
+            F.col("u")["name"].alias("name"),
+            F.col("u")["owner"].alias("owner_id"),
+            F.col("u")["default_registration_status"].alias("default_registration_status"),
+            F.col("u")["admin_only_registrations"].alias("admin_only_registrations"),
+            ms_to_timestamp(F.col("u")["updated_at"]).alias("updated_at"),
+            F.col("u")["description"].alias("description"),
+            F.col("u")["cover_image_url"].alias("cover_image_url"),
+            F.col("version"),
+        )
+    )
+
+
+def admin_ops(prepared: DataFrame) -> DataFrame:
+    """Role-membership mutations as one event stream
+    (entity_type, entity_id, role, account_id, op, version):
+
+    - owner_remove_admins @ lists → remove list admins
+      (handle_list_admin_removal, utils.py:785-807)
+    - owner_add_admins @ nadabot registry → add registry admins
+      (handle_add_nadabot_admin, utils.py:808-818)
+
+    (Factory deployer adds route to the config-refresh marker instead —
+    see FACTORY_CONFIG_METHODS; the reference's handle_add_factory_deployers
+    is unreachable.) The reference mutates M2M tables in place;
+    event-sourcing keeps the array columns immutable and derives
+    membership in domain.current_role_members (latest op per member wins).
+    """
+    lists_rm = (
+        prepared.filter(
+            (F.col("method_name") == "owner_remove_admins")
+            & (F.col("receiver_id") == LISTS_CONTRACT)
+        )
+        .select(
+            F.lit("list").alias("entity_type"),
+            _j("$.list_id").alias("entity_id"),
+            F.lit("admin").alias("role"),
+            F.explode(_jarr("$.admins")).alias("account_id"),
+            F.lit("remove").alias("op"),
+            F.col("version"),
+        )
+    )
+    reg_add = (
+        prepared.filter(
+            (F.col("method_name") == "owner_add_admins")
+            & F.col("receiver_id").rlike(REGISTRY_PATTERN)
+        )
+        .select(
+            F.lit("registry").alias("entity_type"),
+            F.col("receiver_id").alias("entity_id"),
+            F.lit("admin").alias("role"),
+            F.explode(_jarr("$.account_ids")).alias("account_id"),
+            F.lit("add").alias("op"),
+            F.col("version"),
+        )
+    )
+    return lists_rm.unionByName(reg_add)
+
+
+def factory_config_events(prepared: DataFrame, factory_pattern: str = FACTORY_PATTERN) -> DataFrame:
+    """handle_set_factory_configs (utils.py:831-840, route handler.py:
+    428-443): any factory admin/config method marks the factory for an
+    RPC config refresh (S4). Raw args kept for the enrichment join."""
+    return (
+        prepared.filter(
+            F.col("method_name").isin(*FACTORY_CONFIG_METHODS)
+            & F.col("receiver_id").rlike(factory_pattern)
+        )
+        .select(
+            F.col("receiver_id").alias("factory_id"),
+            F.col("method_name"),
+            F.col("args_json"),
+            F.col("block_time").alias("updated_at"),
+            F.col("version"),
+        )
+    )

@@ -127,6 +127,20 @@ ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], s
         ["pot_id"],
         "last",
     ),
+    # list field updates (utils.py:598-629): latest per list
+    "list_updates": (normalize.list_updates, ["list_id"], "last"),
+    # role-membership event stream (append-all; gold derives membership)
+    "admin_ops": (
+        normalize.admin_ops,
+        ["entity_type", "entity_id", "role", "account_id", "version"],
+        "last",
+    ),
+    # factory config-refresh markers (append-all; S4 enrichment input)
+    "factory_config_events": (
+        normalize.factory_config_events,
+        ["factory_id", "version"],
+        "last",
+    ),
 }
 
 

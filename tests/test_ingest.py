@@ -592,3 +592,91 @@ def test_event_routes_groups_threshold_blacklist_potconfig(spark):
 
     cfg = normalize.pot_config_events(ev).collect()
     assert len(cfg) == 1 and cfg[0]["pot_id"] == pot
+
+
+def test_admin_ops_list_updates_and_factory_configs(spark):
+    reg = "v1.staging.nadabot.near"
+    factory = "v1.potfactory.potlock.near"
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(
+                receipt_id="lu1", receiver="lists.potlock.near",
+                method="admin_set_default_project_status",
+                args={"registration_id": 3},
+                success={"name": "L2", "owner": "own.near",
+                         "default_registration_status": "Approved",
+                         "admin_only_registrations": True,
+                         "updated_at": 1700000009000},
+            ),
+            bronze_row(
+                receipt_id="ar1", receiver="lists.potlock.near",
+                method="owner_remove_admins",
+                args={"list_id": 3, "admins": ["a.near"]}, ordinal=1,
+            ),
+            bronze_row(
+                receipt_id="aa1", receiver=reg, method="owner_add_admins",
+                args={"account_ids": ["new-admin.near"]}, ordinal=2,
+            ),
+            bronze_row(
+                receipt_id="fd1", receiver=factory,
+                method="admin_add_whitelisted_deployers",
+                args={"whitelisted_deployers": ["dep2.near"]}, ordinal=3,
+            ),
+            bronze_row(
+                receipt_id="fc1", receiver=factory,
+                method="admin_set_protocol_fee_basis_points",
+                args={"protocol_fee_basis_points": 300}, ordinal=4,
+            ),
+        ],
+    )
+    p = normalize.prepare(bronze)
+
+    lu = normalize.list_updates(p).collect()
+    assert len(lu) == 1
+    assert lu[0]["list_id"] == 3 and lu[0]["default_registration_status"] == "Approved"
+    assert lu[0]["description"] is None  # absent → 'keep' in current_lists
+
+    ops = {(r["entity_type"], r["account_id"]): r.asDict()
+           for r in normalize.admin_ops(p).collect()}
+    assert ops[("list", "a.near")]["op"] == "remove"
+    assert ops[("registry", "new-admin.near")]["op"] == "add"
+    assert len(ops) == 2  # deployer adds are config-routed, not ops
+
+    fc = normalize.factory_config_events(p).collect()
+    # both factory methods mark the factory for an RPC config refresh
+    # (deployer adds are config-routed in the reference's effective
+    # dispatch — handle_add_factory_deployers is unreachable)
+    assert {r["method_name"] for r in fc} == {
+        "admin_set_protocol_fee_basis_points",
+        "admin_add_whitelisted_deployers",
+    }
+
+    from django_indexer_spark.plans.domain import current_lists, current_role_members
+
+    lists_df = normalize.new_lists(make_bronze(spark, [bronze_row(
+        receipt_id="l0", receiver="lists.potlock.near", method="create_list",
+        success={"id": 3, "owner": "orig.near", "admins": ["a.near", "b.near"],
+                 "name": "L", "description": "keep-me", "cover_image_url": None,
+                 "admin_only_registrations": False,
+                 "default_registration_status": "Pending",
+                 "created_at": 1690000000000, "updated_at": 1690000000000},
+    )]).transform(normalize.prepare))
+    cur = {r["id"]: r.asDict() for r in current_lists(lists_df, normalize.list_updates(p)).collect()}
+    assert cur[3]["name"] == "L2" and cur[3]["owner_id"] == "own.near"
+    assert cur[3]["description"] == "keep-me"  # NULL update field kept
+
+    seed = lists_df.select(
+        F.lit("list").alias("entity_type"),
+        F.col("id").cast("string").alias("entity_id"),
+        F.lit("admin").alias("role"),
+        F.explode("admins").alias("account_id"),
+        F.col("version"),
+    )
+    members = {
+        (r["entity_type"], r["account_id"])
+        for r in current_role_members(seed, normalize.admin_ops(p)).collect()
+    }
+    assert ("list", "b.near") in members
+    assert ("list", "a.near") not in members  # removed by op
+    assert ("registry", "new-admin.near") in members

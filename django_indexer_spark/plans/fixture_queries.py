@@ -698,6 +698,37 @@ def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a_rollup_hierarchy")
+def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): the hierarchical-subtotal shape the
+    reference lacks but Spark SQL gives free (SURVEY §2.4 note). Exact
+    fixed-point revenue; grouping levels disambiguated with explicit
+    flags so NULL group values are unambiguous cross-engine."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.sum(to_fixed("c_acctbal", 2)).alias("__bal_e2"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("__bal_e2").cast("decimal(38,0)") / F.lit(100)).cast("double").alias("total_balance"),
+            "n_customers",
+            "g_region",
+            "g_nation",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Coverage fill-ins: F3, F5, J2/J3, C12 (SURVEY.md §2 line items)
 # --------------------------------------------------------------------------

@@ -667,3 +667,15 @@ SELECT l_orderkey, l_linenumber,
        CAST(round((total - protocol - COALESCE(referrer, 0) - COALESCE(chef, 0)) * CAST(0.85 AS DECIMAL(4,2)), 2) AS DOUBLE) AS net_usd
 FROM fees
 """
+
+ORACLES["a_rollup_hierarchy"] = """
+SELECT r_name, n_name,
+       CAST(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS total_balance,
+       COUNT(*) AS n_customers,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""

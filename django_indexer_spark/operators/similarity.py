@@ -273,13 +273,17 @@ def lsh_ann_topk(
     n_planes: int = 4,
     dim: int = 64,
     round_dp: int = 6,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine *within* the query's sign-LSH bucket.
 
     The cross join becomes an equi-join on bucket (2^n_planes buckets);
     recall is tunable via n_planes (fewer planes → bigger buckets → higher
-    recall & cost). Multi-probe (flip one bit) is the standard recall
-    booster — left for callers via union of probes.
+    recall & cost). ``multi_probe=True`` additionally probes every bucket
+    at Hamming distance 1 from the query's bucket (flip each plane bit) —
+    the standard recall booster: near-neighbors that fall just across one
+    hyperplane are recovered at (n_planes+1)× probe cost, still never a
+    cross join. Only the QUERY side fans out; the corpus stays put.
     """
     weights = plane_weights(n_planes, dim)
     q = queries.select(
@@ -288,6 +292,10 @@ def lsh_ann_topk(
         norm(F.col(vec_col)).alias("q_norm"),  # once per vector, not per pair
         sign_bucket(F.col(vec_col), weights).alias("bucket"),
     )
+    if multi_probe:
+        home = F.col("bucket")
+        probes = F.array(home, *[home.bitwiseXOR(F.lit(2**p)) for p in range(n_planes)])
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(corpus_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),

@@ -398,3 +398,28 @@ def test_salted_join_equals_plain_join(spark):
         (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
     )
     assert got == want
+
+
+def test_lsh_multi_probe_recall_dominates_single_probe(spark):
+    # deterministic pseudo-random vectors; recall measured vs brute force
+    vecs = [
+        (i, [((i * 7 + d * 13) % 19 - 9) / 9.0 for d in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+
+    def result_set(out):
+        return {(r["q_id"], r["c_id"]) for r in out.collect()}
+
+    exact = result_set(similarity.cosine_topk(q, df, "vec_id", "vec_id", "embedding", k=3))
+    single = result_set(
+        similarity.lsh_ann_topk(q, df, "vec_id", "vec_id", "embedding", k=3, n_planes=3, dim=8)
+    )
+    multi = result_set(
+        similarity.lsh_ann_topk(
+            q, df, "vec_id", "vec_id", "embedding", k=3, n_planes=3, dim=8, multi_probe=True
+        )
+    )
+    # multi-probe can only improve recall, and each pair appears once
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) == len(set(multi))

@@ -698,6 +698,23 @@ def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a_percentiles")
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per order status —
+    another free-via-Spark-SQL family (SURVEY §2.4 note). Both engines
+    use the same linear-interpolation formula on the sorted set, so the
+    doubles match bit for bit (probed before adding). The exact
+    percentile is a full-sort-per-group op; at 100 TB the variant of
+    choice is approx_percentile (t-digest sketch, map-combinable) —
+    exposed here as the documented scale path, exact as the gate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 @query("a_rollup_hierarchy")
 def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (region, nation): the hierarchical-subtotal shape the

@@ -679,3 +679,12 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """
+
+ORACLES["a_percentiles"] = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""

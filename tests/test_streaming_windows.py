@@ -96,3 +96,39 @@ def test_windowed_counts_same_code_runs_batch(spark):
         for r in windowed_counts(df, "ts", "10 minutes").collect()
     }
     assert got == {"2024-01-01T12:00:00": 1, "2024-01-01T12:10:00": 1}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup on event id across micro-batches: the built-in
+    state-bounded exactly-once-per-id guard (T3's streaming-native form —
+    state for ids older than the watermark is evicted, so memory stays
+    bounded on an unbounded stream)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    write_events(
+        os.path.join(src, "a.jsonl"),
+        [(1, "2024-01-01 12:00:00", 1), (2, "2024-01-01 12:01:00", 2)],
+    )
+    write_events(
+        os.path.join(src, "b.jsonl"),
+        [(2, "2024-01-01 12:01:00", 2), (3, "2024-01-01 12:02:00", 3)],  # 2 is a replay
+    )
+    os.utime(os.path.join(src, "a.jsonl"), (1000000000, 1000000000))
+    os.utime(os.path.join(src, "b.jsonl"), (1000000010, 1000000010))
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    out: list = []
+
+    q = (
+        deduped.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]  # replayed 2 dropped

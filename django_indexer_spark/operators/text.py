@@ -44,7 +44,11 @@ def token_count(col: Column | str) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Character n-grams of the lower-cased text (shingles for minhash)."""
+    """Character n-grams of the lower-cased text (shingles for minhash).
+
+    PERF: same embedded-expression caveat as word_ngrams — ``c`` re-lowers
+    the text per index. For long documents, lower() into a materialized
+    column first and pass that column in."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),

@@ -881,6 +881,18 @@ def c7_c8_net_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("c16_array_explode")
+def c16_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 array membership / explode (admins/accounts arrays,
+    utils.py:71-74,199-203): split part names into word rows — the
+    relational form every M2M/JSON-array column takes for joins."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") <= 500)
+        .select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+    )
+
+
 @query("c12_format_2dp")
 def c12_format_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 2-decimal serving-edge formatting (base/serializers.py:4-9):

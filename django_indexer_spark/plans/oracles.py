@@ -688,3 +688,8 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+ORACLES["c16_array_explode"] = """
+SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word
+FROM part WHERE p_partkey <= 500
+"""

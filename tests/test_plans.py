@@ -74,3 +74,13 @@ def test_no_python_udfs_in_gate_queries(spark):
     ):
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, name
+
+
+def test_coverage_doc_mentions_every_query():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/coverage_check.py"], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stdout + r.stderr

@@ -63,6 +63,7 @@ def as_of_nearest(
     right_ts: str,
     tolerance_s: int,
     strategy: str = "bucketed",
+    direction: str = "nearest",
 ) -> DataFrame:
     """J6 — nearest-within-±tolerance as-of join, deterministic.
 
@@ -71,6 +72,13 @@ def as_of_nearest(
     (|Δt| minimal); ties broken by earlier right_ts. Left rows with no match
     keep NULL right columns (the reference re-selects those next run —
     tasks.py:153-161).
+
+    ``direction`` widens this to the classic as-of family:
+      - 'nearest'  (default, the reference's ±window pinned deterministic)
+      - 'backward' — latest right row with right_ts <= left_ts (pandas
+        merge_asof default; "price as of the trade")
+      - 'forward'  — earliest right row with right_ts >= left_ts
+    all still within the tolerance, same bucketed shuffle shape.
 
     The reference takes ``.first()`` of the window with no ORDER BY
     (tokens/models.py:67-73) — an *arbitrary* row. We pin the stricter
@@ -85,9 +93,20 @@ def as_of_nearest(
     ``left_id`` must uniquely identify left rows (natural key), so the
     row_number dedup is deterministic.
     """
+    if direction not in ("nearest", "backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     left_ids = [left_id] if isinstance(left_id, str) else list(left_id)
     lt = F.col("__l_ts")
     rt = F.col("__r_ts")
+    # direction belongs in the JOIN condition: a post-join filter would
+    # drop left rows whose only candidates sit on the wrong side, instead
+    # of keeping them with NULL right columns
+    if direction == "backward":
+        dir_pred = rt <= lt
+    elif direction == "forward":
+        dir_pred = rt >= lt
+    else:
+        dir_pred = F.lit(True)
 
     l = left.withColumn("__l_ts", F.col(left_ts).cast("long"))
     r = right.withColumn("__r_ts", F.col(right_ts).cast("long"))
@@ -114,17 +133,27 @@ def as_of_nearest(
             (F.col(key) == F.col("__r_key"))
             & (l["__bucket"] == r["__bucket"])
             & (F.abs(lt - rt) <= F.lit(tolerance_s))
+            & dir_pred
         )
         joined = l.join(r, cond, "left").drop(r["__bucket"]).drop("__bucket")
     elif strategy == "range":
-        cond = (F.col(key) == F.col("__r_key")) & (F.abs(lt - rt) <= F.lit(tolerance_s))
+        cond = (
+            (F.col(key) == F.col("__r_key"))
+            & (F.abs(lt - rt) <= F.lit(tolerance_s))
+            & dir_pred
+        )
         joined = l.join(r, cond, "left")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    w = Window.partitionBy(*left_ids).orderBy(
-        F.abs(lt - rt).asc_nulls_last(), rt.asc_nulls_last()
-    )
+    if direction == "backward":
+        order = [rt.desc_nulls_last()]
+    elif direction == "forward":
+        order = [rt.asc_nulls_last()]
+    else:
+        order = [F.abs(lt - rt).asc_nulls_last(), rt.asc_nulls_last()]
+
+    w = Window.partitionBy(*left_ids).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

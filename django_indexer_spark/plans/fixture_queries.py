@@ -259,6 +259,38 @@ def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("j6_asof_backward")
+def j6_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 backward as-of ('price as of the trade', pandas merge_asof
+    default): each purchase matched to the latest prior click by the same
+    user within 1 h. Same bucketed equi-join shape as the nearest mode."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    out = as_of_nearest(
+        purchases,
+        clicks,
+        left_id=["event_id"],
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="click_us",
+        tolerance_s=3_600_000_000,
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_click_id").alias("click_id"),
+        (F.col("ts_us") - F.col("r_click_us")).alias("age_us"),
+    )
+
+
 @query("j8_self_double_fk")
 def j8_self_double_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 same dim joined twice under different roles (donor AND recipient,

@@ -693,3 +693,25 @@ ORACLES["c16_array_explode"] = """
 SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word
 FROM part WHERE p_partkey <= 500
 """
+
+ORACLES["j6_asof_backward"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id, p.user_id, c.click_id,
+         p.ts_us - c.click_us AS age_us, c.click_us
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.click_us <= p.ts_us
+   AND p.ts_us - c.click_us <= 3600000000
+)
+SELECT event_id, user_id, click_id, age_us
+FROM j
+QUALIFY row_number() OVER (
+  PARTITION BY event_id ORDER BY click_us DESC NULLS LAST
+) = 1
+"""

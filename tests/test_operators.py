@@ -423,3 +423,29 @@ def test_lsh_multi_probe_recall_dominates_single_probe(spark):
     # multi-probe can only improve recall, and each pair appears once
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) == len(set(multi))
+
+
+def test_asof_directions(spark):
+    left = spark.createDataFrame([("e1", "k", 1000)], "id string, key string, ts long")
+    right = spark.createDataFrame(
+        # backward candidate at Δ=300, forward candidate at Δ=100
+        [("rb", "k", 700), ("rf", "k", 1100)],
+        "rid string, key string, rts long",
+    )
+
+    def pick(direction):
+        out = as_of_nearest(
+            left, right, ["id"], "key", "ts", "rts", 1000, direction=direction
+        ).collect()
+        return out[0]["r_rid"]
+
+    assert pick("nearest") == "rf"    # Δ=100 beats Δ=300
+    assert pick("backward") == "rb"   # only rts <= ts qualifies
+    assert pick("forward") == "rf"
+
+    # left row with candidates ONLY on the wrong side keeps NULLs
+    fwd_only = spark.createDataFrame([("rf", "k", 1100)], "rid string, key string, rts long")
+    out = as_of_nearest(
+        left, fwd_only, ["id"], "key", "ts", "rts", 1000, direction="backward"
+    ).collect()
+    assert out[0]["r_rid"] is None

@@ -291,6 +291,55 @@ def j6_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("j6_interval_join_count")
+def j6_interval_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join returning ALL matches (not the as-of top-1):
+    per purchase, how many clicks by the same user within ±10 min. Same
+    bucketed equi-join strategy — tolerance-sized buckets {b-1,b,b+1}
+    turn the range condition into an equi-join residual, so the shuffle
+    is linear in rows, never |L|x|R|."""
+    e = _events(spark, sf_dir)
+    tol = 600_000_000  # ±10 min in µs
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.floor(F.col("ts_us") / tol).alias("b")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts_us").alias("click_us"),
+            F.floor(F.col("ts_us") / tol).alias("cb"),
+        )
+        .withColumn("b", F.explode(F.array(F.col("cb") - 1, F.col("cb"), F.col("cb") + 1)))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (purchases["b"] == clicks["b"])
+        & (F.abs(F.col("ts_us") - F.col("click_us")) <= tol),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("click_us").alias("n_nearby_clicks")
+    )
+
+
+@query("ts_hourly_rollup")
+def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucketed rollup: events per (hour, type)
+    with value stats — the batch twin of streaming/windows.py's tumbling
+    windows, and the continuous-aggregate gold shape for any timeseries
+    table. Bucket arithmetic on the µs epoch keeps both engines exact."""
+    e = _events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    bucket = (F.col("ts_us") - (F.col("ts_us") % hour_us)).alias("bucket_us")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("value_sum"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
 @query("j8_self_double_fk")
 def j8_self_double_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 same dim joined twice under different roles (donor AND recipient,

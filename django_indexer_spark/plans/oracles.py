@@ -715,3 +715,27 @@ QUALIFY row_number() OVER (
   PARTITION BY event_id ORDER BY click_us DESC NULLS LAST
 ) = 1
 """
+
+ORACLES["j6_interval_join_count"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id AS c_user, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, COUNT(c.click_us) AS n_nearby_clicks
+FROM p LEFT JOIN c
+  ON c.c_user = p.user_id AND abs(p.ts_us - c.click_us) <= 600000000
+GROUP BY p.event_id, p.user_id
+"""
+
+ORACLES["ts_hourly_rollup"] = """
+SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       COUNT(DISTINCT user_id) AS active_users
+FROM events
+GROUP BY 1, 2
+"""

@@ -340,6 +340,35 @@ def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("j9_gated_update")
+def j9_gated_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 existence-gated update (profile update only if the account row
+    exists, utils.py:44-51; pot check utils.py:138-143): an incoming
+    update stream (urgent-order customers get a flag + recomputed
+    balance) applies ONLY to rows that exist in the target — natural as a
+    left join + conditional projection, the SELECT form of MERGE's
+    WHEN MATCHED THEN UPDATE."""
+    c = _t(spark, sf_dir, "customer")
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    joined = c.join(updates, "c_custkey", "left")
+    matched = F.col("n_urgent").isNotNull()
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        matched.alias("was_updated"),
+        F.when(matched, _dec("c_acctbal") + F.lit(10).cast("decimal(18,2)"))
+        .otherwise(_dec("c_acctbal"))
+        .cast("double")
+        .alias("new_balance"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+    )
+
+
 @query("j8_self_double_fk")
 def j8_self_double_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 same dim joined twice under different roles (donor AND recipient,

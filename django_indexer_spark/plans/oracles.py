@@ -739,3 +739,18 @@ SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
 FROM events
 GROUP BY 1, 2
 """
+
+ORACLES["j9_gated_update"] = """
+WITH updates AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       u.n_urgent IS NOT NULL AS was_updated,
+       CAST(CASE WHEN u.n_urgent IS NOT NULL
+                 THEN CAST(c_acctbal AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
+                 ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS new_balance,
+       COALESCE(u.n_urgent, 0) AS n_urgent
+FROM customer c LEFT JOIN updates u USING (c_custkey)
+"""

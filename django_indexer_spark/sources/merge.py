@@ -70,15 +70,30 @@ def dedup_last_writer(df: DataFrame, natural_key: list[str], version_col: str) -
     return upsert(None, df, natural_key, version_col)
 
 
-def merge_statement(target: str, source: str, natural_key: list[str], columns: list[str]) -> str:
+def merge_statement(
+    target: str,
+    source: str,
+    natural_key: list[str],
+    columns: list[str],
+    version_col: str | None = "version",
+) -> str:
     """Render the production MERGE INTO (Delta/Iceberg) for the same
-    semantics — documentation + integration-test artifact."""
+    semantics — documentation + integration-test artifact.
+
+    ``version_col`` guards WHEN MATCHED so stale replays never overwrite
+    newer rows (the exact last-writer rule ``upsert`` implements; pass
+    None for unconditional update = plain update_or_create)."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in natural_key)
     sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
     cols = ", ".join(columns)
     vals = ", ".join(f"s.{c}" for c in columns)
+    matched = (
+        f"WHEN MATCHED AND s.{version_col} >= t.{version_col} THEN UPDATE SET {sets} "
+        if version_col
+        else f"WHEN MATCHED THEN UPDATE SET {sets} "
+    )
     return (
         f"MERGE INTO {target} t USING {source} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        + matched
+        + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )

@@ -449,3 +449,16 @@ def test_asof_directions(spark):
         left, fwd_only, ["id"], "key", "ts", "rts", 1000, direction="backward"
     ).collect()
     assert out[0]["r_rid"] is None
+
+
+def test_merge_statement_renders_valid_merge_sql(spark):
+    from django_indexer_spark.sources.merge import merge_statement
+
+    sql = merge_statement(
+        "silver.donations", "updates", ["dedup_key"], ["dedup_key", "total_amount", "version"]
+    )
+    assert "MERGE INTO silver.donations" in sql
+    assert "t.dedup_key = s.dedup_key" in sql
+    assert "WHEN MATCHED" in sql and "WHEN NOT MATCHED" in sql
+    # last-writer guard: only newer versions overwrite
+    assert "s.version >= t.version" in sql

@@ -786,6 +786,30 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("curation_pipeline")
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data curation shape, end to end in one plan:
+    fingerprint → keep the canonical copy per exact-dup group (lowest
+    doc_id) → quality gate ≥ 0.5. At 100 TB: one shuffle on the uniform
+    md5 fingerprint; the quality gate is a map-side filter computed from
+    JVM expressions — the cheap first-pass filter chain every corpus
+    build runs before expensive near-dup/model stages."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+        text.fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("quality") >= 0.5))
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
 @query("multimodal_meta")
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media-column plumbing (JVM-side slice): byte length + md5 of

@@ -754,3 +754,31 @@ SELECT c.c_custkey, c.c_name,
        COALESCE(u.n_urgent, 0) AS n_urgent
 FROM customer c LEFT JOIN updates u USING (c_custkey)
 """
+
+ORACLES["curation_pipeline"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang, len(toks) AS n_tok,
+         length(regexp_replace(lower(text), '[^a-zA-Z0-9]+', '', 'g')) AS n_alnum,
+         len(list_filter(toks, t -> list_contains({_STOP_EN}, t))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         {_FP} AS fp
+  FROM base
+), scored AS (
+  SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+         round(
+           (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN n_alnum / greatest(n_tok, 1) >= 2.0
+                 AND n_alnum / greatest(n_tok, 1) <= 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= 0.01 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.2 THEN 0.1 ELSE 0.0 END)
+         , 4) AS quality,
+         fp
+  FROM m
+)
+SELECT doc_id, lang, n_tokens, quality
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1 AND quality >= 0.5
+"""

@@ -65,10 +65,14 @@ def receiver_suffix(receiver: Column | str, *tlas: str) -> Column:
     return cond
 
 
-# F9 regex account patterns (pots/utils.py:5-22, nadabot/utils.py:5-16)
-POT_FACTORY_RE = r"^[a-zA-Z0-9_]+\.v\d+\.potfactory\.potlock\.near$"
-POT_RE = r"^[a-zA-Z0-9_]+\.v\d+\.potfactory\.potlock\.near$"
-NADABOT_RE = r"^v\d+(new)?\.[a-zA-Z0-9_]+\.nadabot\.near$"
+# F9 regex account patterns, matching the reference matchers exactly:
+# - bare factory, no subaccount (pots/utils.py:12-15)
+# - pot = factory pattern with a [a-zA-Z0-9_-]+ subaccount (pots/utils.py:18-21)
+# - nadabot registry (nadabot/utils.py:5-16; letters-only middle label)
+# sources/normalize.py routes on these same constants.
+POT_FACTORY_RE = r"^v\d+\.potfactory\.potlock\.near$"
+POT_RE = r"^[a-zA-Z0-9_-]+\.v\d+\.potfactory\.potlock\.near$"
+NADABOT_RE = r"^v\d+(?:new)?\.[a-zA-Z]+\.nadabot\.near$"
 
 
 def matches_pattern(col: Column | str, pattern: str) -> Column:

@@ -110,10 +110,15 @@ def as_of_nearest(
 
     l = left.withColumn("__l_ts", F.col(left_ts).cast("long"))
     r = right.withColumn("__r_ts", F.col(right_ts).cast("long"))
-    # prefix right columns to avoid collisions
+    # prefix right columns to avoid collisions; __r_tb is a content hash of
+    # the whole right row, appended to every window order below so two right
+    # rows sharing right_ts (two prices at one instant) still yield ONE
+    # deterministic pick across runs/engines (full-duplicate ties are
+    # value-identical, so the pick is immaterial)
     r = r.select(
         F.col(key).alias("__r_key"),
         "__r_ts",
+        F.xxhash64(*[F.col(c) for c in right.columns]).alias("__r_tb"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
     )
 
@@ -152,12 +157,13 @@ def as_of_nearest(
         order = [rt.asc_nulls_last()]
     else:
         order = [F.abs(lt - rt).asc_nulls_last(), rt.asc_nulls_last()]
+    order.append(F.col("__r_tb").asc_nulls_last())
 
     w = Window.partitionBy(*left_ids).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__l_ts", "__r_ts", "__r_key")
+        .drop("__rn", "__l_ts", "__r_ts", "__r_key", "__r_tb")
     )
 
 
@@ -180,8 +186,16 @@ def salted_join(
     ``n_salts``× — use only with a small-to-medium right side, and pick
     n_salts ≈ (hot key rows / rows-per-healthy-partition).
 
-    The join key columns are preserved; output equals the unsalted join.
+    The join key columns are preserved; output equals the unsalted join for
+    how in {'inner', 'left'} — the only supported modes. For right/full the
+    exploded right side would replicate each UNMATCHED right row n_salts
+    times, so those are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "right/full would duplicate unmatched right rows per salt"
+        )
     l = left.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     r = right.select("*", salts)

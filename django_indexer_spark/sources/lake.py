@@ -65,9 +65,16 @@ def explode_receipts(lake: DataFrame) -> DataFrame:
         "block_height",
         "block_timestamp_ns",
         "shard_id",
-        ((F.col("shard_id").cast("long") * F.lit(1_000_000)) + F.col("__rx_pos")).alias(
-            "receipt_ordinal"
-        ),
+        # ordinal = shard_id << 20 | pos: 20 bits for the within-shard
+        # position (< 1,048,576 receipts/shard/block) leaves 43 bits of
+        # shard_id headroom, so ordinals can never spill into the next
+        # block's version range (normalize.prepare shifts height by 32;
+        # shard_id < 4096 keeps the packed ordinal under 2^32). NEAR
+        # resharding grows shard count over time — the old decimal
+        # multipliers (shard*1M) collided at shard_id >= 10.
+        (
+            F.shiftleft(F.col("shard_id").cast("long"), 20) + F.col("__rx_pos")
+        ).alias("receipt_ordinal"),
         F.col("rx.receipt.receipt_id").alias("receipt_id"),
         F.col("rx.receipt.predecessor_id").alias("predecessor_id"),
         F.col("rx.receipt.receiver_id").alias("receiver_id"),

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.scalars import b64_json, ms_to_timestamp, ns_to_timestamp
+from ..operators.filters import NADABOT_RE, POT_FACTORY_RE, POT_RE
 
 # contract addresses (reference: handler.py:160-161, donations/api.py:22)
 POTLOCK_TLA = "potlock.near"
@@ -45,10 +46,11 @@ DONATE_CONTRACT = f"donate.{POTLOCK_TLA}"
 LISTS_CONTRACT = f"lists.{POTLOCK_TLA}"
 SOCIAL_CONTRACT = "social.near"
 
-#  pots/utils.py:5-22 (subaccount incl. '-'), nadabot/utils.py:5-16
-POT_PATTERN = r"^[a-zA-Z0-9_-]+\.v\d+\.potfactory\.potlock\.near$"
-FACTORY_PATTERN = r"^v\d+\.potfactory\.potlock\.near$"
-REGISTRY_PATTERN = r"^v\d+(?:new)?\.[a-zA-Z]+\.nadabot\.near$"
+# single source of truth lives in operators.filters (F9/C10), which mirrors
+# pots/utils.py:5-22 (subaccount incl. '-') and nadabot/utils.py:5-16
+POT_PATTERN = POT_RE
+FACTORY_PATTERN = POT_FACTORY_RE
+REGISTRY_PATTERN = NADABOT_RE
 
 DONATE_METHODS = (
     "donate",
@@ -144,8 +146,15 @@ def prepare(bronze: DataFrame) -> DataFrame:
         )
         .withColumn("block_time", ns_to_timestamp("block_timestamp_ns"))
         .withColumn(
+            # version = height << 32 | ordinal: a receipt's version is
+            # strictly below every version in the next block as long as
+            # the packed ordinal stays under 2^32 (shard_id < 4096 with
+            # lake.explode_receipts' shard<<20|pos packing) — the total
+            # order per key that last-writer-wins merge (S3) depends on.
+            # Heights fit 31 bits for centuries, so no signed overflow.
             "version",
-            F.col("block_height") * F.lit(10_000_000) + F.col("receipt_ordinal"),
+            F.shiftleft(F.col("block_height").cast("long"), 32)
+            + F.col("receipt_ordinal"),
         )
     )
 

@@ -680,3 +680,78 @@ def test_admin_ops_list_updates_and_factory_configs(spark):
     assert ("list", "b.near") in members
     assert ("list", "a.near") not in members  # removed by op
     assert ("registry", "new-admin.near") in members
+
+
+def test_version_total_order_survives_high_shard_ids(spark):
+    """ADVICE r1: shard_id >= 10 must NOT push a receipt's version past the
+    next block's versions (NEAR resharding keeps raising shard counts).
+    version = height<<32 | (shard<<20 | pos) keeps the per-key total order."""
+    msg = {
+        "block": {"header": {"height": 55, "timestamp": 1_700_000_000_000_000_000}},
+        "shards": [
+            {
+                "shard_id": shard_id,
+                "receipt_execution_outcomes": [
+                    {
+                        "receipt": {
+                            "receipt_id": f"rx-{shard_id}",
+                            "predecessor_id": "p.near",
+                            "receiver_id": "donate.potlock.near",
+                            "receipt": {
+                                "Action": {
+                                    "signer_id": "s.near",
+                                    "actions": [
+                                        {"FunctionCall": {"method_name": "donate", "args": b64({})}}
+                                    ],
+                                }
+                            },
+                        },
+                        "execution_outcome": {
+                            "outcome": {"logs": [], "status": {"SuccessValue": b64({"id": 1})}}
+                        },
+                    }
+                ],
+            }
+            for shard_id in (0, 63)  # 63 broke the old shard*1M packing
+        ],
+    }
+    msg_next = json.loads(json.dumps(msg))
+    msg_next["block"]["header"]["height"] = 56
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for name, m in (("b55.json", msg), ("b56.json", msg_next)):
+            with open(os.path.join(d, name), "w") as f:
+                f.write(json.dumps(m))
+        lake = spark.read.schema(LAKE_MESSAGE_SCHEMA).json(d)
+        versions = {
+            (r["block_height"], r["shard_id"]): r["version"]
+            for r in normalize.prepare(explode_receipts(lake)).collect()
+        }
+    # within a block: higher shard -> higher version
+    assert versions[(55, 0)] < versions[(55, 63)]
+    # ACROSS blocks: every version in block 55 < every version in block 56
+    assert versions[(55, 63)] < versions[(56, 0)]
+
+
+def test_account_patterns_match_reference_matchers():
+    """operators.filters constants must agree with pots/utils.py:12-21 and
+    nadabot/utils.py:5-16 (they are the routing source of truth)."""
+    import re
+
+    from django_indexer_spark.operators.filters import (
+        NADABOT_RE,
+        POT_FACTORY_RE,
+        POT_RE,
+    )
+
+    assert re.match(POT_FACTORY_RE, "v1.potfactory.potlock.near")
+    assert not re.match(POT_FACTORY_RE, "my-pot.v1.potfactory.potlock.near")
+    assert re.match(POT_RE, "my-pot.v1.potfactory.potlock.near")  # '-' allowed
+    assert re.match(POT_RE, "a_b9.v12.potfactory.potlock.near")
+    assert not re.match(POT_RE, "v1.potfactory.potlock.near")  # bare factory
+    assert re.match(NADABOT_RE, "v1.staging.nadabot.near")
+    assert re.match(NADABOT_RE, "v2new.app.nadabot.near")
+    assert not re.match(NADABOT_RE, "v1.app2.nadabot.near")  # digits rejected

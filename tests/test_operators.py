@@ -462,3 +462,37 @@ def test_merge_statement_renders_valid_merge_sql(spark):
     assert "WHEN MATCHED" in sql and "WHEN NOT MATCHED" in sql
     # last-writer guard: only newer versions overwrite
     assert "s.version >= t.version" in sql
+
+
+def test_asof_deterministic_on_equal_right_ts(spark):
+    """ADVICE r1: two right rows at the SAME right_ts for one key must yield
+    one stable pick (content-hash tiebreak), not an arbitrary row."""
+    left = spark.createDataFrame([("e1", "k", 1000)], "id string, key string, ts long")
+    right = spark.createDataFrame(
+        [("rA", "k", 990), ("rB", "k", 990)], "rid string, key string, rts long"
+    )
+    picks = set()
+    for _ in range(5):
+        for strategy in ("bucketed", "range"):
+            out = as_of_nearest(
+                left, right, ["id"], "key", "ts", "rts", 100, strategy=strategy
+            ).collect()
+            assert len(out) == 1
+            picks.add(out[0]["r_rid"])
+    assert len(picks) == 1  # same pick every run, both strategies
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    from django_indexer_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([("k1", 1)], "k string, lv int")
+    right = spark.createDataFrame([("k1", 2), ("k2", 3)], "k string, rv int")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", n_salts=4, how=how)
+    # left join still exact: unmatched LEFT rows come through once
+    left2 = spark.createDataFrame([("k1", 1), ("k9", 9)], "k string, lv int")
+    got = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in salted_join(left2, right, "k", how="left").collect()
+    )
+    assert got == [("k1", 1, 2), ("k9", 9, None)]

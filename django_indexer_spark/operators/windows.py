@@ -31,10 +31,28 @@ def ranked(df: DataFrame, order_by: list, alias: str = "rank", dense: bool = Fal
     """W3 — leaderboard rank (accounts/api.py:85-88 materializes by sort;
     we expose the explicit rank column variant).
 
-    Scale note: an un-partitioned window is a single-reducer sort — fine for
-    a leaderboard page; for full-table ranking at 100 TB prefer
-    top-k (sorts.top_k) or range-partitioned sort (orderBy) which Spark
-    executes with sampled range partitioning, then zipWithIndex-style rank.
+    Scale note: an un-partitioned window is a single-reducer sort over the
+    WHOLE input — only use when the input is already a bounded aggregate.
+    For "rank the top of a big table" use ``ranked_topk``; for full-table
+    ranking prefer range-partitioned sort (orderBy) + zipWithIndex-style
+    rank.
     """
     fn = F.dense_rank() if dense else F.rank()
     return df.withColumn(alias, fn.over(Window.orderBy(*order_by)))
+
+
+def ranked_topk(
+    df: DataFrame, order_by: list, k: int, alias: str = "rank", dense: bool = False
+) -> DataFrame:
+    """W3, the 100 TB form: rank only the top-``k`` slice.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each task
+    keeps its local top-k and only k rows ever reach the driver-side merge,
+    so nothing resembling a full sort or single-reducer shuffle happens on
+    the big input. The un-partitioned rank window then runs over AT MOST k
+    rows (bounded, one tiny partition by construction). Equals
+    ``ranked(df, order_by).orderBy(...).limit(k)`` whenever all order-by
+    ties fit inside the slice."""
+    head = df.orderBy(*order_by).limit(k)
+    fn = F.dense_rank() if dense else F.rank()
+    return head.withColumn(alias, fn.over(Window.orderBy(*order_by)))

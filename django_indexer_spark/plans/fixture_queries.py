@@ -180,7 +180,10 @@ def f10_prefix_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("j1_fk_chain_revenue")
 def j1_fk_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 N:1 FK chain ⋈x4 + grouped revenue (select_related shape,
-    accounts/api.py:351; TPC-H Q5 family). Dims broadcast; revenue in
+    accounts/api.py:351; TPC-H Q5 family). Constant-size dims (nation,
+    region) carry explicit broadcast hints; customer is fact-scale (grows
+    with SF) so its join strategy is left to autoBroadcastJoinThreshold +
+    AQE — a forced broadcast would OOM executors at 100×. Revenue in
     exact decimal."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -190,7 +193,7 @@ def j1_fk_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue_e4 = to_fixed("l_extendedprice", 2) * (F.lit(100) - to_fixed("l_discount", 2))
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
@@ -382,10 +385,13 @@ def j8_self_double_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     vol_e4 = to_fixed("l_extendedprice", 2) * (F.lit(100) - to_fixed("l_discount", 2))
+    # customer/supplier are fact-scale (grow with SF): no broadcast hint —
+    # the 64 MB threshold + AQE picks broadcast at small SF and falls back
+    # to shuffle join at scale. Only the 25-row nation roles stay hinted.
     joined = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
@@ -507,7 +513,11 @@ def w1_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("w3_rank_leaderboard")
 def w3_rank_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 leaderboard rank (accounts/api.py:85-88 + explicit rank()):
-    nations ranked by customer account balance total."""
+    nations ranked by customer account balance total, in the scale-safe
+    rank-within-top-k shape — TakeOrderedAndProject bounds the slice to 25
+    rows before the un-partitioned rank window ever runs, so the plan holds
+    even when the ranked input is fact-scale (all 25 nations fit, so the
+    result equals the full ranking here)."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     per_nation = (
@@ -515,8 +525,8 @@ def w3_rank_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"))
     )
-    return per_nation.withColumn(
-        "rank", F.rank().over(Window.orderBy(F.desc("total_balance"), F.asc("n_name")))
+    return windows.ranked_topk(
+        per_nation, [F.desc("total_balance"), F.asc("n_name")], k=25
     )
 
 

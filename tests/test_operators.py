@@ -496,3 +496,14 @@ def test_salted_join_rejects_right_and_full(spark):
         (r["k"], r["lv"], r["rv"]) for r in salted_join(left2, right, "k", how="left").collect()
     )
     assert got == [("k1", 1, 2), ("k9", 9, None)]
+
+
+def test_ranked_topk_matches_full_rank_head(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}", (i * 37) % 50) for i in range(200)], "user string, score int"
+    )
+    order = [F.desc("score"), F.asc("user")]
+    full = windows.ranked(df, order).orderBy(order).limit(10).collect()
+    topk = windows.ranked_topk(df, order, k=10).collect()
+    assert [tuple(r) for r in topk] == [tuple(r) for r in full]
+    assert [r["rank"] for r in topk] == list(range(1, 11))  # unique tiebreak → 1..k

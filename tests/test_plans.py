@@ -37,11 +37,26 @@ def test_projection_prunes_scan_columns(spark):
 
 def test_fk_chain_joins_all_broadcast(spark):
     plan = plan_of(spark, "j1_fk_chain_revenue")
-    # all four dim joins broadcast; the only SortMergeJoin allowed is
-    # none — lineitem⋈orders also broadcasts at fixture scale, and the
-    # fact side must never appear on a build side
+    # all four dim joins broadcast AT FIXTURE SCALE (customer fits the
+    # 64 MB threshold here, so AQE/threshold picks broadcast without a
+    # hint); the fact side must never appear on a build side
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def analyzed_plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+
+
+def test_fact_scale_sides_carry_no_broadcast_hint(spark):
+    # customer/supplier grow with SF — a forced broadcast hint on them
+    # OOMs executors at 100×. Only constant-size dims may be hinted:
+    # j1 hints nation+region (2), j8 hints the two nation roles (2).
+    # The strategy for customer/supplier must stay threshold/AQE-decided.
+    j1 = analyzed_plan_of(spark, "j1_fk_chain_revenue")
+    assert j1.count("ResolvedHint") == 2, j1
+    j8 = analyzed_plan_of(spark, "j8_self_double_fk")
+    assert j8.count("ResolvedHint") == 2, j8
 
 
 def test_semi_and_anti_joins_compile_to_join_types(spark):
@@ -59,6 +74,17 @@ def test_top1_windows_use_group_limit(spark):
 
 def test_top_k_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "o4_top_k")
+
+
+def test_leaderboard_rank_bounds_input_before_window(spark):
+    # W3 scale-safe form: the un-partitioned rank window may only see the
+    # top-k slice — TakeOrderedAndProject must bound the input, never a
+    # full Sort feeding the Window
+    plan = plan_of(spark, "w3_rank_leaderboard")
+    assert "TakeOrderedAndProject" in plan, plan
+    window_at = plan.index("Window")
+    bound_at = plan.index("TakeOrderedAndProject")
+    assert bound_at > window_at  # executed bottom-up: bound sits BELOW the window
 
 
 def test_no_python_udfs_in_gate_queries(spark):

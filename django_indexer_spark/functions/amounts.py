@@ -22,15 +22,53 @@ from .scalars import is_digits
 DEC38 = "decimal(38,0)"
 
 
+def canonical_digits(col: Column | str) -> Column:
+    """Digit-string minus leading zeros ('000123'→'123', '000'→'0') — the
+    canonical form whose LENGTH decides Decimal(38,0) fit. No lookahead so
+    the same regex runs on DuckDB/RE2 oracles."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, "^0+", "")
+    return F.when(stripped == "", F.lit("0")).otherwise(stripped)
+
+
+def amount_overflow(col: Column | str) -> Column:
+    """SURVEY §7 hard-part (c): TRUE for valid digit-strings that exceed
+    Decimal(38,0) — u128 max (2^128-1) is 39 digits, Decimal tops out at
+    38, so the overflow band is real input, not a hypothetical. These rows
+    would otherwise be silently NULLed by ``guarded_amount``; flag them so
+    pipelines can quarantine instead (``with_amount_quarantine``).
+    Non-digit strings are NOT overflow — they're invalid, a different bucket
+    (reference skips them via isdigit(), tasks.py:203)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return is_digits(c) & (F.length(canonical_digits(c)) > 38)
+
+
+def with_amount_quarantine(
+    df, amount_cols: list[str], flag: str = "amount_overflow"
+):
+    """Analysis-time overflow guard: adds a boolean ``flag`` column that is
+    TRUE when ANY of ``amount_cols`` exceeds Decimal(38,0). Route
+    flag=true rows to a quarantine sink (keeping the lossless string) and
+    aggregate the rest — sums stay exact and nothing vanishes silently."""
+    cond = F.lit(False)
+    for c in amount_cols:
+        cond = cond | F.coalesce(amount_overflow(c), F.lit(False))
+    return df.withColumn(flag, cond)
+
+
 def guarded_amount(col: Column | str) -> Column:
-    """Digit-guarded decimal cast: non-digit or >38-digit strings → NULL.
+    """Digit-guarded decimal cast: non-digit or >Decimal(38,0) strings →
+    NULL (leading zeros stripped first, so '0…0' padding can't spuriously
+    overflow).
 
     Mirrors the reference's ``if d.total_amount.isdigit()`` guard
     (tasks.py:203) — sum() then skips the NULLs exactly as the Python
-    loop skipped the rows.
+    loop skipped the rows. Pair with ``with_amount_quarantine`` when the
+    dropped overflow rows must stay visible.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(is_digits(c) & (F.length(c) <= 38), c.cast(DEC38))
+    canon = canonical_digits(c)
+    return F.when(is_digits(c) & (F.length(canon) <= 38), canon.cast(DEC38))
 
 
 def guarded_sum(col: Column | str, alias: str) -> Column:

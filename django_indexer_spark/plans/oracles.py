@@ -162,12 +162,19 @@ GROUP BY o_orderpriority
 """
 
 ORACLES["a6_guarded_sum"] = """
-WITH g AS (
+WITH raw AS (
+  SELECT event_type, json_extract_string(props, '$.k') AS s FROM events
+), canon AS (
+  -- canonical_digits twin: strip leading zeros, '' -> '0' (no lookahead; RE2-safe)
+  SELECT event_type, s,
+         CASE WHEN regexp_replace(s, '^0+', '') = '' THEN '0'
+              ELSE regexp_replace(s, '^0+', '') END AS c
+  FROM raw
+), g AS (
   SELECT event_type,
-         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[0-9]+$')
-                   AND length(json_extract_string(props, '$.k')) <= 38
-              THEN CAST(json_extract_string(props, '$.k') AS DECIMAL(38,0)) END AS amt
-  FROM events
+         CASE WHEN regexp_matches(s, '^[0-9]+$') AND length(c) <= 38
+              THEN CAST(c AS DECIMAL(38,0)) END AS amt
+  FROM canon
 )
 SELECT event_type,
        CAST(SUM(amt) AS BIGINT) AS amount_sum,

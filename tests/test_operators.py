@@ -507,3 +507,44 @@ def test_ranked_topk_matches_full_rank_head(spark):
     topk = windows.ranked_topk(df, order, k=10).collect()
     assert [tuple(r) for r in topk] == [tuple(r) for r in full]
     assert [r["rank"] for r in topk] == list(range(1, 11))  # unique tiebreak → 1..k
+
+
+def test_u128_overflow_guard_at_boundary(spark):
+    """SURVEY §7 hard-part (c): u128 max (2^128-1, 39 digits) must be
+    flagged as overflow — not silently nulled — while every value that
+    fits Decimal(38,0) casts exactly, leading zeros notwithstanding."""
+    from django_indexer_spark.functions.amounts import (
+        amount_overflow,
+        with_amount_quarantine,
+    )
+
+    u128_max = str(2**128 - 1)  # 340282366920938463463374607431768211455
+    dec38_max = "9" * 38
+    df = spark.createDataFrame(
+        [
+            ("u128max", u128_max),
+            ("dec38max", dec38_max),
+            ("padded_fit", "000" + dec38_max),  # 41 chars, canonical 38 → fits
+            ("padded_over", "0" + u128_max),  # zeros don't excuse 39 digits
+            ("invalid", "12x"),
+            ("zero", "0000"),
+            ("null", None),
+        ],
+        "case string, amt string",
+    )
+    out = {
+        r["case"]: (r["ok"], r["amount_overflow"])
+        for r in with_amount_quarantine(
+            df.withColumn("ok", guarded_amount("amt")), ["amt"]
+        ).collect()
+    }
+    assert out["u128max"] == (None, True)  # boundary: dropped AND flagged
+    assert out["dec38max"] == (decimal.Decimal(dec38_max), False)
+    assert out["padded_fit"] == (decimal.Decimal(dec38_max), False)
+    assert out["padded_over"] == (None, True)
+    assert out["invalid"] == (None, False)  # invalid ≠ overflow (isdigit bucket)
+    assert out["zero"] == (decimal.Decimal(0), False)
+    assert out["null"] == (None, False)
+    # the split is exhaustive: kept + overflow + invalid covers every row
+    flagged = df.filter(amount_overflow("amt")).count()
+    assert flagged == 2

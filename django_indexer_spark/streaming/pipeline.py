@@ -8,13 +8,15 @@ execution modes the reference runs as separate code paths:
   - spot replay  (runspotindexer over a height range, tasks.py:114-126)
   - backfill     (populatedata.py contract scans)
 
-Batch/replay call ``run_batch`` directly; streaming wraps it in
-``foreachBatch`` so every micro-batch applies the same deterministic
-dataflow with exactly-once sink semantics via checkpointLocation (T2 —
-replacing the reference's BlockHeight singleton, utils.py:1194-1203).
+Batch/replay call ``run_batch`` directly; streaming applies the same
+deterministic dataflow per micro-batch via ``foreachBatch``. Delivery is
+at-least-once (checkpointLocation tracks progress, T2 — replacing the
+reference's BlockHeight singleton, utils.py:1194-1203); the sink makes
+the VISIBLE state effectively-once: merges are keyed + versioned (T3) so
+replays collapse, and sources.silver publishes each batch with an atomic
+manifest swap, so a crashed batch is either fully visible or not at all.
 At-least-once replay overlap (the reference resumes at height-1,
-tasks.py:104-107) is harmless by construction: every merge is keyed and
-versioned (T3).
+tasks.py:104-107) is harmless by construction.
 
 Scale notes: each entity merge shuffles on its natural key only; the
 bronze explode is narrow; the per-batch work is a fixed set of ~8
@@ -29,7 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import normalize
+from ..sources import normalize, silver
 from ..sources.lake import explode_receipts, read_lake_stream
 from ..sources.merge import upsert
 
@@ -166,30 +168,45 @@ def stream_ingest(
     trigger_seconds: int = 300,
     max_files_per_trigger: int = 32,
     available_now: bool = False,
+    n_buckets: int = silver.DEFAULT_N_BUCKETS,
 ):
     """T1/T2/T6: continuous ingest. Each micro-batch explodes the lake
-    messages to bronze, runs the shared normalize+merge against the parquet
-    silver tables, and overwrites them. 300 s default trigger mirrors the
-    reference's 5-minute beat cadence (base/celery.py:27-43).
+    messages to bronze and merges each entity into its bucketed silver
+    table, rewriting ONLY the hash-buckets the batch's keys land in
+    (sources.silver: versioned bucket dirs + atomic manifest swap). Work
+    per trigger is O(batch + touched buckets), not O(total history), and
+    a crash can never truncate a table — the previous manifest stays
+    live until the new one is published atomically. 300 s default
+    trigger mirrors the reference's 5-minute beat cadence
+    (base/celery.py:27-43).
 
-    (On a Delta/Iceberg lakehouse the overwrite becomes MERGE INTO — see
-    sources.merge.merge_statement; plain parquet keeps this container
-    dependency-free.)
+    Entities with no rows in a batch are skipped entirely (no read, no
+    write). At-least-once replay of a batch is safe: merges are keyed +
+    versioned (T3) and silver.merge_batch republishes the same state.
+
+    (On a Delta/Iceberg lakehouse this becomes MERGE INTO — see
+    sources.merge.merge_statement; plain parquet + manifest keeps this
+    container dependency-free with the same commit protocol.)
     """
 
     def process_batch(lake_batch: DataFrame, batch_id: int) -> None:
-        bronze = explode_receipts(lake_batch)
-        existing = {}
-        for name in ENTITY_PIPELINES:
-            try:
-                existing[name] = spark.read.parquet(f"{out_dir}/{name}")
-            except Exception:
-                pass  # first batch: table does not exist yet
-        merged = run_batch(bronze, existing)
-        for name, df in merged.items():
-            df.write.mode("overwrite").parquet(f"{out_dir}/{name}.tmp")
-            tmp = spark.read.parquet(f"{out_dir}/{name}.tmp")
-            tmp.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        # ~24 entity jobs share one prepared bronze frame: cache it so the
+        # JSON decode/explode runs once per trigger, not once per entity
+        prepared = normalize.prepare(explode_receipts(lake_batch)).persist()
+        try:
+            for name, (fn, key, keep) in ENTITY_PIPELINES.items():
+                silver.merge_batch(
+                    spark,
+                    f"{out_dir}/{name}",
+                    fn(prepared),
+                    key,
+                    "version",
+                    keep=keep,
+                    batch_id=batch_id,
+                    n_buckets=n_buckets,
+                )
+        finally:
+            prepared.unpersist()
 
     stream = read_lake_stream(spark, lake_path, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(process_batch).option(

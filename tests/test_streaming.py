@@ -16,7 +16,12 @@ import base64
 import json
 import os
 
+from django_indexer_spark.sources import silver
 from django_indexer_spark.streaming.pipeline import stream_ingest
+
+
+def read_silver(spark, out: str, name: str):
+    return silver.read_table(spark, os.path.join(out, name))
 
 
 def b64(obj) -> str:
@@ -90,14 +95,14 @@ def test_stream_ingest_available_now_and_resume(spark, tmp_path):
 
     donations = {
         r["on_chain_id"]: r.asDict()
-        for r in spark.read.parquet(f"{out}/donations").collect()
+        for r in read_silver(spark, out, "donations").collect()
     }
     assert set(donations) == {1, 2}
     assert donations[1]["total_amount"] == "150"  # height-101 writer won
     assert donations[1]["net_amount"] == "150"
     assert donations[2]["donor_id"] == "bob.near"
 
-    accounts = {r["id"] for r in spark.read.parquet(f"{out}/accounts").collect()}
+    accounts = {r["id"] for r in read_silver(spark, out, "accounts").collect()}
     assert {"alice.near", "bob.near", "charity.near"} <= accounts
 
     # batch 2: same checkpoint — only the new block is read; existing
@@ -107,8 +112,105 @@ def test_stream_ingest_available_now_and_resume(spark, tmp_path):
 
     after = {
         r["on_chain_id"]: r.asDict()
-        for r in spark.read.parquet(f"{out}/donations").collect()
+        for r in read_silver(spark, out, "donations").collect()
     }
     assert set(after) == {1, 2, 3}
     assert after[1]["total_amount"] == "150"
     assert after[3]["donor_id"] == "carol.near"
+
+
+# ---------------------------------------------------------------------------
+# sources.silver: incremental partition-scoped merge (VERDICT r1 top-next)
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, rows_):
+    return spark.createDataFrame(rows_, "k string, v string, version long")
+
+
+def test_silver_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    d = str(tmp_path / "t")
+    silver.merge_batch(
+        spark, d, _kv(spark, [(k, k, 1) for k in "abcdefgh"]), ["k"], "version",
+        batch_id=1, n_buckets=8,
+    )
+    m1 = silver.read_manifest(d)
+    assert len(m1["buckets"]) >= 2  # 8 keys spread over >1 bucket
+
+    touched = silver.merge_batch(
+        spark, d, _kv(spark, [("a", "A", 2)]), ["k"], "version",
+        batch_id=2, n_buckets=8,
+    )
+    assert len(touched) == 1
+    m2 = silver.read_manifest(d)
+    # untouched buckets keep their v1 dirs verbatim — no rewrite happened
+    for b, v in m1["buckets"].items():
+        if int(b) != touched[0]:
+            assert m2["buckets"][b] == v == "v1"
+    assert m2["buckets"][str(touched[0])] == "v2"
+    # superseded touched-bucket version is GC'd after publish
+    assert not os.path.exists(os.path.join(d, f"b{touched[0]}", "v1"))
+
+    # the merge's existing-scan is bucket-pruned BY CONSTRUCTION: reading
+    # the touched bucket lists only that bucket's files (this is the
+    # "second micro-batch reads only touched partitions" guarantee)
+    pruned = silver.read_table(spark, d, buckets=touched, keep_bucket_col=True)
+    files = pruned.inputFiles()
+    assert files and all(f"/b{touched[0]}/" in f for f in files)
+    full = silver.read_table(spark, d, keep_bucket_col=True)
+    assert len(full.inputFiles()) > len(files)
+
+    out = {r["k"]: (r["v"], r["version"]) for r in silver.read_table(spark, d).collect()}
+    assert out["a"] == ("A", 2)
+    assert all(out[k] == (k, 1) for k in "bcdefgh")
+
+
+def test_silver_crash_before_publish_never_truncates(spark, tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    d = str(tmp_path / "t")
+    silver.merge_batch(
+        spark, d, _kv(spark, [("a", "a", 1), ("b", "b", 1)]), ["k"], "version",
+        batch_id=1, n_buckets=4,
+    )
+    before = sorted(map(tuple, silver.read_table(spark, d).collect()))
+    manifest_before = silver.read_manifest(d)
+
+    # crash INSIDE batch 2, after staging + version-dir moves, right at the
+    # publish step: the old manifest must stay live and fully readable
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash at publish")
+
+    monkeypatch.setattr(silver, "_write_manifest_atomic", boom)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        silver.merge_batch(
+            spark, d, _kv(spark, [("a", "A", 2)]), ["k"], "version",
+            batch_id=2, n_buckets=4,
+        )
+    monkeypatch.undo()
+
+    assert silver.read_manifest(d) == manifest_before
+    assert sorted(map(tuple, silver.read_table(spark, d).collect())) == before
+
+    # Structured Streaming retries the SAME batch_id: the rerun must
+    # converge to the correct post-batch state (idempotent republish) —
+    # run it twice to prove replay-safety
+    for _ in range(2):
+        silver.merge_batch(
+            spark, d, _kv(spark, [("a", "A", 2)]), ["k"], "version",
+            batch_id=2, n_buckets=4,
+        )
+    out = {r["k"]: (r["v"], r["version"]) for r in silver.read_table(spark, d).collect()}
+    assert out == {"a": ("A", 2), "b": ("b", 1)}
+
+
+def test_silver_stale_replay_cannot_regress_state(spark, tmp_path):
+    # at-least-once delivery can replay an OLD batch after a newer one has
+    # committed; versioned merge must keep the newer row
+    d = str(tmp_path / "t")
+    silver.merge_batch(spark, d, _kv(spark, [("a", "new", 9)]), ["k"], "version",
+                       batch_id=5, n_buckets=4)
+    silver.merge_batch(spark, d, _kv(spark, [("a", "old", 3)]), ["k"], "version",
+                       batch_id=4, n_buckets=4)
+    out = silver.read_table(spark, d).collect()
+    assert [(r["k"], r["v"], r["version"]) for r in out] == [("a", "new", 9)]

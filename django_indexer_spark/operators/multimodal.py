@@ -2,13 +2,19 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side machinery — schema, partition-friendly batching,
-Arrow-batched UDF signatures — is real and tested; the codec calls
-themselves are STUBBED (no image/audio libraries in this container):
+Arrow-batched UDF signatures — is real and tested, and ``decode_image``
+now actually decodes:
 
-- ``decode_image`` raises NotImplementedError (clearly marked stub);
-- ``fake_decode_meta`` is the deterministic stand-in used by tests: it
-  "decodes" byte length / md5 / a fake (width, height) derived from the
-  bytes, exercising the exact mapInPandas plumbing a real decoder uses.
+- PIL/Pillow is used when importable (full format coverage, C-speed);
+- without PIL, a built-in pure-stdlib PNG decoder (zlib inflate + filter
+  reconstruction, non-interlaced 8-bit gray/LA/RGB/RGBA) handles PNG
+  payloads — real pixels out of real bytes, no dependencies;
+- other formats without PIL raise NotImplementedError (honest gap);
+- ``fake_decode_meta`` stays as the deterministic stand-in for payloads
+  that aren't decodable images, keeping feature extraction total.
+
+``encode_png`` (same stdlib toolbox) generates real fixture images so
+tests verify decoded dimensions and pixel bytes, not just plumbing.
 
 Design for 100 TB of media:
 - binary payloads live in their own column so parquet column pruning skips
@@ -22,7 +28,10 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -54,6 +63,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("content_md5", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # True when a real codec produced width/height; False = fake fallback
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
@@ -73,12 +84,137 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — real deployment plugs in PIL/libvips here. The container has
-    no image codecs; the engine's contract is the surrounding plumbing."""
+class DecodedImage(NamedTuple):
+    width: int
+    height: int
+    mode: str  # L | LA | RGB | RGBA
+    pixels: bytes  # row-major, channels interleaved, 8-bit
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> channels
+_PNG_MODES = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}
+_MODE_COLORTYPE = {"L": 0, "LA": 4, "RGB": 2, "RGBA": 6}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(data: bytes) -> DecodedImage:
+    """Pure-stdlib PNG decode: chunk walk, zlib inflate, filter undo
+    (None/Sub/Up/Average/Paeth per the PNG spec §9). Supports the
+    non-interlaced 8-bit gray/LA/RGB/RGBA subset — enough for real
+    fixture/thumbnail pixels without any image library."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = bitdepth = colortype = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # + CRC
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    channels = _PNG_CHANNELS.get(colortype)
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    if channels is None or bitdepth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "built-in decoder supports non-interlaced 8-bit gray/LA/RGB/RGBA; "
+            "install Pillow for full coverage"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        filt = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if filt == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"bad PNG filter byte {filt}")
+        out += row
+        prev = row
+    return DecodedImage(width, height, _PNG_MODES[channels], bytes(out))
+
+
+def encode_png(width: int, height: int, pixels: bytes, mode: str = "RGB") -> bytes:
+    """Minimal PNG encoder (filter-0 scanlines) — fixture generator for
+    decode tests; also a real (if uncompressed-filter) image writer."""
+    channels = len(mode)
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _MODE_COLORTYPE[mode], 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> DecodedImage:
+    """Real image decode. Prefers Pillow when installed; falls back to the
+    built-in PNG decoder; raises NotImplementedError for formats neither
+    path covers (e.g. JPEG without Pillow) — callers fall back to
+    ``fake_decode_meta`` (see ``extract_features``)."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # optional extra — not in this container
+
+        img = Image.open(BytesIO(payload))
+        img.load()
+        return DecodedImage(img.width, img.height, img.mode, img.tobytes())
+    except ImportError:
+        pass
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "image decoding is stubbed in this environment; "
-        "use fake_decode_meta for deterministic tests"
+        "no codec for this payload format without Pillow (built-in path is PNG-only)"
     )
 
 
@@ -90,18 +226,30 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction — the real-decoder shape.
+    """mapInPandas feature extraction, real decode first.
 
-    Each Arrow batch arrives as a pandas DataFrame; a real implementation
-    calls decode_image per payload (optionally on GPU); the stub computes
-    deterministic features so plumbing (schema, batching, null payloads)
-    is fully exercised.
+    Each Arrow batch arrives as a pandas DataFrame; every payload goes
+    through ``decode_image`` (Pillow or the built-in PNG decoder) and
+    falls back to the deterministic fake for undecodable formats, so the
+    operator is total over mixed media and ``decoded`` records which path
+    ran. Null-payload rows survive with null features.
     """
     import hashlib
+
+    def dims(b: bytes | None) -> tuple[int | None, int | None, bool | None]:
+        if b is None:
+            return None, None, None
+        try:
+            img = decode_image(bytes(b))
+            return img.width, img.height, True
+        except (NotImplementedError, ValueError):
+            w, h = fake_decode_meta(b)
+            return w, h, False
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            decoded = [dims(b) for b in payloads]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -109,12 +257,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "content_md5": payloads.map(
                         lambda b: None if b is None else hashlib.md5(b).hexdigest()
                     ),
-                    "width": payloads.map(
-                        lambda b: None if b is None else fake_decode_meta(b)[0]
-                    ).astype("Int32"),
-                    "height": payloads.map(
-                        lambda b: None if b is None else fake_decode_meta(b)[1]
-                    ).astype("Int32"),
+                    "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "decoded": pd.array([d[2] for d in decoded], dtype="boolean"),
                 }
             )
             yield out

@@ -52,6 +52,12 @@ def get_spark(app_name: str = "django-indexer-spark", **extra_conf: str) -> Spar
         # -- python<->jvm data path --
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- T7 multi-queue isolation: FAIR mode lets concurrent streaming
+        # queries run in named scheduler pools (streaming.pipeline
+        # stream_ingest(pool=...)), the Spark analogue of the reference's
+        # per-queue Celery workers (base/celery.py). Pools are created on
+        # demand; jobs without a pool share 'default'.
+        .config("spark.scheduler.mode", "FAIR")
         # -- keep the local harness lean --
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

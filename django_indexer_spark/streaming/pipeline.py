@@ -169,6 +169,7 @@ def stream_ingest(
     max_files_per_trigger: int = 32,
     available_now: bool = False,
     n_buckets: int = silver.DEFAULT_N_BUCKETS,
+    pool: str | None = None,
 ):
     """T1/T2/T6: continuous ingest. Each micro-batch explodes the lake
     messages to bronze and merges each entity into its bucketed silver
@@ -183,6 +184,13 @@ def stream_ingest(
     Entities with no rows in a batch are skipped entirely (no read, no
     write). At-least-once replay of a batch is safe: merges are keyed +
     versioned (T3) and silver.merge_batch republishes the same state.
+
+    ``pool`` (T7): run this query's jobs in a named FAIR-scheduler pool so
+    concurrent streams (e.g. live ingest vs. backfill replay) can't starve
+    each other — the Spark analogue of the reference's per-queue Celery
+    workers (base/celery.py beat queues). Requires
+    spark.scheduler.mode=FAIR (session.get_spark sets it); the property is
+    thread-local and inherited by the streaming query's own thread.
 
     (On a Delta/Iceberg lakehouse this becomes MERGE INTO — see
     sources.merge.merge_statement; plain parquet + manifest keeps this
@@ -219,4 +227,12 @@ def stream_ingest(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    sc = spark.sparkContext
+    prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+    if pool is not None:
+        sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        return writer.start()
+    finally:
+        if pool is not None:
+            sc.setLocalProperty("spark.scheduler.pool", prev_pool)

@@ -214,3 +214,50 @@ def test_silver_stale_replay_cannot_regress_state(spark, tmp_path):
                        batch_id=4, n_buckets=4)
     out = silver.read_table(spark, d).collect()
     assert [(r["k"], r["v"], r["version"]) for r in out] == [("a", "new", 9)]
+
+
+def test_multi_queue_isolation_scheduler_pools(spark, tmp_path):
+    """T7: two concurrent streaming queries in SEPARATE FAIR-scheduler
+    pools (the reference's per-queue Celery workers, base/celery.py) —
+    both run simultaneously, both checkpoints advance, and re-running one
+    stream leaves the other's tables untouched."""
+    dirs = {}
+    for q in ("live", "backfill"):
+        for kind in ("lake", "out", "ckpt"):
+            dirs[q, kind] = str(tmp_path / q / kind)
+        os.makedirs(dirs[q, "lake"])
+
+    write_block(dirs["live", "lake"], 100, [donation(1, "alice.near", "100")])
+    write_block(dirs["backfill", "lake"], 500, [donation(71, "zoe.near", "9")])
+
+    q_live = stream_ingest(
+        spark, dirs["live", "lake"], dirs["live", "out"], dirs["live", "ckpt"],
+        available_now=True, pool="ingest_live",
+    )
+    q_back = stream_ingest(
+        spark, dirs["backfill", "lake"], dirs["backfill", "out"], dirs["backfill", "ckpt"],
+        available_now=True, pool="ingest_backfill",
+    )
+    # both queries are active concurrently in their own pools
+    assert q_live.awaitTermination(120) and q_back.awaitTermination(120)
+
+    # the named pools actually materialized in the FAIR scheduler
+    jsc = spark.sparkContext._jsc.sc()
+    for pool in ("ingest_live", "ingest_backfill"):
+        assert jsc.getPoolForName(pool).nonEmpty(), pool
+
+    live = {r["on_chain_id"] for r in read_silver(spark, dirs["live", "out"], "donations").collect()}
+    back = {r["on_chain_id"] for r in read_silver(spark, dirs["backfill", "out"], "donations").collect()}
+    assert live == {1} and back == {71}
+
+    # advance ONE queue; the other's checkpoint and state must not move
+    back_manifest = silver.read_manifest(os.path.join(dirs["backfill", "out"], "donations"))
+    write_block(dirs["live", "lake"], 101, [donation(2, "bob.near", "5")])
+    q2 = stream_ingest(
+        spark, dirs["live", "lake"], dirs["live", "out"], dirs["live", "ckpt"],
+        available_now=True, pool="ingest_live",
+    )
+    assert q2.awaitTermination(120)
+    live2 = {r["on_chain_id"] for r in read_silver(spark, dirs["live", "out"], "donations").collect()}
+    assert live2 == {1, 2}
+    assert silver.read_manifest(os.path.join(dirs["backfill", "out"], "donations")) == back_manifest

@@ -41,7 +41,18 @@ HEADLINE = [
     "dedup_minhash_bands",     # shingle→minhash→band signatures
     "dedup_embedding_cosine",  # LSH-bucketed near-dup pair mining
     "sim_cosine_topk",         # exact ANN baseline (broadcast queries)
+    "sim_ivf_search",          # IVF cell-probed ANN (the scale path)
     "text_metrics",            # token/quality/fingerprint pass
+    # round-2 breadth: one per remaining family so regressions are
+    # visible per family (these landed after the r1 driver snapshot)
+    "f5_time_window",          # ±Δ time-window predicate
+    "f11_conditional_unique",  # conditional-uniqueness key build
+    "j2_prefetch_array",       # 1:N explode⋈collect array rebuild
+    "j5_semi_in_subquery",     # IN-subquery semi-join
+    "c1_c2_event_decode",      # base64+JSON decode pass
+    "c7_c8_net_usd",           # USD multiply + net-amount arithmetic
+    "c12_format_2dp",          # 2-dp formatting
+    "c16_array_explode",       # JSON array explode
 ]
 
 

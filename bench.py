@@ -43,6 +43,7 @@ HEADLINE = [
     "sim_cosine_topk",         # exact ANN baseline (broadcast queries)
     "sim_ivf_search",          # IVF cell-probed ANN (the scale path)
     "text_metrics",            # token/quality/fingerprint pass
+    "dedup_decontaminate",     # eval-set n-gram decontamination
     # round-2 breadth: one per remaining family so regressions are
     # visible per family (these landed after the r1 driver snapshot)
     "f5_time_window",          # ±Δ time-window predicate

@@ -1,0 +1,158 @@
+"""Deterministic sampling, splits, length bucketing, decontamination —
+training-data pipeline operators (north-star extension, same family as
+operators/dedup.py and operators/text.py).
+
+Everything here is hash-deterministic, NOT rand()-based: a training
+pipeline needs samples and splits that are (a) reproducible across runs
+and engines, (b) stable under re-partitioning, and (c) consistent per
+document — a doc must land in the same split every run or eval leaks
+into train. ``rand(seed)`` gives none of that (it is engine- and
+partitioning-dependent, see o5_seeded_sample's rows-only oracle);
+key-hash bucketing gives all three AND an exact DuckDB oracle.
+
+Hash: md5 of the salted id, first 24 bits as an integer. md5 avalanche
+matters here — a polynomial rolling hash is LINEAR in the trailing
+character, so sequential numeric ids land in runs of adjacent buckets
+(measured: a 10% band caught 16% of 0..299 and a 10%-wide middle band
+caught 0) — fine for fingerprint equality (dedup), disqualifying for
+sampling. The hex→int fold is plain base-16 arithmetic, exact in DuckDB
+too. Salting decorrelates independent samples; the modulus-10000 bucket
+gives 0.01% granularity.
+
+Scale notes: every operator is a narrow map or a fingerprint equi-join —
+no shuffle for sampling/splits, one shuffle on the n-gram fingerprint
+for decontamination (the same bounded join shape as the LSH candidate
+generators; never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize, word_ngrams_from_tokens
+
+BUCKETS = 10_000  # 0.01% sampling granularity
+
+
+def hash_bucket(id_col: Column | str, salt: str) -> Column:
+    """Stable per-key bucket in [0, BUCKETS): first 24 md5 bits of
+    '<salt>:<id>' mod BUCKETS. Same arithmetic renders in DuckDB
+    (oracles._HEX24), so sampled sets are oracle-checkable row-for-row."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep keys whose bucket falls
+    below fraction*BUCKETS. Unlike df.sample(), membership is a pure
+    function of the key — re-runs, retries, and engine swaps all see the
+    SAME sample, and two tables sampled with the same salt stay aligned
+    on their join keys (sample-then-join works)."""
+    return df.filter(hash_bucket(id_col, salt) < int(round(fraction * BUCKETS)))
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    val_fraction: float = 0.0,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a 'split' column ∈ {train, val, test} by key hash — the
+    leak-proof split: a document's split never changes across runs, and
+    dedup upstream guarantees near-dups can't straddle splits by id
+    (pair with dedup.* for content-level leak protection)."""
+    b = hash_bucket(id_col, salt)
+    test_hi = int(round(test_fraction * BUCKETS))
+    val_hi = test_hi + int(round(val_fraction * BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(b < test_hi, F.lit("test"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+# sequence-packing length bands: (label, inclusive upper token bound)
+DEFAULT_LENGTH_BOUNDS: list[tuple[str, int]] = [
+    ("tiny", 16),
+    ("short", 64),
+    ("medium", 256),
+    ("long", 1024),
+]
+
+
+def length_bucket(text_col: Column | str, bounds=None) -> Column:
+    """Token-length band for sequence packing / batch shaping: documents
+    batched within a band waste at most band_width - 1 pad tokens each.
+    CASE chain over the token count — pure codegen."""
+    bounds = DEFAULT_LENGTH_BOUNDS if bounds is None else bounds
+    n = F.size(tokenize(text_col))
+    expr = F.lit("xlong")
+    for label, hi in reversed(bounds):
+        expr = F.when(n <= hi, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def length_bucket_stats(df: DataFrame, text_col: str, bounds=None) -> DataFrame:
+    """Per-band doc count + token totals — the packing planner's input
+    (how many batches of each sequence length a corpus yields)."""
+    n = F.size(tokenize(text_col))
+    return (
+        df.select(length_bucket(text_col, bounds).alias("length_bucket"), n.alias("n_tok"))
+        .groupBy("length_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Test-set decontamination, the n-gram-overlap standard: corpus docs
+    sharing ANY word n-gram with the eval set are contaminated (their
+    presence in training data would leak eval answers).
+
+    Shape for 100 TB: explode the (small) eval side into distinct n-gram
+    fingerprints, explode the corpus likewise, and semi-join on the
+    fingerprint — one shuffle keyed on the gram hash, never a doc×doc
+    comparison. Tokens materialize into a column BEFORE the shingle
+    transform (the word_ngrams lambda-reevaluation trap)."""
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = df.select(
+            *([F.col(id_col)] if keep_id else []), tokenize(text_col).alias("__toks")
+        )
+        g = toks.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
+        ).filter(F.size(F.split(F.col("gram"), " ")) >= F.lit(n))
+        return g.select(*([F.col(id_col)] if keep_id else []), F.md5("gram").alias("g"))
+
+    eval_grams = grams(eval_set, keep_id=False).distinct()
+    corpus_grams = grams(corpus, keep_id=True)
+    return (
+        corpus_grams.join(eval_grams, "g", "left_semi").select(id_col).distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Corpus minus contaminated docs (J7 anti-join on the flagged ids)."""
+    bad = contaminated_ids(corpus, eval_set, text_col, id_col, n)
+    return corpus.join(bad, id_col, "left_anti")

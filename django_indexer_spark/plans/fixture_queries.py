@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.amounts import grouped_exact_sums, to_fixed
-from ..operators import dedup, multimodal, similarity, sorts, text, windows
+from ..operators import dedup, multimodal, sampling, similarity, sorts, text, windows
 from ..operators.joins import as_of_nearest
 from ..sources.merge import upsert
 
@@ -824,6 +824,52 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("quality") >= 0.5))
         .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+@query("sample_hash_10pct")
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by salted key hash (training-data
+    subsampling). Unlike rand(seed) (engine- and partitioning-dependent —
+    see o5's rows-only oracle), hash membership is a pure key function:
+    reproducible across engines, runs, and repartitions, so the sample
+    itself is oracle-checkable ROW FOR ROW. Narrow map, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "source")
+
+
+@query("sample_split_assign")
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/val/test assignment (20% test, 10% val) by key
+    hash: a document's split never changes across runs — the property
+    rand() splits cannot give. Per-doc assignment checked exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.train_test_split(
+        docs, "doc_id", test_fraction=0.2, val_fraction=0.1
+    ).select("doc_id", "split")
+
+
+@query("text_length_buckets")
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing length bands: per-band doc count and token totals
+    (the packing planner's input for LLM batch shaping). One map +
+    4-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.length_bucket_stats(docs, "text")
+
+
+@query("dedup_decontaminate")
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: drop training docs sharing any word
+    5-gram with the eval set (source src0 stands in for the benchmark).
+    Shape: both sides explode to n-gram fingerprints, semi-join on the
+    md5 gram key (one bounded shuffle, the LSH-candidate shape — never
+    doc×doc), then anti-join the flagged ids (J7)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return sampling.decontaminate(corpus, eval_set, "text", "doc_id", n=5).select(
+        "doc_id", "source"
     )
 
 

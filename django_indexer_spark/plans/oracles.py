@@ -588,6 +588,70 @@ SELECT doc_id, lang,
 FROM hits
 """
 
+def _hex24_sql(expr: str) -> str:
+    """DuckDB twin of sampling.hash_bucket's md5-prefix integer: base-16
+    fold over the first 6 hex chars (DuckDB 1.0 has no hex→int cast;
+    the fold is exact integer arithmetic, identical to Spark's conv)."""
+    h = f"substr(md5({expr}), 1, 6)"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, 7), "
+        f"i -> (strpos('0123456789abcdef', substr({h}, i, 1)) - 1)::BIGINT)), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+_SAMPLE_B = _hex24_sql("'sample:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+_SPLIT_B = _hex24_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+ORACLES["sample_hash_10pct"] = f"""
+SELECT doc_id, lang, source FROM documents WHERE {_SAMPLE_B} < 1000
+"""
+
+ORACLES["sample_split_assign"] = f"""
+SELECT doc_id,
+       CASE WHEN {_SPLIT_B} < 2000 THEN 'test'
+            WHEN {_SPLIT_B} < 3000 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+ORACLES["text_length_buckets"] = f"""
+WITH t AS (SELECT len({_TOKS}) AS n_tok FROM documents)
+SELECT CASE WHEN n_tok <= 16 THEN 'tiny'
+            WHEN n_tok <= 64 THEN 'short'
+            WHEN n_tok <= 256 THEN 'medium'
+            WHEN n_tok <= 1024 THEN 'long'
+            ELSE 'xlong' END AS length_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1
+"""
+
+_GRAMS5 = (
+    "list_transform(range(0, greatest(len(toks) - 5, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))"
+)
+
+ORACLES["dedup_decontaminate"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), egrams AS (
+  SELECT DISTINCT md5(gram) AS g
+  FROM (SELECT unnest({_GRAMS5}) AS gram FROM toks WHERE source = 'src0')
+  WHERE len(string_split(gram, ' ')) >= 5
+), cgrams AS (
+  SELECT doc_id, md5(gram) AS g
+  FROM (SELECT doc_id, unnest({_GRAMS5}) AS gram FROM toks WHERE source <> 'src0')
+  WHERE len(string_split(gram, ' ')) >= 5
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.source <> 'src0'
+  AND d.doc_id NOT IN (SELECT DISTINCT c.doc_id FROM cgrams c JOIN egrams e USING (g))
+"""
+
 ORACLES["multimodal_meta"] = """
 SELECT doc_id AS media_id,
        'image' AS kind,

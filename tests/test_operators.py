@@ -637,3 +637,69 @@ def test_u128_overflow_guard_at_boundary(spark):
     # the split is exhaustive: kept + overflow + invalid covers every row
     flagged = df.filter(amount_overflow("amt")).count()
     assert flagged == 2
+
+
+# ----------------------------------------------------------- sampling family
+
+
+def test_hash_sample_deterministic_and_join_aligned(spark):
+    from django_indexer_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "id long")
+    a = {r["id"] for r in sampling.hash_sample(df, "id", 0.25).collect()}
+    b = {r["id"] for r in sampling.hash_sample(df.repartition(7), "id", 0.25).collect()}
+    assert a == b  # partitioning-independent (rand() samples are not)
+    assert 0.15 < len(a) / 400 < 0.35  # roughly the asked fraction
+    # monotone: a smaller fraction is a subset of a larger one (same salt)
+    small = {r["id"] for r in sampling.hash_sample(df, "id", 0.10).collect()}
+    assert small <= a
+    # different salts decorrelate
+    other = {r["id"] for r in sampling.hash_sample(df, "id", 0.25, salt="other").collect()}
+    assert other != a
+
+
+def test_train_test_split_total_and_stable(spark):
+    from django_indexer_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    out = sampling.train_test_split(df, "id", test_fraction=0.2, val_fraction=0.1)
+    got = {r["id"]: r["split"] for r in out.collect()}
+    assert set(got.values()) == {"train", "val", "test"}
+    assert len(got) == 300  # total: every row gets exactly one split
+    again = {r["id"]: r["split"] for r in out.collect()}
+    assert got == again
+
+
+def test_length_bucket_bands(spark):
+    from django_indexer_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, " ".join(["w"] * 50)), (3, " ".join(["w"] * 2000))],
+        "doc_id long, text string",
+    )
+    stats = {r["length_bucket"]: r["n_docs"] for r in
+             sampling.length_bucket_stats(df, "text").collect()}
+    assert stats == {"tiny": 1, "short": 1, "xlong": 1}
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from django_indexer_spark.operators import sampling
+
+    evalset = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps inside this document"),
+            (2, "completely clean text with no overlap whatsoever in any window"),
+            (3, "quick brown fox"),  # shares words but NO full 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    bad = {r["doc_id"] for r in
+           sampling.contaminated_ids(corpus, evalset, "text", "doc_id", n=5).collect()}
+    assert bad == {1}
+    clean = {r["doc_id"] for r in
+             sampling.decontaminate(corpus, evalset, "text", "doc_id", n=5).collect()}
+    assert clean == {2, 3}

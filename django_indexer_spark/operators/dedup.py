@@ -71,6 +71,7 @@ def minhash_bands(
     num_hashes: int = 8,
     bands: int = 4,
     ngram: int = 3,
+    expand_parallelism: int | None = None,
 ) -> DataFrame:
     """LSH banding: (id, band, band_key) — docs sharing a band_key within a
     band are near-dup candidates. band_key = md5 of the band's slice of the
@@ -84,12 +85,24 @@ def minhash_bands(
     the heavy md5 work streams through whole-stage codegen and the only
     shuffle carries one row per doc. explode_outer keeps shingle-less
     docs (empty signature ⇒ md5('') band key, same as the array form).
+
+    ``expand_parallelism``: optionally repartition the (id, tokens) rows
+    BEFORE the explode. The shingle expansion + num_hashes md5s per
+    shingle is the CPU-heavy part, and it runs in the scan stage (the
+    partial min-agg keeps it map-side) — so its parallelism is capped by
+    the scan's task count. When the input has fewer splits than cores
+    (few/large files, one row group), shuffling the small pre-explode
+    rows (one per doc) is cheap insurance that the expansion uses the
+    whole cluster. Leave None when the scan already fans wide.
     """
     rows_per_band = num_hashes // bands
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    if expand_parallelism:
+        toks = toks.repartition(expand_parallelism)
     shingles = (
         # materialize tokens first: word_ngrams over a raw text column
         # re-tokenizes per shingle index (quadratic per doc)
-        df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        toks
         .select(
             F.col(id_col),
             F.explode_outer(

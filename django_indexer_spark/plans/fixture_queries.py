@@ -678,9 +678,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH signatures: 8 md5-minhashes over word-3-gram shingles,
     banded 4x2 → (doc_id, band, band_key). Docs sharing a band_key are
-    near-dup candidates; the bucket key is the shuffle key at scale."""
+    near-dup candidates; the bucket key is the shuffle key at scale.
+    expand_parallelism decouples the md5-heavy shingle expansion from the
+    fixture's single-row-group scan layout (one small pre-explode
+    shuffle; a no-op concern on real multi-split data)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_bands(docs, "text", "doc_id", num_hashes=8, bands=4, ngram=3)
+    return dedup.minhash_bands(
+        docs, "text", "doc_id", num_hashes=8, bands=4, ngram=3,
+        expand_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query("dedup_minhash_pairs")
@@ -688,7 +694,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: self-join inside (band, band_key) buckets —
     never an all-pairs cross join."""
     docs = _t(spark, sf_dir, "documents")
-    bands = dedup.minhash_bands(docs, "text", "doc_id", num_hashes=8, bands=4, ngram=3)
+    bands = dedup.minhash_bands(
+        docs, "text", "doc_id", num_hashes=8, bands=4, ngram=3,
+        expand_parallelism=spark.sparkContext.defaultParallelism,
+    )
     return dedup.minhash_candidate_pairs(bands, "doc_id")
 
 

@@ -154,10 +154,16 @@ def merge_batch(
         # one write job, laid out per bucket. partitionBy drops the layout
         # column from the data files, so duplicate it: __bp for layout,
         # __bucket stays as a data column for future bucket-pruned merges.
+        # The repartition hashes rows to one task per bucket BEFORE the
+        # partitioned write — otherwise every write task fragments a file
+        # into every bucket dir it holds rows for (tasks x buckets small
+        # files per trigger; with it, one file per bucket version). The
+        # shuffle moves only the touched buckets' rows.
         staging = os.path.join(table_dir, f".staging-v{batch_id}")
         shutil.rmtree(staging, ignore_errors=True)  # retry hygiene
         (
-            merged.withColumn("__bp", F.col(BUCKET_COL))
+            merged.repartition(len(touched), F.col(BUCKET_COL))
+            .withColumn("__bp", F.col(BUCKET_COL))
             .write.partitionBy("__bp")
             .mode("overwrite")
             .parquet(staging)

@@ -150,6 +150,13 @@ def test_silver_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert m2["buckets"][str(touched[0])] == "v2"
     # superseded touched-bucket version is GC'd after publish
     assert not os.path.exists(os.path.join(d, f"b{touched[0]}", "v1"))
+    # pre-write repartition coalesces each bucket version to ONE data file
+    # (no tasks-x-buckets small-file fragmentation per trigger)
+    v2_files = [
+        f for f in os.listdir(os.path.join(d, f"b{touched[0]}", "v2"))
+        if f.endswith(".parquet")
+    ]
+    assert len(v2_files) == 1, v2_files
 
     # the merge's existing-scan is bucket-pruned BY CONSTRUCTION: reading
     # the touched bucket lists only that bucket's files (this is the

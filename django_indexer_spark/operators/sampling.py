@@ -55,6 +55,28 @@ def hash_sample(
     return df.filter(hash_bucket(id_col, salt) < int(round(fraction * BUCKETS)))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing op
+    (down-sample dominant languages/sources, keep rare ones whole), the
+    key-hash twin of df.sampleBy(). Strata missing from ``fractions`` get
+    ``default_fraction``. Same key+salt ⇒ same bucket across strata, so
+    rebalancing a source never changes WHICH of its docs survive, only
+    how many."""
+    b = hash_bucket(id_col, salt)
+    s = F.col(stratum_col)
+    thresh = F.lit(int(round(default_fraction * BUCKETS)))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(s == stratum, F.lit(int(round(frac * BUCKETS)))).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
 def train_test_split(
     df: DataFrame,
     id_col: str,

@@ -858,6 +858,19 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep 20% of English docs, 100% of Chinese,
+    50% of everything else — per-stratum deterministic sampling (the
+    down-sample-dominant / keep-rare-whole shape every multilingual
+    corpus build runs). Same salt as sample_hash_10pct, so survivors are
+    consistent across the two queries."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "zh": 1.0}, default_fraction=0.5
+    ).select("doc_id", "lang", "source")
+
+
 @query("text_length_buckets")
 def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing length bands: per-band doc count and token totals

@@ -616,6 +616,11 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["sample_stratified"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_SAMPLE_B} < (CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 10000 ELSE 5000 END)
+"""
+
 ORACLES["text_length_buckets"] = f"""
 WITH t AS (SELECT len({_TOKS}) AS n_tok FROM documents)
 SELECT CASE WHEN n_tok <= 16 THEN 'tiny'

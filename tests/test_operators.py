@@ -703,3 +703,21 @@ def test_decontaminate_flags_ngram_overlap(spark):
     clean = {r["doc_id"] for r in
              sampling.decontaminate(corpus, evalset, "text", "doc_id", n=5).collect()}
     assert clean == {2, 3}
+
+
+def test_stratified_sample_consistent_with_flat_sample(spark):
+    from django_indexer_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "zh") for i in range(300)], "id long, lang string"
+    )
+    strat = {r["id"] for r in sampling.stratified_hash_sample(
+        df, "id", "lang", {"en": 0.2, "zh": 1.0}).collect()}
+    # zh stratum kept whole; en stratum equals the flat 20% sample restricted to en
+    zh = {r["id"] for r in df.filter(F.col("lang") == "zh").collect()}
+    assert zh <= strat
+    flat20 = {r["id"] for r in sampling.hash_sample(df, "id", 0.2).collect()}
+    assert strat - zh == {i for i in flat20 if i % 3}
+    # unknown stratum falls back to default_fraction=0.0 → dropped
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert sampling.stratified_hash_sample(df2, "id", "lang", {"en": 1.0}).count() == 0

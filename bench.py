@@ -54,6 +54,10 @@ HEADLINE = [
     "c7_c8_net_usd",           # USD multiply + net-amount arithmetic
     "c12_format_2dp",          # 2-dp formatting
     "c16_array_explode",       # JSON array explode
+    # round-2 additions: repetition / PII / packing
+    "text_repetition",         # top-2-gram repetition mode (2 shuffles)
+    "text_pii_scrub",          # regex PII scrub (pure codegen)
+    "pack_sequences",          # windowed concat-and-chunk packing
 ]
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import tokenize, word_ngrams_from_tokens
 
@@ -132,6 +133,38 @@ def length_bucket_stats(df: DataFrame, text_col: str, bounds=None) -> DataFrame:
             F.sum("n_tok").cast("long").alias("total_tokens"),
             F.max("n_tok").alias("max_tokens"),
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tok_col: str,
+    max_seq_len: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining batch
+    layout): documents are laid end to end in ``id_col`` order and the
+    token stream is cut every ``max_seq_len`` tokens; a document's
+    ``pack_id`` is the chunk its FIRST token lands in. Deterministic and
+    engine-exact: the running offset is an integer window sum and the
+    chunk index is integer division — no doubles anywhere.
+
+    Scale: a single global cumulative sum is a one-reducer sort, so the
+    packing unit is ``partition_col`` (shard / split / language — whatever
+    the loader treats as independent streams): each partition packs
+    independently and in parallel, which is exactly how a 1000-worker data
+    loader consumes packed shards. Pass None only for small corpora.
+    A document longer than max_seq_len simply spans several chunks —
+    packing never truncates; truncation policy belongs to the loader."""
+    w = (
+        Window.partitionBy(partition_col) if partition_col is not None else Window.partitionBy()
+    ).orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum(F.col(n_tok_col)).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("__prev_tok", prev)
+        .withColumn("pack_id", F.expr(f"__prev_tok div {int(max_seq_len)}"))
+        .drop("__prev_tok")
     )
 
 

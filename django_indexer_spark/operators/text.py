@@ -12,7 +12,7 @@ partition count alone.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WORD_RE = "[^a-zA-Z0-9]+"
@@ -116,6 +116,98 @@ def quality_score(col: Column | str) -> Column:
         + F.when(punct_ratio(c) <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
     )
     return F.round(score, 4)
+
+
+# --- repetition metrics (Gopher-style repetition filters) ----------------
+#
+# Heavily repetitive documents (boilerplate, keyword stuffing, generation
+# loops) are the classic low-quality tail a corpus build removes before
+# training. The standard signals are "fraction of content that is a repeat
+# of itself": distinct-token ratio and the share of the document covered by
+# its single most frequent word n-gram.
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Per-document repetition signals:
+
+    - ``n_tokens`` / ``distinct_tokens`` — token-level duplication,
+    - ``top_ngram_count`` / ``n_ngrams`` — occurrences of the most frequent
+      word n-gram and the total n-gram count,
+    - ``top_ngram_frac_bp`` — that share in basis points, computed with
+      INTEGER division (top*10000 div total) so the value is bit-exact
+      cross-engine (no double rounding at tie boundaries).
+
+    Shape for 100 TB: the distinct ratio is a narrow per-row array op; the
+    n-gram mode needs a count per (doc, gram) → two shuffles keyed on
+    (doc_id, gram) then doc_id — both uniform keys, no skew beyond doc
+    length itself. The per-index transform uses the materialized token
+    column (word_ngrams_from_tokens), not a re-tokenizing lambda.
+    Documents with fewer than n tokens have no n-grams: counts coalesce
+    to 0 via the left join back onto the per-doc base."""
+    toks = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    )
+    base = toks.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("distinct_tokens"),
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
+    ).filter(F.size(F.split(F.col("gram"), " ")) >= n)
+    per_gram = grams.groupBy(id_col, "gram").count()
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("count").alias("top_ngram_count"),
+        F.sum("count").alias("n_ngrams"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+            F.coalesce("top_ngram_count", F.lit(0)).cast("long").alias("top_ngram_count"),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(
+                F.expr("top_ngram_count * 10000 div n_ngrams"), F.lit(0)
+            ).cast("long").alias("top_ngram_frac_bp"),
+        )
+    )
+
+
+# --- PII detection / redaction --------------------------------------------
+#
+# Regexes are deliberately conservative and chosen to parse identically
+# under Java regex (Spark) and RE2 (DuckDB oracle): no backreferences, no
+# lookaround. A production scrubber adds NER models downstream; this is
+# the cheap JVM-side first pass that runs on all 100 TB.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE_RE = r"\+\d{7,15}"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) match counts for a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)),
+    )
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails → [EMAIL], IPv4s → [IP], then phone numbers →
+    [PHONE]. Email runs first (its local part may contain digits/dots the
+    narrower patterns would mangle); the phone pattern needs 7+ contiguous
+    digits so it can never re-match inside a redacted IP (octets ≤ 3
+    digits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    c = F.regexp_replace(c, PII_IPV4_RE, "[IP]")
+    return F.regexp_replace(c, PII_PHONE_RE, "[PHONE]")
 
 
 def lang_id(col: Column | str) -> Column:

@@ -880,6 +880,63 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.length_bucket_stats(docs, "text")
 
 
+@query("text_repetition")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio
+    inputs and the share of the doc covered by its most frequent word
+    2-gram (basis points, exact integer math). Repetitive docs (generation
+    loops, keyword stuffing) are the classic removal target these feed.
+    Shape: narrow map for the distinct counts + two uniform-key shuffles
+    for the n-gram mode — scales by partition count alone."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_metrics(docs, "doc_id", "text", n=2)
+
+
+@query("text_pii_scrub")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / IPv4s / phone numbers → typed
+    placeholders). The fixture corpus contains no PII, so the query plants
+    a deterministic contact line per document (derived from doc_id/source)
+    and verifies detection counts and the redacted text's md5 — the scrub
+    is positional, so the hash proves replacement happened at the right
+    offsets in real surrounding text. Pure regexp codegen, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "), F.col("source"), F.lit("@example.com"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+            F.lit(" tel +1415555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    n_email, n_ip, n_phone = text.pii_counts("t")
+    return planted.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_phone.cast("long").alias("n_phones"),
+        F.md5(text.scrub_pii("t")).alias("scrub_fp"),
+    )
+
+
+@query("pack_sequences")
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs laid end to end per
+    language (the independent-stream packing unit), token stream cut every
+    512 tokens, each doc tagged with the chunk its first token starts in.
+    Integer window sum + integer division — bit-exact cross-engine; packs
+    build independently per partition (no global sort at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", "lang", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        with_tok, "doc_id", "n_tokens", max_seq_len=512, partition_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "pack_id")
+
+
 @query("dedup_decontaminate")
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: drop training docs sharing any word

@@ -634,6 +634,73 @@ SELECT CASE WHEN n_tok <= 16 THEN 'tiny'
 FROM t GROUP BY 1
 """
 
+# 2-gram shingles over toks — same formula as word_ngrams_from_tokens(n=2)
+_GRAMS2 = (
+    "list_transform(range(0, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))"
+)
+
+ORACLES["text_repetition"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS distinct_tokens
+  FROM base
+), g AS (
+  SELECT doc_id, unnest({_GRAMS2}) AS gram FROM base
+), gf AS (
+  SELECT doc_id, gram, count(*) AS c FROM g
+  WHERE len(string_split(gram, ' ')) >= 2
+  GROUP BY doc_id, gram
+), a AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS total FROM gf GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+       CAST(coalesce(top, 0) AS BIGINT) AS top_ngram_count,
+       CAST(coalesce(total, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce((top * 10000) // total, 0) AS BIGINT) AS top_ngram_frac_bp
+FROM m LEFT JOIN a USING (doc_id)
+"""
+
+# PII regexes — byte-identical to operators/text.py PII_*_RE (both Java
+# regex and RE2 parse them the same: no lookaround, no backrefs)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PII_PHONE = r"\+\d{7,15}"
+
+ORACLES["text_pii_scrub"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '@example.com'
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              || ' tel +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           t, '{_PII_EMAIL}', '[EMAIL]', 'g'), '{_PII_IPV4}', '[IP]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g')) AS scrub_fp
+FROM p
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n_tok FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(n_tok) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS pack_id
+FROM t
+"""
+
 _GRAMS5 = (
     "list_transform(range(0, greatest(len(toks) - 5, 0) + 1), "
     "i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))"

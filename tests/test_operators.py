@@ -721,3 +721,81 @@ def test_stratified_sample_consistent_with_flat_sample(spark):
     # unknown stratum falls back to default_fraction=0.0 → dropped
     df2 = df.withColumn("lang", F.lit("fr"))
     assert sampling.stratified_hash_sample(df2, "id", "lang", {"en": 1.0}).count() == 0
+
+
+def test_repetition_metrics_counts_and_edges(spark):
+    from django_indexer_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # grams: 5 total; "a b"×3, "b a"×2
+            (2, "one two three four"),  # all grams unique
+            (3, "solo"),               # 1 token → no 2-grams
+            (4, ""),                   # empty → nothing
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_metrics(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 6 and rows[1]["distinct_tokens"] == 2
+    assert rows[1]["top_ngram_count"] == 3 and rows[1]["n_ngrams"] == 5
+    assert rows[1]["top_ngram_frac_bp"] == 6000  # 3*10000 div 5
+    assert rows[2]["top_ngram_count"] == 1 and rows[2]["n_ngrams"] == 3
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["top_ngram_frac_bp"] == 0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["n_ngrams"] == 0
+
+
+def test_pii_scrub_and_counts(spark):
+    from django_indexer_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org and b@x.io, ip 192.168.0.1 tel +441234567890"),
+            (2, "no pii here at all"),
+            (3, "version 1.2.3.4 is an ip-shaped string; 1.2 is not"),
+        ],
+        "doc_id long, text string",
+    )
+    n_email, n_ip, n_phone = T.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            n_email.alias("e"), n_ip.alias("i"), n_phone.alias("p"),
+            T.scrub_pii("text").alias("s"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (2, 1, 1)
+    assert out[1]["s"] == "mail [EMAIL] and [EMAIL], ip [IP] tel [PHONE]"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 0, 0)
+    assert out[2]["s"] == "no pii here at all"
+    # dotted version strings do match the conservative IPv4 shape (documented);
+    # "1.2" (only 2 octets) must not
+    assert out[3]["i"] == 1 and "[IP] is an ip-shaped string" in out[3]["s"]
+
+
+def test_pack_sequences_chunk_boundaries(spark):
+    from django_indexer_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [
+            # partition "a": cumulative starts 0,60,120 with max_seq=100
+            (1, "a", 60),   # starts at 0   → pack 0
+            (2, "a", 60),   # starts at 60  → pack 0 (spans into 1)
+            (3, "a", 250),  # starts at 120 → pack 1 (spans 1..3, no truncation)
+            (4, "a", 10),   # starts at 370 → pack 3
+            # partition "b" packs independently from offset 0
+            (5, "b", 10),   # pack 0
+        ],
+        "doc_id long, part string, n_tok long",
+    )
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in sampling.pack_sequences(df, "doc_id", "n_tok", 100, "part").collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 3, 5: 0}
+    # global (no partition col) packing: one stream
+    g = {
+        r["doc_id"]: r["pack_id"]
+        for r in sampling.pack_sequences(df, "doc_id", "n_tok", 100).collect()
+    }
+    assert g == {1: 0, 2: 0, 3: 1, 4: 3, 5: 3}

@@ -58,6 +58,10 @@ HEADLINE = [
     "text_repetition",         # top-2-gram repetition mode (2 shuffles)
     "text_pii_scrub",          # regex PII scrub (pure codegen)
     "pack_sequences",          # windowed concat-and-chunk packing
+    # round-2 additions: clustering / corpus-global dedup / events
+    "dedup_clusters",          # LSH pairs → connected components
+    "dedup_dup_ngrams",        # cross-doc duplicated-8-gram fraction
+    "ts_sessionize",           # gap-based sessionization rollup
 ]
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .graph import connected_components
 from .text import fingerprint, tokenize, word_ngrams, word_ngrams_from_tokens, word_set
 
 
@@ -141,6 +142,99 @@ def minhash_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup candidate pairs → transitive clusters → canonical pick.
+
+    Near-duplication is transitive in practice (A~B, B~C ⇒ drop all but
+    one of {A,B,C}), so the keep/drop decision runs on the CONNECTED
+    COMPONENTS of the pair graph, not on pairs. Returns one row per doc:
+
+      (id, cluster_id, cluster_size, is_canonical)
+
+    cluster_id = min doc id of the component (singletons: own id) — a
+    deterministic canonical representative, matching exact_dedup's
+    min-id policy. Downstream keeps ``is_canonical`` rows.
+
+    Scale: components via iterative min-label propagation over the pairs
+    (operators/graph.py — O(diameter) shuffle rounds on the PAIR graph,
+    which is tiny relative to the corpus); the corpus-wide work is one
+    left join on the id + one groupBy(cluster) count, both uniform keys.
+    """
+    comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (the Gopher/Dolma
+    "fraction of text inside duplicated n-grams" quality signal, and the
+    relational stand-in for exact-substring dedup à la Lee et al. 2021):
+    per document, the share of its n-gram INSTANCES whose n-gram also
+    appears in at least one OTHER document.
+
+      (id, n_grams, dup_grams, dup_frac_bp)
+
+    dup_frac_bp uses integer basis points (dup*10000 div total) so the
+    value is bit-exact cross-engine. Docs shorter than n tokens have no
+    n-grams → 0/0/0.
+
+    Scale: explode → two shuffles, one keyed on the gram text (uniform —
+    natural-language gram frequencies are zipfian but the heavy grams are
+    exactly what the metric measures; a salted two-level countDistinct
+    handles adversarial skew), one keyed back on the doc id. Both
+    partial-aggregate map-side.
+    """
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
+    ).filter(F.size(F.split(F.col("gram"), " ")) >= n)
+    # how many distinct docs contain each gram
+    gram_docs = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    per_doc = (
+        grams.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__n_docs") >= 2, 1).otherwise(0)).alias("dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.coalesce(
+                F.expr("dup_grams * 10000 div n_grams"), F.lit(0)
+            ).cast("long").alias("dup_frac_bp"),
+        )
     )
 
 

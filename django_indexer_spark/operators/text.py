@@ -210,6 +210,27 @@ def scrub_pii(col: Column | str) -> Column:
     return F.regexp_replace(c, PII_PHONE_RE, "[PHONE]")
 
 
+def vocab_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus vocabulary table: one row per distinct token with
+
+      (token, n_occurrences, n_docs)
+
+    — the input to tokenizer training (BPE seed vocab / merges start from
+    exactly this table), OOV-rate studies and frequency-based filtering.
+
+    Scale: explode → one groupBy(token). n_occurrences partial-aggregates
+    map-side; n_docs is a distinct-per-group which Spark expands to a
+    two-phase (token, doc) partial distinct — still uniform-keyed. Zipf
+    head tokens ('the') are heavy but a single group never exceeds one
+    reducer's combine buffer since map-side partials collapse each
+    partition to one row per token first."""
+    toks = df.select(F.col(id_col).alias("__doc"), F.explode(tokenize(text_col)).alias("token"))
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__doc").alias("n_docs"),
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: script ranges first (CJK / diacritics), then
     stopword-list hit counts; falls back to 'en'. Deterministic CASE chain —

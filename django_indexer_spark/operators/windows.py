@@ -41,6 +41,37 @@ def ranked(df: DataFrame, order_by: list, alias: str = "rank", dense: bool = Fal
     return df.withColumn(alias, fn.over(Window.orderBy(*order_by)))
 
 
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: within each user's timeline (ordered by
+    ``ts_col`` then ``tiebreak_cols`` for a total order), a new session
+    starts whenever the gap to the previous event exceeds ``gap`` (same
+    units as ts_col). Adds ``session_idx`` (1-based per user) — the batch
+    twin of streaming/sessions.py's stateful sessionizer, and the classic
+    "sessions from a 100 TB clickstream" shape.
+
+    Scale: both windows partition by the user — per-user data is bounded,
+    keys are many and uniform, so this is one shuffle on user_col and a
+    per-partition sort; no global sort anywhere. The two windows share
+    one partitioning, so Catalyst plans a single Exchange+Sort."""
+    tiebreak_cols = tiebreak_cols or []
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col(ts_col) - prev_ts) > gap), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_idx", F.sum(is_new).over(run).cast("long"))
+
+
 def ranked_topk(
     df: DataFrame, order_by: list, k: int, alias: str = "rank", dense: bool = False
 ) -> DataFrame:

@@ -1178,3 +1178,114 @@ def c12_format_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.col("c_acctbal").cast("decimal(18,2)").cast("string").alias("acctbal_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2 — near-dup clustering, corpus-global dup signal, vocabulary,
+# sessionization, funnel (events family + LLM-pipeline family)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_clusters")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, end to end: minhash-LSH candidate pairs →
+    connected components (transitive closure — A~B, B~C means one cluster)
+    → min-id canonical pick per cluster. This is the decision layer a real
+    corpus dedup runs after candidate generation; pairs alone under-count
+    (a 3-clique is 3 pairs but drops 2 docs). Iterative min-label
+    propagation over the PAIR graph only (operators/graph.py), then one
+    corpus-wide left join + cluster-size count."""
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs, "text", "doc_id", num_hashes=8, bands=4)
+    pairs = dedup.minhash_candidate_pairs(bands, "doc_id")
+    return dedup.near_dup_clusters(docs, pairs, "doc_id").select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
+@query("dedup_dup_ngrams")
+def dedup_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-8-gram fraction (Gopher/Dolma "fraction
+    of text in duplicated n-grams"; the relational stand-in for exact-
+    substring dedup). Two uniform-key shuffles: gram text, then doc id."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_fraction(docs, "text", "doc_id", n=8)
+
+
+@query("text_vocab_topk")
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: token → total occurrences + doc frequency,
+    ranked top-100 by count (tokenizer-training / OOV-rate input). The
+    rank runs inside the top-k slice (TakeOrderedAndProject bounds it),
+    and (count desc, token asc) is a total order so the slice edge is
+    deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    v = text.vocab_stats(docs, "doc_id", "text")
+    return windows.ranked_topk(
+        v, [F.desc("n_occurrences"), F.asc("token")], k=100
+    ).select(
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query("ts_sessionize")
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (1 h inactivity cuts a
+    session), then per-session rollup — the classic clickstream shape and
+    the batch twin of streaming/sessions.py. Every window partitions by
+    user_id (one shuffle, uniform keys); (ts_us, event_id) ordering is a
+    total order so session boundaries are engine-exact."""
+    e = _events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    sess = windows.sessionize(
+        e, "user_id", "ts_us", gap=hour_us, tiebreak_cols=["event_id"]
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.sum(_dec("value")).cast("double").alias("value_sum"),
+    )
+
+
+@query("ts_funnel")
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: a user counts
+    at a stage only if the stage event happens AT/AFTER their previous
+    stage's first qualifying event. Three per-user min-aggregates chained
+    by equi-joins on user_id — each stage shrinks the frame, no window
+    over the raw stream, AQE free to broadcast the shrinking side."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    stage = lambda df, name: df.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(name).alias("stage"), F.col("n_users").cast("long").alias("n_users")
+    )
+    return (
+        stage(s, "signup")
+        .unionByName(stage(c, "click_after_signup"))
+        .unionByName(stage(p, "purchase_after_click"))
+    )

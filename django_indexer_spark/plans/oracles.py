@@ -925,3 +925,123 @@ SELECT doc_id, lang, n_tokens, quality
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1 AND quality >= 0.5
 """
+
+# --- round 2: clusters / dup-ngrams / vocab / sessionize / funnel ---------
+
+# transitive closure over the LSH candidate-pair graph; cluster id =
+# min reachable doc id (matches graph.connected_components' fixpoint)
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE
+pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM edges
+  UNION
+  SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+lbl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+)
+SELECT doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labeled
+"""
+
+_GRAMS8 = (
+    "list_transform(range(0, greatest(len(toks) - 8, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))"
+)
+
+ORACLES["dedup_dup_ngrams"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, unnest({_GRAMS8}) AS gram FROM base
+), gf AS (
+  SELECT doc_id, gram FROM g WHERE len(string_split(gram, ' ')) >= 8
+), dc AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM gf GROUP BY gram
+), pd AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS dup_grams
+  FROM gf JOIN dc USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
+       CAST(coalesce((dup_grams * 10000) // n_grams, 0) AS BIGINT) AS dup_frac_bp
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+ORACLES["text_vocab_topk"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), v AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM t GROUP BY token
+), topk AS (
+  SELECT * FROM v ORDER BY n_occurrences DESC, token ASC LIMIT 100
+)
+SELECT token,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(rank() OVER (ORDER BY n_occurrences DESC, token ASC) AS BIGINT) AS rank
+FROM topk
+"""
+
+ORACLES["ts_sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sessioned AS (
+  SELECT user_id, ts_us, value,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM sessioned
+GROUP BY user_id, session_idx
+"""
+
+ORACLES["ts_funnel"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), s AS (
+  SELECT user_id, min(ts_us) AS s_ts FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts_us) AS c_ts
+  FROM e JOIN s USING (user_id)
+  WHERE event_type = 'click' AND ts_us >= s_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts_us) AS p_ts
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts_us >= c_ts
+  GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+UNION ALL
+SELECT 'click_after_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+UNION ALL
+SELECT 'purchase_after_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
+"""

@@ -799,3 +799,112 @@ def test_pack_sequences_chunk_boundaries(spark):
         for r in sampling.pack_sequences(df, "doc_id", "n_tok", 100).collect()
     }
     assert g == {1: 0, 2: 0, 3: 1, 4: 3, 5: 3}
+
+
+# ------------------------------------------------- graph / near-dup clusters
+
+
+def test_connected_components_path_and_triangle(spark):
+    from django_indexer_spark.operators.graph import connected_components
+
+    # path 1-2-3-4 (diameter 3) + triangle 10-11-12 + isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_when_iteration_capped(spark):
+    from django_indexer_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=1)
+
+
+def test_near_dup_clusters_transitive_and_singletons(spark):
+    # pairs A~B, B~C → one cluster {1,2,3}; doc 4 is a singleton
+    docs = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup.near_dup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert out == {
+        1: (1, 3, True),
+        2: (1, 3, False),
+        3: (1, 3, False),
+        4: (4, 1, True),
+    }
+
+
+def test_duplicate_ngram_fraction_counts_cross_doc_grams(spark):
+    # docs 1 and 2 share the 3-gram "a b c"; doc 3 shares nothing;
+    # doc 4 is too short for any 3-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # grams: "a b c", "b c d" → 1 of 2 duplicated
+            (2, "x a b c"),   # grams: "x a b", "a b c" → 1 of 2 duplicated
+            (3, "p q r s"),   # no shared grams
+            (4, "one two"),   # no 3-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_frac_bp"])
+        for r in dedup.duplicate_ngram_fraction(docs, "text", "doc_id", n=3).collect()
+    }
+    assert out == {
+        1: (2, 1, 5000),
+        2: (2, 1, 5000),
+        3: (2, 0, 0),
+        4: (0, 0, 0),
+    }
+
+
+def test_duplicate_ngram_fraction_within_doc_repeat_not_cross_doc(spark):
+    # "a b c" twice inside ONE doc is not a cross-document duplicate
+    docs = spark.createDataFrame(
+        [(1, "a b c z a b c"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["dup_grams"]
+        for r in dedup.duplicate_ngram_fraction(docs, "text", "doc_id", n=3).collect()
+    }
+    assert out[1] == 0
+
+
+# ----------------------------------------------------------- vocab / session
+
+
+def test_vocab_stats_counts_occurrences_and_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "the dog")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["token"]: (r["n_occurrences"], r["n_docs"])
+        for r in text.vocab_stats(docs, "doc_id", "text").collect()
+    }
+    assert out["the"] == (3, 2)
+    assert out["cat"] == (1, 1)
+    assert out["dog"] == (1, 1)
+
+
+def test_sessionize_gap_boundaries(spark):
+    # gap=100: ts 0,100 same session (gap == 100 not >), 201 new (gap 101),
+    # separate user independent
+    e = spark.createDataFrame(
+        [(1, 0, "a"), (1, 100, "b"), (1, 201, "c"), (2, 5000, "d")],
+        "user_id long, ts long, event_id string",
+    )
+    out = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in windows.sessionize(
+            e, "user_id", "ts", gap=100, tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert out == {(1, "a"): 1, (1, "b"): 1, (1, "c"): 2, (2, "d"): 1}

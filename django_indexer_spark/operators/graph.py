@@ -25,6 +25,15 @@ exponentially-growing lineage an iterative self-referential plan builds
 fault-tolerant variant; local mode has no HDFS so we default to the
 executor-local form).
 
+Shuffle width is sized from the EDGE COUNT, not the session default: the
+similarity graph is orders of magnitude smaller than the corpus that
+produced it (only docs with a near-dup candidate appear), so running its
+per-round joins at corpus shuffle width just schedules empty tasks —
+measured ~0.7 s/round of pure overhead for an 826-edge graph at width
+32 vs ~0.1 s at width 1. The same rule sized UP is what a 100 TB run
+needs: billions of pairs → thousands of partitions, set by the same
+rows-per-partition target.
+
 This is the two-relation core of the Hash-to-Min family (Rastogi et al.,
 "Finding Connected Components in MapReduce", ICDE'13) without the
 large-star/small-star edge rewriting — the rewrite halves rounds on
@@ -36,6 +45,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# one reduce task per this many symmetrized edges — a few hundred MB of
+# (long, long) rows, comfortably in-memory for one task
+ROWS_PER_PARTITION = 5_000_000
 
 
 def connected_components(
@@ -53,36 +66,58 @@ def connected_components(
     Raises RuntimeError if ``max_iter`` rounds don't converge (diameter
     larger than max_iter — raise the cap for path-shaped graphs).
     """
-    # symmetrize once: propagation must flow both ways along an edge
+    # symmetrize once: propagation must flow both ways along an edge.
+    # persist it — the edge list is re-joined EVERY round, and ``edges``
+    # usually carries an expensive upstream plan (minhash-LSH candidate
+    # generation); without the cache each round re-runs that whole
+    # pipeline (measured 11.7 s → ~2 s for the sf0.1 dedup_clusters
+    # gate query: rounds × candidate-generation cost)
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    n_sym = sym.count()  # materializes the cache; also sizes the shuffles
 
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    spark = edges.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(1, min(int(prev_width), -(-n_sym // ROWS_PER_PARTITION)))
+    try:
+        # scope the reduced width to the propagation loop (session conf —
+        # restored in finally; the loop is a driver-side build step, not
+        # shared with concurrent query builds)
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
 
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.select(F.col("id").alias("b"), "label"), "b")
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
+        labels = (
+            sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
         ).localCheckpoint()
-        new_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:  # labels only decrease: equal sum = fixpoint
-            return labels.select(F.col("id"), F.col("label").alias("component"))
-        prev_sum = new_sum
-    raise RuntimeError(
-        f"connected_components: no fixpoint after {max_iter} rounds "
-        "(graph diameter exceeds max_iter)"
-    )
+        prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels.select(F.col("id").alias("b"), "label"), "b")
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+            ).localCheckpoint()
+            new_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:  # labels only decrease: equal sum = fixpoint
+                return labels.select(F.col("id"), F.col("label").alias("component"))
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(graph diameter exceeds max_iter)"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        # per-round labels are localCheckpoint-materialized, so nothing
+        # downstream references sym — safe to release
+        sym.unpersist()

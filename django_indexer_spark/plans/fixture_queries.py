@@ -67,6 +67,19 @@ def _dec(col: str, p: int = 18, s: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal({p},{s})")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Decouple CPU-bound per-row work from scan splits. The small-SF
+    fixture tables are single-row-group parquet files → 1-partition scans,
+    which serializes codegen-heavy stages (base64/JSON decode, tokenize +
+    n-gram explode, vector folds) onto one core. One round-robin exchange
+    of the (tiny) input unlocks all cores; at production scale the scan
+    has many splits and the same exchange just rebalances decode skew
+    (same rationale as dedup.minhash_bands' expand_parallelism). Only for
+    queries whose results are row-independent (per-row maps / integer or
+    rounded-decimal aggregates) — it changes partitioning, never values."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # Flagship — the /stats endpoint shape (base/api.py:60-89): A1+A2+A3
 # --------------------------------------------------------------------------
@@ -768,7 +781,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 for 8 query vectors, nprobe=2: the learned-
     centroid twin of sim_ann_lsh (same equi-join-on-cell shape)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
     return similarity.ivf_search(
         q, emb, "vec_id", "vec_id", "embedding", _ivf_centroids(spark, sf_dir), k=5, nprobe=2
@@ -780,7 +793,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.3 — the fixture's
     embeddings are near-orthogonal random vectors, so the threshold sits
     in the observable tail): LSH-bucketed self-join, never all-pairs."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return similarity.cosine_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=4, dim=64
     )
@@ -790,7 +803,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, quality score, fingerprint (the cheap
     JVM-side first-pass filters of a training-data pipeline)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text.token_count("text").cast("long").alias("n_tokens"),
@@ -888,7 +901,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops, keyword stuffing) are the classic removal target these feed.
     Shape: narrow map for the distinct counts + two uniform-key shuffles
     for the n-gram mode — scales by partition count alone."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return text.repetition_metrics(docs, "doc_id", "text", n=2)
 
 
@@ -944,7 +957,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: both sides explode to n-gram fingerprints, semi-join on the
     md5 gram key (one bounded shuffle, the LSH-candidate shape — never
     doc×doc), then anti-join the flagged ids (J7)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     corpus = docs.filter(F.col("source") != "src0")
     eval_set = docs.filter(F.col("source") == "src0")
     return sampling.decontaminate(corpus, eval_set, "text", "doc_id", n=5).select(
@@ -1109,7 +1122,7 @@ def c1_c2_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     'EVENT_JSON:'+base64(json) log lines, then the consumer side — prefix
     filter, strip, unbase64, JSON-extract. Round-trips inside one engine so
     base64 chunking conventions can't skew parity."""
-    e = _events(spark, sf_dir)
+    e = _spread(spark, _events(spark, sf_dir))
     logged = e.select(
         "event_id",
         F.concat(
@@ -1196,7 +1209,14 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation over the PAIR graph only (operators/graph.py), then one
     corpus-wide left join + cluster-size count."""
     docs = _t(spark, sf_dir, "documents")
-    bands = dedup.minhash_bands(docs, "text", "doc_id", num_hashes=8, bands=4)
+    bands = dedup.minhash_bands(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        expand_parallelism=spark.sparkContext.defaultParallelism,
+    )
     pairs = dedup.minhash_candidate_pairs(bands, "doc_id")
     return dedup.near_dup_clusters(docs, pairs, "doc_id").select(
         "doc_id",
@@ -1211,7 +1231,7 @@ def dedup_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-8-gram fraction (Gopher/Dolma "fraction
     of text in duplicated n-grams"; the relational stand-in for exact-
     substring dedup). Two uniform-key shuffles: gram text, then doc id."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.duplicate_ngram_fraction(docs, "text", "doc_id", n=8)
 
 

@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_clusters",          # LSH pairs → connected components
     "dedup_dup_ngrams",        # cross-doc duplicated-8-gram fraction
     "ts_sessionize",           # gap-based sessionization rollup
+    "sim_kmeans_train",        # 2-iteration Lloyd k-means (IVF trainer)
 ]
 
 

@@ -277,6 +277,99 @@ def ivf_search(
     )
 
 
+def lloyd_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    round_dp: int = 6,
+) -> DataFrame:
+    """ivf_assign keeping the vector column — the k-means inner step.
+    Narrow map: centroid literals inlined, one norm fold per row."""
+    best = F.array_max(_cell_sims(f"`{vec_col}`", centroids, round_dp, "`__vn`"))
+    return df.withColumn("__vn", norm(F.col(vec_col))).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        (-best["ncid"]).cast("long").alias("centroid_id"),
+    )
+
+
+def lloyd_means(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    round_dp: int = 6,
+) -> DataFrame:
+    """One Lloyd update: assign each vector to its nearest centroid by
+    cosine, then per-centroid element-wise mean →
+    (centroid_id, pos, c_val, n_members).
+
+    The mean is computed with ORDER-INDEPENDENT exact math so it is
+    reproducible across partitionings and engines (the DuckDB oracle
+    matches it bit-for-bit): each float element casts to decimal(27,9)
+    (floats are binary fractions, so the 9-dp rounding can never land on
+    an exact tie — both engines round to the same nearest), decimal sums
+    are exact, and only the final sum/count division returns to double,
+    rounded to ``round_dp``. Precondition: |element| < 1e18 (any real
+    embedding).
+
+    Scale shape: assignment is a narrow map; posexplode fans out dim× but
+    groupBy(centroid_id, pos) partial-aggregates map-side to k×dim rows
+    per partition, so the shuffle is k×dim×n_partitions tiny rows — the
+    corpus itself never shuffles.
+    """
+    assigned = lloyd_assign(df, id_col, vec_col, centroids, round_dp)
+    exploded = assigned.select("centroid_id", F.posexplode("__vec").alias("pos", "val"))
+    return (
+        exploded.groupBy("centroid_id", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,9)")).alias("__s"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "centroid_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("__s").cast("double") / F.col("n_members"), round_dp).alias(
+                "c_val"
+            ),
+            "n_members",
+        )
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds: list[list[float]],
+    n_iter: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm) over an embedding column —
+    the trainer that produces ivf_assign/ivf_search's centroids (replacing
+    the deterministic seed stand-in; see module docstring).
+
+    Each iteration is one lloyd_means job; the only driver-side
+    materialization is the k×dim rounded means between iterations (the
+    same bounded-collect pattern as the IVF centroid literals). A centroid
+    whose cluster goes empty keeps its previous value — mirrored by the
+    oracle's LEFT JOIN + coalesce, so both engines iterate identically.
+    Returns the FINAL iteration's (centroid_id, pos, c_val, n_members).
+    """
+    cents = [[float(x) for x in c] for c in seeds]
+    for _ in range(n_iter - 1):
+        rows = lloyd_means(df, id_col, vec_col, cents, round_dp).collect()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = float(r["c_val"])
+        cents = [
+            [by_cid[cid][p] for p in range(len(cents[cid]))] if cid in by_cid else cents[cid]
+            for cid in range(len(cents))
+        ]
+    return lloyd_means(df, id_col, vec_col, cents, round_dp)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,

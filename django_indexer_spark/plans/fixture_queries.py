@@ -788,6 +788,23 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_kmeans_train")
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training (2 Lloyd iterations, k=8, cosine
+    assignment) seeded with the first 8 corpus vectors — the trainer that
+    produces the IVF centroids sim_ivf_assign/search consume (replacing
+    their deterministic-seed stand-in). Assignment is a narrow map over
+    inlined centroid literals; the mean update shuffles only k×dim
+    map-side partial aggregates; between iterations exactly k×dim rounded
+    means hit the driver (the bounded IVF-centroid collect pattern).
+    Means use order-independent exact-decimal sums → one rounded-double
+    division, so the DuckDB oracle reproduces the iteration bit-for-bit."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.kmeans_train(
+        emb, "vec_id", "embedding", _ivf_centroids(spark, sf_dir), n_iter=2
+    )
+
+
 @query("dedup_embedding_cosine")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.3 — the fixture's

@@ -530,6 +530,53 @@ FROM scored
 QUALIFY rnk <= 5
 """
 
+# k-means (2 Lloyd iterations, k=8, cosine assignment, seeds = vec_id<8) —
+# mirrors operators/similarity.py lloyd_means/kmeans_train exactly: sims
+# rounded to 6dp with ties to the lowest cid; means via order-independent
+# exact decimal(27,9) sums -> one double division rounded to 6dp; an empty
+# cluster keeps its previous centroid (LEFT JOIN + coalesce).
+ORACLES["sim_kmeans_train"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+a1 AS (
+  SELECT e.vec_id, e.embedding, c.cid
+  FROM embeddings e CROSS JOIN seeds c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY round({_IVF_COS}, 6) DESC, c.cid ASC) = 1
+),
+m1 AS (
+  SELECT cid, r.range AS pos,
+         round(CAST(SUM(CAST(embedding[r.range + 1] AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*), 6) AS c_val
+  FROM a1 CROSS JOIN range(64) r
+  GROUP BY cid, r.range
+),
+c2 AS (
+  SELECT s.cid, coalesce(m.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN (
+    SELECT cid, list(c_val ORDER BY pos) AS cv FROM m1 GROUP BY cid
+  ) m USING (cid)
+),
+a2 AS (
+  SELECT e.vec_id, e.embedding, c.cid
+  FROM embeddings e CROSS JOIN c2 c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY round({_IVF_COS}, 6) DESC, c.cid ASC) = 1
+),
+m2 AS (
+  SELECT cid, r.range AS pos,
+         round(CAST(SUM(CAST(embedding[r.range + 1] AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*), 6) AS c_val,
+         COUNT(*) AS n_members
+  FROM a2 CROSS JOIN range(64) r
+  GROUP BY cid, r.range
+)
+SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(pos AS BIGINT) AS pos,
+       c_val, n_members
+FROM m2
+"""
+
 # text metrics — mirrors operators/text.py quality_score/token_count/fingerprint
 _STOP_EN = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it']"
 _STOP_DE = "['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein']"

@@ -297,6 +297,49 @@ def test_ivf_search_probes_limit_candidates(spark):
     assert found == {10, 11, 13}
 
 
+def test_lloyd_means_cluster_means_and_counts(spark):
+    # two clean clusters around the axes; means are exact in decimal
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.0, 1.0]), (4, [0.2, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["centroid_id"], r["pos"]): r
+        for r in similarity.lloyd_means(
+            df, "vec_id", "embedding", [[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    assert got[(0, 0)]["c_val"] == 0.9 and got[(0, 1)]["c_val"] == 0.1
+    assert got[(1, 0)]["c_val"] == 0.1 and got[(1, 1)]["c_val"] == 0.9
+    assert all(r["n_members"] == 2 for r in got.values())
+
+
+def test_kmeans_train_iterates_and_keeps_empty_cluster_seed(spark):
+    # all points near +x: cluster 1 (seeded at -x) goes empty in round 1
+    # and must KEEP its seed, so round 2 still assigns everything to 0
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.9, 0.2]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.kmeans_train(
+        df, "vec_id", "embedding", [[1.0, 0.0], [-1.0, 0.0]], n_iter=2
+    ).collect()
+    assert {r["centroid_id"] for r in out} == {0}
+    assert all(r["n_members"] == 3 for r in out)
+    # and a 2-iteration run on separable data refines toward cluster means
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.0, 1.0]), (4, [0.2, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["centroid_id"], r["pos"]): r["c_val"]
+        for r in similarity.kmeans_train(
+            df2, "vec_id", "embedding", [[1.0, 0.0], [0.0, 1.0]], n_iter=3
+        ).collect()
+    }
+    assert got[(0, 0)] == 0.9 and got[(1, 1)] == 0.9  # stable fixpoint
+
+
 def test_cosine_near_dup_pairs_finds_only_near_duplicates(spark):
     # v1 ≈ v2 (cosine ~0.9997), v3 orthogonal to both
     df = spark.createDataFrame(

@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_dup_ngrams",        # cross-doc duplicated-8-gram fraction
     "ts_sessionize",           # gap-based sessionization rollup
     "sim_kmeans_train",        # 2-iteration Lloyd k-means (IVF trainer)
+    "text_heavy_hitters",      # Misra-Gries candidates + exact recount
 ]
 
 

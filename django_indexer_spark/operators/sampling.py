@@ -168,6 +168,77 @@ def pack_sequences(
     )
 
 
+def temperature_mix_weights(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.3,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus standard,
+    mT5/XLM-R style): a stratum with natural share p gets adjusted share
+    q ∝ p^alpha, flattening the distribution toward uniform as alpha→0.
+    Returns one row per stratum: n_docs, p_share (natural), q_share
+    (temperature-adjusted), mix_weight = q/p — the up/down-sampling
+    multiplier a loader (or stratified_hash_sample, fractions scaled by
+    mix_weight) applies to hit the target mix.
+
+    Cross-engine exactness: p is a double ratio of exact longs; p^alpha
+    is the one libm call (probed identical Spark/DuckDB for these
+    operands); the normalizer Z sums p^alpha as DECIMAL(38,18) so the
+    sum is order-independent, then q = double(pa)/double(Z) is one
+    IEEE-exact division. Outputs rounded to ``round_digits``.
+
+    Scale: two 1-row aggregates broadcast-crossed onto a ≤|strata|-row
+    frame — the whole operator is O(strata) after one count shuffle."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__N"))
+    p = F.col("n_docs") / F.col("__N")
+    with_pa = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__pa", F.pow(p, F.lit(alpha)).cast("decimal(38,18)")
+    )
+    z = with_pa.agg(F.sum("__pa").alias("__Z"))
+    q = F.col("__pa").cast("double") / F.col("__Z").cast("double")
+    return (
+        with_pa.crossJoin(F.broadcast(z))
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(p, round_digits).alias("p_share"),
+            F.round(q, round_digits).alias("q_share"),
+            F.round(q / p, round_digits).alias("mix_weight"),
+        )
+    )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 1,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic corpus shuffle: global order = md5('<salt>:<id>') —
+    a seeded permutation that is a pure key function (reproducible across
+    runs/engines/partitionings, unlike orderBy(rand(seed))). Changing the
+    salt is re-shuffling with a new seed.
+
+    Emits ``shuffle_shard`` (which of ``n_shards`` output shards the doc
+    belongs to — an independently-consumable stream for a data loader)
+    and ``shuffle_pos`` (the doc's position WITHIN its shard). Sharding
+    first is what makes this scale: each shard's row_number window sorts
+    only its own slice, so the permutation materializes with n_shards-way
+    parallelism instead of one global sort reducer; at 100 TB you pick
+    n_shards ≈ loader worker count. md5 avalanche guarantees shards are
+    uniform and the within-shard order is independent of the id order."""
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    shard = (hash_bucket(id_col, f"{salt}-shard") % n_shards).cast("long")
+    w = Window.partitionBy("shuffle_shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shuffle_shard", shard)
+        .withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
+    )
+
+
 def contaminated_ids(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -1,0 +1,90 @@
+"""Bounded-state sketch operators (north-star extension, same family as
+aggregates.approx_distinct_count's HLL note).
+
+The 100 TB problem with exact frequency queries: ``groupBy(token)`` over
+a corpus token stream shuffles EVERY occurrence — the shuffle is the size
+of the corpus. A frequent-items sketch bounds the state: per-partition
+Misra-Gries summaries of capacity k (O(k) memory, one pass, no shuffle)
+whose union provably contains every item with global frequency > N/(k+1),
+then an exact recount of only those candidates (broadcast semi-join —
+the shuffle shrinks from |corpus| to |heavy occurrences|).
+
+Because the candidate set is a SUPERSET of the true heavy hitters and the
+recount is exact, the final output is deterministic and identical to the
+full groupBy + HAVING — which is exactly what makes it oracle-checkable
+(the sketch changes the PLAN, never the ANSWER).
+
+The per-partition sketch runs in mapInPandas (Arrow batches; vectorized
+value_counts merge, never per-row Python) — the documented custom-operator
+slow path, used here because a decrement-counter sketch is genuinely
+inexpressible in DataFrame algebra. Merge rule is the standard summary
+merge (Agarwal et al., "Mergeable Summaries", PODS'12): sum counters,
+and when more than k survive, subtract the (k+1)-th largest count from
+all and drop the non-positive — preserving the MG error bound n_p/(k+1)
+per partition; pigeonhole lifts it to N/(k+1) across the union.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(values: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries frequent-items candidates, capacity ``k``.
+
+    Input: any DataFrame with a string column ``col`` (one row per
+    occurrence). Output: distinct candidate values — every value whose
+    global count exceeds N/(k+1) is guaranteed present (possibly plus
+    false positives; callers recount exactly). O(k) state per partition,
+    zero shuffle before the final distinct (which is over ≤ k×partitions
+    rows)."""
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = pdf[col].value_counts()
+            state = state.add(counts, fill_value=0)
+            if len(state) > k:
+                # mergeable-summary decrement: subtract the (k+1)-th
+                # largest from ALL counters, drop non-positive — ≤ k
+                # survive, and each event charges ≥ (k+1)·thresh of
+                # discarded weight, giving the n_p/(k+1) error bound
+                thresh = state.nlargest(k + 1).iloc[-1]
+                state = state - thresh
+                state = state[state > 0]
+        yield pd.DataFrame({col: state.index.astype(str)})
+
+    return values.select(col).mapInPandas(sketch, f"{col} string").distinct()
+
+
+def heavy_hitters(
+    values: DataFrame, col: str, k: int, count_alias: str = "n_occurrences"
+) -> DataFrame:
+    """Exact heavy hitters: every value of ``col`` whose occurrence count
+    exceeds N/(k+1), with its EXACT count — computed without a full-stream
+    groupBy. Three jobs:
+
+      1. per-partition MG sketch → candidate superset (no shuffle);
+      2. broadcast-semi-join the stream against candidates + recount
+         (shuffle carries only candidate occurrences);
+      3. total N (1-row count) cross-joined for the threshold filter.
+
+    Output == ``groupBy(col).count().filter(cnt * (k+1) > N)`` — the
+    sketch only prunes the shuffle. Deterministic; fully oracle-checkable.
+    """
+    candidates = misra_gries_candidates(values, col, k)
+    total = values.agg(F.count(F.lit(1)).alias("__N"))
+    counted = (
+        values.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col(count_alias) * (k + 1) > F.col("__N"))
+        .drop("__N")
+    )

@@ -251,3 +251,101 @@ def lang_id(col: Column | str) -> Column:
         .when(es > 0, F.lit("es"))
         .otherwise(F.lit("en"))
     )
+
+
+def lm_quality(df: DataFrame, id_col: str, text_col: str, round_digits: int = 9) -> DataFrame:
+    """Unigram-LM quality score per document: bits-per-token cross-entropy
+    against the corpus's own unigram distribution,
+
+        bpt = avg over tokens t of  -log2( count(t) / N )
+
+    — the cheap stand-in for the CCNet/Gopher LM-perplexity filter signal
+    (docs of common tokens score low bits; rare-token gibberish scores
+    high). Self-referential: the model IS the corpus vocab table, so no
+    external artifact ships.
+
+    Shape for 100 TB: one vocab groupBy (map-side partial), broadcast of
+    the 1-row total, then a token→vocab equi-join + per-doc avg — the same
+    bounded join shape as decontamination, never doc×doc. Exactness: the
+    only libm call is log2 of exact integer-valued doubles
+    (avg(log2 N - log2 c_t)); outputs rounded to ``round_digits``.
+    """
+    toks = df.select(F.col(id_col).alias("__doc"), F.explode(tokenize(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__N"))
+    bits = F.log2(F.col("__N").cast("double")) - F.log2(F.col("__c").cast("double"))
+    # decimal-exact accumulation: the vocab join scatters a doc's tokens
+    # across token-partitions, so a double sum would be order-dependent
+    bits_dec = bits.cast("decimal(38,18)")
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(F.col("__doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(bits_dec).cast("double") / F.count(F.lit(1)), round_digits
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 9,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag of ``query_terms`` — the
+    classic retrieval scorer (and the dense-retrieval baseline next to
+    similarity.cosine_topk):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Only documents matching ≥1 term are returned.
+
+    Shape for 100 TB: the token stream filters to the query terms BEFORE
+    any shuffle (a few-term IN-list the scan pushes down), so the grouped
+    tf/df aggregates and the final per-doc sum all run over the matching
+    slice only; doc lengths are a narrow map joined back on the doc key,
+    avgdl/N is a broadcast 1-row aggregate. All inputs to the double math
+    are exact integer-valued, so the expression tree evaluates identically
+    cross-engine; outputs rounded to ``round_digits``."""
+    terms = [t.lower() for t in query_terms]
+    lens = df.select(
+        F.col(id_col).alias("__doc"), F.size(tokenize(text_col)).alias("__dl")
+    )
+    # avgdl from an exact long sum (engine-identical double division)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__N"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokenize(text_col)).alias("token")
+    ).filter(F.col("token").isin(terms))
+    tf = toks.groupBy("__doc", "token").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    # decimal-exact per-doc sum — term order after the shuffles is
+    # nondeterministic, double summation would be order-dependent
+    term_score = (idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom).cast("decimal(38,18)")
+    return (
+        tf.join(dfreq, "token")
+        .join(lens, "__doc")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col("__doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+            F.round(F.sum(term_score).cast("double"), round_digits).alias("bm25"),
+        )
+    )

@@ -30,7 +30,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.amounts import grouped_exact_sums, to_fixed
-from ..operators import dedup, multimodal, sampling, similarity, sorts, text, windows
+from ..operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    sketches,
+    sorts,
+    text,
+    windows,
+)
 from ..operators.joins import as_of_nearest
 from ..sources.merge import upsert
 
@@ -1325,4 +1334,68 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(s, "signup")
         .unionByName(stage(c, "click_after_signup"))
         .unionByName(stage(p, "purchase_after_click"))
+    )
+
+
+@query("sample_temperature_mix")
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights per language (alpha=0.3,
+    the mT5-style flatten): natural share p → adjusted share q ∝ p^0.3 →
+    mix_weight = q/p, the multiplier that scales stratified_hash_sample
+    fractions into the rebalanced corpus. One count shuffle + two 1-row
+    broadcast cross-joins; exact-decimal normalizer keeps the doubles
+    engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_mix_weights(docs, "lang", alpha=0.3)
+
+
+@query("sample_seeded_shuffle")
+def sample_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle into 8 loader shards: global
+    permutation by salted md5 (a pure key function — same shuffle every
+    run/engine, unlike orderBy(rand)), position assigned WITHIN each
+    shard so the sort parallelizes shard-wise (no single-reducer global
+    row_number at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.seeded_shuffle(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shuffle_key", "shuffle_shard", "shuffle_pos"
+    )
+
+
+@query("text_heavy_hitters")
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with count > N/51) WITHOUT a
+    full token-stream groupBy: per-partition Misra-Gries candidates
+    (capacity 50, mapInPandas, zero shuffle) + broadcast-semi-join exact
+    recount — the shuffle carries only candidate occurrences. The sketch
+    is provably a candidate superset, so the output equals the naive
+    groupBy+HAVING the oracle runs (the sketch changes the plan, never
+    the answer)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tokens = docs.select(F.explode(text.tokenize("text")).alias("token"))
+    return sketches.heavy_hitters(tokens, "token", k=50).select(
+        "token", F.col("n_occurrences").cast("long").alias("n_occurrences")
+    )
+
+
+@query("text_lm_quality")
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal: per-doc bits-per-token cross-entropy
+    against the corpus's own unigram distribution (the CCNet/Gopher
+    perplexity-filter stand-in — no external model artifact). One vocab
+    groupBy + a token→vocab equi-join; per-doc sums accumulate as exact
+    decimals so the score is engine-identical."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return text.lm_quality(docs, "doc_id", "text")
+
+
+@query("text_bm25")
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every doc to a 4-term query — the sparse-retrieval
+    scorer next to sim_cosine_topk's dense baseline. The token stream
+    filters to the query terms before any shuffle, so tf/df aggregates
+    touch only the matching slice; N/avgdl ride a broadcast 1-row agg."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return text.bm25_scores(
+        docs, "doc_id", "text", ["spark", "hash", "merge", "vector"]
     )

@@ -1092,3 +1092,101 @@ SELECT 'click_after_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
 UNION ALL
 SELECT 'purchase_after_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
 """
+
+# temperature mixing: p^alpha via the shared libm pow (probed identical for
+# these operands); normalizer summed as DECIMAL(38,18) = order-independent
+ORACLES["sample_temperature_mix"] = """
+WITH c AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c
+), pa AS (
+  SELECT stratum, n_docs, n_docs / N AS p,
+         CAST(pow(n_docs / N, 0.3) AS DECIMAL(38,18)) AS pa_dec
+  FROM c, t
+), z AS (
+  SELECT sum(pa_dec) AS Z FROM pa
+)
+SELECT stratum, n_docs,
+       round(p, 9) AS p_share,
+       round(CAST(pa_dec AS DOUBLE) / CAST(Z AS DOUBLE), 9) AS q_share,
+       round((CAST(pa_dec AS DOUBLE) / CAST(Z AS DOUBLE)) / p, 9) AS mix_weight
+FROM pa, z
+"""
+
+_SHARD8 = "(" + _hex24_sql("'shuffle-shard:' || CAST(doc_id AS VARCHAR)") + " % 10000) % 8"
+
+ORACLES["sample_seeded_shuffle"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST({_SHARD8} AS BIGINT) AS shuffle_shard
+  FROM documents
+)
+SELECT doc_id, shuffle_key, shuffle_shard,
+       CAST(row_number() OVER (
+         PARTITION BY shuffle_shard ORDER BY shuffle_key ASC, doc_id ASC
+       ) AS BIGINT) AS shuffle_pos
+FROM s
+"""
+
+# heavy hitters: the sketch is plan-only — the answer is the naive
+# groupBy + HAVING count*(k+1) > N, which is exactly what we run here
+ORACLES["text_heavy_hitters"] = f"""
+WITH t AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS N FROM t
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM t, n
+GROUP BY token, N
+HAVING count(*) * 51 > N
+"""
+
+# unigram-LM bits-per-token: log2 over exact integer-valued doubles; the
+# per-doc sum accumulates as DECIMAL(38,18) = order-independent
+ORACLES["text_lm_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), v AS (
+  SELECT token, count(*) AS c FROM t GROUP BY token
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS N FROM t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(log2(CAST(N AS DOUBLE)) - log2(CAST(c AS DOUBLE))
+                           AS DECIMAL(38,18))) AS DOUBLE) / count(*), 9)
+         AS bits_per_token
+FROM t JOIN v USING (token), n
+GROUP BY doc_id
+"""
+
+# BM25 (k1=1.2, b=0.75; k1+1 = 2.2 — same double as Spark's lit(1.2+1.0))
+ORACLES["text_bm25"] = f"""
+WITH l AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS N,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM l
+), t AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), q AS (
+  SELECT doc_id, token, count(*) AS tf FROM t
+  WHERE token IN ('spark', 'hash', 'merge', 'vector')
+  GROUP BY doc_id, token
+), d AS (
+  SELECT token, count(*) AS df FROM q GROUP BY token
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched_terms,
+       round(CAST(sum(CAST(
+         ln(1.0 + (N - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         AS DECIMAL(38,18))) AS DOUBLE), 9) AS bm25
+FROM q JOIN d USING (token) JOIN l USING (doc_id), s
+GROUP BY doc_id
+"""

@@ -951,3 +951,116 @@ def test_sessionize_gap_boundaries(spark):
         ).collect()
     }
     assert out == {(1, "a"): 1, (1, "b"): 1, (1, "c"): 2, (2, "d"): 1}
+
+
+def test_temperature_mix_alpha_one_is_identity_and_alpha_zero_is_uniform(spark):
+    from django_indexer_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else ("de" if i < 95 else "zh")) for i in range(100)],
+        "id long, lang string",
+    )
+    # alpha=1: q == p, so every mix_weight is exactly 1
+    w1 = {r["stratum"]: r for r in sampling.temperature_mix_weights(df, "lang", 1.0).collect()}
+    assert all(abs(r["mix_weight"] - 1.0) < 1e-9 for r in w1.values())
+    assert w1["en"]["n_docs"] == 80 and abs(w1["en"]["p_share"] - 0.8) < 1e-9
+    # alpha=0: q uniform at 1/3 regardless of p
+    w0 = {r["stratum"]: r for r in sampling.temperature_mix_weights(df, "lang", 0.0).collect()}
+    assert all(abs(r["q_share"] - 1 / 3) < 1e-6 for r in w0.values())
+    # alpha in (0,1) flattens: dominant stratum down-weighted, rare up-weighted
+    w3 = {r["stratum"]: r for r in sampling.temperature_mix_weights(df, "lang", 0.3).collect()}
+    assert w3["en"]["mix_weight"] < 1.0 < w3["zh"]["mix_weight"]
+
+
+def test_seeded_shuffle_deterministic_and_dense_per_shard(spark):
+    from django_indexer_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = sampling.seeded_shuffle(df, "id", n_shards=4).collect()
+    b = sampling.seeded_shuffle(df.repartition(13), "id", n_shards=4).collect()
+    key = lambda rs: sorted((r["id"], r["shuffle_shard"], r["shuffle_pos"]) for r in rs)
+    assert key(a) == key(b)  # partitioning-independent permutation
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shuffle_shard"], []).append(r["shuffle_pos"])
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard  # dense 1..n
+    # a different salt is a different permutation
+    c = sampling.seeded_shuffle(df, "id", n_shards=4, salt="epoch2").collect()
+    assert key(a) != key(c)
+
+
+def test_heavy_hitters_matches_naive_groupby_having(spark):
+    from django_indexer_spark.operators import sketches
+
+    # skewed stream: value v_i appears (i+1)*17 times, plus a long uniform tail
+    rows_ = [(f"v{i}",) for i in range(10) for _ in range((i + 1) * 17)] + [
+        (f"tail{j}",) for j in range(400)
+    ]
+    df = spark.createDataFrame(rows_, "token string").repartition(16)
+    k = 20
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in sketches.heavy_hitters(df, "token", k).collect()
+    }
+    n = df.count()
+    naive = {
+        (r["token"], r["cnt"])
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * (k + 1) > n)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_misra_gries_candidates_superset_guarantee(spark):
+    from django_indexer_spark.operators import sketches
+
+    # adversarial: heavy item interleaved with many distinct light items
+    rows_ = []
+    for i in range(500):
+        rows_.append(("heavy",))
+        rows_.append((f"light{i}",))
+        rows_.append((f"light{i}b",))
+    df = spark.createDataFrame(rows_, "token string").repartition(8)
+    k = 4  # n/(k+1) = 1500/5 = 300 < 500 -> 'heavy' must be a candidate
+    cands = {r["token"] for r in sketches.misra_gries_candidates(df, "token", k).collect()}
+    assert "heavy" in cands
+    assert len(cands) <= 8 * k + k  # bounded candidate set
+
+
+def test_lm_quality_uniform_corpus_is_flat_and_rare_tokens_score_high(spark):
+    # corpus: 'a' x3, 'b' x3, 'rare' x1; N=7
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a b"), (3, "rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.lm_quality(docs, "doc_id", "text").collect()}
+    import math
+    # doc 3: single token with count 1 -> bits = log2(7) - log2(1)
+    assert abs(out[3]["bits_per_token"] - math.log2(7)) < 1e-9
+    # docs 1/2 symmetric: same score
+    assert out[1]["bits_per_token"] == out[2]["bits_per_token"]
+    assert out[1]["bits_per_token"] < out[3]["bits_per_token"]
+    assert out[1]["n_tokens"] == 3
+
+
+def test_bm25_scores_match_hand_formula(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "w w w")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bm25_scores(docs, "doc_id", "text", ["x"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no query term
+    N, avgdl = 3, (3 + 2 + 3) / 3
+    idf = math.log(1 + (N - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(out[1]["bm25"] - score(2, 3)) < 1e-8
+    assert abs(out[2]["bm25"] - score(1, 2)) < 1e-8
+    assert out[1]["n_matched_terms"] == 1

@@ -65,6 +65,38 @@ def minhash_signature(text: Column | str, num_hashes: int = 8, ngram: int = 3) -
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    ngram: int = 3,
+    expand_parallelism: int | None = None,
+) -> DataFrame:
+    """One row per doc with minhash components (id, m0..m{n-1}) — the
+    shared signature table behind banding AND signature-level Jaccard
+    estimation. Explode shingles once → num_hashes md5s per (doc,
+    shingle) row → map-side min-aggregate back to one row per doc (see
+    minhash_bands for why this beats the per-row-array form 60×)."""
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    if expand_parallelism:
+        toks = toks.repartition(expand_parallelism)
+    shingles = (
+        # materialize tokens first: word_ngrams over a raw text column
+        # re-tokenizes per shingle index (quadratic per doc)
+        toks
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram))
+            ).alias("sh"),
+        )
+    )
+    return shingles.groupBy(id_col).agg(
+        *[F.min(_mh(F.col("sh"), i)).alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str,
@@ -97,22 +129,8 @@ def minhash_bands(
     whole cluster. Leave None when the scan already fans wide.
     """
     rows_per_band = num_hashes // bands
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
-    if expand_parallelism:
-        toks = toks.repartition(expand_parallelism)
-    shingles = (
-        # materialize tokens first: word_ngrams over a raw text column
-        # re-tokenizes per shingle index (quadratic per doc)
-        toks
-        .select(
-            F.col(id_col),
-            F.explode_outer(
-                F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram))
-            ).alias("sh"),
-        )
-    )
-    sig = shingles.groupBy(id_col).agg(
-        *[F.min(_mh(F.col("sh"), i)).alias(f"m{i}") for i in range(num_hashes)]
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, ngram, expand_parallelism
     )
     return sig.select(
         id_col,
@@ -142,6 +160,57 @@ def minhash_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def minhash_estimated_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    expand_parallelism: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs scored by SIGNATURE-level Jaccard estimate:
+    est_jaccard = (# agreeing minhash components) / num_hashes — the
+    standard O(num_hashes) triage between candidate generation and the
+    exact n-gram verify (ngram_jaccard_pairs), which re-reads both
+    documents' full shingle sets. At 100 TB the estimate prunes the
+    candidate list so the expensive exact verify touches only
+    plausibly-similar pairs.
+
+    Returns (id_a, id_b, n_agree, est_jaccard). Banding and scoring both
+    derive from the same signature plan (persist/checkpoint the
+    minhash_signatures frame on a cluster when the corpus scan is
+    expensive — lazily it is recomputed per consumer); the
+    pair→signature joins are uniform-keyed on the doc id. E[est] = true
+    Jaccard of the shingle sets; num_hashes bounds the variance."""
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, ngram, expand_parallelism
+    )
+    pairs = minhash_candidate_pairs(
+        minhash_bands(df, text_col, id_col, num_hashes, bands, ngram, expand_parallelism),
+        id_col,
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.cast("long").alias("n_agree"),
+            (n_agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
     )
 
 

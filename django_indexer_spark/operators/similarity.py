@@ -471,3 +471,57 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cosine", "rnk")
     )
+
+
+def group_centroids(
+    df: DataFrame, vec_col: str, group_col: str
+) -> DataFrame:
+    """Element-wise mean vector per group → (group, centroid array).
+
+    posexplode → per-(group, position) decimal-exact sum / count →
+    re-assemble in position order. The explode multiplies rows by the
+    dimension, but it feeds ONE uniform-keyed aggregation whose output
+    is |groups|×dim tiny — the standard map-reduce centroid shape; the
+    decimal accumulator makes each component order-independent (double
+    sums would drift per partitioning), so centroids are engine-exact."""
+    x = df.select(
+        F.col(group_col).alias("__g"), F.posexplode(vec_col).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    comp = x.groupBy("__g", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return comp.groupBy("__g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    ).withColumnRenamed("__g", group_col)
+
+
+def centroid_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cosine of every vector to its own group's centroid — the embedding
+    drift / outlier signal (a doc whose embedding sits far from its
+    source/label centroid is mislabeled, off-topic, or garbage; filter or
+    re-route it before training).
+
+    Scale shape: centroids aggregate once (see group_centroids), then
+    broadcast-join back on the group key — the corpus never reshuffles
+    and scoring is one sequential-fold dot product per row inside
+    codegen. Same fold as ``cosine``/DuckDB's list_dot_product, so
+    scores are engine-exact before rounding."""
+    cent = group_centroids(df, vec_col, group_col)
+    return df.join(F.broadcast(cent), group_col).select(
+        id_col,
+        group_col,
+        F.round(
+            cosine(F.col(vec_col), F.col("centroid")), round_digits
+        ).alias("cos_to_centroid"),
+    )

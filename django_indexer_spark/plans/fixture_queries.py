@@ -1399,3 +1399,47 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_scores(
         docs, "doc_id", "text", ["spark", "hash", "merge", "vector"]
     )
+
+
+@query("dedup_minhash_estimate")
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-level Jaccard estimate for every LSH candidate pair —
+    the O(num_hashes) triage between candidate generation and the exact
+    n-gram verify, so the expensive verify only touches plausibly-similar
+    pairs. n_agree/8 is an exact double (÷ power of two)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return dedup.minhash_estimated_jaccard(docs, "text", "doc_id")
+
+
+@query("ts_moving_avg")
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded rows-frame window family: per-user 4-event moving average
+    of value (3 preceding + current) plus the gap to the previous event —
+    the smoothing/Δt shape every time-series feature pipeline runs. One
+    shuffle on user_id; (ts_us, event_id) is a total order so frames are
+    engine-exact; the frame sum accumulates as decimal."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    frame = w.rowsBetween(-3, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w)).alias("gap_us"),
+        F.count(F.lit(1)).over(frame).cast("long").alias("n_in_frame"),
+        (
+            F.sum(_dec("value")).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("moving_avg"),
+    )
+
+
+@query("setop_intersect_except")
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT set-op family (§2.7 beyond union+dedup):
+    customers holding both an 'F' and an 'O' order but no 'P' order.
+    Each set op is a distinct-aggregated semi/anti shape Catalyst plans
+    as hash joins on the key — no sort, uniform keys."""
+    o = _t(spark, sf_dir, "orders")
+    by_status = lambda s: o.filter(F.col("o_orderstatus") == s).select("o_custkey")
+    return by_status("F").intersect(by_status("O")).subtract(by_status("P"))

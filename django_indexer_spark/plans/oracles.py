@@ -1190,3 +1190,51 @@ SELECT doc_id,
 FROM q JOIN d USING (token) JOIN l USING (doc_id), s
 GROUP BY doc_id
 """
+
+# signature-level Jaccard estimate over the LSH candidate pairs: reuse the
+# shared minhash signature CTE; n_agree/8.0 is exact (÷ power of two)
+_SIG_AGREE = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+ORACLES["dedup_minhash_estimate"] = f"""
+WITH pairs AS ({_PAIRS_SQL}),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS h{i}" for i in range(8))}
+  FROM (
+    SELECT doc_id,
+           list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+    FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
+  )
+)
+SELECT id_a, id_b,
+       CAST({_SIG_AGREE} AS BIGINT) AS n_agree,
+       ({_SIG_AGREE}) / 8.0 AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+"""
+
+ORACLES["ts_moving_avg"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT user_id, event_id, ts_us,
+       ts_us - lag(ts_us) OVER w AS gap_us,
+       CAST(count(*) OVER f AS BIGINT) AS n_in_frame,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+         / count(*) OVER f AS moving_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC),
+       f AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["setop_intersect_except"] = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""

@@ -1064,3 +1064,33 @@ def test_bm25_scores_match_hand_formula(spark):
     assert abs(out[1]["bm25"] - score(2, 3)) < 1e-8
     assert abs(out[2]["bm25"] - score(1, 2)) < 1e-8
     assert out[1]["n_matched_terms"] == 1
+
+
+def test_minhash_estimated_jaccard_identical_docs_score_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a completely different document about spark shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_agree"], r["est_jaccard"])
+        for r in dedup.minhash_estimated_jaccard(docs, "text", "doc_id").collect()
+    }
+    assert out[(1, 2)] == (8, 1.0)  # identical shingle sets agree on all 8
+    assert all(k == (1, 2) for k in out)  # doc 3 shares no band
+
+
+def test_minhash_signatures_match_bands_slices(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    sig = dedup.minhash_signatures(docs, "text", "doc_id").collect()[0]
+    bands = dedup.minhash_bands(docs, "text", "doc_id").collect()
+    import hashlib
+    for b in bands:
+        lo = b["band"] * 2
+        expect = hashlib.md5(f"{sig[f'm{lo}']}|{sig[f'm{lo+1}']}".encode()).hexdigest()
+        assert b["band_key"] == expect

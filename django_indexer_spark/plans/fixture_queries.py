@@ -1443,3 +1443,16 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     by_status = lambda s: o.filter(F.col("o_orderstatus") == s).select("o_custkey")
     return by_status("F").intersect(by_status("O")).subtract(by_status("P"))
+
+
+@query("sim_centroid_outliers")
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift / outlier signal: cosine of every vector to its own
+    label's centroid (far-from-centroid docs are mislabeled or garbage —
+    filter before training). Centroids aggregate once with decimal-exact
+    components, then broadcast-join back; scoring is one codegen fold per
+    row — the corpus never reshuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_cosine(emb, "vec_id", "embedding", "label").select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_to_centroid"
+    )

@@ -1238,3 +1238,25 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 """
+
+# per-label centroid with decimal-exact components; scoring via the same
+# sequential fold as sim_cosine_topk (list_dot_product == Spark aggregate)
+ORACLES["sim_centroid_outliers"] = """
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), comp AS (
+  SELECT label, pos,
+         CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+  FROM x GROUP BY label, pos
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       round(list_dot_product(e.embedding::DOUBLE[], cent.centroid) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(cent.centroid, cent.centroid))), 6)
+         AS cos_to_centroid
+FROM embeddings e JOIN cent USING (label)
+"""

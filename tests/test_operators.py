@@ -1094,3 +1094,20 @@ def test_minhash_signatures_match_bands_slices(spark):
         lo = b["band"] * 2
         expect = hashlib.md5(f"{sig[f'm{lo}']}|{sig[f'm{lo+1}']}".encode()).hexdigest()
         assert b["band_key"] == expect
+
+
+def test_group_centroid_cosine_geometry(spark):
+    # two groups: g0 vectors along +x and +y -> centroid (0.5, 0.5);
+    # cos to centroid = 1/sqrt(2) for both. g1 single vector -> cos 1.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [3.0, 4.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["vec_id"]: r["cos_to_centroid"]
+        for r in similarity.centroid_cosine(emb, "vec_id", "embedding", "label").collect()
+    }
+    import math
+    assert abs(out[1] - 1 / math.sqrt(2)) < 1e-6
+    assert abs(out[2] - 1 / math.sqrt(2)) < 1e-6
+    assert abs(out[3] - 1.0) < 1e-6

@@ -110,3 +110,38 @@ def test_coverage_doc_mentions_every_query():
         [sys.executable, "/root/repo/tools/coverage_check.py"], capture_output=True, text=True
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_bm25_filters_tokens_before_any_shuffle(spark):
+    # the query-term IN filter must run in the explode stage (before the
+    # tf/df aggregates), so shuffles carry only the matching slice
+    plan = plan_of(spark, "text_bm25")
+    assert "token" in plan and " IN (spark,hash,merge,vector)" in plan
+    # every grouped aggregate sits above the filtered projection — there
+    # is no Exchange whose input still carries the full token stream
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert " IN (spark,hash,merge,vector)" in plan[first_exchange:], (
+        "token filter must appear below the first token-stream shuffle"
+    )
+
+
+def test_centroid_cosine_scoring_is_broadcast_join(spark):
+    # the corpus side must never reshuffle for scoring: centroids
+    # broadcast, and the only hash exchanges feed the centroid aggregate
+    plan = plan_of(spark, "sim_centroid_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_moving_avg_single_user_shuffle(spark):
+    # one exchange on user_id feeds both the lag and the frame windows
+    plan = plan_of(spark, "ts_moving_avg")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_setop_plans_as_semi_anti_joins(spark):
+    plan = plan_of(spark, "setop_intersect_except")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

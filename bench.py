@@ -64,6 +64,8 @@ HEADLINE = [
     "ts_sessionize",           # gap-based sessionization rollup
     "sim_kmeans_train",        # 2-iteration Lloyd k-means (IVF trainer)
     "text_heavy_hitters",      # Misra-Gries candidates + exact recount
+    "sim_centroid_outliers",   # broadcast-centroid embedding drift
+    "ts_moving_avg",           # bounded rows-frame window
 ]
 
 

@@ -1445,6 +1445,42 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status("F").intersect(by_status("O")).subtract(by_status("P"))
 
 
+@query("a_corr_covar")
+def a_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate family: per-flag population covariance and
+    Pearson correlation of (quantity, extendedprice) — computed from six
+    decimal-EXACT moment sums (n, Σx, Σy, Σx², Σy², Σxy; one map-side
+    partial-agg shuffle), with the double arithmetic applied once at the
+    end in a fixed formula — engine-identical, unlike built-in corr()
+    whose streaming-update accumulation is order-dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = _dec("l_quantity"), _dec("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(p).alias("sy"),
+        F.sum(q * q).alias("sxx"),
+        F.sum(p * p).alias("syy"),
+        F.sum(q * p).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(cov, 9).alias("covar_pop"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 9).alias("corr"),
+    )
+
+
 @query("sim_centroid_outliers")
 def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding drift / outlier signal: cosine of every vector to its own

@@ -1239,6 +1239,34 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 """
 
+# moment sums as exact decimals, one double formula at the end — the
+# engine-exact corr/covar (built-in corr() accumulates order-dependently)
+ORACLES["a_corr_covar"] = """
+WITH g AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+         CAST(sxy AS DOUBLE) AS sxy
+  FROM g
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(sxy / nd - (sx / nd) * (sy / nd), 9) AS covar_pop,
+       round((sxy / nd - (sx / nd) * (sy / nd))
+             / (sqrt(sxx / nd - (sx / nd) * (sx / nd))
+                * sqrt(syy / nd - (sy / nd) * (sy / nd))), 9) AS corr
+FROM d
+"""
+
 # per-label centroid with decimal-exact components; scoring via the same
 # sequential fold as sim_cosine_topk (list_dot_product == Spark aggregate)
 ORACLES["sim_centroid_outliers"] = """

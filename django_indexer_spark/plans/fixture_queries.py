@@ -1445,6 +1445,48 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status("F").intersect(by_status("O")).subtract(by_status("P"))
 
 
+@query("a_pivot_matrix")
+def a_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot (A5's generalization): order counts as a
+    priority × status matrix via groupBy().pivot() with an explicit value
+    list — the explicit list keeps the schema static so Catalyst plans
+    ONE pass (no values-discovery pre-query) and partial aggregation
+    stays map-side."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce("O", F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce("P", F.lit(0)).cast("long").alias("n_p"),
+    )
+
+
+@query("f_lookalike_ids")
+def f_lookalike_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookalike-identifier pairs (typosquat guard): supplier names within
+    edit distance 1, blocked on name length so the quadratic verify runs
+    inside buckets only — the blocking-key analogue of LSH→exact-verify
+    (the reference's receiver-pattern routing F9 is the same 'guard the
+    namespace' concern; here it is the paid-tier variant a chain indexer
+    runs against lookalike account scams). levenshtein is the identical
+    DP both engines implement exactly."""
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_name").alias("name_a"), F.length("s_name").alias("__len"))
+    b = s.select(F.col("s_name").alias("name_b"), F.length("s_name").alias("__len"))
+    return (
+        a.join(b, "__len")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("name_a", "name_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+    )
+
+
 @query("a_corr_covar")
 def a_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate family: per-flag population covariance and

@@ -1239,6 +1239,22 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 """
 
+ORACLES["a_pivot_matrix"] = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["f_lookalike_ids"] = """
+SELECT a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON length(a.s_name) = length(b.s_name) AND a.s_name < b.s_name
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
 # moment sums as exact decimals, one double formula at the end — the
 # engine-exact corr/covar (built-in corr() accumulates order-dependently)
 ORACLES["a_corr_covar"] = """

@@ -145,3 +145,22 @@ def test_setop_plans_as_semi_anti_joins(spark):
     plan = plan_of(spark, "setop_intersect_except")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_global_plan_hygiene_all_queries(spark):
+    """Sweep EVERY registry query's physical plan for scale anti-patterns:
+    - CartesianProduct: unbounded pair blowup (1-row cross joins plan as
+      BroadcastNestedLoopJoin, which is fine and stays off this list)
+    - Python in the row path (ArrowEvalPython / BatchEvalPython /
+      FlatMapGroupsInPandas...): allowed only where the operator is
+      genuinely inexpressible in DataFrame algebra (the MG sketch)
+    """
+    py_ok = {"text_heavy_hitters"}  # mapInPandas Misra-Gries sketch
+    offenders: list[tuple[str, str]] = []
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if name not in py_ok and ("EvalPython" in plan or "InPandas" in plan):
+            offenders.append((name, "python-in-row-path"))
+    assert not offenders, offenders

@@ -1445,6 +1445,39 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status("F").intersect(by_status("O")).subtract(by_status("P"))
 
 
+@query("t_incremental_stats")
+def t_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at scale: incremental gold-stats maintenance. The per-customer
+    stats table is kept as MERGEABLE PARTIALS (count/sum/min/max — each a
+    monoid) and the input arrives as two batches folded through
+    apply_batch — work per tick is O(batch + touched groups), replacing
+    the reference's full recompute per 5-minute beat (tasks.py:188-327).
+    The oracle aggregates the whole table directly: the driver hash-check
+    IS the fold==full invariant, cross-engine."""
+    from ..operators import incremental
+
+    o = _t(spark, sf_dir, "orders")
+    measures = {
+        "n_orders": ("count", None),
+        "total_usd": ("sum", _dec("o_totalprice")),
+        "min_usd": ("min", _dec("o_totalprice")),
+        "max_usd": ("max", _dec("o_totalprice")),
+    }
+    gold = None
+    for batch in (
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+    ):
+        gold = incremental.apply_batch(gold, batch, ["o_custkey"], measures)
+    return gold.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_usd").cast("double").alias("total_usd"),
+        F.col("min_usd").cast("double").alias("min_usd"),
+        F.col("max_usd").cast("double").alias("max_usd"),
+    )
+
+
 @query("a_pivot_matrix")
 def a_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic pivot (A5's generalization): order counts as a

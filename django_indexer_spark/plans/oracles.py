@@ -1239,6 +1239,17 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 """
 
+# the direct aggregate — hash-equality against the two-batch fold on the
+# Spark side is the incremental-maintenance invariant, checked cross-engine
+ORACLES["t_incremental_stats"] = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_usd,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_usd,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_usd
+FROM orders GROUP BY o_custkey
+"""
+
 ORACLES["a_pivot_matrix"] = """
 SELECT o_orderpriority,
        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -1111,3 +1111,31 @@ def test_group_centroid_cosine_geometry(spark):
     assert abs(out[1] - 1 / math.sqrt(2)) < 1e-6
     assert abs(out[2] - 1 / math.sqrt(2)) < 1e-6
     assert abs(out[3] - 1.0) < 1e-6
+
+
+def test_incremental_partials_fold_equals_full_aggregate(spark):
+    from django_indexer_spark.operators import incremental
+
+    rows_ = [(i, f"g{i % 3}", i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows_, "id long, grp string, v long")
+    measures = {
+        "n": ("count", None),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    # fold three uneven chunks through apply_batch
+    gold = None
+    for chunk in (df.filter("id < 5"), df.filter("id >= 5 and id < 6"), df.filter("id >= 6")):
+        gold = incremental.apply_batch(gold, chunk, ["grp"], measures)
+    direct = incremental.grouped_partials(df, ["grp"], measures)
+    key = lambda frame: sorted(tuple(r) for r in frame.select("grp", "n", "total", "lo", "hi").collect())
+    assert key(gold) == key(direct)
+    # empty batch is the identity
+    gold2 = incremental.apply_batch(gold, df.filter("id < 0"), ["grp"], measures)
+    assert key(gold2) == key(gold)
+    # a batch introducing a brand-new group appears with only its own rows
+    extra = spark.createDataFrame([(99, "brandnew", 7)], "id long, grp string, v long")
+    gold3 = incremental.apply_batch(gold, extra, ["grp"], measures)
+    got = {r["grp"]: (r["n"], r["total"], r["lo"], r["hi"]) for r in gold3.collect()}
+    assert got["brandnew"] == (1, 7, 7, 7)

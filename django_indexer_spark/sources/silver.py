@@ -117,6 +117,33 @@ def read_table(
     return df if keep_bucket_col else df.drop(BUCKET_COL)
 
 
+def vacuum(table_dir: str) -> list[str]:
+    """Remove everything the manifest does not reference: version dirs
+    orphaned by a crash between publish and GC, and abandoned staging
+    dirs. Safe at any point BETWEEN merges (the manifest is the readers'
+    single source of truth, so unreferenced dirs are invisible) — but not
+    concurrently with an active writer, whose staging dir is not yet
+    referenced by design (single-writer assumption, as with any
+    pointer-commit table format). Returns removed paths."""
+    manifest = read_manifest(table_dir)
+    if manifest is None:
+        return []
+    live = {(f"b{b}", v) for b, v in manifest["buckets"].items()}
+    removed: list[str] = []
+    for entry in sorted(os.listdir(table_dir)):
+        p = os.path.join(table_dir, entry)
+        if entry.startswith(".staging-"):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+        elif entry.startswith("b") and os.path.isdir(p):
+            for v in sorted(os.listdir(p)):
+                if (entry, v) not in live:
+                    vp = os.path.join(p, v)
+                    shutil.rmtree(vp, ignore_errors=True)
+                    removed.append(vp)
+    return removed
+
+
 def merge_batch(
     spark: SparkSession,
     table_dir: str,

@@ -332,3 +332,25 @@ def test_enrich_stream_end_to_end_with_mock_transport(spark, tmp_path):
     assert seen == [["dai.near", "near"]]
     got = {r["token_id"] for r in silver.read_table(spark, dim).collect()}
     assert got == {"dai.near", "near"}
+
+
+def test_silver_vacuum_removes_only_unreferenced_dirs(spark, tmp_path):
+    d = str(tmp_path / "t")
+    silver.merge_batch(
+        spark, d, _kv(spark, [(k, k, 1) for k in "abcdefgh"]), ["k"], "version",
+        batch_id=1, n_buckets=8,
+    )
+    before = {r["k"]: (r["v"], r["version"]) for r in silver.read_table(spark, d).collect()}
+    # plant crash debris: an abandoned staging dir and an orphan version
+    os.makedirs(os.path.join(d, ".staging-v99", "__bp=0"))
+    some_bucket = next(iter(silver.read_manifest(d)["buckets"]))
+    orphan = os.path.join(d, f"b{some_bucket}", "v99")
+    os.makedirs(orphan)
+    removed = silver.vacuum(d)
+    assert os.path.join(d, ".staging-v99") in removed and orphan in removed
+    assert not os.path.exists(orphan)
+    # every live (manifest-referenced) version dir survives, data intact
+    after = {r["k"]: (r["v"], r["version"]) for r in silver.read_table(spark, d).collect()}
+    assert after == before
+    # idempotent: a clean table vacuums to nothing
+    assert silver.vacuum(d) == []

@@ -121,3 +121,68 @@ def connected_components(
         # per-round labels are localCheckpoint-materialized, so nothing
         # downstream references sym — safe to release
         sym.unpersist()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (id, rank).
+
+    The influence/importance twin of connected_components: dedup wants
+    "which docs are the same", lineage/abuse analysis wants "which nodes
+    matter" (the reference's pot/donor graph is exactly this shape).
+    Simplified standard variant: rank = (1-d)/N + d·Σ_in rank/out_deg,
+    dangling mass not redistributed.
+
+    Determinism/parity: per-target contribution sums accumulate as
+    DECIMAL(38,18) (double sums are partitioning-order-dependent); all
+    other arithmetic is IEEE double on identical operands, so ranks are
+    engine-exact and the whole computation is oracle-checkable as
+    unrolled SQL rounds.
+
+    Scale shape per round: edges ⋈ ranks on src (uniform key), groupBy
+    dst with map-side partial decimal sums, left join back to the node
+    set — the same two-shuffle round as label propagation. Fixed
+    ``iterations`` keeps the plan finite; beyond ~5 rounds interpose
+    localCheckpoint per round (as connected_components does) to cut
+    lineage growth. Everything stays declarative: no driver-side state
+    but the loop counter."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("__N"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("__N")).alias("rank")
+    )
+    base = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("__deg")).cast("decimal(38,18)").alias("__c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__c").cast("double").alias("__contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    base / F.col("__N")
+                    + F.lit(damping) * F.coalesce("__contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 from ..functions.amounts import grouped_exact_sums, to_fixed
 from ..operators import (
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,
@@ -1443,6 +1444,23 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     by_status = lambda s: o.filter(F.col("o_orderstatus") == s).select("o_custkey")
     return by_status("F").intersect(by_status("O")).subtract(by_status("P"))
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the customer→supplier purchase graph
+    (supplier ids offset to keep the bipartite id spaces disjoint) — the
+    influence-ranking twin of dedup's connected components. Decimal-exact
+    contribution sums make every iteration engine-identical, so the whole
+    iterative computation hash-checks against 3 unrolled SQL rounds."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    pr = graph.pagerank(edges, iterations=3)
+    return pr.select("id", F.round("rank", 9).alias("rank"))
 
 
 @query("t_incremental_stats")

@@ -1239,6 +1239,43 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 """
 
+# PageRank: 3 unrolled rounds mirroring graph.pagerank — decimal-exact
+# contribution sums; (1.0 - 0.85) written as the subtraction so both
+# engines fold the identical double (0.15 the literal is a DIFFERENT one)
+def _pagerank_sql(iterations: int = 3) -> str:
+    rounds = ""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        rounds += f""",
+c{i} AS (
+  SELECT dst AS id,
+         CAST(sum(CAST(rank / deg AS DECIMAL(38,18))) AS DOUBLE) AS c
+  FROM e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.src = e.src
+  GROUP BY dst
+), r{i} AS (
+  SELECT nodes.id, (1.0 - 0.85) / N + 0.85 * coalesce(c, 0.0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.id = nodes.id
+)"""
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT src AS id FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS N FROM nodes
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT id, 1.0 / N AS rank FROM nodes CROSS JOIN nn
+){rounds}
+SELECT id, round(rank, 9) AS rank FROM {prev}
+"""
+
+
+ORACLES["graph_pagerank"] = _pagerank_sql(3)
+
 # the direct aggregate — hash-equality against the two-batch fold on the
 # Spark side is the incremental-maintenance invariant, checked cross-engine
 ORACLES["t_incremental_stats"] = """

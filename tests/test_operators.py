@@ -1139,3 +1139,21 @@ def test_incremental_partials_fold_equals_full_aggregate(spark):
     gold3 = incremental.apply_batch(gold, extra, ["grp"], measures)
     got = {r["grp"]: (r["n"], r["total"], r["lo"], r["hi"]) for r in gold3.collect()}
     assert got["brandnew"] == (1, 7, 7, 7)
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    from django_indexer_spark.operators import graph
+
+    # 1->2, 1->3, 2->3, 3->1: N=3, deg(1)=2, deg(2)=deg(3)=1
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["id"]: r["rank"] for r in graph.pagerank(e, iterations=1).collect()}
+    base = 0.15 / 3
+    third = 1.0 / 3
+    assert abs(got[1] - (base + 0.85 * third)) < 1e-12          # from 3
+    assert abs(got[2] - (base + 0.85 * third / 2)) < 1e-12      # from 1 (deg 2)
+    assert abs(got[3] - (base + 0.85 * (third / 2 + third))) < 1e-12
+    # more iterations keep total mass at 1 (no dangling nodes here)
+    three = graph.pagerank(e, iterations=3).agg(F.sum("rank")).collect()[0][0]
+    assert abs(three - 1.0) < 1e-9

@@ -66,6 +66,9 @@ HEADLINE = [
     "text_heavy_hitters",      # Misra-Gries candidates + exact recount
     "sim_centroid_outliers",   # broadcast-centroid embedding drift
     "ts_moving_avg",           # bounded rows-frame window
+    "q3_shipping_priority",    # TPC-H Q3: filter-join-agg top-k
+    "q10_returned_items",      # TPC-H Q10: quarter-return revenue top-k
+    "graph_pagerank",          # 3-round decimal-exact PageRank
 ]
 
 

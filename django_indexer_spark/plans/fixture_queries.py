@@ -1446,6 +1446,74 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status("F").intersect(by_status("O")).subtract(by_status("P"))
 
 
+@query("q3_shipping_priority")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue at a cutoff date. Both date predicates push into the parquet
+    scans (min-max row-group skipping at scale); customer shrinks first
+    behind the segment filter so AQE can broadcast it; exact-decimal
+    revenue; (revenue desc, date, key) is a total order so the top-10
+    edge is deterministic."""
+    cutoff = "1998-06-01"
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    revenue_e4 = to_fixed("l_extendedprice", 2) * (F.lit(100) - to_fixed("l_discount", 2))
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    g = grouped_exact_sums(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        sums={"revenue": (revenue_e4, 4)},
+    )
+    return (
+        g.orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query("q10_returned_items")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Quarter + returnflag predicates push down; the nation dim
+    broadcasts; exact-decimal revenue; total-order top-20."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue_e4 = to_fixed("l_extendedprice", 2) * (F.lit(100) - to_fixed("l_discount", 2))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    g = grouped_exact_sums(
+        joined,
+        ["c_custkey", "c_name", "c_acctbal", "n_name"],
+        sums={"revenue": (revenue_e4, 4)},
+    )
+    return (
+        g.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
 @query("graph_pagerank")
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the customer→supplier purchase graph

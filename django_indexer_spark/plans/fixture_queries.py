@@ -1446,6 +1446,58 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status("F").intersect(by_status("O")).subtract(by_status("P"))
 
 
+@query("a_ntile_bins")
+def a_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning: order values deciled per status (ntile window)
+    then per-bin spans — the feature-bucketing / monotone-calibration
+    shape. ntile partitions by status (uniform groups, one shuffle);
+    (o_totalprice, o_orderkey) total order makes bin edges deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_orderstatus",
+        _dec("o_totalprice").alias("p"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return binned.groupBy("o_orderstatus", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p").cast("double").alias("lo"),
+        F.max("p").cast("double").alias("hi"),
+    ).select("o_orderstatus", F.col("decile").cast("long").alias("decile"), "n", "lo", "hi")
+
+
+@query("a_unpivot_measures")
+def a_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt, the inverse of a_pivot_matrix): lineitem
+    money measures unpivoted to (measure, total) rows — the EAV/metrics
+    layout exporters want. Spark's native unpivot keeps it one pass; the
+    totals are decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("extendedprice"),
+        F.sum(_dec("l_discount")).cast("double").alias("discount"),
+        F.sum(_dec("l_tax")).cast("double").alias("tax"),
+    )
+    return g.unpivot([], ["extendedprice", "discount", "tax"], "measure", "total")
+
+
+@query("a_cube_matrix")
+def a_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (a_rollup_hierarchy's lattice twin): order counts
+    over all 2^2 grouping combinations of (status, priority), subtotal
+    rows flagged via grouping(). One pass, map-side partials expand the
+    grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
+
+
 @query("q3_shipping_priority")
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by

@@ -1239,6 +1239,42 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 """
 
+ORACLES["a_ntile_bins"] = """
+WITH b AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         ntile(10) OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+  FROM orders
+)
+SELECT o_orderstatus, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(p) AS DOUBLE) AS lo,
+       CAST(max(p) AS DOUBLE) AS hi
+FROM b GROUP BY o_orderstatus, decile
+"""
+
+ORACLES["a_unpivot_measures"] = """
+WITH g AS (
+  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS extendedprice,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+  FROM lineitem
+)
+SELECT 'extendedprice' AS measure, extendedprice AS total FROM g
+UNION ALL SELECT 'discount', discount FROM g
+UNION ALL SELECT 'tax', tax FROM g
+"""
+
+ORACLES["a_cube_matrix"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS BIGINT) AS g_status,
+       CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
 ORACLES["q3_shipping_priority"] = """
 SELECT l_orderkey,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -1,1 +1,1 @@
-from . import pipeline  # noqa: F401
+from . import joins, pipeline, sessions, windows  # noqa: F401

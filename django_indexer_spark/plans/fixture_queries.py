@@ -60,16 +60,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller session's default (DuckDB oracle timestamps are UTC-naive)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark has no ns timestamp
-        # type, so read it as long ns (C3 — handler.py:52's ns handling).
+        # events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(US)
+        # across fixture generations. Spark has no ns timestamp type, so
+        # with this conf a NANOS column reads as long ns (C3 —
+        # handler.py:52's ns handling); a US column reads as a real
+        # timestamp and the conf is inert. ``_events`` adapts to either.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_us`` (µs long) — matches DuckDB's ns→µs truncation
-    (its TIMESTAMP is µs), so epoch_us(ts) over there == ts_us here."""
+    """events with ``ts_us`` (µs long) regardless of the fixture's physical
+    ts type — matches DuckDB's epoch_us(ts) (its TIMESTAMP is µs, and it
+    truncates ns fixtures the same way ``DIV 1000`` does here).
+
+    Type-adaptive: TIMESTAMP/TIMESTAMP_NTZ → unix_micros (NTZ is cast in
+    the UTC session tz set by ``_t``, matching DuckDB's naive-UTC epoch);
+    long (legacy nanosAsLong read of a NANOS fixture) → integer ns→µs."""
     e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"].startswith("timestamp"):
+        return e.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     return e.withColumn("ts_us", F.expr("ts DIV 1000"))
 
 

@@ -146,43 +146,69 @@ def pagerank(
 
     Scale shape per round: edges ⋈ ranks on src (uniform key), groupBy
     dst with map-side partial decimal sums, left join back to the node
-    set — the same two-shuffle round as label propagation. Fixed
-    ``iterations`` keeps the plan finite; beyond ~5 rounds interpose
-    localCheckpoint per round (as connected_components does) to cut
-    lineage growth. Everything stays declarative: no driver-side state
-    but the loop counter."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    set — the same two-shuffle round as label propagation. The three
+    loop-invariant frames (edge list, node set, out-degrees) are
+    persisted once — the edge list usually carries an expensive upstream
+    plan (here: the fact-fact purchase join) that would otherwise re-run
+    EVERY round — and each round's ranks are localCheckpoint-materialized
+    so plan lineage stays one-round deep instead of growing by two joins
+    per iteration (analysis cost alone goes superlinear past ~5 unrolled
+    rounds). The returned frame is the final checkpoint: independent of
+    the persisted inputs, which are released before returning."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()  # materializes the cache; also sizes the shuffles
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("__N"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "id", (F.lit(1.0) / F.col("__N")).alias("rank")
-    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist()
     base = F.lit(1.0 - damping)
-    for _ in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("__deg")).cast("decimal(38,18)").alias("__c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("__c").cast("double").alias("__contrib"))
+    spark = edges.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    # same rows-per-partition rule as connected_components: the rank/graph
+    # frames are edge-count-scale, usually far smaller than the corpus
+    # whose session width we inherit — and the rule sizes UP identically
+    # (billions of edges → thousands of reduce tasks)
+    width = max(1, min(int(prev_width), -(-n_edges // ROWS_PER_PARTITION)))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        ranks = nodes.crossJoin(F.broadcast(nn)).select(
+            "id", (F.lit(1.0) / F.col("__N")).alias("rank")
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    base / F.col("__N")
-                    + F.lit(damping) * F.coalesce("__contrib", F.lit(0.0))
-                ).alias("rank"),
+        for _ in range(iterations):
+            contrib = (
+                e.join(ranks.withColumnRenamed("id", "src"), "src")
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("__deg")).cast("decimal(38,18)").alias("__c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("__c").cast("double").alias("__contrib"))
             )
-        )
-    return ranks
+            # eager: materializes this round and cuts lineage (cluster
+            # with a checkpoint dir → df.checkpoint for fault tolerance)
+            ranks = (
+                nodes.crossJoin(F.broadcast(nn))
+                .join(contrib, "id", "left")
+                .select(
+                    "id",
+                    (
+                        base / F.col("__N")
+                        + F.lit(damping) * F.coalesce("__contrib", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            ).localCheckpoint()
+        return ranks
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()

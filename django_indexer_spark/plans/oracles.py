@@ -1310,7 +1310,7 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
-# PageRank: 3 unrolled rounds mirroring graph.pagerank — decimal-exact
+# PageRank: unrolled rounds mirroring graph.pagerank — decimal-exact
 # contribution sums; (1.0 - 0.85) written as the subtraction so both
 # engines fold the identical double (0.15 the literal is a DIFFERENT one)
 def _pagerank_sql(iterations: int = 3) -> str:
@@ -1345,7 +1345,7 @@ SELECT id, round(rank, 9) AS rank FROM {prev}
 """
 
 
-ORACLES["graph_pagerank"] = _pagerank_sql(3)
+ORACLES["graph_pagerank"] = _pagerank_sql(5)
 
 # the direct aggregate — hash-equality against the two-batch fold on the
 # Spark side is the incremental-maintenance invariant, checked cross-engine

@@ -649,6 +649,40 @@ def t3_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("activity_feed_by_type")
+def activity_feed_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activities silver table's semantics on the fixture stream:
+    multi-type classification (the 7 handler sites writing 9 ActivityType
+    values, utils.py:212,442,531,656,757,801,1006), the quirky
+    (action_result, type) uniqueness (activities/models.py:69-72) with
+    last-writer-wins, and Remove_List_Admin's NULL action_result — keyed
+    on type alone (utils.py:801), so an entire event class collapses to
+    one feed row. events ≈ receipts: event_type routes to an activity
+    type, props is the handler payload, (ts_us, event_id) is the version
+    order. Output = the feed's count-by-type rollup."""
+    e = _events(spark, sf_dir)
+    typ = (
+        F.when(F.col("event_type") == "purchase", "Donate_Direct")
+        .when(F.col("event_type") == "signup", "Register_Batch")
+        .when(F.col("event_type") == "view", "Submit_Application")
+        .when(F.col("event_type") == "error", "Challenge_Payout")
+        .otherwise("Remove_List_Admin")
+    )
+    acts = e.select(
+        typ.alias("type"),
+        F.when(F.col("event_type") != "click", F.col("props")).alias("action_result"),
+        "ts_us",
+        "event_id",
+    )
+    latest = windows.top1_per_group(
+        acts, ["action_result", "type"], [F.desc("ts_us"), F.desc("event_id")]
+    )
+    return latest.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_activities"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar-function shapes (C3-C8)
 # --------------------------------------------------------------------------

@@ -240,6 +240,31 @@ FROM all_rows
 QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
 """
 
+ORACLES["activity_feed_by_type"] = """
+WITH acts AS (
+  SELECT CASE event_type
+           WHEN 'purchase' THEN 'Donate_Direct'
+           WHEN 'signup'  THEN 'Register_Batch'
+           WHEN 'view'    THEN 'Submit_Application'
+           WHEN 'error'   THEN 'Challenge_Payout'
+           ELSE 'Remove_List_Admin' END AS type,
+         CASE WHEN event_type <> 'click' THEN props END AS action_result,
+         epoch_us(ts) AS ts_us,
+         event_id
+  FROM events
+), latest AS (
+  SELECT * FROM acts
+  QUALIFY row_number() OVER (
+    PARTITION BY action_result, type ORDER BY ts_us DESC, event_id DESC
+  ) = 1
+)
+SELECT type,
+       CAST(count(*) AS BIGINT) AS n_activities,
+       max(ts_us) AS last_us
+FROM latest
+GROUP BY type
+"""
+
 ORACLES["c3_ts_convert"] = """
 SELECT event_id,
        epoch_us(ts) AS ts_us,

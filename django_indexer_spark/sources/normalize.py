@@ -278,6 +278,109 @@ def donation_activities(donation_rows: DataFrame) -> DataFrame:
     )
 
 
+def non_donation_activities(
+    prepared: DataFrame,
+    lists_contract: str = LISTS_CONTRACT,
+    pot_pattern: str = POT_PATTERN,
+) -> DataFrame:
+    """Activity rows from the six non-donation handler sites — the rest of
+    the reference's ActivityType surface (activities/models.py:7-19).
+    Each emitter mirrors its handler's routing filter and writes the same
+    (signer, receiver, timestamp, action_result, tx_hash, type) row its
+    ``Activity.objects.aupdate_or_create`` call does:
+
+    - Deploy_Pot (utils.py:205-214): 'new' on a pot subaccount;
+      action_result = the deploy args payload.
+    - Register_Batch (utils.py:434-446): register_batch on the lists
+      contract; action_result = the decoded SuccessValue array;
+      timestamp = the FIRST registration's submitted_at (the reference's
+      insert_data[0]['submitted_at'] quirk, utils.py:438).
+    - Submit_Application (utils.py:524-533): apply on a pot;
+      action_result = the application SuccessValue.
+    - Upvote (utils.py:650-658): upvote on the lists contract — a type
+      the reference writes but never declared in ActivityType (quirk kept).
+    - Challenge_Payout (utils.py:746-759): challenge_payouts on a pot.
+    - Remove_List_Admin (utils.py:795-806): owner_remove_admins on the
+      lists contract — the reference keys this aupdate_or_create on TYPE
+      ALONE (no action_result), so at most one row ever exists; a NULL
+      action_result under the (action_result, type) merge key reproduces
+      exactly that collapse.
+
+    Timestamps: handlers stamp either the receipt's block time or
+    ``datetime.now()`` at index time; block_time is the deterministic,
+    replayable stand-in for the latter (same policy as list_upvotes).
+    """
+    no_result = F.lit(None).cast("string")
+
+    def row(df: DataFrame, action_result: F.Column, ts: F.Column, typ: str) -> DataFrame:
+        return df.select(
+            F.col("signer_id"),
+            F.col("receiver_id"),
+            ts.alias("timestamp"),
+            action_result.alias("action_result"),
+            F.col("receipt_id").alias("tx_hash"),
+            F.lit(typ).alias("type"),
+            F.col("version"),
+        )
+
+    on_pot = F.col("receiver_id").rlike(pot_pattern)
+    on_lists = F.col("receiver_id") == lists_contract
+    deploy = row(
+        prepared.filter((F.col("method_name") == "new") & on_pot),
+        F.col("args_json"),
+        F.col("block_time"),
+        "Deploy_Pot",
+    )
+    reg_batch = row(
+        prepared.filter(
+            (F.col("method_name") == "register_batch")
+            & on_lists
+            & F.col("success_json").isNotNull()
+        ),
+        F.col("success_json"),
+        ms_to_timestamp(
+            F.element_at(F.from_json("success_json", REGISTRATION_SCHEMA), 1)["submitted_ms"]
+        ),
+        "Register_Batch",
+    )
+    submit_app = row(
+        prepared.filter(
+            F.col("method_name").isin("apply", "assert_can_apply_callback")
+            & on_pot
+            & F.col("success_json").isNotNull()
+            & F.get_json_object("success_json", "$.project_id").isNotNull()
+        ),
+        F.col("success_json"),
+        F.col("block_time"),
+        "Submit_Application",
+    )
+    upvote = row(
+        prepared.filter((F.col("method_name") == "upvote") & on_lists),
+        F.col("args_json"),
+        F.col("block_time"),
+        "Upvote",
+    )
+    challenge = row(
+        prepared.filter((F.col("method_name") == "challenge_payouts") & on_pot),
+        F.col("args_json"),
+        F.col("block_time"),
+        "Challenge_Payout",
+    )
+    rm_admin = row(
+        prepared.filter((F.col("method_name") == "owner_remove_admins") & on_lists),
+        no_result,
+        F.col("block_time"),
+        "Remove_List_Admin",
+    )
+    return (
+        deploy.unionByName(reg_batch)
+        .unionByName(submit_app)
+        .unionByName(upvote)
+        .unionByName(challenge)
+        .unionByName(rm_admin)
+    )
+
+
 def list_registrations(prepared: DataFrame, lists_contract: str = LISTS_CONTRACT) -> DataFrame:
     """handle_new_list_registration (utils.py:377-446): register_batch on
     the lists contract; payload = decoded SuccessValue ARRAY of

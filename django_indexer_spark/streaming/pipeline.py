@@ -62,9 +62,13 @@ ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], s
     "lists": (normalize.new_lists, ["id"], "first"),
     "accounts": (_accounts, ["id"], "first"),
     # Activity audit rows — reference key is the quirky (action_result,
-    # type) unique (activities/models.py:69-72); same dedup effect here
+    # type) unique (activities/models.py:69-72); same dedup effect here.
+    # Full ActivityType surface: the three Donate_* types plus the six
+    # non-donation handler sites (normalize.non_donation_activities)
     "activities": (
-        lambda p: normalize.donation_activities(normalize.donations(p)),
+        lambda p: normalize.donation_activities(normalize.donations(p)).unionByName(
+            normalize.non_donation_activities(p)
+        ),
         ["action_result", "type"],
         "last",
     ),

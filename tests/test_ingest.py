@@ -755,3 +755,80 @@ def test_account_patterns_match_reference_matchers():
     assert re.match(NADABOT_RE, "v1.staging.nadabot.near")
     assert re.match(NADABOT_RE, "v2new.app.nadabot.near")
     assert not re.match(NADABOT_RE, "v1.app2.nadabot.near")  # digits rejected
+
+
+def test_non_donation_activities_all_types(spark):
+    """Every non-donation handler site emits its Activity row
+    (utils.py:212,442,531,656,757,801) with the handler's payload as
+    action_result; Remove_List_Admin carries none (keyed on type alone)."""
+    pot = "grants.v1.potfactory.potlock.near"
+    regs = [
+        {"id": 1, "registrant_id": "p1.near", "list_id": 9, "status": "Approved",
+         "submitted_ms": 1700000000000, "updated_ms": 1700000000000,
+         "registered_by": "own.near", "admin_notes": None, "registrant_notes": None},
+        {"id": 2, "registrant_id": "p2.near", "list_id": 9, "status": "Pending",
+         "submitted_ms": 1700000500000, "updated_ms": 1700000500000,
+         "registered_by": "own.near", "admin_notes": None, "registrant_notes": None},
+    ]
+    bronze = make_bronze(
+        spark,
+        [
+            bronze_row(receipt_id="dp1", receiver=pot, method="new",
+                       args={"owner": "own.near", "pot_name": "P"}, ordinal=0),
+            bronze_row(receipt_id="rb1", receiver="lists.potlock.near",
+                       method="register_batch", success=regs, ordinal=1),
+            bronze_row(receipt_id="sa1", receiver=pot, method="apply",
+                       success={"project_id": "proj.near", "message": "hi",
+                                "status": "Pending", "submitted_at": 1700000000000},
+                       ordinal=2),
+            bronze_row(receipt_id="uv1", receiver="lists.potlock.near",
+                       method="upvote", args={"list_id": 9}, ordinal=3),
+            bronze_row(receipt_id="cp1", receiver=pot, method="challenge_payouts",
+                       args={"reason": "bad math"}, ordinal=4),
+            bronze_row(receipt_id="ra1", receiver="lists.potlock.near",
+                       method="owner_remove_admins",
+                       args={"list_id": 9, "admins": ["x.near"]}, ordinal=5),
+            # second removal receipt — must collapse with the first on merge
+            bronze_row(receipt_id="ra2", receiver="lists.potlock.near",
+                       method="owner_remove_admins",
+                       args={"list_id": 10, "admins": ["y.near"]}, ordinal=6),
+            # routing negatives: right method, wrong receiver
+            bronze_row(receipt_id="nx1", receiver="elsewhere.near", method="new",
+                       args={}, ordinal=7),
+            bronze_row(receipt_id="nx2", receiver="elsewhere.near", method="upvote",
+                       args={"list_id": 1}, ordinal=8),
+        ],
+    )
+    acts = normalize.non_donation_activities(normalize.prepare(bronze)).collect()
+    by_type = {}
+    for r in acts:
+        by_type.setdefault(r["type"], []).append(r)
+    assert set(by_type) == {
+        "Deploy_Pot", "Register_Batch", "Submit_Application",
+        "Upvote", "Challenge_Payout", "Remove_List_Admin",
+    }
+    assert json.loads(by_type["Deploy_Pot"][0]["action_result"])["pot_name"] == "P"
+    # Register_Batch: action_result is the WHOLE decoded array; timestamp
+    # comes from the first registration's submitted_ms (utils.py:438)
+    rb = by_type["Register_Batch"][0]
+    assert [r["id"] for r in json.loads(rb["action_result"])] == [1, 2]
+    assert rb["timestamp"].isoformat().startswith("2023-11-14T22:13:20")
+    assert json.loads(by_type["Submit_Application"][0]["action_result"])["project_id"] == "proj.near"
+    assert json.loads(by_type["Upvote"][0]["action_result"])["list_id"] == 9
+    assert json.loads(by_type["Challenge_Payout"][0]["action_result"])["reason"] == "bad math"
+    # Remove_List_Admin: two receipts, both with NULL action_result
+    assert len(by_type["Remove_List_Admin"]) == 2
+    assert all(r["action_result"] is None for r in by_type["Remove_List_Admin"])
+    assert all(r["tx_hash"] for r in acts)
+
+    # through the silver merge: (action_result, type) key collapses the two
+    # Remove_List_Admin rows to one, last writer wins — the reference's
+    # aupdate_or_create(type=...) quirk (utils.py:801)
+    out = run_batch(bronze)
+    silver = out["activities"].collect()
+    rm = [r for r in silver if r["type"] == "Remove_List_Admin"]
+    assert len(rm) == 1 and rm[0]["tx_hash"] == "ra2"
+    assert {r["type"] for r in silver} >= {
+        "Deploy_Pot", "Register_Batch", "Submit_Application",
+        "Upvote", "Challenge_Payout", "Remove_List_Admin",
+    }

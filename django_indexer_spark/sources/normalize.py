@@ -278,6 +278,70 @@ def donation_activities(donation_rows: DataFrame) -> DataFrame:
     )
 
 
+def tokens(donation_rows: DataFrame) -> DataFrame:
+    """Token entity skeleton from the donation stream (utils.py:917-943):
+    every donation's ft token (or 'near') is get_or_create'd with
+    decimals=24 and metadata left for the RPC fetch. The fetch is
+    out-of-engine (SURVEY §2.1); streaming.enrich merges its output into
+    THIS table with version = fetch-time ns, so under last-writer-wins
+    the skeleton (version 0, identical every replay) never clobbers
+    fetched metadata and replays are idempotent by construction."""
+    return (
+        donation_rows.select(F.coalesce(F.col("token_id"), F.lit("near")).alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("symbol"),
+            F.lit(None).cast("string").alias("icon"),
+            F.lit(24).cast("int").alias("decimals"),  # utils.py:919 default
+            F.lit(None).cast("string").alias("coingecko_id"),
+            F.lit(0).cast("long").alias("version"),
+        )
+    )
+
+
+def token_price_requests(donation_rows: DataFrame) -> DataFrame:
+    """TokenHistoricalPrice request skeletons (tokens/models.py:64-104):
+    the reference prices each donation by looking up a (token, ±24 h)
+    window and creating the row on miss via Coingecko's per-DATE history
+    endpoint (format_date, base/utils.py:4-8) — so (token_id, date_key)
+    is the natural key. Bronze emits the key with a NULL price at
+    version 0; the T5 repair loop re-picks NULL-USD rows and the enrich
+    merge (version = fetch-time ns) fills them, never the other way."""
+    return (
+        donation_rows.select(
+            F.coalesce(F.col("token_id"), F.lit("near")).alias("token_id"),
+            F.date_format("donated_at", "dd-MM-yyyy").alias("date_key"),
+        )
+        .distinct()
+        .select(
+            "token_id",
+            "date_key",
+            F.lit(None).cast("double").alias("price_usd"),
+            F.lit(0).cast("long").alias("version"),
+        )
+    )
+
+
+def chains(prepared: DataFrame) -> DataFrame:
+    """Chain dimension (chains/models.py:5-48): the reference FKs
+    donations/pots to a Chain but the NEAR indexer only ever writes the
+    default NEAR row — materialized here so the FK target exists as a
+    first-class silver table. One constant row per non-empty batch;
+    evm_chain_id NULL because evm_compat is false (the model's
+    evm_chain_id_check constraint)."""
+    return prepared.limit(1).select(
+        F.lit("NEAR").alias("name"),
+        F.lit("near").alias("name_slug"),
+        F.lit("https://rpc.mainnet.near.org").alias("rpc_url"),
+        F.lit("https://nearblocks.io").alias("explorer_url"),
+        F.lit(False).alias("evm_compat"),
+        F.lit(None).cast("int").alias("evm_chain_id"),
+        F.lit(0).cast("long").alias("version"),
+    )
+
+
 def non_donation_activities(
     prepared: DataFrame,
     lists_contract: str = LISTS_CONTRACT,

@@ -23,6 +23,47 @@ def paginate(df: DataFrame, order_by: list, page: int = 1, page_size: int = DEFA
     return df.orderBy(*order_by).offset((page - 1) * page_size).limit(page_size)
 
 
+def paginate_after(
+    df: DataFrame,
+    keys: list[str],
+    last_seen: tuple | list | None = None,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    descending: bool = False,
+) -> DataFrame:
+    """O3 at 100× — keyset (seek) pagination: the page AFTER cursor
+    ``last_seen`` (the previous page's final key tuple; None → first page).
+
+    Offset pagination re-sorts the whole prefix: page p costs every task
+    an O(p·size) heap plus a driver merge of p·size rows — fine for page
+    2, pathological for page 10⁴ (the deep-crawl shape the reference's
+    DRF paginator hits on /accounts). The seek form turns the prefix into
+    a PREDICATE on the ordering keys, so the scan prunes (parquet
+    min/max + pushed filter — at scale the ordering key is the sort/
+    bucket column, so whole files skip), and every page costs the same
+    O(page_size) heap regardless of depth.
+
+    ``keys`` is the total order (O2 convention: must be unique as a
+    tuple); ``last_seen`` matches it positionally. The lexicographic
+    row-comparison (k1,k2) > (c1,c2) is expanded to the OR-of-prefix
+    form because Spark SQL has no row-value comparison predicate.
+    Walking pages by cursor partitions the ordered set exactly — the
+    property tests/test_properties.py checks."""
+    cols = [F.col(k) for k in keys]
+    if last_seen is not None:
+        vals = list(last_seen) if isinstance(last_seen, (list, tuple)) else [last_seen]
+        if len(vals) != len(cols):
+            raise ValueError(f"cursor arity {len(vals)} != key arity {len(cols)}")
+        pred = None
+        for i, c in enumerate(cols):
+            strict = c < F.lit(vals[i]) if descending else c > F.lit(vals[i])
+            for j in range(i):
+                strict = strict & (cols[j] == F.lit(vals[j]))
+            pred = strict if pred is None else pred | strict
+        df = df.filter(pred)
+    order = [c.desc() if descending else c.asc() for c in cols]
+    return df.orderBy(*order).limit(page_size)
+
+
 def top_k(df: DataFrame, order_by: list, k: int) -> DataFrame:
     """O4 — leaderboard head. Compiles to TakeOrderedAndProject: each task
     keeps a k-heap, driver merges — no global sort even at 100 TB."""

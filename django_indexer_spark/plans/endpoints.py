@@ -27,11 +27,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.joins import semi
-from ..operators.sorts import DEFAULT_PAGE_SIZE, paginate, seeded_sample_one
+from ..operators.sorts import DEFAULT_PAGE_SIZE, paginate, paginate_after, seeded_sample_one
 from . import domain
 
 
-def _page(df: DataFrame, order_by: list, page: int | None, page_size: int) -> DataFrame:
+def _page(
+    df: DataFrame,
+    keys: list[str],
+    page: int | None,
+    page_size: int,
+    after: tuple | None = None,
+) -> DataFrame:
+    """Route pagination: DRF-style page numbers (the reference's surface)
+    or keyset cursors (``after`` = last key tuple of the previous page —
+    the deep-crawl form; see operators.sorts.paginate_after). ``after``
+    wins when both are given; page=None and after=None → full ordered set."""
+    if after is not None:
+        return paginate_after(df, keys, last_seen=after, page_size=page_size)
+    order_by = [F.asc(k) for k in keys]
     if page is None:
         return df.orderBy(*order_by)
     return paginate(df, order_by, page=page, page_size=page_size)
@@ -41,11 +54,14 @@ def _page(df: DataFrame, order_by: list, page: int | None, page_size: int) -> Da
 
 
 def accounts_list(
-    accounts: DataFrame, page: int | None = None, page_size: int = DEFAULT_PAGE_SIZE
+    accounts: DataFrame,
+    page: int | None = None,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    after: tuple | None = None,
 ) -> DataFrame:
     """GET v1/accounts (AccountsListAPI, accounts/api.py:64-77): all
     accounts in the model's id ordering (accounts/models.py:64-65)."""
-    return _page(accounts, [F.asc("id")], page, page_size)
+    return _page(accounts, ["id"], page, page_size, after=after)
 
 
 def account_detail(accounts: DataFrame, account_id: str) -> DataFrame:
@@ -125,11 +141,14 @@ def donate_contract_config(config_events: DataFrame) -> DataFrame:
 
 
 def lists_list(
-    lists: DataFrame, page: int | None = None, page_size: int = DEFAULT_PAGE_SIZE
+    lists: DataFrame,
+    page: int | None = None,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    after: tuple | None = None,
 ) -> DataFrame:
     """GET v1/lists (ListsListAPI, lists/api.py): current list state
     (feed domain.current_lists output)."""
-    return _page(lists, [F.asc("id")], page, page_size)
+    return _page(lists, ["id"], page, page_size, after=after)
 
 
 def list_detail(lists: DataFrame, list_id: int) -> DataFrame:
@@ -161,11 +180,14 @@ def list_random_registration(
 
 
 def pots_list(
-    pots: DataFrame, page: int | None = None, page_size: int = DEFAULT_PAGE_SIZE
+    pots: DataFrame,
+    page: int | None = None,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    after: tuple | None = None,
 ) -> DataFrame:
     """GET v1/pots (PotsListAPI, pots/api.py): feed domain.pot_stats
     output for the stat-bearing serializer fields."""
-    return _page(pots, [F.asc("account_id")], page, page_size)
+    return _page(pots, ["account_id"], page, page_size, after=after)
 
 
 def pot_detail(pots: DataFrame, pot_id: str) -> DataFrame:

@@ -596,6 +596,19 @@ def o3_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorts.paginate(c, [F.asc("c_custkey")], page=2, page_size=30)
 
 
+@query("o3_keyset_page")
+def o3_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 at depth — keyset pagination on a COMPOSITE total order
+    (c_mktsegment, c_custkey): the page after cursor ('BUILDING', 500).
+    The cursor becomes a lexicographic filter the scan can prune on, so
+    page 10⁴ costs what page 1 costs — the deep-crawl replacement for
+    o3_pagination's offset form (operators/sorts.py:paginate_after)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return sorts.paginate_after(
+        c, ["c_mktsegment", "c_custkey"], last_seen=("BUILDING", 500), page_size=30
+    )
+
+
 @query("o4_top_k")
 def o4_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 leaderboard head (O1 sort + limit): top 25 customers by balance,

@@ -212,6 +212,15 @@ SELECT c_custkey, c_name, c_acctbal
 FROM customer ORDER BY c_custkey LIMIT 30 OFFSET 30
 """
 
+ORACLES["o3_keyset_page"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_mktsegment > 'BUILDING'
+   OR (c_mktsegment = 'BUILDING' AND c_custkey > 500)
+ORDER BY c_mktsegment, c_custkey
+LIMIT 30
+"""
+
 ORACLES["o4_top_k"] = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 25

@@ -38,6 +38,11 @@ def test_accounts_routes(spark):
     ]
     assert endpoints.account_detail(accounts, "bob.near").count() == 1
     assert endpoints.account_detail(accounts, "nobody.near").count() == 0
+    # keyset cursor: the page AFTER alice == what page 2 serves
+    assert [
+        r["id"]
+        for r in endpoints.accounts_list(accounts, after=("alice.near",), page_size=2).collect()
+    ] == ["bob.near", "carol.near"]
 
 
 def test_account_donation_routes_are_symmetric(spark):

@@ -87,6 +87,33 @@ def test_pagination_partitions_any_sized_set(spark, n, page_size):
     assert seen == list(range(n))
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(0, 120), page_size=st.integers(1, 40))
+def test_keyset_pagination_partitions_any_sized_set(spark, n, page_size):
+    """Walking all pages by cursor partitions the ordered set — the seek
+    twin of the offset property above, on a COMPOSITE (grp, k) order so
+    the lexicographic cursor predicate is exercised across group
+    boundaries."""
+    df = spark.range(n).select(
+        (F.col("id") % 3).alias("grp"), F.col("id").alias("k")
+    )
+    expect = sorted((i % 3, i) for i in range(n))
+    seen: list[tuple[int, int]] = []
+    cursor = None
+    while True:
+        chunk = [
+            (r["grp"], r["k"])
+            for r in sorts.paginate_after(
+                df, ["grp", "k"], last_seen=cursor, page_size=page_size
+            ).collect()
+        ]
+        if not chunk:
+            break
+        seen.extend(chunk)
+        cursor = chunk[-1]
+    assert seen == expect
+
+
 # ------------------------------------------------- silver store vs dict model
 
 BATCHES = st.lists(

@@ -28,6 +28,7 @@ is imported here.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,10 +36,22 @@ from pyspark.sql import functions as F
 
 from ..sources import silver
 
+log = logging.getLogger(__name__)
+
 Fetch = Callable[[list[str]], dict[str, dict]]
 
 # token-price dimension row (S5): the fields utils.py:917-943 persists
 PRICE_DIM_SCHEMA = "token_id string, price_usd double, fetched_at_ms long, version long"
+
+
+# per-trigger ceiling on keys pulled to the driver for fetching. A
+# steady-state batch has a handful of new tokens, but a COLD-START batch
+# over a historical backfill can carry millions of distinct keys — an
+# unbounded collect would buffer them all driver-side before the first
+# HTTP call. The cap bounds driver memory AND per-trigger HTTP work; the
+# left-anti join re-surfaces everything uncollected next trigger, so the
+# remainder drains at max_keys per trigger with no bookkeeping.
+DEFAULT_MAX_KEYS_PER_TRIGGER = 10_000
 
 
 def refresh_dimension(
@@ -50,15 +63,31 @@ def refresh_dimension(
     batch_id: int = 0,
     n_buckets: int = 4,
     schema: str = PRICE_DIM_SCHEMA,
+    max_keys: int = DEFAULT_MAX_KEYS_PER_TRIGGER,
 ) -> int:
     """One foreachBatch step: fetch + merge the batch's missing dim keys.
     Returns the number of keys fetched (0 → the transport was not called).
-    """
+
+    At most ``max_keys`` keys are collected/fetched per call; a logged
+    remainder stays missing and is picked up by the next trigger's
+    left-anti join (eventual consistency, one extra trigger per
+    ``max_keys`` of backlog)."""
     wanted = batch.select(key_col).where(F.col(key_col).isNotNull()).distinct()
     existing = silver.read_table(spark, dim_dir)
     if existing is not None:
         wanted = wanted.join(existing.select(key_col), key_col, "left_anti")
-    missing = sorted(r[0] for r in wanted.collect())  # ≤ batch distinct keys
+    # deterministic drain order; +1 probes for an over-limit remainder
+    # without a separate count() job over the full key set
+    head = wanted.orderBy(key_col).limit(max_keys + 1).collect()
+    if len(head) > max_keys:
+        log.warning(
+            "enrich[%s]: key backlog exceeds max_keys=%d; deferring remainder "
+            "to the next trigger",
+            dim_dir,
+            max_keys,
+        )
+        head = head[:max_keys]
+    missing = sorted(r[0] for r in head)  # ≤ max_keys
     if not missing:
         return 0
     fetched = fetch(missing)

@@ -304,6 +304,41 @@ def test_enrich_fetches_only_missing_keys_once(spark, tmp_path):
     assert prices == {"near": 4.0, "usdc.near": 9.0, "aurora": 6.0}
 
 
+def test_enrich_over_limit_batch_drains_across_triggers(spark, tmp_path):
+    """A cold-start batch with more missing keys than max_keys fetches
+    exactly max_keys (deterministic order) and leaves the remainder for
+    the next triggers' left-anti joins — bounded driver memory, no
+    bookkeeping, full drain in ceil(backlog/max_keys) triggers."""
+    from django_indexer_spark.streaming import enrich
+
+    dim = str(tmp_path / "token_prices")
+    calls: list[list[str]] = []
+
+    def fake_fetch(keys):
+        calls.append(keys)
+        return {k: {"price_usd": 1.0, "fetched_at_ms": 1_700_000_000_000} for k in keys}
+
+    backlog = spark.createDataFrame([(f"t{i:02d}",) for i in range(5)], "token_id string")
+    assert enrich.refresh_dimension(
+        spark, backlog, dim, "token_id", fake_fetch, batch_id=1, max_keys=2
+    ) == 2
+    assert calls[-1] == ["t00", "t01"]
+    assert enrich.refresh_dimension(
+        spark, backlog, dim, "token_id", fake_fetch, batch_id=2, max_keys=2
+    ) == 2
+    assert calls[-1] == ["t02", "t03"]
+    assert enrich.refresh_dimension(
+        spark, backlog, dim, "token_id", fake_fetch, batch_id=3, max_keys=2
+    ) == 1
+    assert calls[-1] == ["t04"]
+    # drained: transport no longer called
+    assert enrich.refresh_dimension(
+        spark, backlog, dim, "token_id", fake_fetch, batch_id=4, max_keys=2
+    ) == 0
+    assert len(calls) == 3
+    assert silver.read_table(spark, dim).count() == 5
+
+
 def test_enrich_stream_end_to_end_with_mock_transport(spark, tmp_path):
     """The streaming shape: a file stream of token events keeps the price
     dim fresh via foreachBatch; executors never call the transport (it

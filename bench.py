@@ -68,7 +68,10 @@ HEADLINE = [
     "ts_moving_avg",           # bounded rows-frame window
     "q3_shipping_priority",    # TPC-H Q3: filter-join-agg top-k
     "q10_returned_items",      # TPC-H Q10: quarter-return revenue top-k
-    "graph_pagerank",          # 3-round decimal-exact PageRank
+    "graph_pagerank",          # 5-round decimal-exact PageRank (per-round checkpoint)
+    # round-3 additions: activity feed + keyset pagination
+    "activity_feed_by_type",   # multi-type classify + null-key dedup rollup
+    "o3_keyset_page",          # seek pagination (pushed cursor predicate)
 ]
 
 

@@ -87,6 +87,25 @@ def test_leaderboard_rank_bounds_input_before_window(spark):
     assert bound_at > window_at  # executed bottom-up: bound sits BELOW the window
 
 
+def test_keyset_page_pushes_cursor_and_heaps(spark):
+    # the deep-page story: cursor predicate reaches the parquet scan
+    # (files prune on key min/max) and the page is a TakeOrderedAndProject
+    # heap — no offset, no global sort, page depth never appears
+    plan = plan_of(spark, "o3_keyset_page")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [Or(GreaterThan(c_mktsegment,BUILDING)" in plan
+    assert "Exchange" not in plan  # scan → local heaps → driver merge
+
+
+def test_activity_feed_single_window_shuffle(spark):
+    # classify → dedup-window → rollup: ONE exchange feeds the window
+    # (hash by the dedup key) and AQE reuses it for the type rollup —
+    # a second full shuffle of the feed would double the IO at 100 TB
+    plan = plan_of(spark, "activity_feed_by_type")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" in plan  # rank pushdown prunes losers early
+
+
 def test_no_python_udfs_in_gate_queries(spark):
     # the whole §2 parity surface is JVM-side: no BatchEvalPython /
     # ArrowEvalPython stages anywhere

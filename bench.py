@@ -72,6 +72,8 @@ HEADLINE = [
     # round-3 additions: activity feed + keyset pagination
     "activity_feed_by_type",   # multi-type classify + null-key dedup rollup
     "o3_keyset_page",          # seek pagination (pushed cursor predicate)
+    "dedup_fuzzy_names",       # blocked thresholded-levenshtein fuzzy dedup
+    "ts_range_window",         # trailing-hour RANGE frame window
 ]
 
 

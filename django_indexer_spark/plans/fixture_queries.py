@@ -1512,6 +1512,63 @@ def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ts_range_window")
+def ts_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the value-based twin of ts_moving_avg's rows
+    frame): per event, how many same-user events — and the sum of their
+    integer payloads — landed in the trailing hour [ts-1h, ts]. The frame
+    is defined by the ORDER VALUE, not row count, so it's the primitive
+    behind rate-limiting, burst detection, and trailing-window features.
+    One shuffle on user_id; Spark evaluates the frame with a sliding
+    two-pointer over each partition (O(n) amortized, no per-row rescan).
+    Counts and integer sums only — exact in both engines."""
+    e = _events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    k = F.get_json_object("props", "$.k").cast("long")
+    frame = (
+        Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(frame).cast("long").alias("trailing_n"),
+        F.sum(k).over(frame).alias("trailing_k_sum"),
+    )
+
+
+@query("dedup_fuzzy_names")
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup with blocking — the string-similarity
+    member of the dedup family (exact/minhash/simhash/ngram/embedding all
+    have gate queries; this is the typo-matching tier). Candidates meet
+    only inside a blocking bucket (equi-join on c_nationkey — the
+    'dedup within scope' shape), never all-pairs; a length-difference
+    pre-filter discards rows before the DP runs; and the distance itself
+    is Spark's THRESHOLDED levenshtein (banded DP: O(n·k) per pair, -1
+    past the bound, so far pairs cost almost nothing). All three tricks
+    are what keep edit-distance dedup feasible at corpus scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (
+                F.abs(F.length(F.col("a.c_name")) - F.length(F.col("b.c_name"))) <= 1
+            ),
+        )
+        .select(
+            F.col("a.c_custkey").alias("c1"),
+            F.col("b.c_custkey").alias("c2"),
+            F.col("a.c_nationkey").cast("long").alias("block"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
 @query("setop_intersect_except")
 def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT set-op family (§2.7 beyond union+dedup):

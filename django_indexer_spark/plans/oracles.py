@@ -1265,6 +1265,33 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC),
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
+ORACLES["ts_range_window"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       CAST(count(*) OVER f AS BIGINT) AS trailing_n,
+       sum(k) OVER f AS trailing_k_sum
+FROM e
+WINDOW f AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["dedup_fuzzy_names"] = """
+SELECT a.c_custkey AS c1,
+       b.c_custkey AS c2,
+       CAST(a.c_nationkey AS BIGINT) AS block,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
 ORACLES["setop_intersect_except"] = """
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 INTERSECT

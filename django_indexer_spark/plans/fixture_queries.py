@@ -1539,34 +1539,60 @@ def ts_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_fuzzy_names")
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy dedup with blocking — the string-similarity
-    member of the dedup family (exact/minhash/simhash/ngram/embedding all
-    have gate queries; this is the typo-matching tier). Candidates meet
-    only inside a blocking bucket (equi-join on c_nationkey — the
-    'dedup within scope' shape), never all-pairs; a length-difference
-    pre-filter discards rows before the DP runs; and the distance itself
-    is Spark's THRESHOLDED levenshtein (banded DP: O(n·k) per pair, -1
-    past the bound, so far pairs cost almost nothing). All three tricks
-    are what keep edit-distance dedup feasible at corpus scale."""
+    """Edit-distance fuzzy dedup — the typo-matching tier of the dedup
+    family (exact/minhash/simhash/ngram/embedding have gate queries).
+    Same-nation customer-name pairs within levenshtein distance 1.
+
+    Candidate generation is DELETION-NEIGHBORHOOD signatures (the
+    symmetric-delete / Pass-Join pigeonhole): each name emits itself plus
+    every single-char-deletion variant; two strings within distance 1
+    ALWAYS share a signature (substitution → same-position deletions
+    collide; insert/delete → the shorter string IS a variant of the
+    longer). Join on the signature, then verify survivors with Spark's
+    THRESHOLDED levenshtein (banded DP, -1 past the bound) — shared
+    deletion signatures can also mean distance 2, so the verify is
+    load-bearing, same sketch-then-verify shape as minhash→jaccard.
+
+    Why not block on nationkey alone: that block grows LINEARLY with the
+    corpus, so its pair count grows quadratically — 12.9 s at sf0.1 and
+    dead at 100×. A signature bucket only holds strings one edit apart,
+    so bucket size is set by name collision density, not corpus size:
+    candidates stay O(n · bucket), the shuffle is one equi-join on the
+    signature, and the plan survives the scale-up (same argument as
+    dedup.minhash_bands' band buckets)."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
-    return (
+    # identity + one-deletion variants, deduped (repeated chars collide)
+    sigs = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(
+            F.expr(
+                "array_union(array(c_name), transform(sequence(1, length(c_name)),"
+                " i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))))"
+            )
+        ).alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (
-                F.abs(F.length(F.col("a.c_name")) - F.length(F.col("b.c_name"))) <= 1
-            ),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
             F.col("a.c_custkey").alias("c1"),
             F.col("b.c_custkey").alias("c2"),
             F.col("a.c_nationkey").cast("long").alias("block"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1).alias("dist"),
+            F.col("a.c_name").alias("n1"),
+            F.col("b.c_name").alias("n2"),
         )
-        .filter(F.col("dist") >= 0)
+        .distinct()  # a pair can share several signatures
     )
+    return cand.select(
+        "c1", "c2", "block", F.levenshtein("n1", "n2", 1).alias("dist")
+    ).filter(F.col("dist") >= 0)
 
 
 @query("setop_intersect_except")

@@ -106,6 +106,15 @@ def test_activity_feed_single_window_shuffle(spark):
     assert "WindowGroupLimit" in plan  # rank pushdown prunes losers early
 
 
+def test_fuzzy_dedup_joins_on_signature_equality(spark):
+    # candidate generation must be the signature EQUI-join — a nested-loop
+    # over name pairs is the quadratic shape this query exists to avoid
+    plan = plan_of(spark, "dedup_fuzzy_names")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "sig" in plan  # join keys carry the deletion signature
+
+
 def test_no_python_udfs_in_gate_queries(spark):
     # the whole §2 parity surface is JVM-side: no BatchEvalPython /
     # ArrowEvalPython stages anywhere

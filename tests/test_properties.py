@@ -157,3 +157,27 @@ def test_silver_store_matches_dict_model(spark, tmp_path_factory, batches, keep)
         r["k"]: (r["v"], r["version"]) for r in got_df.collect()
     }
     assert {k: v[1] for k, v in got.items()} == {k: v[1] for k, v in model.items()}
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    s=st.text(alphabet="ab1", min_size=1, max_size=8),
+    edit=st.tuples(st.integers(0, 7), st.sampled_from("ab1"), st.sampled_from("sid")),
+)
+def test_deletion_signatures_cover_all_distance1_pairs(s, edit):
+    """The pigeonhole behind dedup_fuzzy_names: ANY string within edit
+    distance 1 of s shares a deletion-neighborhood signature with s.
+    Pure-Python mirror of the SQL transform() expression."""
+    pos, ch, kind = edit
+    pos = pos % len(s)
+    if kind == "s":
+        t = s[:pos] + ch + s[pos + 1 :]
+    elif kind == "i":
+        t = s[:pos] + ch + s[pos:]
+    else:
+        t = s[:pos] + s[pos + 1 :]
+
+    def sigs(x: str) -> set:
+        return {x} | {x[:i] + x[i + 1 :] for i in range(len(x))}
+
+    assert sigs(s) & sigs(t), (s, t)

@@ -307,6 +307,61 @@ def duplicate_ngram_fraction(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame, text_col: str, group_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every pair of corpus
+    sources, how many distinct n-grams they share and the Jaccard overlap
+    in basis points. The between-dumps twin of duplicate_ngram_fraction's
+    within-corpus signal — it answers "which sources re-crawl each other"
+    (CommonCrawl snapshots, mirrored sites) and prioritizes which source
+    pairs need cross-dedup before training.
+
+      (s1, s2, n1, n2, n_common, jaccard_bp)   for all s1 < s2
+
+    Exact, integer-only (DIV basis points) → bit-stable cross-engine.
+
+    Scale shape: one distinct over (source, gram) — map-side partial —
+    then a self-equi-join keyed on the GRAM. Per-gram fanout is bounded
+    by the number of sources containing it (≤ |S|, and the output matrix
+    is |S|²/2 rows — driver-safe for any realistic source count), so the
+    join never goes all-pairs over documents. The full matrix comes from
+    the tiny sizes⨯sizes frame left-joined to the observed overlaps, so
+    zero-overlap pairs appear explicitly."""
+    toks = df.select(F.col(group_col).alias("src"), tokenize(text_col).alias("__toks"))
+    grams = (
+        toks.select(
+            "src", F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram")
+        )
+        .filter(F.size(F.split(F.col("gram"), " ")) >= n)
+        .distinct()
+    )
+    sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("s1"), F.col("b.src").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = sa.join(sb, F.col("sa.src") < F.col("sb.src")).select(
+        F.col("sa.src").alias("s1"),
+        F.col("sb.src").alias("s2"),
+        F.col("sa.n_grams").alias("n1"),
+        F.col("sb.n_grams").alias("n2"),
+    )
+    return pairs.join(common, ["s1", "s2"], "left").select(
+        "s1",
+        "s2",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce(
+            F.expr("n_common * 10000 div (n1 + n2 - n_common)"), F.lit(0)
+        ).cast("long").alias("jaccard_bp"),
+    )
+
+
 ROLLING_MOD = 2147483647  # 2^31-1: keeps acc*31+code inside int64
 
 

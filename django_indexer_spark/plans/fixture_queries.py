@@ -1339,6 +1339,16 @@ def dedup_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_ngram_fraction(docs, "text", "doc_id", n=8)
 
 
+@query("dedup_source_overlap")
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram overlap matrix (which corpus sources re-crawl
+    each other → which pairs need cross-dedup before training). Full
+    |S|²/2 matrix with exact Jaccard basis points; the join is keyed on
+    the gram, never all-pairs over documents."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return dedup.source_overlap_matrix(docs, "text", "source", n=8)
+
+
 @query("text_vocab_topk")
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: token → total occurrences + doc frequency,

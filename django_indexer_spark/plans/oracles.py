@@ -1062,6 +1062,31 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
+ORACLES["dedup_source_overlap"] = f"""
+WITH base AS (
+  SELECT source AS src, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT DISTINCT src, gram FROM (
+    SELECT src, unnest({_GRAMS8}) AS gram FROM base
+  ) WHERE len(string_split(gram, ' ')) >= 8
+), sizes AS (
+  SELECT src, count(*) AS n_grams FROM g GROUP BY src
+), common AS (
+  SELECT a.src AS s1, b.src AS s2, count(*) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT sa.src AS s1, sb.src AS s2,
+       CAST(sa.n_grams AS BIGINT) AS n1,
+       CAST(sb.n_grams AS BIGINT) AS n2,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(n_common * 10000 // (sa.n_grams + sb.n_grams - n_common), 0)
+            AS BIGINT) AS jaccard_bp
+FROM sizes sa
+JOIN sizes sb ON sa.src < sb.src
+LEFT JOIN common ON common.s1 = sa.src AND common.s2 = sb.src
+"""
+
 ORACLES["text_vocab_topk"] = f"""
 WITH t AS (
   SELECT doc_id, unnest({_TOKS}) AS token FROM documents

@@ -39,6 +39,15 @@ few GB (4096 for a 10 TB table); it is recorded in the manifest and fixed
 for the table's life (changing it is a full rewrite, as with any bucketed
 layout). Readers get bucket-pruned point lookups for free:
 ``read_table(..., buckets=[bucket_of(key)])``.
+
+Time travel: with ``merge_batch(..., retain_history=True)`` each publish
+also snapshots the manifest as ``manifest-v{batch_id}.json`` and skips
+bucket-version GC, so ``read_table(..., at_batch=N)`` reconstructs the
+table exactly as of batch N (snapshot isolation by construction — old
+bucket dirs are immutable and still referenced). Storage grows by the
+rewritten buckets per retained batch; ``vacuum_history(keep_last=k)``
+drops old snapshots and ``vacuum`` (which honors snapshot references)
+reclaims their dirs — the Delta/Iceberg VACUUM + RETAIN shape.
 """
 
 from __future__ import annotations
@@ -67,12 +76,32 @@ def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST)
 
 
-def read_manifest(table_dir: str) -> dict | None:
+def read_manifest(table_dir: str, at_batch: int | None = None) -> dict | None:
+    """Current manifest, or — with ``at_batch`` — the retained snapshot
+    manifest published by that batch (None if never written or vacuumed)."""
+    path = (
+        _manifest_path(table_dir)
+        if at_batch is None
+        else os.path.join(table_dir, f"manifest-v{at_batch}.json")
+    )
     try:
-        with open(_manifest_path(table_dir)) as f:
+        with open(path) as f:
             return json.load(f)
     except (FileNotFoundError, NotADirectoryError):
         return None
+
+
+def history(table_dir: str) -> list[int]:
+    """Batch ids with a retained snapshot manifest, ascending."""
+    try:
+        entries = os.listdir(table_dir)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    out = []
+    for e in entries:
+        if e.startswith("manifest-v") and e.endswith(".json"):
+            out.append(int(e[len("manifest-v") : -len(".json")]))
+    return sorted(out)
 
 
 def _write_manifest_atomic(table_dir: str, manifest: dict) -> None:
@@ -102,12 +131,15 @@ def read_table(
     table_dir: str,
     buckets: list[int] | None = None,
     keep_bucket_col: bool = False,
+    at_batch: int | None = None,
 ) -> DataFrame | None:
     """Current snapshot of a silver table (None if absent/empty). With
     ``buckets``, reads only those bucket dirs — partition pruning by
     construction: unrequested buckets never appear in the scan's file list.
+    With ``at_batch``, time-travel: read the table as of that retained
+    batch's snapshot manifest (requires merge_batch(retain_history=True)).
     """
-    manifest = read_manifest(table_dir)
+    manifest = read_manifest(table_dir, at_batch=at_batch)
     if manifest is None or not manifest["buckets"]:
         return None
     paths = current_paths(table_dir, manifest, buckets)
@@ -118,17 +150,24 @@ def read_table(
 
 
 def vacuum(table_dir: str) -> list[str]:
-    """Remove everything the manifest does not reference: version dirs
-    orphaned by a crash between publish and GC, and abandoned staging
-    dirs. Safe at any point BETWEEN merges (the manifest is the readers'
-    single source of truth, so unreferenced dirs are invisible) — but not
-    concurrently with an active writer, whose staging dir is not yet
-    referenced by design (single-writer assumption, as with any
-    pointer-commit table format). Returns removed paths."""
+    """Remove everything no manifest references: version dirs orphaned by
+    a crash between publish and GC, version dirs whose only references
+    were vacuumed snapshots, and abandoned staging dirs. Liveness is the
+    UNION of the current manifest and every retained snapshot manifest,
+    so time-travel reads never lose their files. Safe at any point
+    BETWEEN merges (manifests are the readers' single source of truth,
+    so unreferenced dirs are invisible) — but not concurrently with an
+    active writer, whose staging dir is not yet referenced by design
+    (single-writer assumption, as with any pointer-commit table format).
+    Returns removed paths."""
     manifest = read_manifest(table_dir)
     if manifest is None:
         return []
     live = {(f"b{b}", v) for b, v in manifest["buckets"].items()}
+    for batch_id in history(table_dir):
+        snap = read_manifest(table_dir, at_batch=batch_id)
+        if snap:
+            live |= {(f"b{b}", v) for b, v in snap["buckets"].items()}
     removed: list[str] = []
     for entry in sorted(os.listdir(table_dir)):
         p = os.path.join(table_dir, entry)
@@ -144,6 +183,21 @@ def vacuum(table_dir: str) -> list[str]:
     return removed
 
 
+def vacuum_history(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshot manifests (the
+    RETAIN knob). Removes only the small manifest files; the bucket dirs
+    they referenced become unreferenced and are reclaimed by the next
+    ``vacuum``. Returns the dropped batch ids."""
+    snaps = history(table_dir)
+    drop = snaps[: max(0, len(snaps) - keep_last)]
+    for batch_id in drop:
+        try:
+            os.remove(os.path.join(table_dir, f"manifest-v{batch_id}.json"))
+        except FileNotFoundError:
+            pass
+    return drop
+
+
 def merge_batch(
     spark: SparkSession,
     table_dir: str,
@@ -153,12 +207,18 @@ def merge_batch(
     keep: str = "last",
     batch_id: int = 0,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    retain_history: bool = False,
 ) -> list[int]:
     """Merge one batch into the table, rewriting only touched buckets.
     Returns the touched bucket ids (empty batch -> no-op, []).
 
     Idempotent per (incoming, batch_id): Structured Streaming's replay of
     a failed batch re-stages and re-publishes the identical result.
+
+    ``retain_history=True`` additionally snapshots this publish as
+    ``manifest-v{batch_id}.json`` and skips superseded-version GC, so
+    ``read_table(..., at_batch=batch_id)`` can reconstruct this exact
+    state later (time travel); reclaim via vacuum_history + vacuum.
     """
     inc = incoming.withColumn(BUCKET_COL, bucket_expr(natural_key, n_buckets))
     inc = inc.persist()
@@ -214,21 +274,36 @@ def merge_batch(
         # ATOMIC publish: readers switch from old to new state in one rename
         new_buckets = dict(manifest["buckets"])
         new_buckets.update({str(b): vname for b in touched})
-        _write_manifest_atomic(
-            table_dir,
-            {
-                "n_buckets": n_buckets,
-                "buckets": new_buckets,
-                "last_batch_id": batch_id,
-            },
-        )
+        published = {
+            "n_buckets": n_buckets,
+            "buckets": new_buckets,
+            "last_batch_id": batch_id,
+        }
+        _write_manifest_atomic(table_dir, published)
 
-        # GC strictly after the swap: failures here leave garbage, not loss
-        for b, old_v in prev.items():
-            if old_v and old_v != vname:
-                shutil.rmtree(
-                    os.path.join(_bucket_dir(table_dir, b), old_v), ignore_errors=True
-                )
+        if retain_history:
+            # snapshot AFTER the main publish: a crash in between leaves a
+            # consistent current table, merely missing one history entry
+            # (the retry re-publishes both). Old bucket versions stay —
+            # prior snapshots reference them.
+            tmp = os.path.join(table_dir, f"manifest-v{batch_id}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(published, f)
+            os.replace(tmp, os.path.join(table_dir, f"manifest-v{batch_id}.json"))
+        else:
+            # GC strictly after the swap: failures leave garbage, not loss.
+            # Only versions no snapshot references (mixed-mode tables keep
+            # whatever history they accumulated until vacuum_history).
+            snap_live: set[tuple[str, str]] = set()
+            for hb in history(table_dir):
+                snap = read_manifest(table_dir, at_batch=hb)
+                if snap:
+                    snap_live |= {(f"b{b}", v) for b, v in snap["buckets"].items()}
+            for b, old_v in prev.items():
+                if old_v and old_v != vname and (f"b{b}", old_v) not in snap_live:
+                    shutil.rmtree(
+                        os.path.join(_bucket_dir(table_dir, b), old_v), ignore_errors=True
+                    )
         shutil.rmtree(staging, ignore_errors=True)
         return touched
     finally:

@@ -128,6 +128,41 @@ def _kv(spark, rows_):
     return spark.createDataFrame(rows_, "k string, v string, version long")
 
 
+def test_silver_time_travel_and_history_vacuum(spark, tmp_path):
+    """retain_history keeps every published state readable at_batch=N
+    (snapshot isolation: old bucket dirs are immutable and referenced);
+    vacuum honors snapshots; vacuum_history + vacuum reclaims them."""
+    d = str(tmp_path / "t")
+
+    def state(at=None):
+        df = silver.read_table(spark, d, at_batch=at)
+        return {} if df is None else {r["k"]: (r["v"], r["version"]) for r in df.collect()}
+
+    silver.merge_batch(spark, d, _kv(spark, [("a", "a1", 1), ("b", "b1", 1)]),
+                       ["k"], "version", batch_id=1, n_buckets=4, retain_history=True)
+    silver.merge_batch(spark, d, _kv(spark, [("a", "a2", 2), ("c", "c2", 2)]),
+                       ["k"], "version", batch_id=2, n_buckets=4, retain_history=True)
+    silver.merge_batch(spark, d, _kv(spark, [("b", "b3", 3)]),
+                       ["k"], "version", batch_id=3, n_buckets=4, retain_history=True)
+
+    assert silver.history(d) == [1, 2, 3]
+    assert state(at=1) == {"a": ("a1", 1), "b": ("b1", 1)}
+    assert state(at=2) == {"a": ("a2", 2), "b": ("b1", 1), "c": ("c2", 2)}
+    assert state(at=3) == state() == {"a": ("a2", 2), "b": ("b3", 3), "c": ("c2", 2)}
+
+    # vacuum with snapshots live reclaims nothing a snapshot needs
+    silver.vacuum(d)
+    assert state(at=1) == {"a": ("a1", 1), "b": ("b1", 1)}
+
+    # drop history to the latest snapshot, then vacuum reclaims the rest
+    assert silver.vacuum_history(d, keep_last=1) == [1, 2]
+    removed = silver.vacuum(d)
+    assert removed  # superseded bucket versions now actually freed
+    assert silver.history(d) == [3]
+    assert state(at=1) == {}  # snapshot gone
+    assert state(at=3) == state()  # current unaffected
+
+
 def test_silver_merge_rewrites_only_touched_buckets(spark, tmp_path):
     d = str(tmp_path / "t")
     silver.merge_batch(

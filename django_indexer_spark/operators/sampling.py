@@ -78,6 +78,33 @@ def stratified_hash_sample(
     return df.filter(b < thresh)
 
 
+def per_group_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Exactly min(N, |group|) rows per group, hash-deterministic — the
+    balanced-subset op (N eval docs per source/language, N examples per
+    label). Order within a group is (md5(salt|id), id): a pure key
+    function, so the SAME docs survive on any cluster, any partitioning,
+    any run — and adding new docs to a group only ever displaces the
+    hash-largest survivors (stable under append, like hash_sample).
+
+    Scale: one shuffle on the group key; the rank compiles to
+    WindowGroupLimit, so each map task pre-prunes to its local top-N
+    before the exchange — the shuffle carries at most tasks×N rows per
+    group, not the group."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     id_col: str,

@@ -988,6 +988,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@query("sample_per_group_cap")
+def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset: exactly 10 docs per source, hash-deterministic
+    (the N-eval-docs-per-source / N-per-label shape). Survivors are a
+    pure function of (salt, doc_id) — stable across clusters, runs, and
+    corpus appends; the rank compiles to WindowGroupLimit so map tasks
+    pre-prune before the one group-key shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.per_group_cap(docs, "doc_id", "source", 10).select(
+        "doc_id", "source", "lang"
+    )
+
+
 @query("text_length_buckets")
 def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing length bands: per-band doc count and token totals

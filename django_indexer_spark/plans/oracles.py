@@ -702,6 +702,14 @@ SELECT doc_id, lang, source FROM documents
 WHERE {_SAMPLE_B} < (CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 10000 ELSE 5000 END)
 """
 
+ORACLES["sample_per_group_cap"] = """
+SELECT doc_id, source, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5('cap' || '|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+) <= 10
+"""
+
 ORACLES["text_length_buckets"] = f"""
 WITH t AS (SELECT len({_TOKS}) AS n_tok FROM documents)
 SELECT CASE WHEN n_tok <= 16 THEN 'tiny'

@@ -1362,6 +1362,63 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_overlap_matrix(docs, "text", "source", n=8)
 
 
+@query("dedup_lsh_recall")
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality measurement: recall/precision of the minhash band
+    candidates against exact shingle-Jaccard ≥ 0.5 ground truth — THE
+    number that decides (num_hashes, bands) before a corpus-scale dedup
+    run commits to a band curve. Ground truth needs no cross join: a pair
+    with Jaccard > 0 shares a shingle, so the shingle-keyed self-join
+    reaches every true pair. The threshold test is integer-exact
+    (2·|A∩B| ≥ |A∪B| ⟺ J ≥ 0.5) and all outputs are counts/basis
+    points — bit-stable cross-engine. One row out."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", text.tokenize("text").alias("__toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text.word_ngrams_from_tokens(F.col("__toks"), 3))
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("__s_b"))
+    inter = (
+        a.join(b, (a["s"] == b["__s_b"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .filter(2 * F.col("n_inter") >= F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .select("doc_a", "doc_b")
+    )
+    bands = dedup.minhash_bands(docs, "text", "doc_id", num_hashes=8, bands=4)
+    cand = dedup.minhash_candidate_pairs(bands, "doc_id")
+    hit = truth.join(
+        cand,
+        (truth["doc_a"] == cand["id_a"]) & (truth["doc_b"] == cand["id_b"]),
+        "left_semi",
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.coalesce(F.expr("n_hit * 10000 div n_true"), F.lit(0)).alias("recall_bp"),
+            F.coalesce(F.expr("n_hit * 10000 div n_cand"), F.lit(0)).alias(
+                "precision_bp"
+            ),
+        )
+    )
+
+
 @query("text_vocab_topk")
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: token → total occurrences + doc frequency,

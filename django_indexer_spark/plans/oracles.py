@@ -395,6 +395,46 @@ ORACLES["dedup_minhash_bands"] = _BANDS_SQL
 ORACLES["dedup_minhash_pairs"] = _PAIRS_SQL
 
 
+ORACLES["dedup_lsh_recall"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM toks
+), sx AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sx GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+), cand AS ({_PAIRS_SQL}
+), agg AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t
+          JOIN cand c ON t.doc_a = c.id_a AND t.doc_b = c.id_b) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true = 0 THEN 0 ELSE n_hit * 10000 // n_true END AS BIGINT)
+         AS recall_bp,
+       CAST(CASE WHEN n_cand = 0 THEN 0 ELSE n_hit * 10000 // n_cand END AS BIGINT)
+         AS precision_bp
+FROM agg
+"""
+
+
 def _simhash_sql(bits: int = 32) -> str:
     """Mirrors dedup.simhash_table: rolling word hash
     fold((acc*31+ascii)%(2^31-1)), 32 ±1 bit votes, sign → bit."""

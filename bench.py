@@ -74,6 +74,8 @@ HEADLINE = [
     "o3_keyset_page",          # seek pagination (pushed cursor predicate)
     "dedup_fuzzy_names",       # blocked thresholded-levenshtein fuzzy dedup
     "ts_range_window",         # trailing-hour RANGE frame window
+    "dedup_source_overlap",    # cross-source n-gram overlap matrix
+    "dedup_lsh_recall",        # LSH band-curve recall/precision measurement
 ]
 
 

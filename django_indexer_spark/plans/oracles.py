@@ -503,6 +503,53 @@ QUALIFY rnk <= 5
 """
 
 
+def _rp_recall_sql(n_planes: int = 16, dim: int = 64, k: int = 5) -> str:
+    """Mirrors sim_rp_recall: 16 literal JL planes (plane_weights), exact
+    vs projected cosine top-k, per-query overlap in basis points."""
+    from ..operators.similarity import plane_weights
+
+    ws = plane_weights(n_planes, dim)
+    proj_list = "[" + ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], [{', '.join(repr(x) for x in ws[p])}]::DOUBLE[])"
+        for p in range(n_planes)
+    ) + "]"
+    pcos = (
+        "list_dot_product(q.p, c.p) / "
+        "(sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(c.p, c.p)))"
+    )
+    return f"""
+WITH exact_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_COS}, 6) AS cosine
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q,
+       embeddings c
+  WHERE q.vec_id <> c.vec_id
+), exact AS (
+  SELECT q_id, c_id FROM exact_scored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) <= {k}
+), pe AS (
+  SELECT vec_id, {proj_list} AS p FROM embeddings
+), rp_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({pcos}, 6) AS cosine
+  FROM (SELECT * FROM pe WHERE vec_id < 8) q, pe c
+  WHERE q.vec_id <> c.vec_id
+), rp AS (
+  SELECT q_id, c_id FROM rp_scored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) <= {k}
+), ov AS (
+  SELECT exact.q_id, count(*) AS n_overlap
+  FROM exact JOIN rp USING (q_id, c_id) GROUP BY 1
+)
+SELECT qv.vec_id AS q_id,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(n_overlap, 0) * 10000 // {k} AS BIGINT) AS recall_bp
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) qv
+LEFT JOIN ov ON ov.q_id = qv.vec_id
+"""
+
+
+ORACLES["sim_rp_recall"] = _rp_recall_sql(16, 64, 5)
+
+
 def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
     from ..operators.similarity import plane_weights
 

@@ -645,6 +645,28 @@ def setop_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("j_salted_skew")
+def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-busting salted join, oracle-proven result-invariant: revenue
+    by customer segment through salted_join (hot fact keys split across
+    16 salts, dim replicated per salt) must equal the plain join — the
+    oracle IS the unsalted SQL. The '30% of donations to one pot' shape
+    that AQE's runtime split can't fix when a single key exceeds executor
+    memory; here the salt both bounds per-task state and proves salting
+    changes the SHUFFLE, never the answer."""
+    from ..operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", n_salts=16
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 @query("t3_upsert_last_writer")
 def t3_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/T3 last-writer-wins upsert (update_or_create, utils.py:978-982):

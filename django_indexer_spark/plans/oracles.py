@@ -237,6 +237,14 @@ FROM (
 )
 """
 
+ORACLES["j_salted_skew"] = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
 ORACLES["t3_upsert_last_writer"] = """
 WITH all_rows AS (
   SELECT o_orderkey, o_custkey, o_totalprice, 1 AS version FROM orders

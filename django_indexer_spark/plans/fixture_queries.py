@@ -1734,6 +1734,43 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dist") >= 0)
 
 
+@query("ts_retention_cohorts")
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the user-lifecycle rollup every growth/
+    engagement dashboard runs (the reference's account-stats beat is its
+    one-dimensional cousin): users cohorted by first-activity week, then
+    for each week offset 0-3, how many were active again. Two shuffles
+    (user for the cohort min; (cohort, offset) for the matrix) over
+    integer week buckets of ts_us; counts and basis points only —
+    engine-exact. The distinct-per-cell aggregate is the 100 TB shape:
+    (user, week) pairs dedupe BEFORE the matrix rollup, so the wide
+    shuffle carries activity-weeks, not raw events."""
+    e = _events(spark, sf_dir)
+    week_us = 7 * 24 * 3_600_000_000
+    act = e.select(
+        "user_id", F.expr(f"ts_us div {week_us}").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = act.join(cohort, "user_id").select(
+        "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_cohort")
+    )
+    cells = (
+        joined.filter(F.col("offset") <= 3)
+        .groupBy("cohort_week", "offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_cohort").cast("long").alias("n_cohort"),
+        F.expr("n_active * 10000 div n_cohort").cast("long").alias("retention_bp"),
+    )
+
+
 @query("setop_intersect_except")
 def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT set-op family (§2.7 beyond union+dedup):

@@ -1420,6 +1420,28 @@ JOIN customer b
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
+ORACLES["ts_retention_cohorts"] = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+), joined AS (
+  SELECT a.user_id, c.cohort_week, a.week - c.cohort_week AS "offset"
+  FROM act a JOIN cohort c ON a.user_id = c.user_id
+), sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS n_cohort
+  FROM cohort GROUP BY cohort_week
+), cells AS (
+  SELECT cohort_week, "offset", count(DISTINCT user_id) AS n_active
+  FROM joined WHERE "offset" <= 3 GROUP BY cohort_week, "offset"
+)
+SELECT c.cohort_week, c."offset" AS offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       CAST(n_active * 10000 // n_cohort AS BIGINT) AS retention_bp
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
 ORACLES["setop_intersect_except"] = """
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 INTERSECT

@@ -1143,6 +1143,30 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a_histogram")
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 × 50k bins over order price, overflow
+    clamped into the top bin): the value-distribution aggregate behind
+    every price/length/score dashboard — equi-WIDTH, where a_ntile_bins
+    is the equi-DEPTH twin. Integer bin arithmetic, one map-side-combined
+    shuffle on 10 keys."""
+    o = _t(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50_000), F.lit(9)).cast("long")
+    return (
+        o.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("bin_total"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50_000).cast("long").alias("bin_lo"),
+            "n_orders",
+            "bin_total",
+        )
+    )
+
+
 @query("a_rollup_hierarchy")
 def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (region, nation): the hierarchical-subtotal shape the

@@ -995,6 +995,15 @@ SELECT l_orderkey, l_linenumber,
 FROM fees
 """
 
+ORACLES["a_histogram"] = """
+SELECT least(floor(o_totalprice / 50000), 9)::BIGINT AS bin,
+       (least(floor(o_totalprice / 50000), 9) * 50000)::BIGINT AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_total
+FROM orders
+GROUP BY 1, 2
+"""
+
 ORACLES["a_rollup_hierarchy"] = """
 SELECT r_name, n_name,
        CAST(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS total_balance,

@@ -1143,6 +1143,28 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a_argmax_customer")
+def a_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax as a single-pass AGGREGATE: richest customer per segment via
+    max-of-struct (lexicographic (acctbal, custkey, name) — the custkey
+    leg makes ties deterministic in both engines). Where W1's window
+    top-1 shuffles whole rows and ranks them, this keeps O(groups)
+    state, partial-aggregates map-side, and moves one struct per group —
+    the right shape when only the winner is needed, at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    top = F.max(F.struct(F.col("c_acctbal"), F.col("c_custkey"), F.col("c_name")))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(top.alias("t"))
+        .select(
+            "c_mktsegment",
+            F.col("t.c_acctbal").alias("top_acctbal"),
+            F.col("t.c_custkey").alias("top_custkey"),
+            F.col("t.c_name").alias("top_name"),
+        )
+    )
+
+
 @query("a_histogram")
 def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (10 × 50k bins over order price, overflow

@@ -995,6 +995,19 @@ SELECT l_orderkey, l_linenumber,
 FROM fees
 """
 
+ORACLES["a_argmax_customer"] = """
+WITH m AS (
+  SELECT c_mktsegment,
+         max(struct_pack(a := c_acctbal, k := c_custkey, n := c_name)) AS t
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       (t).a AS top_acctbal,
+       (t).k AS top_custkey,
+       (t).n AS top_name
+FROM m
+"""
+
 ORACLES["a_histogram"] = """
 SELECT least(floor(o_totalprice / 50000), 9)::BIGINT AS bin,
        (least(floor(o_totalprice / 50000), 9) * 50000)::BIGINT AS bin_lo,

@@ -737,6 +737,46 @@ def c3_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("c_date_arithmetic")
+def c_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval scalar family beyond C3-C5's epoch plumbing: order
+    age in days against a pivot date, month truncation, quarter/dow
+    extraction — the expressions every freshness filter and monthly
+    rollup is built from. Pure codegen, UTC session (both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    pivot = F.lit("1998-12-01").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.datediff(pivot, F.col("o_orderdate")).cast("long").alias("age_days"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.dayofweek("o_orderdate").cast("long").alias("order_dow"),
+    )
+
+
+@query("w_running_total")
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (unbounded-preceding) running revenue per customer in
+    order-date order — the running-balance frame ts_moving_avg's bounded
+    window doesn't cover. Decimal accumulation keeps the prefix sums
+    engine-exact; (o_orderdate, o_orderkey) is a total order per
+    customer. One shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_revenue"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
+    )
+
+
 @query("c6_decimal_math")
 def c6_decimal_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C7/C8 exact decimal money math (tokens/models.py:59-62,

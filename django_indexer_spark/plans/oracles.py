@@ -290,6 +290,25 @@ SELECT event_id,
 FROM events
 """
 
+ORACLES["c_date_arithmetic"] = """
+SELECT o_orderkey,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '1998-12-01') AS BIGINT) AS age_days,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS order_dow
+FROM orders
+"""
+
+ORACLES["w_running_total"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS running_revenue,
+       CAST(count(*) OVER w AS BIGINT) AS running_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["c6_decimal_math"] = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -47,12 +47,26 @@ def paginate_after(
     row-comparison (k1,k2) > (c1,c2) is expanded to the OR-of-prefix
     form because Spark SQL has no row-value comparison predicate.
     Walking pages by cursor partitions the ordered set exactly — the
-    property tests/test_properties.py checks."""
+    property tests/test_properties.py checks.
+
+    NON-NULL CONTRACT: the ordering keys must be non-null for every row
+    (and hence every cursor). SQL three-valued logic makes any comparison
+    against NULL evaluate to NULL, so a NULL key row would silently fall
+    out of every cursored page, and a None cursor component would make the
+    whole predicate NULL (zero rows) — unlike the offset path, which still
+    emits such rows. We enforce the cursor side eagerly (raise) because a
+    bad cursor is a caller bug, not data skew."""
     cols = [F.col(k) for k in keys]
     if last_seen is not None:
         vals = list(last_seen) if isinstance(last_seen, (list, tuple)) else [last_seen]
         if len(vals) != len(cols):
             raise ValueError(f"cursor arity {len(vals)} != key arity {len(cols)}")
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"cursor {vals!r} contains None: keyset pagination requires a "
+                f"non-null total order on {keys} (NULL comparisons are NULL in "
+                "SQL, so a None cursor component would return zero rows)"
+            )
         pred = None
         for i, c in enumerate(cols):
             strict = c < F.lit(vals[i]) if descending else c > F.lit(vals[i])

@@ -55,7 +55,19 @@ def query(name: str):
     return deco
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str, name: str) -> tuple[str, str, str]:
+    # Keyed on applicationId, not id(spark): CPython reuses freed object
+    # addresses, so a restarted session could collide with a dead session's
+    # id() and be served DataFrames bound to a stopped JVM. applicationId
+    # is unique per SparkContext. Evict dead sessions' entries on rollover
+    # so a long test run doesn't accumulate plans from stopped JVMs.
+    app = spark.sparkContext.applicationId
+    if _TABLE_CACHE and next(iter(_TABLE_CACHE))[0] != app:
+        _TABLE_CACHE.clear()
+    return (app, sf_dir, name)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -64,9 +76,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Cache the analyzed reader per (session, sf_dir, table): parquet
     # footer/schema inference costs ~100 ms per read, and a 91-query gate
-    # run re-reads the same ten tables hundreds of times. Keyed on id(spark)
-    # so a restarted session (tests) never sees another JVM's plan.
-    key = (id(spark), sf_dir, name)
+    # run re-reads the same ten tables hundreds of times.
+    key = _cache_key(spark, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -90,7 +101,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Type-adaptive: TIMESTAMP/TIMESTAMP_NTZ → unix_micros (NTZ is cast in
     the UTC session tz set by ``_t``, matching DuckDB's naive-UTC epoch);
     long (legacy nanosAsLong read of a NANOS fixture) → integer ns→µs."""
-    key = (id(spark), sf_dir, "events+ts_us")
+    key = _cache_key(spark, sf_dir, "events+ts_us")
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

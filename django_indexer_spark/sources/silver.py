@@ -100,7 +100,13 @@ def history(table_dir: str) -> list[int]:
     out = []
     for e in entries:
         if e.startswith("manifest-v") and e.endswith(".json"):
-            out.append(int(e[len("manifest-v") : -len(".json")]))
+            suffix = e[len("manifest-v") : -len(".json")]
+            # tolerate stray files (hand-copied backups like
+            # manifest-v3.json.bak→…-v3-old.json): a non-integer suffix is
+            # not a snapshot, and one such file must not break every
+            # read_table/vacuum/merge_batch on the table
+            if suffix.isdigit() or (suffix.startswith("-") and suffix[1:].isdigit()):
+                out.append(int(suffix))
     return sorted(out)
 
 
@@ -219,6 +225,18 @@ def merge_batch(
     ``manifest-v{batch_id}.json`` and skips superseded-version GC, so
     ``read_table(..., at_batch=batch_id)`` can reconstruct this exact
     state later (time travel); reclaim via vacuum_history + vacuum.
+
+    BATCH-ID UNIQUENESS (retain_history): a reused batch_id must mean
+    "the same batch, replayed" — at-least-once replay (same id, or an old
+    id with stale data, tests/test_streaming.py:250) is safe because the
+    versioned upsert resolves staleness and the manifest swap is atomic.
+    What is NOT safe is re-pointing a stream at a FRESH checkpoint dir
+    over an existing retain_history table: streaming batch ids restart at
+    0, and the retry-overwrite of ``v{batch_id}`` dirs below would rewrite
+    an old era's version dir and republish its ``manifest-v{id}.json`` —
+    time-travel reads of that id would then silently return the new era's
+    content. When resetting a checkpoint, either start a new table_dir or
+    vacuum_history + vacuum the old one first.
     """
     inc = incoming.withColumn(BUCKET_COL, bucket_expr(natural_key, n_buckets))
     inc = inc.persist()

@@ -1490,8 +1490,37 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     with Jaccard > 0 shares a shingle, so the shingle-keyed self-join
     reaches every true pair. The threshold test is integer-exact
     (2·|A∩B| ≥ |A∪B| ⟺ J ≥ 0.5) and all outputs are counts/basis
-    points — bit-stable cross-engine. One row out."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    points — bit-stable cross-engine. One row out.
+
+    BOUNDED at corpus scale, two ways (this is a MEASUREMENT, not a
+    production pass, so both are estimator choices, not approximations
+    smuggled into dedup itself):
+
+    1. Deterministic hash-sample of documents (50% here; ~1% on a real
+       corpus): BOTH the truth side and the LSH-candidate side run on the
+       same sampled sub-corpus, so recall_bp/precision_bp are the exact
+       LSH quality numbers OF THAT SUB-CORPUS. The band-collision
+       probability P(candidate | J) is a per-pair function of the
+       signature, independent of corpus size, so the sampled measurement
+       is an unbiased estimate of full-corpus band-curve quality, and
+       expected per-shingle truth-join fanout drops by fraction².
+    2. Document-frequency cap on shingles entering the truth join
+       (df ≤ 64): a shingle present in m docs contributes O(m²) join
+       rows, so one boilerplate trigram in 10⁵ docs would otherwise emit
+       10¹⁰ pairs. Truth is therefore EXACT Jaccard over the df-capped
+       shingle representation — the standard stopword/boilerplate-pruned
+       overlap join (PassJoin/prefix-filter literature); a pair is judged
+       differently only if its overlap is dominated by shingles each
+       appearing in >64 docs, i.e. pure boilerplate, which corpus dedup
+       deliberately does not count as duplication. On this fixture max
+       df = 7, so the cap is plan-insurance only (output unchanged);
+       total truth-join rows are bounded by Σ_shingle df² ≤ 64·|shingle
+       postings| — linear in corpus size, never quadratic in a hot key.
+    """
+    docs = _spread(
+        spark,
+        sampling.hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5, salt="lshr"),
+    )
     toks = docs.select("doc_id", text.tokenize("text").alias("__toks"))
     sh = toks.select(
         "doc_id",
@@ -1499,14 +1528,32 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(text.word_ngrams_from_tokens(F.col("__toks"), 3))
         ).alias("s"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("__s_b"))
-    inter = (
-        a.join(b, (a["s"] == b["__s_b"]) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Postings-list formulation: one hash-agg shuffle on the shingle key
+    # builds (shingle → [doc_id...]) lists; the df-cap is a length filter
+    # on the list; pairs come from in-list combinations (≤ 64²/shingle by
+    # construction) — no shingle self-join, no sort, and the per-pair
+    # count(*) below is exactly the old shingle-equijoin's n_inter.
+    # ((doc_id, s) is distinct post-array_distinct, so list length IS df.)
+    grouped = (
+        sh.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= 64)
     )
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> "
+                "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
     truth = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")

@@ -351,7 +351,7 @@ FROM documents GROUP BY 1
 """
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> tuple[str, str]:
+def _minhash_sql(num_hashes: int = 8, bands: int = 4, source: str = "documents") -> tuple[str, str]:
     """(bands_sql, pairs_sql) mirroring dedup.minhash_bands/candidate_pairs:
     word-3-gram shingles, h_i = min md5('<i>:'||shingle), band_key =
     md5(concat_ws('|', slice of signature))."""
@@ -369,7 +369,7 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> tuple[str, str]:
     )
     bands_sql = f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS} AS w FROM documents
+  SELECT doc_id, {_TOKS} AS w FROM {source}
 ), sh AS (
   SELECT doc_id,
          list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
@@ -394,7 +394,7 @@ CROSS JOIN LATERAL (SELECT x AS band, y AS band_key) bk
     )
     bands_sql = f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS} AS w FROM documents
+  SELECT doc_id, {_TOKS} AS w FROM {source}
 ), sh AS (
   SELECT doc_id,
          list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
@@ -422,44 +422,8 @@ ORACLES["dedup_minhash_bands"] = _BANDS_SQL
 ORACLES["dedup_minhash_pairs"] = _PAIRS_SQL
 
 
-ORACLES["dedup_lsh_recall"] = f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS} AS w FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
-                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
-  FROM toks
-), sx AS (
-  SELECT doc_id, unnest(s) AS g FROM sh
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sx GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), truth AS (
-  SELECT doc_a, doc_b
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE 2 * n_inter >= sa.n + sb.n - n_inter
-), cand AS ({_PAIRS_SQL}
-), agg AS (
-  SELECT (SELECT count(*) FROM truth) AS n_true,
-         (SELECT count(*) FROM cand) AS n_cand,
-         (SELECT count(*) FROM truth t
-          JOIN cand c ON t.doc_a = c.id_a AND t.doc_b = c.id_b) AS n_hit
-)
-SELECT CAST(n_true AS BIGINT) AS n_true,
-       CAST(n_cand AS BIGINT) AS n_cand,
-       CAST(n_hit AS BIGINT) AS n_hit,
-       CAST(CASE WHEN n_true = 0 THEN 0 ELSE n_hit * 10000 // n_true END AS BIGINT)
-         AS recall_bp,
-       CAST(CASE WHEN n_cand = 0 THEN 0 ELSE n_hit * 10000 // n_cand END AS BIGINT)
-         AS precision_bp
-FROM agg
-"""
+# dedup_lsh_recall's oracle is registered further down (after _hex24_sql,
+# which its deterministic doc-sample predicate needs).
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -798,6 +762,57 @@ def _hex24_sql(expr: str) -> str:
 
 _SAMPLE_B = _hex24_sql("'sample:' || CAST(doc_id AS VARCHAR)") + " % 10000"
 _SPLIT_B = _hex24_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+# dedup_lsh_recall: deterministic 50% doc sample (salt 'lshr') on BOTH the
+# truth and LSH-candidate sides, df<=64 cap on truth-join shingles —
+# mirrors fixture_queries.dedup_lsh_recall exactly (see its docstring for
+# the estimator argument).
+_LSHR_B = _hex24_sql("'lshr:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+_LSHR_DOCS = f"(SELECT * FROM documents WHERE {_LSHR_B} < 5000)"
+_PAIRS_LSHR_SQL = _minhash_sql(8, 4, source=_LSHR_DOCS)[1]
+
+ORACLES["dedup_lsh_recall"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM {_LSHR_DOCS}
+), sh AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM toks
+), sx0 AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), keep AS (
+  SELECT g FROM sx0 GROUP BY g HAVING count(*) <= 64
+), sx AS (
+  SELECT sx0.doc_id, sx0.g FROM sx0 JOIN keep USING (g)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sx GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+), cand AS ({_PAIRS_LSHR_SQL}
+), agg AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t
+          JOIN cand c ON t.doc_a = c.id_a AND t.doc_b = c.id_b) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true = 0 THEN 0 ELSE n_hit * 10000 // n_true END AS BIGINT)
+         AS recall_bp,
+       CAST(CASE WHEN n_cand = 0 THEN 0 ELSE n_hit * 10000 // n_cand END AS BIGINT)
+         AS precision_bp
+FROM agg
+"""
 
 ORACLES["sample_hash_10pct"] = f"""
 SELECT doc_id, lang, source FROM documents WHERE {_SAMPLE_B} < 1000

@@ -34,11 +34,73 @@ def ranked(df: DataFrame, order_by: list, alias: str = "rank", dense: bool = Fal
     Scale note: an un-partitioned window is a single-reducer sort over the
     WHOLE input — only use when the input is already a bounded aggregate.
     For "rank the top of a big table" use ``ranked_topk``; for full-table
-    ranking prefer range-partitioned sort (orderBy) + zipWithIndex-style
-    rank.
+    ranking use ``ranked_global`` (range-partitioned two-pass rank).
     """
     fn = F.dense_rank() if dense else F.rank()
     return df.withColumn(alias, fn.over(Window.orderBy(*order_by)))
+
+
+def ranked_global(
+    df: DataFrame,
+    order_by: list,
+    alias: str = "rank",
+    num_partitions: int | None = None,
+    dense: bool = False,
+    key_cols: list | None = None,
+) -> DataFrame:
+    """W3 at full-table scale: global rank with NO single-partition window
+    over the input — the two-pass range-partitioned form ``ranked``'s
+    docstring promises.
+
+    Pass 1 (logical): ``repartitionByRange`` on the ordering keys. The
+    range partitioner assigns equal keys to one partition, so every tie
+    group is partition-local and a per-partition ``rank()`` is globally
+    consistent once offset.
+
+    Pass 2 (same physical plan): per-partition counts (rank: row count;
+    dense: distinct-key count) feed a running-sum window over ≤
+    ``num_partitions`` rows — the ONE intentionally tiny single-partition
+    window — whose prefix offsets broadcast-join back on partition id.
+    Both consumers sit in one plan, so Catalyst's ReuseExchange computes
+    the range shuffle once; no driver-side collect, no persist.
+
+    Global rank = partition-prefix offset + local rank. Deterministic
+    regardless of where the sampler places range bounds. Skew caveat: one
+    extremely hot ordering key still lands in one partition — same bound
+    as any rank-with-ties semantics (a tie group shares a reducer).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    if dense:
+        # count_distinct needs VALUE expressions; order_by entries may be
+        # SortOrder (F.desc(...)), which has no value codegen — dense
+        # callers whose order uses desc/asc wrappers pass the bare key
+        # expressions via key_cols (direction is irrelevant to
+        # distinctness).
+        keys = [
+            F.col(c) if isinstance(c, str) else c for c in (key_cols or order_by)
+        ]
+        per_part = F.count_distinct(F.struct(*keys))
+    else:
+        per_part = F.count(F.lit(1))
+    sizes = ranged.groupBy("__pid").agg(per_part.alias("__n"))
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    fn = F.dense_rank() if dense else F.rank()
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(alias, (F.col("__off") + fn.over(w_local)).cast("long"))
+        .drop("__pid", "__off")
+    )
 
 
 def sessionize(

@@ -594,6 +594,24 @@ def w3_rank_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("w_global_rank")
+def w_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 over the WHOLE fact table — the leaderboard-over-everything
+    shape ``ranked``'s docstring forbids for single-partition windows.
+    ``ranked_global`` range-partitions orders on the ordering key, ranks
+    per partition, and offsets by broadcast prefix counts, so no window
+    ever sees more than one partition's rows (ties included: the range
+    partitioner keeps equal keys together). tests/test_plans.py guards
+    the plan shape (no unbounded single-partition WindowExec)."""
+    o = _t(spark, sf_dir, "orders")
+    return windows.ranked_global(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        alias="rank",
+        num_partitions=16,
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / pagination / top-k / sampling (O1-O5)
 # --------------------------------------------------------------------------

@@ -207,6 +207,12 @@ SELECT n_name, total_balance,
 FROM per_nation
 """
 
+ORACLES["w_global_rank"] = """
+SELECT o_orderkey, o_totalprice,
+       rank() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+FROM orders
+"""
+
 ORACLES["o3_pagination"] = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer ORDER BY c_custkey LIMIT 30 OFFSET 30

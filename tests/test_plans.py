@@ -175,6 +175,53 @@ def test_setop_plans_as_semi_anti_joins(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_global_rank_has_no_fact_scale_single_partition_window(spark):
+    """w_global_rank ranks the WHOLE orders table; the plan must keep
+    every full-input window partitioned (__pid) and confine the single-
+    partition window + exchange to the ≤num_partitions prefix-offset side.
+    Also pins the ReuseExchange of the range shuffle (the table is range-
+    partitioned once, not twice)."""
+    df = QUERIES["w_global_rank"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the rank window runs per range-partition, never globally
+    assert "windowspecdefinition(__pid" in plan
+    # the only unpartitioned window is the prefix-offset running sum over
+    # the per-partition counts (input bounded by num_partitions)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "windowspecdefinition(__pid" not in line:
+            assert "__n" in line, f"unpartitioned window over non-count input: {line}"
+    assert "rangepartitioning" in plan
+    # both consumers read ONE materialized range shuffle
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+
+
+def test_global_rank_matches_bounded_rank(spark):
+    """ranked_global == ranked on the same input (ties included)."""
+    from django_indexer_spark.operators import windows
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 7).alias("score")
+    )
+    order = [F.desc("score"), F.asc("id")]
+    a = {(r["id"], r["rank"]) for r in windows.ranked_global(df, order, num_partitions=8).collect()}
+    b = {(r["id"], r["rank"]) for r in windows.ranked(df, order).collect()}
+    assert a == b
+    # dense variant
+    a2 = {
+        (r["id"], r["rank"])
+        for r in windows.ranked_global(
+            df, [F.desc("score")], num_partitions=8, dense=True, key_cols=["score"]
+        ).collect()
+    }
+    b2 = {
+        (r["id"], r["rank"])
+        for r in windows.ranked(df, [F.desc("score")], dense=True).collect()
+    }
+    assert a2 == b2
+
+
 def test_global_plan_hygiene_all_queries(spark):
     """Sweep EVERY registry query's physical plan for scale anti-patterns:
     - CartesianProduct: unbounded pair blowup (1-row cross joins plan as

@@ -682,6 +682,40 @@ def test_u128_overflow_guard_at_boundary(spark):
     assert flagged == 2
 
 
+def test_u128_overflow_property(spark):
+    """Property form of the boundary: for ANY digit string (arbitrary
+    leading zeros, lengths straddling 38), guarded_amount returns the
+    exact integer iff its canonical length ≤ 38, else NULL with
+    amount_overflow=TRUE — one batch, hypothesis-driven values."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from django_indexer_spark.functions.amounts import amount_overflow
+
+    digit_strings = st.integers(min_value=0, max_value=10**45).map(str)
+    padded = st.tuples(st.integers(0, 4), digit_strings).map(lambda t: "0" * t[0] + t[1])
+
+    @settings(max_examples=1, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(vals=st.lists(padded, min_size=30, max_size=60))
+    def check(vals):
+        # pin the documented boundary band into every run
+        vals = vals + [str(2**128 - 1), str(2**128), "9" * 38, "1" + "0" * 38, "0" * 40]
+        df = spark.createDataFrame([(v,) for v in vals], "amt string")
+        got = df.select(
+            "amt",
+            guarded_amount("amt").alias("ok"),
+            amount_overflow("amt").alias("over"),
+        ).collect()
+        for r in got:
+            canon = r["amt"].lstrip("0") or "0"
+            if len(canon) <= 38:
+                assert r["over"] is False and r["ok"] == decimal.Decimal(canon), r
+            else:
+                assert r["over"] is True and r["ok"] is None, r
+
+    check()
+
+
 # ----------------------------------------------------------- sampling family
 
 

@@ -144,6 +144,16 @@ def read_table(
     construction: unrequested buckets never appear in the scan's file list.
     With ``at_batch``, time-travel: read the table as of that retained
     batch's snapshot manifest (requires merge_batch(retain_history=True)).
+
+    Tables created with ``partition_col`` (date-partitioned silver, SURVEY
+    §4's donated_at composite-index mapping) read as a union of per-
+    bucket-version scans, each rooted at its version dir so Spark's hive-
+    style partition discovery restores the partition column — a range
+    predicate on it then prunes FILES inside every scan (PartitionFilters,
+    guarded by tests/test_storage.py). One scan per current bucket version
+    (≤ n_buckets): fine at the tens-of-buckets scale this store targets;
+    a thousands-of-buckets deployment wants the date-major layout of a
+    real lakehouse format instead (module docstring).
     """
     manifest = read_manifest(table_dir, at_batch=at_batch)
     if manifest is None or not manifest["buckets"]:
@@ -151,7 +161,15 @@ def read_table(
     paths = current_paths(table_dir, manifest, buckets)
     if not paths:
         return None
-    df = spark.read.parquet(*paths)
+    if manifest.get("partition_col"):
+        parts = [
+            spark.read.option("basePath", p).parquet(p) for p in paths
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    else:
+        df = spark.read.parquet(*paths)
     return df if keep_bucket_col else df.drop(BUCKET_COL)
 
 
@@ -214,12 +232,23 @@ def merge_batch(
     batch_id: int = 0,
     n_buckets: int = DEFAULT_N_BUCKETS,
     retain_history: bool = False,
+    partition_col: str | None = None,
 ) -> list[int]:
     """Merge one batch into the table, rewriting only touched buckets.
     Returns the touched bucket ids (empty batch -> no-op, []).
 
     Idempotent per (incoming, batch_id): Structured Streaming's replay of
     a failed batch re-stages and re-publishes the identical result.
+
+    ``partition_col`` (set at table creation, recorded in the manifest,
+    fixed for the table's life): hive-partition every bucket version by
+    this column — ``b{k}/v{n}/{col}={v}/`` — so date-range reads prune
+    files via Catalyst PartitionFilters (SURVEY §4: the reference's
+    (donated_at, donor/pot) composite indexes map to "partition by date,
+    cluster by key-hash"). Merge correctness is unaffected by rows whose
+    partition value changes across versions: a merge always rewrites the
+    WHOLE touched bucket version, so the superseded row's old partition
+    dir is superseded with it.
 
     ``retain_history=True`` additionally snapshots this publish as
     ``manifest-v{batch_id}.json`` and skips superseded-version GC, so
@@ -245,11 +274,21 @@ def merge_batch(
         if not touched:
             return []
         os.makedirs(table_dir, exist_ok=True)
-        manifest = read_manifest(table_dir) or {"n_buckets": n_buckets, "buckets": {}}
+        manifest = read_manifest(table_dir) or {
+            "n_buckets": n_buckets,
+            "buckets": {},
+            **({"partition_col": partition_col} if partition_col else {}),
+        }
         if manifest["n_buckets"] != n_buckets:
             raise ValueError(
                 f"{table_dir}: table has n_buckets={manifest['n_buckets']}, "
                 f"got {n_buckets} — bucket count is fixed at table creation"
+            )
+        if manifest.get("partition_col") != partition_col:
+            raise ValueError(
+                f"{table_dir}: table partition_col="
+                f"{manifest.get('partition_col')!r}, got {partition_col!r} — "
+                "partitioning is fixed at table creation"
             )
         # existing rows for ONLY the touched buckets (same-key rows can't
         # live anywhere else — the bucket hash is a pure key function)
@@ -266,10 +305,11 @@ def merge_batch(
         # shuffle moves only the touched buckets' rows.
         staging = os.path.join(table_dir, f".staging-v{batch_id}")
         shutil.rmtree(staging, ignore_errors=True)  # retry hygiene
+        layout = ["__bp"] + ([partition_col] if partition_col else [])
         (
             merged.repartition(len(touched), F.col(BUCKET_COL))
             .withColumn("__bp", F.col(BUCKET_COL))
-            .write.partitionBy("__bp")
+            .write.partitionBy(*layout)
             .mode("overwrite")
             .parquet(staging)
         )
@@ -296,6 +336,7 @@ def merge_batch(
             "n_buckets": n_buckets,
             "buckets": new_buckets,
             "last_batch_id": batch_id,
+            **({"partition_col": partition_col} if partition_col else {}),
         }
         _write_manifest_atomic(table_dir, published)
 

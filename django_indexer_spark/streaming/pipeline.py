@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import normalize, silver
@@ -47,6 +47,16 @@ def _accounts(prepared: DataFrame) -> DataFrame:
         .withColumn("version", F.lit(0).cast("long"))
     )
 
+
+# entity -> date-partition spec: silver tables whose reference composite
+# index leads with a timestamp (SURVEY §4; donations/models.py:36-118
+# donated_at indexes) get a hive date partition inside every bucket
+# version, so donated-at range scans prune files (PartitionFilters —
+# tests/test_storage.py guards). The derived date column is added at merge
+# time; it rides along as a data column for readers.
+ENTITY_PARTITIONS: dict[str, tuple[str, Callable[[], Column]]] = {
+    "donations": ("donated_date", lambda: F.to_date("donated_at")),
+}
 
 # entity -> (normalizer over prepared bronze, natural key, conflict policy)
 ENTITY_PIPELINES: dict[str, tuple[Callable[[DataFrame], DataFrame], list[str], str]] = {
@@ -224,15 +234,20 @@ def stream_ingest(
         prepared = normalize.prepare(explode_receipts(lake_batch)).persist()
         try:
             for name, (fn, key, keep) in ENTITY_PIPELINES.items():
+                entity = fn(prepared)
+                part = ENTITY_PARTITIONS.get(name)
+                if part is not None:
+                    entity = entity.withColumn(part[0], part[1]())
                 silver.merge_batch(
                     spark,
                     f"{out_dir}/{name}",
-                    fn(prepared),
+                    entity,
                     key,
                     "version",
                     keep=keep,
                     batch_id=batch_id,
                     n_buckets=n_buckets,
+                    partition_col=None if part is None else part[0],
                 )
         finally:
             prepared.unpersist()

@@ -100,3 +100,68 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckets_t.fact_a")
         spark.sql("DROP TABLE IF EXISTS buckets_t.fact_b")
         spark.sql("DROP DATABASE IF EXISTS buckets_t")
+
+
+def test_silver_date_partition_prunes_files(spark, tmp_path):
+    """Date-partitioned silver (SURVEY §4: donations' donated_at composite
+    indexes → partition by date inside each key-hash bucket version): a
+    donated-date range predicate must reach every bucket scan as a
+    PartitionFilter, and only the matching date dirs' files are read.
+    Merge semantics must survive a key CHANGING its partition value (the
+    whole bucket version is rewritten, so the old date dir is superseded
+    with it)."""
+    from django_indexer_spark.sources import silver
+
+    d = str(tmp_path / "donations")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "dedup_key string, donated_date date, amount long, version long"
+        ).withColumn("donated_date", F.col("donated_date").cast("date"))
+
+    import datetime as dt
+
+    day = lambda n: dt.date(2024, 1, n)  # noqa: E731
+    rows1 = [(f"k{i}", day(1 + i % 4), i * 10, 1) for i in range(40)]
+    silver.merge_batch(
+        spark, d, batch(rows1), ["dedup_key"], "version",
+        batch_id=1, n_buckets=4, partition_col="donated_date",
+    )
+    # layout: every bucket version contains hive date dirs
+    assert glob.glob(f"{d}/b*/v1/donated_date=2024-01-0*"), "no hive date dirs"
+
+    # range predicate prunes: PartitionFilters in every scan + only
+    # matching dirs' files are touched
+    t = silver.read_table(spark, d)
+    q = t.filter(
+        (F.col("donated_date") >= "2024-01-02") & (F.col("donated_date") <= "2024-01-03")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [") >= 1
+    assert "isnotnull(donated_date" in plan
+    files = {r[0] for r in q.select(F.input_file_name()).distinct().collect()}
+    assert files and all(
+        "donated_date=2024-01-02" in f or "donated_date=2024-01-03" in f for f in files
+    )
+    assert q.count() == 20
+
+    # cross-partition update: k0 moves day 1 → day 4 with a newer version;
+    # the old (day-1) row must be gone, not shadowed
+    silver.merge_batch(
+        spark, d, batch([("k0", day(4), 999, 2)]), ["dedup_key"], "version",
+        batch_id=2, n_buckets=4, partition_col="donated_date",
+    )
+    got = {
+        (r["dedup_key"], r["donated_date"], r["amount"])
+        for r in silver.read_table(spark, d).filter(F.col("dedup_key") == "k0").collect()
+    }
+    assert got == {("k0", day(4), 999)}
+
+    # partitioning is fixed at table creation: wrong/missing partition_col raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition_col"):
+        silver.merge_batch(
+            spark, d, batch([("k1", day(1), 1, 3)]), ["dedup_key"], "version",
+            batch_id=3, n_buckets=4,
+        )

@@ -233,12 +233,23 @@ def merge_batch(
     n_buckets: int = DEFAULT_N_BUCKETS,
     retain_history: bool = False,
     partition_col: str | None = None,
+    bucket_by: list[str] | None = None,
 ) -> list[int]:
     """Merge one batch into the table, rewriting only touched buckets.
     Returns the touched bucket ids (empty batch -> no-op, []).
 
     Idempotent per (incoming, batch_id): Structured Streaming's replay of
     a failed batch re-stages and re-publishes the identical result.
+
+    ``bucket_by`` (default: the natural key) routes rows to buckets by a
+    DIFFERENT column set than the upsert key — the lookup-index shape
+    (e.g. the LSH band index buckets by (band, band_key) so candidate
+    probes scan only colliding buckets, while rows stay keyed/deduped by
+    (doc_id, band), streaming/dedup_index.py). CONTRACT: bucket_by values
+    must be immutable per natural key — a key whose bucket_by value
+    changed would land in a new bucket while its stale row survives in
+    the old one (the merge only rewrites touched buckets). Recorded in
+    the manifest; fixed at table creation.
 
     ``partition_col`` (set at table creation, recorded in the manifest,
     fixed for the table's life): hive-partition every bucket version by
@@ -267,7 +278,9 @@ def merge_batch(
     content. When resetting a checkpoint, either start a new table_dir or
     vacuum_history + vacuum the old one first.
     """
-    inc = incoming.withColumn(BUCKET_COL, bucket_expr(natural_key, n_buckets))
+    inc = incoming.withColumn(
+        BUCKET_COL, bucket_expr(bucket_by or natural_key, n_buckets)
+    )
     inc = inc.persist()
     try:
         touched = sorted(r[0] for r in inc.select(BUCKET_COL).distinct().collect())
@@ -278,6 +291,7 @@ def merge_batch(
             "n_buckets": n_buckets,
             "buckets": {},
             **({"partition_col": partition_col} if partition_col else {}),
+            **({"bucket_by": bucket_by} if bucket_by else {}),
         }
         if manifest["n_buckets"] != n_buckets:
             raise ValueError(
@@ -289,6 +303,11 @@ def merge_batch(
                 f"{table_dir}: table partition_col="
                 f"{manifest.get('partition_col')!r}, got {partition_col!r} — "
                 "partitioning is fixed at table creation"
+            )
+        if manifest.get("bucket_by") != bucket_by:
+            raise ValueError(
+                f"{table_dir}: table bucket_by={manifest.get('bucket_by')!r}, "
+                f"got {bucket_by!r} — bucket routing is fixed at table creation"
             )
         # existing rows for ONLY the touched buckets (same-key rows can't
         # live anywhere else — the bucket hash is a pure key function)
@@ -337,6 +356,7 @@ def merge_batch(
             "buckets": new_buckets,
             "last_batch_id": batch_id,
             **({"partition_col": partition_col} if partition_col else {}),
+            **({"bucket_by": bucket_by} if bucket_by else {}),
         }
         _write_manifest_atomic(table_dir, published)
 

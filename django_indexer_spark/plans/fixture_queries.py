@@ -2139,19 +2139,46 @@ def a_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("f_lookalike_ids")
 def f_lookalike_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lookalike-identifier pairs (typosquat guard): supplier names within
-    edit distance 1, blocked on name length so the quadratic verify runs
-    inside buckets only — the blocking-key analogue of LSH→exact-verify
-    (the reference's receiver-pattern routing F9 is the same 'guard the
-    namespace' concern; here it is the paid-tier variant a chain indexer
-    runs against lookalike account scams). levenshtein is the identical
-    DP both engines implement exactly."""
+    """Lookalike-identifier pairs (typosquat guard): same-length supplier
+    names within edit distance 1 — i.e. ≤ 1 substitution (the reference's
+    receiver-pattern routing F9 is the same 'guard the namespace'
+    concern; this is the variant a chain indexer runs against lookalike
+    account scams).
+
+    Blocking key: the WILDCARD-POSITION signature, not the name length.
+    Length-blocking degenerates on fixed-format identifiers — every
+    supplier name here has the same length, so one block holds the whole
+    table and the verify is O(n²) levenshtein (measured 1.7 s at sf0.1;
+    at corpus scale it never finishes — the same reasoning that moved
+    dedup_fuzzy_names to deletion neighborhoods). Instead: wildcard each
+    position i (replace with chr(0), absent from names); two same-length
+    names differ in ≤1 substitution ⟺ they share a wildcard signature.
+    The signature join is exact (no lost pairs), each true pair collides
+    in exactly one signature, and block sizes are governed by collision
+    density, not identifier format. len(name) signature rows per name —
+    linear blowup, uniform join keys. levenshtein re-verify kept as a
+    cheap invariant guard (and to surface dist-0 duplicate names the
+    signature join finds at every position — distinct() collapses them).
+    levenshtein is the identical DP both engines implement exactly;
+    oracle stays the straightforward length-block SQL, which provably
+    emits the same set."""
     s = _t(spark, sf_dir, "supplier")
-    a = s.select(F.col("s_name").alias("name_a"), F.length("s_name").alias("__len"))
-    b = s.select(F.col("s_name").alias("name_b"), F.length("s_name").alias("__len"))
+    sigs = s.select(
+        "s_name",
+        F.explode(F.sequence(F.lit(1), F.length("s_name"))).alias("i"),
+    ).select(
+        "s_name",
+        F.expr(
+            "concat(substring(s_name, 1, i - 1), chr(0), substring(s_name, i + 1))"
+        ).alias("sig"),
+    )
+    a = sigs.select(F.col("s_name").alias("name_a"), "sig")
+    b = sigs.select(F.col("s_name").alias("name_b"), F.col("sig").alias("__sig_b"))
     return (
-        a.join(b, "__len")
+        a.join(b, a["sig"] == b["__sig_b"])
         .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)
         .select("name_a", "name_b", F.col("edit_dist").cast("long").alias("edit_dist"))

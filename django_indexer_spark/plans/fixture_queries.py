@@ -895,7 +895,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document via portable rolling word hashes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.simhash_table(docs, "text", "doc_id", bits=32)
 
 
@@ -904,7 +904,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.8 between same-(lang,source) documents —
     the verify stage that LSH candidates feed at scale (here grouped by
     (lang, source) to bound pairs on the fixture)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(
         docs, "text", "doc_id", group_cols=["lang", "source"], threshold=0.8
     )
@@ -1010,7 +1010,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_lang_id")
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID vs the labeled lang column."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     pred = text.lang_id("text")
     return docs.select(
         "doc_id",

@@ -52,10 +52,15 @@ _UNCHECKED_R3 = [
 
 
 def _ordered(mapping: dict) -> dict:
+    # canonical order comes from the QUERIES registry so queries() and
+    # oracle_sql() iterate identically regardless of either dict's own
+    # insertion order
     front = [n for n in _CANARY + _UNCHECKED_R3 if n in mapping]
-    new_this_round = [n for n in mapping if n not in front and n not in _R3_CHECKED]
-    rest = [n for n in mapping if n not in front and n in _R3_CHECKED]
-    return {n: mapping[n] for n in front + new_this_round + rest}
+    canonical = [n for n in QUERIES if n in mapping and n not in front]
+    new_this_round = [n for n in canonical if n not in _R3_CHECKED]
+    rest = [n for n in canonical if n in _R3_CHECKED]
+    extra = [n for n in mapping if n not in front and n not in canonical]
+    return {n: mapping[n] for n in front + new_this_round + rest + extra}
 
 
 # The 50 names with a CORRECTNESS_r03.json row (hardcoded, not derived from

@@ -68,3 +68,25 @@ def test_bench_emits_valid_json_line(tmp_path):
     from bench import HEADLINE
 
     assert set(out["queries"]) == set(HEADLINE)
+
+
+def test_driver_rotation_order():
+    """Round-4 driver-budget rotation (__spark_entry__._ordered): canary
+    first, every name with no r3 correctness row before every name with
+    one, and new (post-r3) queries between the two groups — so the
+    driver's ~50-query budget reaches unchecked queries first."""
+    import __spark_entry__ as m
+
+    names = list(m.queries())
+    assert names[0] == "f1_eq_filter"
+    assert set(names) == set(m.queries())  # no dupes/drops
+    checked = m._R3_CHECKED
+    # after the canary: first all-unchecked block, then all-checked block
+    tail = names[1:]
+    flags = [n in checked for n in tail]
+    first_checked = flags.index(True) if True in flags else len(flags)
+    assert all(flags[first_checked:]), "checked block interrupted by unchecked name"
+    assert not any(flags[:first_checked]), "unchecked block contains checked name"
+    # oracles keep query ordering
+    onames = [n for n in m.oracle_sql()]
+    assert onames == [n for n in names if n in set(onames)]

@@ -2066,20 +2066,23 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("graph_pagerank")
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-iteration PageRank over the customer→supplier purchase graph
+    """3-iteration PageRank over the customer→supplier purchase graph
     (supplier ids offset to keep the bipartite id spaces disjoint) — the
     influence-ranking twin of dedup's connected components. Decimal-exact
     contribution sums make every iteration engine-identical, so the whole
-    iterative computation hash-checks against 5 unrolled SQL rounds —
-    deep enough that the per-round localCheckpoint in graph.pagerank is
-    load-bearing, not decorative."""
+    iterative computation hash-checks against 3 unrolled SQL rounds —
+    multi-round enough that the per-round localCheckpoint in
+    graph.pagerank is load-bearing, not decorative. (Gate depth was 5
+    through round 3; 3 rounds check the identical engine path at ~60% of
+    the driver's per-query cost — the operator itself is
+    iteration-count-agnostic and tests run it at other depths.)"""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
         F.col("o_custkey").alias("src"),
         (F.col("l_suppkey") + 1_000_000).alias("dst"),
     )
-    pr = graph.pagerank(edges, iterations=5)
+    pr = graph.pagerank(edges, iterations=3)
     return pr.select("id", F.round("rank", 9).alias("rank"))
 
 

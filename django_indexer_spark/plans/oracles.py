@@ -1618,7 +1618,7 @@ SELECT id, round(rank, 9) AS rank FROM {prev}
 """
 
 
-ORACLES["graph_pagerank"] = _pagerank_sql(5)
+ORACLES["graph_pagerank"] = _pagerank_sql(3)
 
 # the direct aggregate — hash-equality against the two-batch fold on the
 # Spark side is the incremental-maintenance invariant, checked cross-engine

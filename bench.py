@@ -54,9 +54,14 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = round(run(name), 3)  # priming: codegen + JIT
-        # min of two measured runs: the least-interference estimate
-        # (single runs swing ~1.5x with background load on local[32])
-        times[name] = round(min(run(name), run(name)), 3)
+        # min-of-two measured runs where it matters: single runs swing
+        # ~1.5x under background load, but for sub-second queries the
+        # swing is the noise floor either way — one run suffices and the
+        # full-registry bench stays ~3 min instead of ~4 (the driver's
+        # bench window is not unbounded; r2 lost ALL perf signal to a
+        # dead bench, so wall-time here is a reliability budget).
+        first = run(name)
+        times[name] = round(min(first, run(name)) if first >= 1.0 else first, 3)
 
     out = {
         "metric": "headline query steady-state wall-time at sf (noop sink, "

@@ -118,6 +118,19 @@ def test_stream_ingest_available_now_and_resume(spark, tmp_path):
     assert after[1]["total_amount"] == "150"
     assert after[3]["donor_id"] == "carol.near"
 
+    # ENTITY_PARTITIONS wiring: the donations silver table written by the
+    # PIPELINE is date-partitioned (hive donated_date dirs inside bucket
+    # versions, manifest records the column) and every row carries the
+    # derived date
+    import glob as _glob
+
+    from django_indexer_spark.sources import silver as _silver
+
+    m = _silver.read_manifest(f"{out}/donations")
+    assert m["partition_col"] == "donated_date"
+    assert _glob.glob(f"{out}/donations/b*/v*/donated_date=*"), "no hive date dirs"
+    assert all(r["donated_date"] is not None for r in after.values())
+
 
 # ---------------------------------------------------------------------------
 # sources.silver: incremental partition-scoped merge (VERDICT r1 top-next)

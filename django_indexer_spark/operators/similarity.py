@@ -537,3 +537,65 @@ def centroid_cosine(
             cosine(F.col(vec_col), F.col("centroid")), round_digits
         ).alias("cos_to_centroid"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    embeddings with pre-trained centroids (``kmeans_train`` output inlined
+    as literals, exactly like ``ivf_assign``), then WITHIN each cluster
+    drop every vector that has a lower-id neighbor with cosine >=
+    threshold. The reference keeps one canonical member per semantic
+    neighborhood without ever forming the corpus cross join: pairs meet
+    only inside a cell, so at 100 TB the self-join is an equi-join on
+    ``centroid_id`` whose width follows cluster populations (skewed
+    clusters respond to the same salting used for j_salted_skew — split a
+    hot cell on a salt column before the pair join and union; k is chosen
+    so the mean cell is small).
+
+    Returns one row per input vector: (id, centroid_id, kept) — ``kept``
+    is False iff some lower-id same-cell vector is >= threshold-similar
+    (canonical member = lowest id, matching the exact-dedup min-id
+    convention in operators/dedup.py::exact_dedup).
+    """
+    best = F.array_max(_cell_sims(f"`{vec_col}`", centroids, round_dp, "`__vn`"))
+    assigned = df.withColumn("__vn", norm(F.col(vec_col))).select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("__vn").alias("a_norm"),  # once per vector, not per pair
+        (-best["ncid"]).cast("long").alias("centroid_id"),
+    )
+    b = assigned.select(
+        F.col("a_id").alias("b_id"),
+        F.col("a_vec").alias("b_vec"),
+        F.col("a_norm").alias("b_norm"),
+        "centroid_id",
+    )
+    # the higher id of every >=threshold in-cell pair is a duplicate
+    dups = (
+        assigned.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")),
+                round_dp,
+            )
+            >= threshold
+        )
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned["a_id"] == dups["dup_id"], "left")
+        .select(
+            F.col("a_id").alias(id_col),
+            "centroid_id",
+            F.col("dup_id").isNull().alias("kept"),
+        )
+    )

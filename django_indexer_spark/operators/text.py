@@ -12,7 +12,7 @@ partition count alone.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_RE = "[^a-zA-Z0-9]+"
@@ -172,6 +172,87 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str, n: int = 2) ->
             F.coalesce(
                 F.expr("top_ngram_count * 10000 div n_ngrams"), F.lit(0)
             ).cast("long").alias("top_ngram_frac_bp"),
+        )
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact-substring duplication coverage — the per-document metric behind
+    suffix-array exact dedup (Lee et al. 2022, arXiv:2107.06499): what
+    fraction of a document's tokens sits inside a token n-gram that also
+    appears verbatim in at least ``min_docs - 1`` OTHER documents.
+
+    Spark shape (the scalable stand-in for a distributed suffix array):
+    1. window generation — posexplode of the materialized token array's
+       n-grams; pos is the window start, md5(gram) the window key;
+    2. document frequency — groupBy(h) count_distinct(doc): ONE shuffle on
+       a uniform 128-bit key; windows with df >= min_docs are 'shared';
+    3. left-semi join wins→shared on h (uniform key again);
+    4. per-doc interval union of the surviving [pos, pos+n) windows via a
+       running max(pos+n) over the doc-partitioned pos-ordered window —
+       partitions are bounded by single-document length, never corpus
+       size, so the WindowExec is skew-safe at 100 TB;
+    5. dup_tokens = union length; dup_frac = dup_tokens / n_tokens.
+
+    Returns (id, n_tokens, dup_tokens, dup_frac) for every input doc
+    (docs shorter than n tokens have dup_tokens = 0)."""
+    toks_df = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).withColumn("n_tokens", F.size("__toks").cast("long"))
+    wins = (
+        toks_df.filter(F.col("n_tokens") >= n)
+        .select(
+            id_col,
+            F.posexplode(word_ngrams_from_tokens(F.col("__toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", F.md5(F.col("gram")).alias("h"))
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("h")
+    )
+    dup = wins.join(shared, "h", "left_semi")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + n
+        - F.greatest(
+            F.col("pos"), F.coalesce(F.max(F.col("pos") + n).over(w), F.col("pos"))
+        ),
+    )
+    per_doc = (
+        dup.withColumn("covered", covered)
+        .groupBy(id_col)
+        .agg(F.sum("covered").cast("long").alias("dup_tokens"))
+    )
+    return (
+        toks_df.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
         )
     )
 

@@ -994,6 +994,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_semantic")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster embeddings to the 8 inlined
+    centroids, then within each cluster mark every vector with a lower-id
+    >=0.25-cosine neighbor as a duplicate (threshold sits in the random
+    fixture's observable tail, like dedup_embedding_cosine's). All-pairs
+    never materializes — the pair join is an equi-join on centroid_id."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", _ivf_centroids(spark, sf_dir), threshold=0.25
+    )
+
+
 @query("text_metrics")
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, quality score, fingerprint (the cheap
@@ -1111,6 +1124,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the n-gram mode — scales by partition count alone."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return text.repetition_metrics(docs, "doc_id", "text", n=2)
+
+
+@query("text_dup_spans")
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    arXiv:2107.06499 — the suffix-array dedup metric, re-shaped for
+    Spark): per doc, the fraction of tokens inside a word 8-gram that
+    also appears verbatim in another document. Interval-union of the
+    shared windows, doc-bounded WindowExec, uniform md5 shuffle keys."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return text.dup_span_coverage(docs, "doc_id", "text", n=8, min_docs=2)
 
 
 @query("text_pii_scrub")

@@ -648,6 +648,30 @@ FROM scored
 QUALIFY rnk <= 5
 """
 
+# SemDeDup — mirrors operators/similarity.py semantic_dedup: assignment is
+# the sim_ivf_assign mirror (rounded cosine, ties to lowest cid); a vector
+# is kept iff no lower-id same-cell vector has round(cos, 6) >= 0.25.
+ORACLES["dedup_semantic"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY round({_IVF_COS}, 6) DESC, c.cid ASC) = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.25
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+       (d.dup_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
+"""
+
 # k-means (2 Lloyd iterations, k=8, cosine assignment, seeds = vec_id<8) —
 # mirrors operators/similarity.py lloyd_means/kmeans_train exactly: sims
 # rounded to 6dp with ties to the lowest cid; means via order-independent
@@ -886,6 +910,42 @@ SELECT m.doc_id,
        CAST(coalesce(total, 0) AS BIGINT) AS n_ngrams,
        CAST(coalesce((top * 10000) // total, 0) AS BIGINT) AS top_ngram_frac_bp
 FROM m LEFT JOIN a USING (doc_id)
+"""
+
+# Exact-substring duplication coverage — mirrors operators/text.py
+# dup_span_coverage (n=8, min_docs=2): 0-based window starts, md5 window
+# keys, interval union via running max(pos+8) over the doc-partitioned
+# pos-ordered window.
+ORACLES["text_dup_spans"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), docs AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM base
+), wins AS (
+  SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
+  FROM docs WHERE len(toks) >= 8
+), keyed AS (
+  SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS h
+  FROM wins
+), shared AS (
+  SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT k.doc_id, k.pos FROM keyed k JOIN shared USING (h)
+), cov AS (
+  SELECT doc_id,
+         greatest(0, pos + 8 - greatest(pos, coalesce(max(pos + 8) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos))) AS covered
+  FROM dup
+), per_doc AS (
+  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN d.n_tokens > 0
+            THEN round(coalesce(p.dup_tokens, 0)::DOUBLE / d.n_tokens, 6)
+            ELSE 0.0 END AS dup_frac
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
 """
 
 # PII regexes — byte-identical to operators/text.py PII_*_RE (both Java

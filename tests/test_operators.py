@@ -1191,3 +1191,74 @@ def test_pagerank_one_iteration_hand_computed(spark):
     # more iterations keep total mass at 1 (no dangling nodes here)
     three = graph.pagerank(e, iterations=3).agg(F.sum("rank")).collect()[0][0]
     assert abs(three - 1.0) < 1e-9
+
+
+# --------------------------------------------- semantic dedup / dup spans
+
+
+def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
+    # centroids: cell 0 = x-axis, cell 1 = y-axis. ids 1,2,5 cluster on x
+    # and are mutually >=0.9-cosine -> only the lowest id survives; 3 and 4
+    # land in cell 1 but their cosine is ~0.05 -> both kept.
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [0.9, 0.2]),
+            (3, [0.1, 1.0]),
+            (4, [-1.0, 0.05]),
+            (5, [0.95, 0.15]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["kept"])
+        for r in similarity.semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.9
+        ).collect()
+    }
+    assert out == {
+        1: (0, True),
+        2: (0, False),
+        3: (1, True),
+        4: (1, True),  # same cell as 3 but anti-correlated -> not a dup
+        5: (0, False),
+    }
+
+
+def test_dup_span_coverage_interval_union_and_short_docs(spark):
+    # docs 1 and 2 share the 3-grams "a b c" and "b c d"; their overlapping
+    # [pos, pos+3) windows must union, not double-count. doc 3 shares
+    # nothing; doc 4 is shorter than n.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "z z a b c d z"),
+            (3, "q r s"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in text.dup_span_coverage(docs, "doc_id", "text", n=3).collect()
+    }
+    # doc 1: windows 0,1 duplicated -> [0,3)+[1,4) union = 4 tokens
+    assert out[1] == (6, 4, round(4 / 6, 6))
+    # doc 2: windows 2,3 duplicated -> [2,5)+[3,6) union = 4 tokens
+    assert out[2] == (7, 4, round(4 / 7, 6))
+    assert out[3] == (3, 0, 0.0)
+    assert out[4] == (2, 0, 0.0)
+
+
+def test_dup_span_coverage_within_doc_repeat_not_shared(spark):
+    # the same 3-gram occurring twice in ONE doc is not cross-document
+    docs = spark.createDataFrame(
+        [(1, "a b c z a b c"), (2, "other words entirely here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in text.dup_span_coverage(docs, "doc_id", "text", n=3).collect()
+    }
+    assert out == {1: 0, 2: 0}

@@ -60,8 +60,12 @@ def main() -> None:
         # full-registry bench stays ~3 min instead of ~4 (the driver's
         # bench window is not unbounded; r2 lost ALL perf signal to a
         # dead bench, so wall-time here is a reliability budget).
+        # 0.2 s threshold: below it a single run IS the noise floor and a
+        # re-run buys nothing; above it min-of-two is what makes round-
+        # over-round ratios meaningful (a 0.25 s query single-run swings
+        # 2-3x under ambient load — measured on ts_moving_avg).
         first = run(name)
-        times[name] = round(min(first, run(name)) if first >= 1.0 else first, 3)
+        times[name] = round(min(first, run(name)) if first >= 0.2 else first, 3)
 
     out = {
         "metric": "headline query steady-state wall-time at sf (noop sink, "

@@ -539,6 +539,125 @@ def centroid_cosine(
     )
 
 
+def sq8_bounds(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) of an embedding column — the scalar-
+    quantization codebook. One posexplode → groupBy(pos) min/max (uniform
+    key, partial-agg) and a BOUNDED driver collect of 2×dim doubles (the
+    IVF-centroid collect pattern). Train once per corpus build, then
+    inline the bounds into every quantize plan as literals."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"), F.max(F.col("x").cast("double")).alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
+
+
+def sq8_quantize(vec_sql: str, lo: list[float], hi: list[float]) -> Column:
+    """uint8 scalar quantization: q = round((x - lo) / (hi - lo) * 255)
+    per dimension, with degenerate (hi == lo) dims pinned to 0. Bounds are
+    inlined literals (one parsed SQL string — see _cell_sims for why);
+    output is array<bigint> in [0, 255].
+
+    This is the bandwidth lever at 100 TB: a 64-dim float64 vector is
+    512 B, its sq8 code 64 B — an 8× cut in scan+shuffle bytes for every
+    downstream ANN pass, at a recall cost sim_sq8_recall measures."""
+    span = [h - l for l, h in zip(lo, hi)]
+    return F.expr(
+        f"zip_with(zip_with({vec_sql}, {_arr_sql(lo)}, "
+        "(x, l) -> CAST(x AS DOUBLE) - l), "
+        f"{_arr_sql(span)}, "
+        "(d, s) -> CASE WHEN s = CAST('0.0' AS DOUBLE) THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(d / s * 255, 0) AS BIGINT) END)"
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    lo: list[float],
+    hi: list[float],
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """cosine_topk over sq8 codes: same broadcast-query / corpus-stays-put
+    shape, but every pair score is an integer dot product (exact in
+    double up to 2^53, so the fold is order-independent and engine-exact).
+    All-zero codes (a vector at the per-dim minimum everywhere) score 0."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        sq8_quantize(f"`{vec_col}`", lo, hi).alias("q_code"),
+    ).withColumn("q_norm", norm(F.col("q_code")))
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        sq8_quantize(f"`{vec_col}`", lo, hi).alias("c_code"),
+    ).withColumn("c_norm", norm(F.col("c_code")))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "qcos",
+            F.when(
+                (F.col("q_norm") == 0.0) | (F.col("c_norm") == 0.0), F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    dot(F.col("q_code"), F.col("c_code"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    round_dp,
+                )
+            ),
+        )
+        .select("q_id", "c_id", "qcos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "qcos", "rnk")
+    )
+
+
+def sq8_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    lo: list[float],
+    hi: list[float],
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """recall@k of sq8-quantized brute-force search against exact cosine
+    top-k — the measurement that says whether the 8× bandwidth cut is
+    free at this corpus/dim. Per query: (q_id, n_hit, recall_bp) with
+    recall in integer basis points (n_hit * 10000 div k — bit-exact
+    cross-engine, same convention as sim_rp_recall)."""
+    exact = cosine_topk(queries, corpus, query_id, corpus_id, vec_col, k, round_dp)
+    approx = sq8_topk(
+        queries, corpus, query_id, corpus_id, vec_col, lo, hi, k, round_dp
+    )
+    hits = exact.select("q_id", "c_id").join(
+        approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce(F.expr(f"n_hit * 10000 div {k}"), F.lit(0))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

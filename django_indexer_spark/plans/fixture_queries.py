@@ -1664,6 +1664,34 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_CACHE: dict[str, tuple[list[float], list[float]]] = {}
+
+
+def _sq8_bounds(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
+    """Per-dim quantization bounds, cached per sf_dir: training the
+    codebook is an offline corpus-build step (one agg + a 2×64-double
+    collect), not per-query work — the _IVF_CACHE pattern."""
+    if sf_dir not in _SQ8_CACHE:
+        _SQ8_CACHE[sf_dir] = similarity.sq8_bounds(
+            _t(spark, sf_dir, "embeddings"), "embedding"
+        )
+    return _SQ8_CACHE[sf_dir]
+
+
+@query("sim_sq8_recall")
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uint8 scalar-quantization ANN quality: per query, how much of the
+    exact float64 cosine top-5 the 8×-smaller sq8 codes retrieve. Unlike
+    the 4×-lossier JL sketch (sim_rp_recall's honest rejection on this
+    isotropic corpus), sq8 preserves per-dimension resolution, so recall
+    stays high even on near-equidistant random vectors — the measured
+    argument for quantizing the corpus before the brute-force/IVF pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    lo, hi = _sq8_bounds(spark, sf_dir)
+    return similarity.sq8_recall(q, emb, "vec_id", "vec_id", "embedding", lo, hi, k=5)
+
+
 @query("text_vocab_topk")
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: token → total occurrences + doc frequency,

@@ -500,6 +500,59 @@ QUALIFY rnk <= 5
 """
 
 
+# sq8 quantized-search recall — mirrors operators/similarity.py
+# sq8_bounds/sq8_quantize/sq8_topk/sq8_recall: per-dim min/max codebook,
+# q = round((x-lo)/(hi-lo)*255) (degenerate dims -> 0), integer dot
+# products (exact in double), round-6 quantized cosine with (desc, id)
+# order, recall vs the exact float top-5 in integer basis points.
+ORACLES["sim_sq8_recall"] = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+bounds AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+codes AS (
+  SELECT vec_id, pos,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(round((x - lo) / (hi - lo) * 255, 0) AS BIGINT) END AS qv
+  FROM ex JOIN bounds USING (pos)
+),
+norms AS (SELECT vec_id, sqrt(sum((qv * qv)::DOUBLE)) AS nrm FROM codes GROUP BY vec_id),
+qdots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum((a.qv * b.qv)::DOUBLE) AS dp
+  FROM codes a JOIN codes b USING (pos)
+  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT q_id, c_id,
+         CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+              ELSE round(dp / (na.nrm * nb.nrm), 6) END AS qcos
+  FROM qdots
+  JOIN norms na ON na.vec_id = q_id
+  JOIN norms nb ON nb.vec_id = c_id
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id ASC) <= 5
+),
+exact AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY round({_COS}, 6) DESC, c.vec_id ASC) <= 5
+),
+hits AS (
+  SELECT e.q_id, count(*) AS n_hit
+  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+  GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_hit * 10000 // 5, 0) AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
+"""
+
+
 def _rp_recall_sql(n_planes: int = 16, dim: int = 64, k: int = 5) -> str:
     """Mirrors sim_rp_recall: 16 literal JL planes (plane_weights), exact
     vs projected cosine top-k, per-query overlap in basis points."""

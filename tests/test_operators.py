@@ -1262,3 +1262,41 @@ def test_dup_span_coverage_within_doc_repeat_not_shared(spark):
         for r in text.dup_span_coverage(docs, "doc_id", "text", n=3).collect()
     }
     assert out == {1: 0, 2: 0}
+
+
+def test_sq8_quantize_endpoints_midpoint_and_degenerate_dim(spark):
+    # dim 0 spans [0, 2]: endpoints -> 0/255, midpoint 1.0 -> half-up 128.
+    # dim 1 is degenerate (every vector 7.0) -> pinned to 0.
+    df = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [2.0, 7.0]), (3, [1.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    lo, hi = similarity.sq8_bounds(df, "embedding")
+    assert (lo, hi) == ([0.0, 7.0], [2.0, 7.0])
+    out = {
+        r["vec_id"]: r["code"]
+        for r in df.select(
+            "vec_id", similarity.sq8_quantize("embedding", lo, hi).alias("code")
+        ).collect()
+    }
+    assert out == {1: [0, 0], 2: [255, 0], 3: [128, 0]}
+
+
+def test_sq8_recall_is_perfect_on_well_separated_vectors(spark):
+    # axis-aligned clusters quantize losslessly enough that the quantized
+    # top-k equals the exact top-k -> 10000 bp for every query
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.8, 0.2, 0.0]),
+        (3, [0.0, 1.0, 0.0]), (4, [0.1, 0.9, 0.0]), (5, [0.2, 0.8, 0.0]),
+        (6, [0.0, 0.0, 1.0]), (7, [0.0, 0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lo, hi = similarity.sq8_bounds(df, "embedding")
+    q = df.filter(F.col("vec_id") < 2)
+    got = {
+        r["q_id"]: r["recall_bp"]
+        for r in similarity.sq8_recall(
+            q, df, "vec_id", "vec_id", "embedding", lo, hi, k=2
+        ).collect()
+    }
+    assert got == {0: 10000, 1: 10000}

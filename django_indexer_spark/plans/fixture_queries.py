@@ -2048,6 +2048,41 @@ def a_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q5_local_supplier_volume")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from intra-region (customer nation ==
+    supplier nation) commerce, ASIA, one order-date year — THE join-order
+    showcase: six tables where the right plan broadcasts the three tiny
+    dims (region→nation→supplier chain and customer) and leaves the fact
+    tables to one orderkey shuffle. The date predicate pushes into the
+    orders scan (row-group skipping at scale); the c_nationkey ==
+    s_nationkey equi-condition rides the customer join, never a filter
+    after a wider join. Exact-decimal revenue; (revenue desc, n_name) is
+    a total order."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue_e4 = to_fixed("l_extendedprice", 2) * (F.lit(100) - to_fixed("l_discount", 2))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    g = grouped_exact_sums(joined, ["n_name"], sums={"revenue": (revenue_e4, 4)})
+    return g.orderBy(F.desc("revenue"), F.asc("n_name")).select("n_name", "revenue")
+
+
 @query("q3_shipping_priority")
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by

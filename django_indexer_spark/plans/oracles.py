@@ -1661,6 +1661,23 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
+ORACLES["q5_local_supplier_volume"] = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
 ORACLES["q3_shipping_priority"] = """
 SELECT l_orderkey,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

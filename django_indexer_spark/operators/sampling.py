@@ -309,3 +309,66 @@ def decontaminate(
     """Corpus minus contaminated docs (J7 anti-join on the flagged ids)."""
     bad = contaminated_ids(corpus, eval_set, text_col, id_col, n)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    group_col: str,
+    budget: int,
+    salt: str = "budget",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group token-budget selection: walk each group's docs in seeded-
+    shuffle order (md5('<salt>:<id>') — a pure key function, so the
+    selected set is reproducible across runs/engines) and keep the prefix
+    whose cumulative token count stays within ``budget``. This is the
+    "sample N training tokens per source" mixing step that follows
+    temperature_mix_weights: weights pick the per-source budgets, this
+    operator materializes the doc set that spends them.
+
+    Scale shape — the ranked_global two-pass pattern, NOT a per-source
+    window (a 100 TB source would serialize onto one reducer):
+    repartitionByRange on (group, hash-key) keeps each partition's slice
+    contiguous in the walk order; per-(partition, group) token sums feed
+    a prefix-sum window over <= num_partitions x |groups| tiny rows whose
+    offsets broadcast back; the running total is then offset + a
+    partition-local cumsum. A doc whose tokens would cross the budget is
+    excluded, and (cumsum being monotone) so is every doc after it.
+
+    Returns (group, id, tokens, cum_tokens) for the selected docs.
+    """
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(group_col), F.col(id_col), F.col(token_col).cast("long").alias("__tok")
+    ).withColumn("__hk", key)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = keyed.repartitionByRange(n, F.col(group_col), F.col("__hk")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = ranged.groupBy("__pid", group_col).agg(F.sum("__tok").alias("__n"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "__pid", group_col, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy("__hk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn("__cum", (F.col("__off") + F.sum("__tok").over(w_local)).cast("long"))
+        .filter(F.col("__cum") <= budget)
+        .select(
+            group_col,
+            id_col,
+            F.col("__tok").alias("tokens"),
+            F.col("__cum").alias("cum_tokens"),
+        )
+    )

@@ -1768,6 +1768,22 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sample_token_budget")
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: per source, keep the seeded-shuffle-order
+    prefix of documents whose cumulative token count fits an 800-token
+    budget (≈60% of each source — the cutoff bites in every group) — the step that turns temperature weights into an actual
+    training-set doc list. Two-pass prefix-sum (ranked_global pattern),
+    no per-source single-reducer window."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    with_tokens = docs.select(
+        "source", "doc_id", text.token_count("text").alias("n_tok")
+    )
+    return sampling.token_budget_sample(
+        with_tokens, "doc_id", "n_tok", "source", budget=800
+    )
+
+
 @query("sample_temperature_mix")
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing weights per language (alpha=0.3,

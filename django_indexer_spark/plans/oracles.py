@@ -1432,6 +1432,24 @@ SELECT 'purchase_after_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM
 
 # temperature mixing: p^alpha via the shared libm pow (probed identical for
 # these operands); normalizer summed as DECIMAL(38,18) = order-independent
+# token-budget sampling — mirrors operators/sampling.py token_budget_sample:
+# per-source cumulative token count in md5('budget:'||id) walk order, keep
+# rows whose running total (including self) fits the budget.
+ORACLES["sample_token_budget"] = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS tokens,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+), c AS (
+  SELECT source, doc_id, tokens,
+         CAST(sum(tokens) OVER (
+           PARTITION BY source ORDER BY hk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT source, doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 800
+"""
+
 ORACLES["sample_temperature_mix"] = """
 WITH c AS (
   SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs

@@ -1300,3 +1300,32 @@ def test_sq8_recall_is_perfect_on_well_separated_vectors(spark):
         ).collect()
     }
     assert got == {0: 10000, 1: 10000}
+
+
+def test_token_budget_sample_prefix_semantics_per_group(spark):
+    from django_indexer_spark.operators import sampling
+
+    # equal-sized docs make the selected COUNT order-independent even
+    # though the walk order is the salted hash permutation
+    rows = [("a", i, 10) for i in range(5)] + [("b", i + 100, 7) for i in range(4)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n_tok long")
+    out = sampling.token_budget_sample(
+        df, "doc_id", "n_tok", "src", budget=25, num_partitions=4
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append((r["tokens"], r["cum_tokens"]))
+    # a: 10+10 = 20 fits, third doc would hit 30 > 25 -> exactly 2 kept
+    assert sorted(by_src["a"]) == [(10, 10), (10, 20)]
+    # b: 7+7+7 = 21 fits, fourth would hit 28 -> exactly 3 kept
+    assert sorted(by_src["b"]) == [(7, 7), (7, 14), (7, 21)]
+    # determinism: same output set on re-run
+    out2 = sampling.token_budget_sample(
+        df, "doc_id", "n_tok", "src", budget=25, num_partitions=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # budget below the smallest doc selects nothing
+    assert (
+        sampling.token_budget_sample(df, "doc_id", "n_tok", "src", budget=5).count()
+        == 0
+    )

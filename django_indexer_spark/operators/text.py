@@ -217,7 +217,11 @@ def dup_span_coverage(
         .filter(F.col("ndocs") >= min_docs)
         .select("h")
     )
-    dup = wins.join(shared, "h", "left_semi")
+    # shuffle-hash semi-join on purpose: the shared-window set grows with
+    # the corpus (every boilerplate 8-gram lands in it), so at 100 TB it
+    # must never be a driver-sized broadcast; the join key is the uniform
+    # md5, so the shuffle is skew-free.
+    dup = wins.join(shared.hint("shuffle_hash"), "h", "left_semi")
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")

@@ -181,3 +181,46 @@ def test_deletion_signatures_cover_all_distance1_pairs(s, edit):
         return {x} | {x[:i] + x[i + 1 :] for i in range(len(x))}
 
     assert sigs(s) & sigs(t), (s, t)
+
+
+# --- dup-span coverage vs brute-force set union -----------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+DOCS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _brute_dup_coverage(texts: list[str], n: int) -> dict[int, tuple[int, int]]:
+    """Reference model: per doc (n_tokens, |union of positions covered by a
+    word n-gram that appears in >=2 distinct docs|) via plain sets."""
+    toks = [t.split() if t else [] for t in texts]
+    grams: dict[tuple[str, ...], set[int]] = {}
+    for d, ts in enumerate(toks):
+        for i in range(len(ts) - n + 1):
+            grams.setdefault(tuple(ts[i : i + n]), set()).add(d)
+    out = {}
+    for d, ts in enumerate(toks):
+        covered: set[int] = set()
+        for i in range(len(ts) - n + 1):
+            if len(grams[tuple(ts[i : i + n])]) >= 2:
+                covered.update(range(i, i + n))
+        out[d] = (len(ts), len(covered))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=DOCS, n=st.integers(2, 4))
+def test_dup_span_coverage_matches_set_union_model(spark, texts, n):
+    from django_indexer_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in text_ops.dup_span_coverage(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == _brute_dup_coverage(texts, n)

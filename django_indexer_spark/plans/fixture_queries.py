@@ -930,6 +930,21 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_multiprobe")
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_lsh with Hamming-1 multi-probe: each query additionally
+    probes the n_planes buckets one bit-flip away — the standard recall
+    booster (neighbors just across one hyperplane come back) at
+    (n_planes+1)× probe cost. Only the QUERY side fans out; the corpus
+    never moves — still an equi-join on bucket, never a cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_ann_topk(
+        q, emb, "vec_id", "vec_id", "embedding", k=5, n_planes=4, dim=64,
+        multi_probe=True,
+    )
+
+
 _IVF_CACHE: dict[tuple[str, int], list[list[float]]] = {}
 
 

@@ -600,7 +600,9 @@ LEFT JOIN ov ON ov.q_id = qv.vec_id
 ORACLES["sim_rp_recall"] = _rp_recall_sql(16, 64, 5)
 
 
-def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+def _ann_lsh_sql(
+    n_planes: int = 4, dim: int = 64, k: int = 5, multi_probe: bool = False
+) -> str:
     from ..operators.similarity import plane_weights
 
     ws = plane_weights(n_planes, dim)
@@ -608,13 +610,20 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{', '.join(repr(w) for w in ws[p])}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END)"
         for p in range(n_planes)
     )
+    # multi-probe: the query also probes every bucket at Hamming distance 1
+    # (flip each plane bit) — a candidate's single bucket matches at most
+    # one probe, so IN-list membership is exactly the exploded-probe join
+    probes = ", ".join(
+        ["q.bucket"] + [f"xor(q.bucket, {2**p})" for p in range(n_planes)]
+    )
+    on = f"c.bucket IN ({probes})" if multi_probe else "q.bucket = c.bucket"
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket FROM embeddings
 ), q AS (SELECT * FROM b WHERE vec_id < 8),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_COS}, 6) AS cosine
-  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  FROM q JOIN b c ON {on} AND q.vec_id <> c.vec_id
 )
 SELECT q_id, c_id, cosine,
        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
@@ -624,6 +633,7 @@ QUALIFY rnk <= {k}
 
 
 ORACLES["sim_ann_lsh"] = _ann_lsh_sql(4, 64, 5)
+ORACLES["sim_ann_multiprobe"] = _ann_lsh_sql(4, 64, 5, multi_probe=True)
 
 
 def _near_dup_sql(threshold: float, n_planes: int = 4, dim: int = 64) -> str:

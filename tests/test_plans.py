@@ -239,3 +239,42 @@ def test_global_plan_hygiene_all_queries(spark):
         if name not in py_ok and ("EvalPython" in plan or "InPandas" in plan):
             offenders.append((name, "python-in-row-path"))
     assert not offenders, offenders
+
+
+def test_q5_dims_broadcast_and_date_pushdown(spark):
+    # six-table join: every dim join broadcasts at fixture scale and the
+    # order-date year lands in the parquet scan, not a post-scan filter
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_dup_spans_shared_window_join_shuffles(spark):
+    # the shared-window set grows with the corpus: its semi-join must be
+    # a shuffle join (uniform md5 key), never a driver-sized broadcast
+    plan = plan_of(spark, "text_dup_spans")
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi and all("ShuffledHashJoin" in l or "SortMergeJoin" in l for l in semi), semi
+
+
+def test_token_budget_windows_stay_partition_local(spark):
+    # both windows must be partitioned: the cumsum by (__pid, group), the
+    # prefix-offset running sum by group over per-partition sizes — no
+    # unpartitioned window anywhere in the plan
+    plan = plan_of(spark, "sample_token_budget")
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert wins
+    for line in wins:
+        assert "windowspecdefinition(__pid" in line or "windowspecdefinition(source" in line, line
+
+
+def test_semantic_dedup_pairs_meet_inside_cells(spark):
+    # the SemDeDup pair join is an equi-join on centroid_id with the
+    # a<b predicate riding it — never an unbounded corpus cross join
+    plan = plan_of(spark, "dedup_semantic")
+    pair = [
+        l for l in plan.splitlines()
+        if "Join" in l and "centroid_id" in l and "Inner" in l
+    ]
+    assert pair, plan

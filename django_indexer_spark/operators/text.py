@@ -43,6 +43,32 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-style token-count estimate without a vocabulary — the brief's
+    'BPE-ish regex' counter beside the whitespace one (token_count):
+
+    - every alphabetic run contributes ceil(len/4) subword tokens (the
+      standard ~4-chars-per-token heuristic for BPE vocabularies),
+    - every digit is one token (modern tokenizers split number runs),
+    - every other non-whitespace character is one token (punctuation
+      rarely merges).
+
+    Pure JVM expressions (regexp_extract_all + an integer fold), and the
+    regexes avoid lookaround so Java regex and DuckDB's RE2 parse them
+    identically — the estimate is engine-exact, unlike a real BPE pass
+    (which needs the vocab file and a Pandas UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(c, F.lit("[A-Za-z]+"), 0)
+    subwords = F.aggregate(
+        F.transform(runs, lambda w: ((F.length(w) + F.lit(3)) / F.lit(4)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    digits = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    return (subwords + digits + punct).cast("long")
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Character n-grams of the lower-cased text (shingles for minhash).
 

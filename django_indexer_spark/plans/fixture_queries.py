@@ -1009,6 +1009,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_bpe_estimate")
+def text_bpe_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both token counters side by side per doc: the whitespace word
+    count and the BPE-ish estimate (ceil(alpha-run/4) subwords + digits
+    + punctuation) — the pair every 'how many training tokens do we
+    have' budget question needs. Narrow map, pure codegen."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_words"),
+        text.bpe_token_estimate("text").alias("bpe_tokens"),
+    )
+
+
 @query("dedup_semantic")
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): cluster embeddings to the 8 inlined

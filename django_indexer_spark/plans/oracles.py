@@ -975,6 +975,21 @@ SELECT m.doc_id,
 FROM m LEFT JOIN a USING (doc_id)
 """
 
+# BPE-ish token estimate — mirrors operators/text.py bpe_token_estimate:
+# ceil(alpha-run/4) subwords + one per digit + one per non-alnum-non-space
+ORACLES["text_bpe_estimate"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_words,
+       CAST(
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z]+'),
+           w -> (length(w) + 3) // 4)), 0)
+         + length(regexp_replace(text, '[^0-9]', '', 'g'))
+         + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
 # Exact-substring duplication coverage — mirrors operators/text.py
 # dup_span_coverage (n=8, min_docs=2): 0-based window starts, md5 window
 # keys, interval union via running max(pos+8) over the doc-partitioned

@@ -1329,3 +1329,29 @@ def test_token_budget_sample_prefix_semantics_per_group(spark):
         sampling.token_budget_sample(df, "doc_id", "n_tok", "src", budget=5).count()
         == 0
     )
+
+
+def test_bpe_token_estimate_hand_computed(spark):
+    # "internationalization" = 20 alpha chars -> ceil(20/4) = 5 subwords;
+    # "a" -> 1; digits count singly; punctuation counts singly; whitespace free
+    df = spark.createDataFrame(
+        [
+            (1, "internationalization"),
+            (2, "a bc"),
+            (3, "call 911, now!"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["est"]
+        for r in df.select(
+            "doc_id", text.bpe_token_estimate("text").alias("est")
+        ).collect()
+    }
+    assert out == {
+        1: 5,            # ceil(20/4)
+        2: 2,            # ceil(1/4) + ceil(2/4)
+        3: 1 + 1 + 3 + 2,  # call(1) + now(1) + 911(3 digits) + ",!"(2)
+        4: 0,
+    }

@@ -287,6 +287,76 @@ def dup_span_coverage(
     )
 
 
+def dedup_spans_removed(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """The surgery half of exact-substring dedup (dup_span_coverage is the
+    measurement half): re-emit every document with the tokens covered by
+    cross-document n-gram windows REMOVED — Lee et al. 2022's "drop the
+    repeated substring, keep the rest" applied at token granularity.
+
+    Shape: shared-window detection as in dup_span_coverage, then each
+    surviving window explodes to its n covered positions (bounded n×
+    fan-out of the DUPLICATED windows only), DISTINCT(doc, pos) dedups
+    the overlaps, and a left-anti join against the posexploded tokens
+    keeps the clean positions. Reassembly is one per-doc aggregate
+    (array_sort of (pos, tok) structs → concat) — partitions bounded by
+    single-document length. Every join key is (doc, pos) or doc: uniform,
+    never corpus-wide.
+
+    Returns (id, n_tokens, kept_tokens, cleaned_text); a fully-covered
+    doc comes back with kept_tokens = 0 and empty text (callers usually
+    drop those rows — that decision is theirs)."""
+    toks_df = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).withColumn("n_tokens", F.size("__toks").cast("long"))
+    wins = (
+        toks_df.filter(F.col("n_tokens") >= n)
+        .select(
+            id_col,
+            F.posexplode(word_ngrams_from_tokens(F.col("__toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", F.md5(F.col("gram")).alias("h"))
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("h")
+    )
+    dup = wins.join(shared.hint("shuffle_hash"), "h", "left_semi")
+    covered = dup.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"),
+    ).distinct()
+    tok_pos = toks_df.select(
+        id_col, F.posexplode("__toks").alias("tpos", "tok")
+    )
+    kept = tok_pos.join(covered, [id_col, "tpos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        toks_df.select(id_col, "n_tokens")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 # --- PII detection / redaction --------------------------------------------
 #
 # Regexes are deliberately conservative and chosen to parse identically

@@ -1155,6 +1155,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_metrics(docs, "doc_id", "text", n=2)
 
 
+@query("text_span_removal")
+def text_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surgery half of exact-substring dedup: every doc re-emitted
+    with the tokens inside cross-document 8-gram windows removed
+    (text_dup_spans measures what this drops). Bounded n× explode of
+    duplicated windows only; (doc, pos) anti-join; per-doc reassembly."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return text.dedup_spans_removed(docs, "doc_id", "text", n=8, min_docs=2)
+
+
 @query("text_dup_spans")
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022,

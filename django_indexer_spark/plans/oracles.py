@@ -1026,6 +1026,46 @@ SELECT d.doc_id, d.n_tokens,
 FROM docs d LEFT JOIN per_doc p USING (doc_id)
 """
 
+# Span-removal surgery — mirrors operators/text.py dedup_spans_removed:
+# same shared-window detection as text_dup_spans, windows explode to
+# covered positions, anti-join against the position-exploded tokens,
+# order-preserving reassembly.
+ORACLES["text_span_removal"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), docs AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM base
+), wins AS (
+  SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
+  FROM docs WHERE len(toks) >= 8
+), keyed AS (
+  SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS h
+  FROM wins
+), shared AS (
+  SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT k.doc_id, k.pos FROM keyed k JOIN shared USING (h)
+), covered AS (
+  SELECT DISTINCT doc_id, pos + u.r AS tpos
+  FROM dup, LATERAL (SELECT unnest(range(0, 8)) AS r) u
+), tok_pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tpos, unnest(toks) AS tok
+  FROM docs
+), kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tok_pos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       coalesce(a.cleaned_text, '') AS cleaned_text
+FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
+
 # PII regexes — byte-identical to operators/text.py PII_*_RE (both Java
 # regex and RE2 parse them the same: no lookaround, no backrefs)
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

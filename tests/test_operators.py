@@ -1355,3 +1355,30 @@ def test_bpe_token_estimate_hand_computed(spark):
         3: 1 + 1 + 3 + 2,  # call(1) + now(1) + 911(3 digits) + ",!"(2)
         4: 0,
     }
+
+
+def test_dedup_spans_removed_cuts_covered_tokens_only(spark):
+    # same corpus as the coverage test: docs 1/2 share "a b c" and "b c d"
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "z z a b c d z"),
+            (3, "q r s"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["cleaned_text"])
+        for r in text.dedup_spans_removed(docs, "doc_id", "text", n=3).collect()
+    }
+    assert out[1] == (6, 2, "e f")        # [0,4) removed
+    assert out[2] == (7, 3, "z z z")      # [2,6) removed, flanks survive
+    assert out[3] == (3, 3, "q r s")      # untouched
+    assert out[4] == (2, 2, "a b")        # shorter than n -> untouched
+    # removal is consistent with the coverage metric
+    cov = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in text.dup_span_coverage(docs, "doc_id", "text", n=3).collect()
+    }
+    assert all(out[d][0] - out[d][1] == cov[d] for d in out)

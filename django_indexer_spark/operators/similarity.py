@@ -665,6 +665,7 @@ def semantic_dedup(
     centroids: list[list[float]],
     threshold: float,
     round_dp: int = 6,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
     embeddings with pre-trained centroids (``kmeans_train`` output inlined
@@ -673,10 +674,18 @@ def semantic_dedup(
     threshold. The reference keeps one canonical member per semantic
     neighborhood without ever forming the corpus cross join: pairs meet
     only inside a cell, so at 100 TB the self-join is an equi-join on
-    ``centroid_id`` whose width follows cluster populations (skewed
-    clusters respond to the same salting used for j_salted_skew — split a
-    hot cell on a salt column before the pair join and union; k is chosen
-    so the mean cell is small).
+    ``centroid_id`` whose width follows cluster populations.
+
+    ``n_salts`` is the skew escape hatch: with it, each cell's pair space
+    tiles into n_salts² shuffle blocks — every row gets a deterministic
+    salt s = xxhash64(id) mod n_salts, each side replicates n_salts× with
+    the OTHER side's candidate salt, and the join key becomes
+    (centroid_id, s_a, s_b). A pair (x, y) meets in exactly one block
+    ((s_x, s_y), kept by the a<b filter), so the result is bit-identical
+    to the unsalted join (the gate oracle proves it) while a hot cell's
+    largest reducer shrinks from |cell|² to |cell|²/n_salts². Replication
+    costs n_salts× shuffle volume — engage it when a cell exceeds the
+    healthy-partition pair budget, exactly like joins.salted_join.
 
     Returns one row per input vector: (id, centroid_id, kept) — ``kept``
     is False iff some lower-id same-cell vector is >= threshold-similar
@@ -696,10 +705,22 @@ def semantic_dedup(
         F.col("a_norm").alias("b_norm"),
         "centroid_id",
     )
+    if n_salts:
+        all_salts = F.array(*[F.lit(i).cast("long") for i in range(n_salts)])
+        a_rep = assigned.withColumn(
+            "__sa", F.pmod(F.xxhash64("a_id"), F.lit(n_salts))
+        ).withColumn("__sb", F.explode(all_salts))
+        b_rep = b.withColumn(
+            "__sb", F.pmod(F.xxhash64("b_id"), F.lit(n_salts))
+        ).withColumn("__sa", F.explode(all_salts))
+        paired = a_rep.join(b_rep, ["centroid_id", "__sa", "__sb"]).drop(
+            "__sa", "__sb"
+        )
+    else:
+        paired = assigned.join(b, "centroid_id")
     # the higher id of every >=threshold in-cell pair is a duplicate
     dups = (
-        assigned.join(b, "centroid_id")
-        .filter(F.col("a_id") < F.col("b_id"))
+        paired.filter(F.col("a_id") < F.col("b_id"))
         .filter(
             F.round(
                 dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")),

@@ -1036,6 +1036,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_semantic_salted")
+def dedup_semantic_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic with the pair join salt-tiled into 4² shuffle
+    blocks — the hot-cluster escape hatch, oracle-proven result-invariant
+    (the oracle IS dedup_semantic's unsalted SQL): salting changes the
+    SHUFFLE, never the answer, the j_salted_skew proof for self-pairs."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", _ivf_centroids(spark, sf_dir),
+        threshold=0.25, n_salts=4,
+    )
+
+
 @query("text_metrics")
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, quality score, fingerprint (the cheap

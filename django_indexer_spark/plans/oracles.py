@@ -735,6 +735,10 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
 FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
 """
 
+# salting is plan-only: the salted variant must produce the identical
+# result, so its oracle IS the unsalted SQL (the invariance proof)
+ORACLES["dedup_semantic_salted"] = ORACLES["dedup_semantic"]
+
 # k-means (2 Lloyd iterations, k=8, cosine assignment, seeds = vec_id<8) —
 # mirrors operators/similarity.py lloyd_means/kmeans_train exactly: sims
 # rounded to 6dp with ties to the lowest cid; means via order-independent

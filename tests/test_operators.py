@@ -1382,3 +1382,21 @@ def test_dedup_spans_removed_cuts_covered_tokens_only(spark):
         for r in text.dup_span_coverage(docs, "doc_id", "text", n=3).collect()
     }
     assert all(out[d][0] - out[d][1] == cov[d] for d in out)
+
+
+def test_semantic_dedup_salted_equals_unsalted(spark):
+    # salt-tiled pair join must be bit-identical to the plain cell join,
+    # including on cells whose population isn't a multiple of n_salts
+    import random
+
+    rng = random.Random(7)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = similarity.semantic_dedup(df, "vec_id", "embedding", cents, 0.8)
+    salted = similarity.semantic_dedup(
+        df, "vec_id", "embedding", cents, 0.8, n_salts=3
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -316,7 +316,7 @@ def token_budget_sample(
     id_col: str,
     token_col: str,
     group_col: str,
-    budget: int,
+    budget: int | DataFrame,
     salt: str = "budget",
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -336,6 +336,11 @@ def token_budget_sample(
     offsets broadcast back; the running total is then offset + a
     partition-local cumsum. A doc whose tokens would cross the budget is
     excluded, and (cumsum being monotone) so is every doc after it.
+
+    ``budget`` is either one int for every group or a (group, budget)
+    DataFrame — |groups| rows, broadcast onto the cumsum — which is how
+    temperature_mix_weights' q_shares become per-source budgets (see the
+    sample_mix_pipeline gate query).
 
     Returns (group, id, tokens, cum_tokens) for the selected docs.
     """
@@ -361,14 +366,18 @@ def token_budget_sample(
         .orderBy("__hk")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        ranged.join(F.broadcast(offsets), ["__pid", group_col])
-        .withColumn("__cum", (F.col("__off") + F.sum("__tok").over(w_local)).cast("long"))
-        .filter(F.col("__cum") <= budget)
-        .select(
-            group_col,
-            id_col,
-            F.col("__tok").alias("tokens"),
-            F.col("__cum").alias("cum_tokens"),
+    cum = ranged.join(F.broadcast(offsets), ["__pid", group_col]).withColumn(
+        "__cum", (F.col("__off") + F.sum("__tok").over(w_local)).cast("long")
+    )
+    if isinstance(budget, DataFrame):
+        picked = cum.join(F.broadcast(budget), group_col).filter(
+            F.col("__cum") <= F.col("budget")
         )
+    else:
+        picked = cum.filter(F.col("__cum") <= budget)
+    return picked.select(
+        group_col,
+        id_col,
+        F.col("__tok").alias("tokens"),
+        F.col("__cum").alias("cum_tokens"),
     )

@@ -1836,6 +1836,29 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sample_mix_pipeline")
+def sample_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full mixing pipeline in one plan: temperature weights (alpha
+    0.3 over per-source doc counts) → per-source token budgets (q_share
+    of an 8000-token total, floored to integers) → token-budget prefix
+    selection in seeded-shuffle order. What a corpus build actually runs:
+    weights decide how much of each source, the sampler decides WHICH
+    docs spend it. |sources| budget rows broadcast; everything else is
+    the two-pass prefix-sum shape."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    with_tokens = docs.select(
+        "source", "doc_id", text.token_count("text").alias("n_tok")
+    )
+    weights = sampling.temperature_mix_weights(docs, "source", alpha=0.3)
+    budgets = weights.select(
+        F.col("stratum").alias("source"),
+        F.floor(F.col("q_share") * F.lit(8000)).cast("long").alias("budget"),
+    )
+    return sampling.token_budget_sample(
+        with_tokens, "doc_id", "n_tok", "source", budgets
+    )
+
+
 @query("sample_temperature_mix")
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing weights per language (alpha=0.3,

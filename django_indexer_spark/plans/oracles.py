@@ -1519,6 +1519,41 @@ WITH t AS (
 SELECT source, doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 800
 """
 
+# mixing pipeline — temperature_mix_weights (over source) composed with
+# token_budget_sample: budgets = floor(q_share * 8000), q_share exactly as
+# the sample_temperature_mix oracle computes it (rounded to 9dp before the
+# floor so both engines floor the same double)
+ORACLES["sample_mix_pipeline"] = f"""
+WITH c AS (
+  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c
+), pa AS (
+  SELECT stratum, CAST(pow(n_docs / N, 0.3) AS DECIMAL(38,18)) AS pa_dec
+  FROM c, t
+), z AS (
+  SELECT sum(pa_dec) AS Z FROM pa
+), b AS (
+  SELECT stratum AS source,
+         CAST(floor(round(CAST(pa_dec AS DOUBLE) / CAST(Z AS DOUBLE), 9) * 8000) AS BIGINT) AS budget
+  FROM pa, z
+), tok AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS tokens,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+), cum AS (
+  SELECT source, doc_id, tokens,
+         CAST(sum(tokens) OVER (
+           PARTITION BY source ORDER BY hk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM tok
+)
+SELECT c.source, c.doc_id, c.tokens, c.cum_tokens
+FROM cum c JOIN b USING (source)
+WHERE c.cum_tokens <= b.budget
+"""
+
 ORACLES["sample_temperature_mix"] = """
 WITH c AS (
   SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs

@@ -1400,3 +1400,21 @@ def test_semantic_dedup_salted_equals_unsalted(spark):
         df, "vec_id", "embedding", cents, 0.8, n_salts=3
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_token_budget_sample_per_group_budget_frame(spark):
+    from django_indexer_spark.operators import sampling
+
+    rows = [("a", i, 10) for i in range(5)] + [("b", i + 100, 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n_tok long")
+    budgets = spark.createDataFrame(
+        [("a", 25), ("b", 45)], "src string, budget long"
+    )
+    out = sampling.token_budget_sample(
+        df, "doc_id", "n_tok", "src", budgets, num_partitions=4
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], 0)
+        by_src[r["src"]] += 1
+    assert by_src == {"a": 2, "b": 4}  # 25 -> 2 docs of 10; 45 -> 4 docs

@@ -88,3 +88,42 @@ def heavy_hitters(
         .filter(F.col(count_alias) * (k + 1) > F.col("__N"))
         .drop("__N")
     )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, col: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    hash every value to a uniform fraction, keep the k smallest DISTINCT
+    fractions; if the k-th smallest is f_k, the estimate is (k-1)/f_k
+    (k uniform order statistics ⇒ E[f_k] ≈ k/n). Fewer than k distinct
+    values ⇒ the sketch IS the distinct set and the count is exact.
+
+    Unlike HLL (whose register layout is engine-private — see
+    a3_approx_distinct's rows-only gate), KMV built on md5 is
+    deterministic AND cross-engine exact: the hash fraction folds the
+    first 13 hex digits (52 bits — exact in a double on any engine), so
+    the k-th order statistic, hence the estimate, is bit-identical in
+    DuckDB — an oracle-checkable approximate-distinct.
+
+    Scale shape: one narrow map (hash), distinct (uniform-key shuffle of
+    the DISTINCT values only), then a TakeOrdered of k rows — the
+    driver/final state is O(k) no matter the corpus. The sketch is also
+    mergeable (union two sketches' fractions, re-take the k smallest) —
+    the partial-aggregate form a 1000-executor rollup uses.
+
+    Returns one row: (n_kept, est_distinct)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string")))
+    frac = F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast("double") / F.lit(
+        float(16**13)
+    )
+    mins = df.select(frac.alias("f")).distinct().orderBy("f").limit(k)
+    return mins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise((F.lit(float(k - 1))) / F.max("f")),
+            4,
+        ).alias("est_distinct"),
+    )

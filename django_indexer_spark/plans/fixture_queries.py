@@ -1271,6 +1271,20 @@ def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a_kmv_distinct")
+def a_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over orders.o_custkey beside the exact
+    answer — the ORACLE-CHECKABLE approximate distinct (md5-derived order
+    statistics are bit-identical cross-engine, unlike HLL's private
+    registers in a3_approx_distinct). O(k) state however big the scan."""
+    from ..operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    est = sketches.kmv_distinct_estimate(orders, "o_custkey", k=256)
+    exact = orders.agg(F.count_distinct("o_custkey").cast("long").alias("n_exact"))
+    return est.crossJoin(exact).select("n_exact", "n_kept", "est_distinct")
+
+
 @query("a_percentiles")
 def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median/p90) per order status —

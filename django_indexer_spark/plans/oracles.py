@@ -857,6 +857,32 @@ def _hex24_sql(expr: str) -> str:
     )
 
 
+# KMV distinct sketch — mirrors operators/sketches.py kmv_distinct_estimate:
+# 13-hex-digit fold (52 bits, double-exact) of md5('kmv:'||value) -> the
+# 256 smallest distinct fractions -> (k-1)/f_k
+_KMV_FOLD = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 14), "
+    "i -> (strpos('0123456789abcdef', "
+    "substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), i, 1)) - 1)::BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+ORACLES["a_kmv_distinct"] = f"""
+WITH hashed AS (
+  SELECT DISTINCT {_KMV_FOLD}::DOUBLE / 4503599627370496.0 AS f FROM orders
+), mins AS (
+  SELECT f FROM hashed ORDER BY f LIMIT 256
+), sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                    ELSE 255.0 / max(f) END, 4) AS est_distinct
+  FROM mins
+)
+SELECT (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_exact,
+       n_kept, est_distinct
+FROM sk
+"""
+
 _SAMPLE_B = _hex24_sql("'sample:' || CAST(doc_id AS VARCHAR)") + " % 10000"
 _SPLIT_B = _hex24_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 10000"
 

@@ -1418,3 +1418,17 @@ def test_token_budget_sample_per_group_budget_frame(spark):
         by_src.setdefault(r["src"], 0)
         by_src[r["src"]] += 1
     assert by_src == {"a": 2, "b": 4}  # 25 -> 2 docs of 10; 45 -> 4 docs
+
+
+def test_kmv_distinct_exact_below_k_and_close_above(spark):
+    from django_indexer_spark.operators import sketches
+
+    # below k: the sketch IS the distinct set -> exact
+    small = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    r = sketches.kmv_distinct_estimate(small, "v", k=64).collect()[0]
+    assert (r["n_kept"], r["est_distinct"]) == (7, 7.0)
+    # above k: estimate within ~3 sigma (sigma ~= n/sqrt(k))
+    big = spark.createDataFrame([(i,) for i in range(5000)], "v long")
+    r = sketches.kmv_distinct_estimate(big, "v", k=256).collect()[0]
+    assert r["n_kept"] == 256
+    assert abs(r["est_distinct"] - 5000) < 3 * 5000 / 16

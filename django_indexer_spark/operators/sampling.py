@@ -311,6 +311,49 @@ def decontaminate(
     return corpus.join(bad, id_col, "left_anti")
 
 
+def grouped_prefix_sums(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    group_col: str,
+    salt: str = "budget",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running token totals in seeded-shuffle order — the
+    two-pass ranked_global shape shared by token_budget_sample and
+    pps_systematic_sample: repartitionByRange on (group, md5 walk key)
+    keeps each partition's slice contiguous; per-(partition, group) sums
+    feed a tiny prefix-offset window that broadcasts back; the running
+    total is offset + partition-local cumsum. No group ever serializes
+    onto one reducer. Returns (group, id, __tok, __cum) with __cum
+    INCLUDING the row's own tokens."""
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(group_col), F.col(id_col), F.col(token_col).cast("long").alias("__tok")
+    ).withColumn("__hk", key)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = keyed.repartitionByRange(n, F.col(group_col), F.col("__hk")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = ranged.groupBy("__pid", group_col).agg(F.sum("__tok").alias("__n"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "__pid", group_col, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy("__hk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ranged.join(F.broadcast(offsets), ["__pid", group_col]).withColumn(
+        "__cum", (F.col("__off") + F.sum("__tok").over(w_local)).cast("long")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,
@@ -344,31 +387,7 @@ def token_budget_sample(
 
     Returns (group, id, tokens, cum_tokens) for the selected docs.
     """
-    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
-    keyed = df.select(
-        F.col(group_col), F.col(id_col), F.col(token_col).cast("long").alias("__tok")
-    ).withColumn("__hk", key)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = keyed.repartitionByRange(n, F.col(group_col), F.col("__hk")).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    sizes = ranged.groupBy("__pid", group_col).agg(F.sum("__tok").alias("__n"))
-    w_off = (
-        Window.partitionBy(group_col)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = sizes.select(
-        "__pid", group_col, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
-    )
-    w_local = (
-        Window.partitionBy("__pid", group_col)
-        .orderBy("__hk")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = ranged.join(F.broadcast(offsets), ["__pid", group_col]).withColumn(
-        "__cum", (F.col("__off") + F.sum("__tok").over(w_local)).cast("long")
-    )
+    cum = grouped_prefix_sums(df, id_col, token_col, group_col, salt, num_partitions)
     if isinstance(budget, DataFrame):
         picked = cum.join(F.broadcast(budget), group_col).filter(
             F.col("__cum") <= F.col("budget")
@@ -376,6 +395,42 @@ def token_budget_sample(
     else:
         picked = cum.filter(F.col("__cum") <= budget)
     return picked.select(
+        group_col,
+        id_col,
+        F.col("__tok").alias("tokens"),
+        F.col("__cum").alias("cum_tokens"),
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    group_col: str,
+    stride: int,
+    salt: str = "budget",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling: walk
+    each group's docs in seeded-shuffle order and select every doc whose
+    cumulative-token interval [cum - tokens, cum) crosses a stride
+    boundary (stride, 2*stride, ...) — the survey-sampling classic for
+    "pick ~1 doc per N tokens, bigger docs proportionally more often".
+    P(select) = min(tokens/stride, 1); expected picks = group_tokens /
+    stride; a doc larger than the stride is always selected.
+
+    Entirely INTEGER arithmetic on the shared two-pass prefix sums
+    (grouped_prefix_sums) — no libm, no rounding: the selected set is
+    bit-identical across engines and partitionings, unlike weight^(1/u)
+    reservoir schemes whose pow() keys sit one ulp from a rank flip.
+
+    Returns (group, id, tokens, cum_tokens) for the selected docs."""
+    cum = grouped_prefix_sums(df, id_col, token_col, group_col, salt, num_partitions)
+    # integer DIV on purpose (float division + cast truncates differently
+    # near exact multiples): a boundary is crossed iff the two quotients
+    # differ
+    crosses = F.expr(f"(__cum DIV {stride}) > ((__cum - __tok) DIV {stride})")
+    return cum.filter(crosses).select(
         group_col,
         id_col,
         F.col("__tok").alias("tokens"),

@@ -1850,6 +1850,22 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sample_pps_systematic")
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling: per source, select the docs whose
+    cumulative-token interval crosses a 400-token stride boundary —
+    P(select) proportional to doc length, ~1 pick per 400 tokens. Pure
+    integer arithmetic on the shared two-pass prefix sums: bit-identical
+    on any engine/partitioning (no pow()-keyed reservoir rank flips)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    with_tokens = docs.select(
+        "source", "doc_id", text.token_count("text").alias("n_tok")
+    )
+    return sampling.pps_systematic_sample(
+        with_tokens, "doc_id", "n_tok", "source", stride=400
+    )
+
+
 @query("sample_mix_pipeline")
 def sample_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full mixing pipeline in one plan: temperature weights (alpha

@@ -1545,6 +1545,25 @@ WITH t AS (
 SELECT source, doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 800
 """
 
+# systematic PPS — mirrors operators/sampling.py pps_systematic_sample:
+# same per-source cumsum as sample_token_budget, integer stride-crossing
+# predicate
+ORACLES["sample_pps_systematic"] = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS tokens,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+), c AS (
+  SELECT source, doc_id, tokens,
+         CAST(sum(tokens) OVER (
+           PARTITION BY source ORDER BY hk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT source, doc_id, tokens, cum_tokens
+FROM c WHERE (cum_tokens // 400) > ((cum_tokens - tokens) // 400)
+"""
+
 # mixing pipeline — temperature_mix_weights (over source) composed with
 # token_budget_sample: budgets = floor(q_share * 8000), q_share exactly as
 # the sample_temperature_mix oracle computes it (rounded to 9dp before the

@@ -1432,3 +1432,35 @@ def test_kmv_distinct_exact_below_k_and_close_above(spark):
     r = sketches.kmv_distinct_estimate(big, "v", k=256).collect()[0]
     assert r["n_kept"] == 256
     assert abs(r["est_distinct"] - 5000) < 3 * 5000 / 16
+
+
+def test_pps_systematic_counts_and_large_doc_guarantee(spark):
+    from django_indexer_spark.operators import sampling
+
+    rows = [("a", 1, 100), ("a", 2, 300), ("a", 3, 500), ("a", 4, 60),
+            ("b", 10, 50), ("b", 11, 50)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n_tok long")
+    out = sampling.pps_systematic_sample(
+        df, "doc_id", "n_tok", "src", stride=200, num_partitions=4
+    ).collect()
+    by_src = {}
+    boundaries = {}
+    for r in out:
+        by_src.setdefault(r["src"], set()).add(r["doc_id"])
+        boundaries[r["src"]] = boundaries.get(r["src"], 0) + (
+            r["cum_tokens"] // 200 - (r["cum_tokens"] - r["tokens"]) // 200
+        )
+    # every stride boundary lands in exactly one doc's interval -> the
+    # boundary count over selected docs = group_tokens DIV stride,
+    # whatever the walk order (a wide doc covers several but counts once)
+    assert boundaries["a"] == 960 // 200
+    assert 1 <= len(by_src["a"]) <= 960 // 200
+    # b has 100 tokens < stride -> no boundary, no picks
+    assert boundaries.get("b", 0) == 0 and "b" not in by_src
+    # a doc wider than the stride is always selected
+    assert 3 in by_src["a"]
+    # determinism across runs
+    again = sampling.pps_systematic_sample(
+        df, "doc_id", "n_tok", "src", stride=200, num_partitions=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -212,3 +212,76 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         deg.unpersist()
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as an edge list (direction and duplicates
+    ignored; self-loops dropped).
+
+    In a dedup pipeline this grades CLUSTER QUALITY: a candidate-pair
+    graph whose components are triangle-dense is a set of true duplicate
+    cliques, while triangle-free chains are transitive borderline links —
+    exactly the cases a canonical-pick should treat differently.
+
+    Scale shape — degree orientation (Suri & Vassilvitskii, WWW'11,
+    "curse of the last reducer"): orient every edge toward the higher
+    (degree, id) endpoint, then a triangle {r1<r2<r3} materializes from
+    exactly ONE wedge (r1→r2, r1→r3) closed by the oriented edge r2→r3 —
+    no double counting, and wedge fan-out per node is bounded by its
+    OUT-degree, which orientation caps at O(√m) even for celebrity nodes.
+    Joins are equi-joins on node ids (uniform after orientation); the
+    per-node attribution is one explode + count."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("__db"))
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        )
+    )
+    e1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    e2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = e1.join(e2, "s").filter(F.col("t1") != F.col("t2"))
+    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"])
+    per_node = (
+        tri.select(F.explode(F.array("s", "t1", "t2")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (F.coalesce("triangles", F.lit(0)) * 2).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coef"),
+        )
+    )

@@ -2272,6 +2272,22 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("graph_triangles")
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + clustering coefficient per node of the minhash
+    candidate-pair graph — the cluster-quality grade of the dedup
+    pipeline (triangle-dense components = true dup cliques, triangle-free
+    chains = borderline transitive links). Degree-oriented wedge join
+    (Suri & Vassilvitskii) over the bounded pair graph."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_candidate_pairs(
+        dedup.minhash_bands(docs, "text", "doc_id"), "doc_id"
+    )
+    return graph.triangle_counts(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 @query("graph_pagerank")
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the customer→supplier purchase graph

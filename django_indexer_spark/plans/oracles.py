@@ -431,6 +431,43 @@ ORACLES["dedup_minhash_pairs"] = _PAIRS_SQL
 # dedup_lsh_recall's oracle is registered further down (after _hex24_sql,
 # which its deterministic doc-sample predicate needs).
 
+# triangle counts over the minhash pair graph — mirrors
+# operators/graph.py triangle_counts: degree-(id) orientation, one wedge
+# per triangle closed by the oriented third edge
+ORACLES["graph_triangles"] = f"""
+WITH und AS (
+  SELECT id_a AS a, id_b AS b FROM ({_PAIRS_SQL}) p
+), deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+  GROUP BY id
+), o AS (
+  SELECT CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND u.a < u.b)
+              THEN u.a ELSE u.b END AS s,
+         CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND u.a < u.b)
+              THEN u.b ELSE u.a END AS t
+  FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b
+), tri AS (
+  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+  FROM o e1
+  JOIN o e2 ON e1.s = e2.s AND e1.t <> e2.t
+  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t
+), per_node AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY id
+)
+SELECT d.id AS doc_id, d.degree,
+       coalesce(p.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round((coalesce(p.triangles, 0) * 2)::DOUBLE
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering_coef
+FROM deg d LEFT JOIN per_node p USING (id)
+"""
+
 
 def _simhash_sql(bits: int = 32) -> str:
     """Mirrors dedup.simhash_table: rolling word hash

@@ -138,3 +138,25 @@ def test_stream_ann_end_to_end(spark, tmp_path):
     assert got == _expected_for_split(spark, split)
     assert silver.read_table(spark, idx).select("vec_id").distinct().count() == len(VECS)
     assert glob.glob(f"{ckpt}/offsets/*"), "stream did not checkpoint"
+
+
+def test_probe_multi_probe_dominates_single(spark, tmp_path):
+    idx = str(tmp_path / "ann_index")
+    ann_index.probe_and_update(
+        spark, idx, _vec_df(spark, VECS[:8]), batch_id=1,
+        k=K, n_planes=2, dim=DIM, n_buckets=8,
+    )
+    new = ann_index.index_rows(_vec_df(spark, VECS[8:]), n_planes=2, dim=DIM)
+    single = ann_index.probe(spark, idx, new, k=K, n_planes=2, n_buckets=8)
+    multi = ann_index.probe(
+        spark, idx, new, k=K, n_planes=2, n_buckets=8, multi_probe=True
+    )
+    s = {(r["q_id"], r["c_id"]) for r in single.collect()}
+    m = {(r["q_id"], r["c_id"]) for r in multi.collect()}
+    # multi-probe scores a superset of candidates -> per-query best-k
+    # cosine sum can only improve; simplest dominance check: every query
+    # answered by single-probe is answered by multi-probe with >= as many
+    # neighbors
+    from collections import Counter
+    cs, cm = Counter(q for q, _ in s), Counter(q for q, _ in m)
+    assert all(cm[q] >= n for q, n in cs.items())

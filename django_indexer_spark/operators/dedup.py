@@ -46,6 +46,36 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def provenance_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    priority: Column,
+) -> DataFrame:
+    """Exact dedup with a PROVENANCE-aware canonical pick: within each
+    normalized-text fingerprint group, keep the copy that minimizes
+    (priority, id) — the Dolma/CCNet-style "same page crawled from
+    several sources: keep the most-trusted source's copy" step, where
+    ``priority`` is any deterministic per-row expression (source rank,
+    negated quality score, crawl recency...). min-of-struct aggregates
+    map-side like exact_dedup's min(id) — one uniform-key shuffle,
+    identical scale shape, just a richer order."""
+    pick = F.min(
+        F.struct(priority.alias("p"), F.col(id_col).alias("i"))
+    ).alias("__pick")
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(pick, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "fp",
+            F.col("__pick.i").alias("canonical_id"),
+            F.col("__pick.p").alias("canonical_priority"),
+            "n_copies",
+        )
+    )
+
+
 def _mh(shingle: Column, seed: int) -> Column:
     # one minhash function: min over md5(seed:shingle); hex-string min is a
     # valid uniform order because md5 hex is fixed-width lower-case

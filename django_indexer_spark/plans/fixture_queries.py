@@ -899,6 +899,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(docs, "text", "doc_id", bits=32)
 
 
+@query("dedup_provenance")
+def dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a provenance-aware canonical pick: same
+    fingerprint groups as dedup_exact, but the survivor minimizes
+    (source rank, id) instead of bare id — keep the most-trusted
+    source's copy of a page crawled from several places. One min-of-
+    struct aggregate; identical shuffle shape to dedup_exact."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    prio = F.substring("source", 4, 16).cast("int")
+    return dedup.provenance_dedup(docs, "text", "doc_id", prio)
+
+
 @query("dedup_ngram_jaccard")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.8 between same-(lang,source) documents —

@@ -356,6 +356,23 @@ SELECT {_FP} AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
 
+# provenance-aware pick — mirrors operators/dedup.py provenance_dedup:
+# survivor minimizes (source rank, id) within the fingerprint group
+ORACLES["dedup_provenance"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) AS prio, {_FP} AS fp
+  FROM documents
+), r AS (
+  SELECT fp, doc_id, prio,
+         row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n
+  FROM t
+)
+SELECT fp, doc_id AS canonical_id, prio AS canonical_priority,
+       CAST(n AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, source: str = "documents") -> tuple[str, str]:
     """(bands_sql, pairs_sql) mirroring dedup.minhash_bands/candidate_pairs:

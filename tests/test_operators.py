@@ -1505,3 +1505,20 @@ def test_triangle_counts_k4_plus_path(spark):
     assert out[5] == (1, 0, 0.0)
     assert out[6] == (2, 0, 0.0)
     assert out[7] == (1, 0, 0.0)
+
+
+def test_provenance_dedup_prefers_trusted_source_then_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, "same text here okay", 5),   # dup group, prio 5
+            (3, "same text here okay", 2),    # prio 2 -> survives
+            (7, "same text here okay", 2),    # prio tie -> lower id loses to 3
+            (99, "unique words entirely", 9),
+        ],
+        "doc_id long, text string, prio int",
+    )
+    out = {
+        r["canonical_id"]: (r["canonical_priority"], r["n_copies"])
+        for r in dedup.provenance_dedup(docs, "text", "doc_id", F.col("prio")).collect()
+    }
+    assert out == {3: (2, 3), 99: (9, 1)}

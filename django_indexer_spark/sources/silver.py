@@ -161,15 +161,23 @@ def read_table(
     paths = current_paths(table_dir, manifest, buckets)
     if not paths:
         return None
+    # mergeSchema: bucket versions written before an additive schema
+    # evolution (merge_batch(evolve_schema=True)) lack the newer columns;
+    # footer-merge surfaces the superset with NULLs — without it the scan
+    # schema is whichever file is sampled first. Per-read footer cost is
+    # bounded by the bucket count.
     if manifest.get("partition_col"):
         parts = [
-            spark.read.option("basePath", p).parquet(p) for p in paths
+            spark.read.option("basePath", p)
+            .option("mergeSchema", "true")
+            .parquet(p)
+            for p in paths
         ]
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            df = df.unionByName(p, allowMissingColumns=True)
     else:
-        df = spark.read.parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
     return df if keep_bucket_col else df.drop(BUCKET_COL)
 
 
@@ -234,9 +242,17 @@ def merge_batch(
     retain_history: bool = False,
     partition_col: str | None = None,
     bucket_by: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> list[int]:
     """Merge one batch into the table, rewriting only touched buckets.
     Returns the touched bucket ids (empty batch -> no-op, []).
+
+    ``evolve_schema=True`` permits ADDITIVE schema evolution: a batch may
+    carry columns the table has never seen (pre-evolution rows read as
+    NULL — read_table's mergeSchema surfaces the superset) and may omit
+    columns older batches wrote (an omitted column NULLs on rows the new
+    batch overwrites — versioned-row semantics). Key/version/bucket_by/
+    partition columns must always be present.
 
     Idempotent per (incoming, batch_id): Structured Streaming's replay of
     a failed batch re-stages and re-publishes the identical result.
@@ -309,10 +325,33 @@ def merge_batch(
                 f"{table_dir}: table bucket_by={manifest.get('bucket_by')!r}, "
                 f"got {bucket_by!r} — bucket routing is fixed at table creation"
             )
+        # schema contract lives in the MANIFEST, not in whichever bucket
+        # the batch happens to touch (an empty target bucket must not
+        # exempt a drifting batch from the check)
+        inc_cols = sorted(incoming.columns)
+        known_cols = manifest.get("columns")
+        if (
+            known_cols is not None
+            and set(inc_cols) != set(known_cols)
+            and not evolve_schema
+        ):
+            raise ValueError(
+                f"{table_dir}: batch columns {inc_cols} != table columns "
+                f"{known_cols} — pass evolve_schema=True for additive "
+                "schema evolution"
+            )
+        published_cols = sorted(set(known_cols or inc_cols) | set(inc_cols))
         # existing rows for ONLY the touched buckets (same-key rows can't
         # live anywhere else — the bucket hash is a pure key function)
         existing = read_table(spark, table_dir, buckets=touched, keep_bucket_col=True)
-        merged = upsert(existing, inc, natural_key, version_col, keep=keep)
+        merged = upsert(
+            existing,
+            inc,
+            natural_key,
+            version_col,
+            keep=keep,
+            allow_missing_columns=evolve_schema,
+        )
 
         # one write job, laid out per bucket. partitionBy drops the layout
         # column from the data files, so duplicate it: __bp for layout,
@@ -355,6 +394,7 @@ def merge_batch(
             "n_buckets": n_buckets,
             "buckets": new_buckets,
             "last_batch_id": batch_id,
+            "columns": published_cols,
             **({"partition_col": partition_col} if partition_col else {}),
             **({"bucket_by": bucket_by} if bucket_by else {}),
         }

@@ -165,3 +165,58 @@ def test_silver_date_partition_prunes_files(spark, tmp_path):
             spark, d, batch([("k1", day(1), 1, 3)]), ["dedup_key"], "version",
             batch_id=3, n_buckets=4,
         )
+
+
+def test_silver_additive_schema_evolution(spark, tmp_path):
+    from django_indexer_spark.sources import silver
+
+    d = str(tmp_path / "evolving")
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    # batch 1: original schema across several buckets
+    silver.merge_batch(
+        spark, d,
+        df([("k1", 10, 1), ("k2", 20, 1), ("k3", 30, 1)], "k string, amount long, version long"),
+        ["k"], "version", batch_id=1, n_buckets=4,
+    )
+    # batch 2 ADDS a column and touches only k1's bucket
+    silver.merge_batch(
+        spark, d,
+        df([("k1", 11, 2, "usd")], "k string, amount long, version long, currency string"),
+        ["k"], "version", batch_id=2, n_buckets=4, evolve_schema=True,
+    )
+    t = silver.read_table(spark, d)
+    assert "currency" in t.columns  # superset schema across old buckets
+    got = {r["k"]: (r["amount"], r["currency"]) for r in t.collect()}
+    assert got == {"k1": (11, "usd"), "k2": (20, None), "k3": (30, None)}
+
+    # bucket-pruned read of an untouched (pre-evolution) bucket still works
+    b = (
+        spark.createDataFrame([("k2",)], "k string")
+        .select(silver.bucket_expr(["k"], 4).alias("b"))
+        .collect()[0]["b"]
+    )
+    sub = silver.read_table(spark, d, buckets=[b])
+    assert sub.filter(F.col("k") == "k2").count() == 1
+
+    # batch 3 OMITS the original amount column; the row it overwrites
+    # nulls the omitted column (versioned-row, not per-column patch)
+    silver.merge_batch(
+        spark, d,
+        df([("k2", 3, "eur")], "k string, version long, currency string"),
+        ["k"], "version", batch_id=3, n_buckets=4, evolve_schema=True,
+    )
+    got = {r["k"]: (r["amount"], r["currency"]) for r in silver.read_table(spark, d).collect()}
+    assert got == {"k1": (11, "usd"), "k2": (None, "eur"), "k3": (30, None)}
+
+    # without evolve_schema a new column is a hard error, not silent drift
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        silver.merge_batch(
+            spark, d,
+            df([("k4", 1, 4, True)], "k string, amount long, version long, extra boolean"),
+            ["k"], "version", batch_id=4, n_buckets=4,
+        )

@@ -294,3 +294,69 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             .alias("clustering_coef"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree >= k — computed by the classic peel loop
+    (drop all sub-k nodes, recompute degrees, repeat to fixpoint).
+
+    Dedup reading: the 2-core of a candidate-pair graph is the set of
+    docs inside NON-TRIVIAL duplicate structure (chains' endpoints and
+    isolated pairs peel away; cliques and cycles survive) — a sharper
+    keep/inspect signal than raw degree, complementary to
+    triangle_counts' clique score.
+
+    Scale shape per round: one degree aggregate over the surviving edge
+    list + two semi-joins to drop edges touching peeled nodes — all
+    keyed on node ids; the survivor set is localCheckpoint-materialized
+    per round (iterative-lineage rule, same as connected_components) and
+    convergence is ONE scalar count per round. Rounds needed = peel
+    depth (bounded by graph degeneracy ordering length; small for the
+    near-clique graphs dedup produces).
+
+    Returns (id, core_degree) for the members, where core_degree is the
+    node's degree WITHIN the k-core."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        fwd.select("a", "b")
+        .union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    spark = edges.sparkSession
+    try:
+        live = und.localCheckpoint()  # directed both ways; one row per (a,b)
+        for _ in range(max_iter):
+            deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
+            keep = deg.filter(F.col("__d") >= k).select("a")
+            n_before = live.select("a").distinct().count()
+            n_keep = keep.count()
+            if n_keep == n_before:
+                return (
+                    live.groupBy("a")
+                    .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+                    .select(F.col("a").alias("id"), "core_degree")
+                )
+            if n_keep == 0:
+                return spark.createDataFrame([], "id long, core_degree long")
+            live = (
+                live.join(keep, "a", "left_semi")
+                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+                .localCheckpoint()
+            )
+        raise RuntimeError(
+            f"k_core: no fixpoint after {max_iter} rounds (peel depth "
+            "exceeds max_iter)"
+        )
+    finally:
+        und.unpersist()

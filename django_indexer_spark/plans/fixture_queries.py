@@ -2300,6 +2300,22 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("graph_kcore")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the minhash candidate-pair graph: docs embedded in
+    non-trivial duplicate structure (chain endpoints and isolated pairs
+    peel away; cliques and cycles survive) — the structural keep/inspect
+    signal beside graph_triangles' clique score. Iterative peel to
+    fixpoint; the oracle replays the peel as unrolled SQL rounds."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_candidate_pairs(
+        dedup.minhash_bands(docs, "text", "doc_id"), "doc_id"
+    )
+    return graph.k_core(pairs, k=2, src="id_a", dst="id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 @query("graph_pagerank")
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the customer→supplier purchase graph

@@ -486,6 +486,45 @@ FROM deg d LEFT JOIN per_node p USING (id)
 """
 
 
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled peel mirroring graph.k_core over the minhash pair graph:
+    each round keeps nodes whose degree within the surviving subgraph is
+    >= k. ``rounds`` must cover the fixture's peel depth — extra rounds
+    are no-ops at the fixpoint, so overshooting is safe."""
+    # MATERIALIZED throughout: DuckDB inlines plain CTEs per reference,
+    # and each round references the previous edge set twice — without
+    # materialization the pairs subquery expands 2^rounds times (observed
+    # as file-handle exhaustion re-opening the parquet per inline)
+    steps = []
+    prev_e = "und"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"a{r} AS MATERIALIZED (SELECT a FROM {prev_e} GROUP BY a HAVING count(*) >= {k})"
+        )
+        steps.append(
+            f"e{r} AS MATERIALIZED (SELECT u.a, u.b FROM {prev_e} u "
+            f"JOIN a{r} x ON u.a = x.a JOIN a{r} y ON u.b = y.a)"
+        )
+        prev_e = f"e{r}"
+    body = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT * FROM ({_PAIRS_SQL}) p),
+und AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+  ) GROUP BY a, b
+),
+{body}
+SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev_e} GROUP BY a
+"""
+
+
+ORACLES["graph_kcore"] = _kcore_sql(2, 8)
+
+
 def _simhash_sql(bits: int = 32) -> str:
     """Mirrors dedup.simhash_table: rolling word hash
     fold((acc*31+ascii)%(2^31-1)), 32 ±1 bit votes, sign → bit."""

@@ -1522,3 +1522,18 @@ def test_provenance_dedup_prefers_trusted_source_then_id(spark):
         for r in dedup.provenance_dedup(docs, "text", "doc_id", F.col("prio")).collect()
     }
     assert out == {3: (2, 3), 99: (9, 1)}
+
+
+def test_k_core_peels_chains_keeps_cycles(spark):
+    from django_indexer_spark.operators import graph
+
+    # triangle {1,2,3} + tail 3-4-5 + isolated pair (6,7):
+    # 2-core = the triangle only (tail and pair peel away, the peel
+    # CASCADES: 5 goes first, then 4)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["id"]: r["core_degree"] for r in graph.k_core(df, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k higher than any degree -> empty core with a stable schema
+    empty = graph.k_core(df, k=5)
+    assert empty.columns == ["id", "core_degree"] and empty.count() == 0

@@ -2300,6 +2300,36 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cluster_best")
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted canonical pick per near-dup cluster: connected
+    components over the minhash pair graph, then each cluster keeps the
+    (quality desc, id asc) argmax — the production alternative to
+    dedup_clusters' min-id pick (keep the BEST copy, not the first one
+    crawled). One max-of-struct aggregate after the component join."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_candidate_pairs(
+        dedup.minhash_bands(docs, "text", "doc_id"), "doc_id"
+    )
+    comp = graph.connected_components(pairs, "id_a", "id_b")
+    scored = docs.select("doc_id", text.quality_score("text").alias("quality"))
+    joined = comp.join(scored, comp["id"] == scored["doc_id"]).select(
+        F.col("component").alias("cluster_id"), "doc_id", "quality"
+    )
+    pick = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("__p"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return pick.select(
+        "cluster_id",
+        (-F.col("__p.nid")).cast("long").alias("best_doc_id"),
+        F.col("__p.q").alias("best_quality"),
+        "cluster_size",
+    )
+
+
 @query("graph_kcore")
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the minhash candidate-pair graph: docs embedded in

@@ -1502,6 +1502,56 @@ SELECT doc_id,
 FROM labeled
 """
 
+# quality-weighted cluster canonical — mirrors dedup_cluster_best: the
+# dedup_clusters recursive closure + (quality desc, id asc) argmax per
+# multi-doc cluster; quality is the text_metrics/curation formula
+ORACLES["dedup_cluster_best"] = f"""
+WITH RECURSIVE
+pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM edges
+  UNION
+  SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+lbl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(regexp_replace(lower(text), '[^a-zA-Z0-9]+', '', 'g')) AS n_alnum,
+         len(list_filter(toks, t -> list_contains({_STOP_EN}, t))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN n_alnum / greatest(n_tok, 1) >= 2.0
+                 AND n_alnum / greatest(n_tok, 1) <= 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) >= 0.01 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.2 THEN 0.1 ELSE 0.0 END)
+         , 4) AS quality
+  FROM m
+), joined AS (
+  SELECT l.cluster_id, l.node AS doc_id, s.quality
+  FROM lbl l JOIN scored s ON s.doc_id = l.node
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       doc_id AS best_doc_id,
+       quality AS best_quality,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM joined
+QUALIFY row_number() OVER (
+  PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1
+"""
+
 _GRAMS8 = (
     "list_transform(range(0, greatest(len(toks) - 8, 0) + 1), "
     "i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))"

@@ -34,6 +34,7 @@ from ..operators import (
     dedup,
     graph,
     multimodal,
+    quality,
     sampling,
     similarity,
     sketches,
@@ -2516,4 +2517,135 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.centroid_cosine(emb, "vec_id", "embedding", "label").select(
         "vec_id", F.col("label").cast("long").alias("label"), "cos_to_centroid"
+    )
+
+
+@query("qa_column_profile")
+def qa_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality: one-scan column profile of ``orders`` (rows, nulls,
+    exact distinct, min/max rendered to stable text). The exact-distinct
+    variant pays one Expand feeding partial aggregates — one scan instead
+    of six; ``approx=True`` is the documented no-Expand HLL plan for
+    corpus-scale profiling (quality.py docstring). Reference analogue:
+    the admin's per-model spot checks (e.g. donations list filters)."""
+    orders = _t(spark, sf_dir, "orders")
+    return quality.column_profile(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
+@query("qa_skew_profile")
+def qa_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality: hot-key diagnostics for ``orders.o_custkey`` — the
+    pre-join skew report that decides salting / AQE skew-join. One
+    |keys|-row shuffle (map-side combine), 1-row totals broadcast back,
+    TakeOrdered top-10."""
+    orders = _t(spark, sf_dir, "orders")
+    return quality.skew_profile(orders, "o_custkey", top_n=10)
+
+
+@query("qa_constraint_checks")
+def qa_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality: Deequ-style declarative validation suite →
+    (check_name, n_violations, passed). All lineitem row checks fold into
+    ONE aggregate scan; customer uniqueness is count − count_distinct;
+    orphan l_orderkeys count via LEFT ANTI against orders. The
+    quantity ≤ 30 check fails BY DESIGN (TPC-H quantities reach 50) so
+    the gate exercises a non-zero violations row. Reference analogue:
+    the per-model save() guards (donations/models.py:36-118) re-expressed
+    as a declarative post-hoc audit."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li_checks = quality.constraint_checks(
+        li,
+        row_checks=[
+            quality.not_null("l_orderkey"),
+            quality.in_range("l_quantity", 1.0, 30.0),
+            quality.in_range("l_discount", 0.0, 0.1),
+            quality.in_range("l_tax", 0.0, 0.08),
+            quality.accepted_values("l_returnflag", ["A", "N", "R"]),
+        ],
+        referential=[("l_orderkey", orders.select("o_orderkey"), "o_orderkey")],
+    )
+    cust_checks = quality.constraint_checks(
+        cust,
+        row_checks=[quality.not_null("c_name")],
+        unique_cols=["c_custkey"],
+    )
+    return li_checks.unionByName(cust_checks)
+
+
+@query("t_scd2_intervals")
+def t_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: each user's event stream becomes validity
+    intervals — valid_from = the event's own ts, valid_to = the next
+    event's ts (NULL ⇒ current row), via lead() over a user-partitioned
+    window (scale-safe: no global window; one shuffle on user_id).
+    Reference analogue: TokenHistoricalPrice rows implicitly valid until
+    the next price row (tokens/models.py:120-152) — this materializes the
+    interval form the as-of join (J6) consumes."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+        F.round(F.col("value").cast("double"), 2).alias("value_2dp"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+@query("ts_state_streaks")
+def ts_state_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-islands over a categorical STATE (vs ts_sessionize's time
+    gap): per user, runs of consecutive identical event_type values —
+    lag-flag change points, running-sum island ids, then the longest
+    streak per user (ties broken by event_type asc). Both windows are
+    user-partitioned; the islands never leave their user's partition."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    streaked = flagged.withColumn(
+        "streak_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = streaked.groupBy("user_id", "streak_id", "event_type").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("event_type")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(best))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "best_type"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("len"))).alias("best_len"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .select("user_id", "best_type", F.col("best_len").cast("long").alias("best_len"), "n_streaks")
     )

@@ -2136,3 +2136,125 @@ SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
          AS cos_to_centroid
 FROM embeddings e JOIN cent USING (label)
 """
+
+# One UNION ALL branch per profiled column — same exact aggregates the
+# one-scan Spark plan folds together; doubles render via DECIMAL(18,2)
+# on both engines (stable fixed-point text, no scientific notation).
+_PROFILE_COLS = [
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+ORACLES["qa_column_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST({f"CAST(min({c}) AS DECIMAL(18,2))" if dbl else f"min({c})"} AS VARCHAR) AS min_s,
+       CAST({f"CAST(max({c}) AS DECIMAL(18,2))" if dbl else f"max({c})"} AS VARCHAR) AS max_s
+FROM orders"""
+    for c, dbl in _PROFILE_COLS
+)
+
+ORACLES["qa_skew_profile"] = """
+WITH counts AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key_value, count(*) AS cnt
+  FROM orders GROUP BY 1
+), totals AS (
+  SELECT sum(cnt) AS total, count(*) AS nkeys FROM counts
+)
+SELECT key_value, cnt,
+       round(cnt * 100.0 / total, 4) AS share_pct,
+       round(CAST(cnt AS DOUBLE) * nkeys / total, 4) AS skew_ratio
+FROM counts, totals
+ORDER BY cnt DESC, key_value ASC
+LIMIT 10
+"""
+
+ORACLES["qa_constraint_checks"] = """
+SELECT 'not_null(l_orderkey)' AS check_name,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_quantity,1.0,30.0)',
+       CAST(sum(CASE WHEN l_quantity IS NULL
+                 OR NOT (l_quantity >= 1.0 AND l_quantity <= 30.0)
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_discount,0.0,0.1)',
+       CAST(sum(CASE WHEN l_discount IS NULL
+                 OR NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_tax,0.0,0.08)',
+       CAST(sum(CASE WHEN l_tax IS NULL
+                 OR NOT (l_tax >= 0.0 AND l_tax <= 0.08)
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'accepted_values(l_returnflag)',
+       CAST(sum(CASE WHEN l_returnflag IS NULL
+                 OR l_returnflag NOT IN ('A', 'N', 'R')
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'referential(l_orderkey)',
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'not_null(c_name)',
+       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'unique(c_custkey)',
+       (SELECT count(c_custkey) - count(DISTINCT c_custkey) FROM customer)
+"""
+ORACLES["qa_constraint_checks"] = f"""
+WITH checks AS ({ORACLES["qa_constraint_checks"]})
+SELECT check_name, n_violations, n_violations = 0 AS passed FROM checks
+"""
+
+ORACLES["t_scd2_intervals"] = """
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       round(CAST(value AS DOUBLE), 2) AS value_2dp,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+"""
+
+ORACLES["ts_state_streaks"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), streaked AS (
+  SELECT user_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+  FROM flagged
+), runs AS (
+  SELECT user_id, streak_id, event_type, count(*) AS len
+  FROM streaked GROUP BY user_id, streak_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, len,
+         row_number() OVER (PARTITION BY user_id ORDER BY len DESC, event_type ASC) AS rn
+  FROM runs
+)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN event_type END) AS best_type,
+       CAST(max(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS best_len,
+       count(*) AS n_streaks
+FROM ranked
+GROUP BY user_id
+"""

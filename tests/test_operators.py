@@ -1537,3 +1537,93 @@ def test_k_core_peels_chains_keeps_cycles(spark):
     # k higher than any degree -> empty core with a stable schema
     empty = graph.k_core(df, k=5)
     assert empty.columns == ["id", "core_degree"] and empty.count() == 0
+
+
+def test_constraint_checks_counts_and_null_semantics(spark):
+    """Row-check null handling: NULL in a range/accepted-values check is a
+    violation (missing ≠ valid); not_null counts them separately; unique
+    counts surplus copies; referential counts orphans (NULL child keys are
+    skipped — they're not_null's finding, not the FK's)."""
+    from django_indexer_spark.operators import quality
+
+    child = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, None, "B"), (3, 200.0, None), (4, 7.0, "A"), (None, 1.0, "A")],
+        "k int, v double, s string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (4,)], "pk int")
+    out = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in quality.constraint_checks(
+            child,
+            row_checks=[
+                quality.not_null("k"),
+                quality.in_range("v", 0.0, 100.0),
+                quality.accepted_values("s", ["A", "B"]),
+            ],
+            unique_cols=["s"],
+            referential=[("k", parent, "pk")],
+        ).collect()
+    }
+    assert out["not_null(k)"] == (1, False)
+    # 200.0 out of range + NULL v counts as violation
+    assert out["in_range(v,0.0,100.0)"] == (2, False)
+    # NULL s violates accepted_values
+    assert out["accepted_values(s)"] == (1, False)
+    # s values: A,B,A (nulls ignored by count(col)) → one surplus A... plus
+    # the second A from the NULL-k row → count=4, distinct=2 → 2 surplus
+    assert out["unique(s)"] == (2, False)
+    # child keys {1,2,3,4}: 3 has no parent; NULL k skipped
+    assert out["referential(k)"] == (1, False)
+
+
+def test_column_profile_exact_vs_approx_plan_and_values(spark):
+    """Exact profile returns true distincts; approx variant must compile
+    WITHOUT an Expand node (the HLL no-multi-distinct plan that makes
+    profiling affordable at corpus scale)."""
+    from django_indexer_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "x", None), (3, "y", 2.5), (4, None, 1.5)],
+        "id int, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in quality.column_profile(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_distinct"] == 2
+    # doubles render fixed-point via decimal(18,2)
+    assert prof["v"]["min_s"] == "1.50" and prof["v"]["max_s"] == "2.50"
+    exact_plan = (
+        quality.column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        quality.column_profile(df, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the documented multi-distinct tradeoff
+    assert "Expand" not in approx_plan  # HLL partials, single pass
+
+
+def test_scd2_intervals_chain_and_current_flag(spark):
+    """Every entity's intervals chain (valid_to == next valid_from) and
+    exactly one open (current) interval per entity."""
+    from django_indexer_spark.plans.fixture_queries import QUERIES
+
+    df = QUERIES["t_scd2_intervals"](spark, "/root/testdata/sf0.001")
+    import pyspark.sql.functions as F  # noqa: N812
+
+    per_user = df.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bad = per_user.filter(F.col("n_open") != 1).count()
+    assert bad == 0
+    # chaining: lead(valid_from) == valid_to within each user
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    chained = df.withColumn("nxt", F.lead("valid_from_us").over(w)).filter(
+        F.col("valid_to_us").isNotNull() & (F.col("valid_to_us") != F.col("nxt"))
+    )
+    assert chained.count() == 0

@@ -278,3 +278,29 @@ def test_semantic_dedup_pairs_meet_inside_cells(spark):
         if "Join" in l and "centroid_id" in l and "Inner" in l
     ]
     assert pair, plan
+
+
+def test_skew_profile_topk_and_broadcast_totals(spark):
+    """Top-N must be TakeOrdered (never a global sort of the key counts)
+    and the 1-row totals side must broadcast back."""
+    plan = plan_of(spark, "qa_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals crossJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_and_streak_windows_stay_entity_partitioned(spark):
+    """SCD-2 and streak islands are per-entity — no window in either plan
+    may collapse to a single partition."""
+    for q in ("t_scd2_intervals", "ts_state_streaks"):
+        plan = plan_of(spark, q)
+        assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0], q
+
+
+def test_constraint_checks_single_scan_for_row_checks(spark):
+    """All five lineitem row checks fold into ONE scan of lineitem plus
+    one more for the referential anti-join — the plan must not scan
+    lineitem once per check."""
+    plan = plan_of(spark, "qa_constraint_checks")
+    assert plan.count("lineitem.parquet") <= 2
+    assert "LeftAnti" in plan

@@ -739,3 +739,157 @@ def semantic_dedup(
             F.col("dup_id").isNull().alias("kept"),
         )
     )
+
+
+def pq_split(centroids: list[list[float]], m: int) -> list[list[list[float]]]:
+    """Slice full-dimension seed vectors into the PQ codebook:
+    codebook[s][j] = subspace-s slice of seed j. Pure driver-side math on
+    an already-bounded centroid collect (the _ivf_centroids pattern)."""
+    dim = len(centroids[0])
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    return [
+        [[float(x) for x in c[s * sub : (s + 1) * sub]] for c in centroids]
+        for s in range(m)
+    ]
+
+
+def _py_nrm2(c: list[float]) -> float:
+    """Sequential-fold squared norm — same IEEE op order as the engine
+    folds and DuckDB's list_dot_product(c, c)."""
+    acc = 0.0
+    for w in c:
+        acc += float(w) * float(w)
+    return acc
+
+
+def pq_encode(vec_sql: str, codebook: list[list[list[float]]]) -> Column:
+    """Product-quantization encoder (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): each subspace slice maps to
+    its nearest codebook entry by L2 (tie → lowest code), output is
+    array<int> of m codes — a 64-dim float64 vector (512 B) compresses to
+    m=4 single-byte codes plus the shared codebook.
+
+    Distances drop the row-constant ||v_s||² term: d_j = ||c_j||² −
+    2·⟨v_s, c_j⟩, with ||c_j||² a Python literal (same sequential fold as
+    the oracle's list_dot_product) and the dot the shared zip_with/
+    aggregate fold — bit-identical cross-engine. argmin is array_min over
+    (d, j) structs (lexicographic: min distance, tie → lowest code).
+    One F.expr string per plan — the _cell_sims py4j lesson."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    code_exprs = []
+    for s in range(m):
+        slice_sql = f"slice({vec_sql}, {s * sub + 1}, {sub})"
+        parts = []
+        for j, c in enumerate(codebook[s]):
+            d = (
+                f"CAST('{_py_nrm2(c)!r}' AS DOUBLE) - "
+                f"CAST('2.0' AS DOUBLE) * {_dot_sql(slice_sql, c)}"
+            )
+            parts.append(f"named_struct('d', {d}, 'j', {j})")
+        code_exprs.append(f"array_min(array({','.join(parts)})).j")
+    return F.expr(f"array({','.join(code_exprs)})")
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the corpus is scanned as
+    codes only (the compressed index — at 100 TB this is the 128× scan/
+    shuffle cut), queries stay full-precision, and each pair's cosine is
+    approximated via the reconstruction ĉ = concat(codebook[s][code_s]):
+    ⟨q, ĉ⟩ = Σ_s ⟨q_s, codebook[s][code_s]⟩ (a CASE over the m code
+    columns whose branches are literal-centroid folds) and ‖ĉ‖² is a pure
+    literal lookup. Same broadcast-query / corpus-stays-put shape as
+    sq8_topk; ties → lowest corpus id."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        pq_encode(f"`{vec_col}`", codebook).alias("codes"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("q_norm", norm(F.col("q_vec")))
+    dot_terms = []
+    nrm_terms = []
+    for s in range(m):
+        qslice = f"slice(q_vec, {s * sub + 1}, {sub})"
+        dot_branches = " ".join(
+            f"WHEN {j} THEN {_dot_sql(qslice, cj)}"
+            for j, cj in enumerate(codebook[s])
+        )
+        nrm_branches = " ".join(
+            f"WHEN {j} THEN CAST('{_py_nrm2(cj)!r}' AS DOUBLE)"
+            for j, cj in enumerate(codebook[s])
+        )
+        dot_terms.append(f"(CASE codes[{s}] {dot_branches} END)")
+        nrm_terms.append(f"(CASE codes[{s}] {nrm_branches} END)")
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("__dotc", F.expr(" + ".join(dot_terms)))
+        .withColumn("__cnrm2", F.expr(" + ".join(nrm_terms)))
+        .withColumn(
+            "qcos",
+            F.when(
+                (F.col("q_norm") == 0.0) | (F.col("__cnrm2") == 0.0),
+                F.lit(0.0),
+            ).otherwise(
+                F.round(
+                    F.col("__dotc") / (F.col("q_norm") * F.sqrt(F.col("__cnrm2"))),
+                    round_dp,
+                )
+            ),
+        )
+        .select("q_id", "c_id", "qcos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "qcos", "rnk")
+    )
+
+
+def pq_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """recall@k of PQ/ADC search against exact cosine top-k — whether the
+    m-byte compression keeps enough geometry at this corpus/dim. Output
+    (q_id, n_hit, recall_bp), the sq8_recall/rp_recall convention."""
+    exact = cosine_topk(queries, corpus, query_id, corpus_id, vec_col, k, round_dp)
+    approx = pq_adc_topk(
+        queries, corpus, query_id, corpus_id, vec_col, codebook, k, round_dp
+    )
+    hits = exact.select("q_id", "c_id").join(
+        approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce(F.expr(f"n_hit * 10000 div {k}"), F.lit(0))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

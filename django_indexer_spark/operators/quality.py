@@ -11,13 +11,12 @@ table that returns a small (check, violations) relation. That shape is
 what this module provides.
 
 Scale design:
-- ``column_profile`` is ONE scan. The exact-distinct variant pays one
-  Expand (rows × profiled columns) feeding partial aggregates — the
-  classic single-pass/multi-distinct tradeoff, chosen over m separate
-  scans because scan >> shuffle for wide tables. The ``approx`` variant
-  replaces exact distinct with HLL partial aggregates (no Expand, no
-  per-value shuffle) — that is the 100 TB default; exact is for gates
-  and small dims.
+- ``column_profile`` never compiles to the multi-distinct Expand plan
+  (see its docstring for the measured SortAggregate pathology): one
+  HashAggregate scan for counts/native-min-max (+ HLL distincts in
+  ``approx`` mode), plus — exact mode only — a melt→hash-dedup pass
+  whose string min/max sees already-deduplicated values. ``approx``
+  is the 100 TB default; exact is for gates and small dims.
 - ``skew_profile`` aggregates per key FIRST (map-side partial combine,
   one shuffle of |keys| rows), derives the global total from the 1-row
   re-aggregate of the grouped counts (broadcast back), and top-k's with
@@ -38,58 +37,96 @@ from pyspark.sql import functions as F
 def column_profile(
     df: DataFrame, cols: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
-    """Per-column stats in one scan: rows, nulls, distinct, min/max.
+    """Per-column stats: rows, nulls, distinct, min/max.
 
-    Returns (column, n_rows, n_null, n_distinct, min_s, max_s) with one
+    Returns (col_name, n_rows, n_null, n_distinct, min_s, max_s) with one
     row per profiled column. min/max render as strings so the relation is
     type-uniform; doubles route through DECIMAL(18,2) for stable text.
 
-    ``approx=True`` swaps exact ``count_distinct`` for
-    ``approx_count_distinct`` — the no-Expand HLL plan to use at corpus
-    scale where ±2% on distinct counts is fine.
+    Plan shape (deliberate — the naive single agg with multi-distinct +
+    min(string) compiles to Expand(rows × cols) feeding three SortAggregate
+    levels, because a string min/max buffer is not Tungsten-mutable and
+    one such function demotes the WHOLE aggregate; measured 3 s vs 0.4 s
+    at sf0.1):
+    - pass 1: one HashAggregate scan — counts, native min/max (numeric /
+      timestamp buffers are mutable), HLL distincts when ``approx``;
+    - pass 2 (exact only): melt to (col, full-precision value-string) →
+      groupBy-dedup (hash, partial map-side) → per-column distinct count
+      + lexicographic min/max over the ALREADY-DEDUPED values — the only
+      SortAggregate left sees |distinct values| rows, not rows × cols;
+    - broadcast-join the two ≤|cols|-row sides.
+    String columns take min/max from pass 2 (lexicographic IS their
+    semantics); other types from pass 1's native aggregates. Distinct
+    keys use full-precision CAST(x AS STRING) (1:1 for doubles up to the
+    -0.0/NaN corner Spark's count_distinct also normalizes away).
+
+    ``approx=True`` drops pass 2's distinct work entirely (HLL partials in
+    pass 1; melt shrinks to string columns only) — the 100 TB default
+    where ±2% on distinct counts is fine.
     """
     names = cols or df.columns
     dtypes = dict(df.dtypes)
+    str_cols = [c for c in names if dtypes[c] == "string"]
+    melt_cols = str_cols if approx else names
+
+    # ---- pass 1: single hash-aggregatable scan
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in names:
         col = F.col(c)
-        distinct = (
-            F.approx_count_distinct(c) if approx else F.count_distinct(col)
-        )
-        # min/max aggregate the NATIVE value (string-min of a numeric
-        # column is lexicographic — "100" < "99"); rendering to text
-        # happens after the aggregate, in the stack below
-        aggs += [
-            F.count(col).alias(f"__nn_{c}"),
-            distinct.alias(f"__nd_{c}"),
-            F.min(col).alias(f"__min_{c}"),
-            F.max(col).alias(f"__max_{c}"),
-        ]
+        aggs.append(F.count(col).alias(f"__nn_{c}"))
+        if approx:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+        if dtypes[c] != "string":
+            aggs += [F.min(col).alias(f"__min_{c}"), F.max(col).alias(f"__max_{c}")]
     one = df.agg(*aggs)
-    # unpivot the 1-row wide aggregate into per-column rows — stack()
-    # over a single row is driver-negligible and keeps everything
-    # JVM-side. Doubles render via DECIMAL(18,2) (Java's Double.toString
-    # flips to scientific notation where ANSI casts do not).
     stack_args: list[str] = []
     for c in names:
-        if dtypes[c] in ("double", "float"):
+        nd = f"__nd_{c}" if approx else "CAST(NULL AS BIGINT)"
+        if dtypes[c] == "string":
+            mn = mx = "CAST(NULL AS STRING)"
+        elif dtypes[c] in ("double", "float"):
+            # DECIMAL(18,2) render: Java's Double.toString flips to
+            # scientific notation where ANSI casts do not
             mn = f"cast(cast(__min_{c} as decimal(18,2)) as string)"
             mx = f"cast(cast(__max_{c} as decimal(18,2)) as string)"
         else:
             mn, mx = f"cast(__min_{c} as string)", f"cast(__max_{c} as string)"
-        stack_args.append(f"'{c}', __nn_{c}, __nd_{c}, {mn}, {mx}")
-    n = len(names)
-    return one.selectExpr(
+        stack_args.append(f"'{c}', __nn_{c}, {nd}, {mn}, {mx}")
+    base = one.selectExpr(
         "__n",
-        f"stack({n}, {', '.join(stack_args)}) as "
-        "(col_name, __nn, n_distinct, min_s, max_s)",
-    ).select(
+        f"stack({len(names)}, {', '.join(stack_args)}) as "
+        "(col_name, __nn, __nd1, __min1, __max1)",
+    )
+
+    if melt_cols:
+        # ---- pass 2: melt → hash dedup → tiny per-column aggregate
+        melted = df.selectExpr(
+            f"stack({len(melt_cols)}, "
+            + ", ".join(f"'{c}', cast(`{c}` as string)" for c in melt_cols)
+            + ") as (col_name, v)"
+        )
+        deduped = melted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("__c"))
+        per_col = deduped.groupBy("col_name").agg(
+            F.count("v").alias("__nd2"),
+            F.min("v").alias("__min2"),
+            F.max("v").alias("__max2"),
+        )
+        base = base.join(F.broadcast(per_col), "col_name", "left")
+    else:
+        base = base.select(
+            "*",
+            F.lit(None).cast("long").alias("__nd2"),
+            F.lit(None).cast("string").alias("__min2"),
+            F.lit(None).cast("string").alias("__max2"),
+        )
+
+    return base.select(
         "col_name",
         F.col("__n").cast("long").alias("n_rows"),
         (F.col("__n") - F.col("__nn")).cast("long").alias("n_null"),
-        F.col("n_distinct").cast("long"),
-        "min_s",
-        "max_s",
+        F.coalesce(F.col("__nd1"), F.col("__nd2")).cast("long").alias("n_distinct"),
+        F.coalesce(F.col("__min1"), F.col("__min2")).alias("min_s"),
+        F.coalesce(F.col("__max1"), F.col("__max2")).alias("max_s"),
     )
 
 

@@ -220,3 +220,49 @@ def test_silver_additive_schema_evolution(spark, tmp_path):
             df([("k4", 1, 4, True)], "k string, amount long, version long, extra boolean"),
             ["k"], "version", batch_id=4, n_buckets=4,
         )
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark):
+    """The write_bucketed contract: two tables bucketed identically on the
+    join key sort-merge-join with NO Exchange on either side — the shuffle
+    was paid once at write time. This is the co-location mechanism §4 maps
+    the reference's composite indexes to."""
+    from django_indexer_spark.sources.storage import write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    # at fixture scale Catalyst would broadcast instead (correct for a
+    # dim-sized side); disable it so the test exercises the fact⋈fact
+    # path the bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "bt_orders", ["o_orderkey"], 4)
+        write_bucketed(
+            lineitem, "bt_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"]
+        )
+        joined = (
+            spark.table("bt_orders")
+            .join(
+                spark.table("bt_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below the agg
+        assert "SortMergeJoin" in plan
+        # no shuffle anywhere under the join: bucket layout satisfies the
+        # distribution requirement on BOTH sides
+        assert "Exchange hashpartitioning" not in join_part
+        n = joined.count()
+        assert n == orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select("o_orderkey").distinct().count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")

@@ -6,7 +6,7 @@ nearest price in ±24 h) plus the leaderboard rank it materializes by sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -149,3 +149,74 @@ def ranked_topk(
     head = df.orderBy(*order_by).limit(k)
     fn = F.dense_rank() if dense else F.rank()
     return head.withColumn(alias, fn.over(Window.orderBy(*order_by)))
+
+
+def scd2_build(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD-2 interval build: each key's change rows become validity
+    intervals — valid_from = the row's own timestamp, valid_to = the next
+    row's (NULL ⇒ current). lead() over a key-partitioned window: one
+    shuffle on the key, no global window. The materialized form of the
+    reference's TokenHistoricalPrice valid-until-next-price semantics
+    (tokens/models.py:120-152) that the as-of join (J6) consumes."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_merge(
+    current: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally fold a change batch into an SCD-2 interval table.
+
+    Work is O(batch + touched keys' history), never a full rebuild: keys
+    absent from the batch pass through UNTOUCHED (anti-join); for touched
+    keys, their existing rows (intervals stripped back to change rows)
+    union the batch — deduplicated on (key, ts, tiebreaks), which makes
+    replaying the same batch a no-op — and rebuild via scd2_build. The
+    incremental invariant (tests): merge(build(A), B) == build(A ∪ B).
+
+    Same division of labor as sources/silver.merge_batch's touched-bucket
+    rule, applied to interval state instead of row state.
+    """
+    val_cols = [
+        c
+        for c in current.columns
+        if c not in ("valid_from", "valid_to", "is_current")
+    ]
+    batch_keys = batch.select(*key_cols).distinct()
+    untouched = current.join(batch_keys, key_cols, "left_anti")
+    touched_rows = (
+        current.join(batch_keys, key_cols, "left_semi").select(*val_cols)
+    )
+    dedup_keys = key_cols + [ts_col] + list(tiebreak_cols or [])
+    merged_rows = (
+        touched_rows.unionByName(batch.select(*val_cols))
+        .dropDuplicates(dedup_keys)
+    )
+    rebuilt = scd2_build(merged_rows, key_cols, ts_col, tiebreak_cols)
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_asof(intervals: DataFrame, at_ts) -> DataFrame:
+    """Point-in-time snapshot of an SCD-2 table: the rows whose interval
+    covers ``at_ts`` (valid_from <= T < valid_to, open interval = +inf).
+    A pure filter — partition/file pruning applies when the interval
+    table is stored partitioned on date(valid_from)."""
+    t = at_ts if isinstance(at_ts, Column) else F.lit(at_ts)
+    return intervals.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

@@ -2663,3 +2663,33 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8)
     codebook = similarity.pq_split(_ivf_centroids(spark, sf_dir), m=4)
     return similarity.pq_recall(q, emb, "vec_id", "vec_id", "embedding", codebook, k=5)
+
+
+@query("t_scd2_asof")
+def t_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot over the SCD-2 intervals: each user's state
+    at T = midpoint of the event stream's time span (computed from the
+    data, so both engines derive the same T exactly — integer µs math).
+    Interval build shuffles once on user_id; the snapshot itself is a
+    pure filter (partition-prunable when intervals are stored by
+    date(valid_from))."""
+    e = _events(spark, sf_dir)
+    iv = windows.scd2_build(
+        e.select("user_id", "event_id", "event_type", "ts_us"),
+        ["user_id"],
+        "ts_us",
+        tiebreak_cols=["event_id"],
+    )
+    bounds = e.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2)).cast("long").alias("t_mid")
+    )
+    return (
+        windows.scd2_asof(iv.crossJoin(F.broadcast(bounds)), F.col("t_mid"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("valid_from").alias("valid_from_us"),
+            "t_mid",
+        )
+    )

@@ -2320,3 +2320,18 @@ SELECT q.q_id,
        CAST(coalesce(h.n_hit * 10000 // 5, 0) AS BIGINT) AS recall_bp
 FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
 """
+
+ORACLES["t_scd2_asof"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), b AS (
+  SELECT CAST((min(ts_us) + max(ts_us)) / 2 AS BIGINT) AS t_mid FROM e
+), iv AS (
+  SELECT user_id, event_id, event_type, ts_us AS valid_from,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS valid_to
+  FROM e
+)
+SELECT user_id, event_id, event_type, valid_from AS valid_from_us, t_mid
+FROM iv, b
+WHERE valid_from <= t_mid AND (valid_to IS NULL OR valid_to > t_mid)
+"""

@@ -1662,3 +1662,32 @@ def test_pq_encode_identity_on_seeds_and_adc_sanity(spark):
     assert {r["q_id"] for r in out} == {0, 1}
     for r in out:
         assert 0 <= r["n_hit"] <= 2 and r["recall_bp"] == r["n_hit"] * 10000 // 2
+
+
+def test_scd2_merge_incremental_invariant_and_replay(spark):
+    """merge(build(A), B) must equal build(A ∪ B) row-for-row, and
+    replaying B is a no-op (dedup on key+ts+tiebreak)."""
+    from django_indexer_spark.operators import windows as W
+
+    a = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (2, 15, "p")], "k int, ts long, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, 30, "z"), (3, 5, "q"), (1, 20, "y")], "k int, ts long, v string"
+    )
+    build_all = W.scd2_build(
+        a.unionByName(b).dropDuplicates(["k", "ts"]), ["k"], "ts"
+    )
+    merged = W.scd2_merge(W.scd2_build(a, ["k"], "ts"), b, ["k"], "ts")
+    cols = ["k", "ts", "v", "valid_from", "valid_to", "is_current"]
+    assert sorted(map(tuple, merged.select(cols).collect())) == sorted(
+        map(tuple, build_all.select(cols).collect())
+    )
+    # replay: merging b again changes nothing
+    merged2 = W.scd2_merge(merged, b, ["k"], "ts")
+    assert sorted(map(tuple, merged2.select(cols).collect())) == sorted(
+        map(tuple, merged.select(cols).collect())
+    )
+    # open intervals: exactly one per key
+    opens = merged.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)

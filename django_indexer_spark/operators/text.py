@@ -530,3 +530,48 @@ def bm25_scores(
             F.round(F.sum(term_score).cast("double"), round_digits).alias("bm25"),
         )
     )
+
+
+def vocab_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 100,
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Tokenizer encode step: map each document's token stream to integer
+    ids through a corpus-derived vocabulary — the transform between
+    vocab_stats (tokenizer training) and sampling.pack_sequences
+    (sequence building).
+
+    Vocabulary: top-``vocab_size`` tokens by occurrence (ties → token
+    asc), ids 0..V-1 in that order; OOV → ``unk_id`` (default V). The
+    top-V cut is TakeOrdered (never a global sort) and id assignment is a
+    window over the ALREADY-BOUNDED V rows; the vocab then broadcast-joins
+    the exploded (doc, pos, token) stream — the corpus side never
+    reshuffles for the lookup. Reassembly sorts each doc's collected
+    (pos, id) structs, so the id array is order-exact regardless of
+    collect_list's partition order.
+
+    Returns (id_col, token_ids array<long>)."""
+    unk = vocab_size if unk_id is None else unk_id
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+    topv = counts.orderBy(F.desc("__n"), F.asc("tok")).limit(vocab_size)
+    w = Window.orderBy(F.desc("__n"), F.asc("tok"))
+    vocab = topv.select(
+        "tok", (F.row_number().over(w) - 1).cast("long").alias("tok_id")
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce("tok_id", F.lit(unk)).cast("long").alias("tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda x: x["tid"],
+        ).alias("token_ids")
+    )

@@ -2693,3 +2693,22 @@ def t_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_mid",
         )
     )
+
+
+@query("text_vocab_encode")
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode: docs → integer id streams through the corpus
+    top-100 vocabulary (OOV → 100). Vocab cut is TakeOrdered; the lookup
+    is a broadcast join against the exploded token stream (the corpus
+    never reshuffles for it). Output keeps the id-array head plus
+    token/OOV counts — bounded row width at any document length."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    enc = text.vocab_encode(docs, "doc_id", "text", vocab_size=100)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.size(F.filter("token_ids", lambda t: t == 100))
+        .cast("long")
+        .alias("n_unk"),
+        F.concat_ws(",", F.slice("token_ids", 1, 20)).alias("ids_head"),
+    )

@@ -2335,3 +2335,23 @@ SELECT user_id, event_id, event_type, valid_from AS valid_from_us, t_mid
 FROM iv, b
 WHERE valid_from <= t_mid AND (valid_to IS NULL OR valid_to > t_mid)
 """
+
+ORACLES["text_vocab_encode"] = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tt, 1) AS pos, unnest(tt) AS tok
+  FROM (SELECT doc_id, {_TOKS} AS tt FROM documents)
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok ASC) - 1 AS BIGINT) AS tok_id
+  FROM (SELECT * FROM counts ORDER BY n DESC, tok ASC LIMIT 100)
+), enc AS (
+  SELECT t.doc_id, t.pos, coalesce(v.tok_id, 100) AS tid
+  FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tid = 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       array_to_string(list_slice(list(tid ORDER BY pos ASC), 1, 20), ',') AS ids_head
+FROM enc GROUP BY doc_id
+"""

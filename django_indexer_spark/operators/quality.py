@@ -231,15 +231,23 @@ def constraint_checks(
             )
         )
         names.append(f"unique({c})")
-    one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{name}', __v{i}" for i, name in enumerate(names)
-    )
-    # 'check' is a reserved word in ANSI engines (DuckDB rejects it as a
-    # bare alias) — check_name keeps the relation portable
-    out = one.selectExpr(
-        f"stack({len(names)}, {stack}) as (check_name, n_violations)"
-    )
+    spark = df.sparkSession
+    if names:
+        one = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{name}', __v{i}" for i, name in enumerate(names)
+        )
+        # 'check' is a reserved word in ANSI engines (DuckDB rejects it as
+        # a bare alias) — check_name keeps the relation portable
+        out = one.selectExpr(
+            f"stack({len(names)}, {stack}) as (check_name, n_violations)"
+        )
+    else:
+        # referential-only suite: stack(0, ...) is invalid SQL — start
+        # from an empty relation of the right shape instead
+        out = spark.createDataFrame(
+            [], "check_name string, n_violations long"
+        )
     for child_col, parent_df, parent_col in referential or []:
         orphans = (
             df.select(F.col(child_col))

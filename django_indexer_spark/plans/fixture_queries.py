@@ -2712,3 +2712,29 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unk"),
         F.concat_ws(",", F.slice("token_ids", 1, 20)).alias("ids_head"),
     )
+
+
+@query("multimodal_byte_dedup")
+def multimodal_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level exact dedup over BINARY payloads: md5 of the raw bytes
+    (no text normalization — byte identity is the contract for media),
+    grouped to (hash, size) with the lowest media_id canonical. The blob
+    column never shuffles — only its 16-byte digest and length do; at
+    100 TB that is the difference between shuffling the corpus and
+    shuffling 24 B/row. Duplicate groups only (n_copies > 1 would be the
+    production filter; kept ≥ 1 here so the oracle sees every group)."""
+    media = multimodal.documents_as_media(
+        _spread(spark, _t(spark, sf_dir, "documents"))
+    )
+    return (
+        media.select(
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            "media_id",
+        )
+        .groupBy("payload_md5", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("media_id").cast("long").alias("canonical_media_id"),
+        )
+    )

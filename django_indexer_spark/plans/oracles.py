@@ -2355,3 +2355,15 @@ SELECT doc_id,
        array_to_string(list_slice(list(tid ORDER BY pos ASC), 1, 20), ',') AS ids_head
 FROM enc GROUP BY doc_id
 """
+
+# byte identity: the fake payload is the utf-8 encoding of text, and
+# DuckDB's md5(VARCHAR) hashes the utf-8 bytes — same digest as Spark's
+# md5(encode(text, 'utf-8')); octet_length(encode(..)) is the byte length
+ORACLES["multimodal_byte_dedup"] = """
+SELECT md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_media_id
+FROM documents
+GROUP BY 1, 2
+"""

@@ -2738,3 +2738,76 @@ def multimodal_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").cast("long").alias("canonical_media_id"),
         )
     )
+
+
+@query("s_stream_exact_dedup")
+def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming inside the correctness gate: the
+    documents table is split into two parquet files, consumed by a file
+    readStream (maxFilesPerTrigger=1 → two genuine micro-batches,
+    availableNow), and an exact-dedup state table is maintained through
+    foreachBatch with the mergeable-partials monoid
+    (operators/incremental.py: count=sum-merge, min=least-merge). The
+    final state is BATCH-SPLIT INVARIANT — fold(any partition) ==
+    groupBy(whole input) — which is what makes a streaming pipeline
+    SQL-oracle-checkable: the oracle is the plain GROUP BY. Crash/replay
+    shape (checkpoint + overwrite-per-batch state) matches
+    streaming/pipeline.stream_ingest; batch-split and replay invariants
+    are property-tested in tests/test_streaming*.py for the silver path.
+    Temp staging lives in a per-call tempdir (the returned DataFrame
+    stays parquet-backed, so the dir outlives the call by design)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from ..operators import incremental
+
+    work = tempfile.mkdtemp(prefix="stream_gate_")
+    in_dir = f"{work}/in"
+    state_dir = f"{work}/state"
+    ckpt = f"{work}/ckpt"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # two deterministic halves, staged as one file each so
+    # maxFilesPerTrigger=1 yields exactly two micro-batches
+    import os as _os
+
+    _os.makedirs(in_dir)
+    for i in range(2):
+        stage = f"{work}/stage{i}"
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, f"{in_dir}/{i}.parquet")
+
+    measures = {
+        "n_copies": ("count", None),
+        "canonical_id": ("min", "doc_id"),
+    }
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(F.md5("text").alias("payload_md5"), "doc_id")
+        versions = sorted(_glob.glob(f"{state_dir}/v*"))
+        gold = spark.read.parquet(versions[-1]) if versions else None
+        new_state = incremental.apply_batch(
+            gold, keyed, ["payload_md5"], measures
+        )
+        # versioned write (never overwrite what you are reading from)
+        new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = sorted(_glob.glob(f"{state_dir}/v*"))[-1]
+    return spark.read.parquet(final).select(
+        "payload_md5",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )

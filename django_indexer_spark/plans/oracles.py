@@ -2367,3 +2367,13 @@ SELECT md5(text) AS payload_md5,
 FROM documents
 GROUP BY 1, 2
 """
+
+# the streaming state is batch-split invariant, so the oracle is the
+# plain batch GROUP BY the two micro-batches must fold into
+ORACLES["s_stream_exact_dedup"] = """
+SELECT md5(text) AS payload_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents
+GROUP BY 1
+"""

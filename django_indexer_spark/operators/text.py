@@ -237,6 +237,14 @@ def dup_span_coverage(
         )
         .select(id_col, "pos", F.md5(F.col("gram")).alias("h"))
     )
+    # `wins` is consumed twice (df aggregate + semi-join left) and IS
+    # recomputed twice: the aggregate's exchange carries partially-
+    # aggregated rows so the join can't reuse it, and forcing a shared
+    # repartition(h) doesn't help (the optimizer collapses it on the join
+    # side — different ShuffleOrigin, no ReuseExchange; measured no-op at
+    # sf0.1). Persisting |windows| ≈ |corpus tokens| is the memory-unsafe
+    # option at 100 TB; one extra tokenize+explode scan is the documented
+    # price of staying streaming-safe.
     shared = (
         wins.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
@@ -320,6 +328,8 @@ def dedup_spans_removed(
         )
         .select(id_col, "pos", F.md5(F.col("gram")).alias("h"))
     )
+    # wins recomputed for both consumers by design — see
+    # dup_span_coverage's recompute-vs-persist note
     shared = (
         wins.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))

@@ -54,13 +54,52 @@ _UNCHECKED_R3 = [
 def _ordered(mapping: dict) -> dict:
     # canonical order comes from the QUERIES registry so queries() and
     # oracle_sql() iterate identically regardless of either dict's own
-    # insertion order
-    front = [n for n in _CANARY + _UNCHECKED_R3 if n in mapping]
-    canonical = [n for n in QUERIES if n in mapping and n not in front]
-    new_this_round = [n for n in canonical if n not in _R3_CHECKED]
-    rest = [n for n in canonical if n in _R3_CHECKED]
-    extra = [n for n in mapping if n not in front and n not in canonical]
-    return {n: mapping[n] for n in front + new_this_round + rest + extra}
+    # insertion order. Grouping: canary, then every name WITHOUT a driver
+    # correctness row in any prior round (cost-ordered where measured,
+    # registry-ordered otherwise), then already-checked names — so each
+    # round's ~50-query budget lands on fresh queries and the rotation
+    # maintains itself as CORRECTNESS_r{N}.json files accumulate.
+    seen = _checked_names()
+    front = [n for n in _CANARY if n in mapping]
+    unseen_pref = [
+        n for n in _UNCHECKED_R3
+        if n in mapping and n not in seen and n not in front
+    ]
+    placed = set(front) | set(unseen_pref)
+    unseen_rest = [
+        n for n in QUERIES if n in mapping and n not in seen and n not in placed
+    ]
+    placed |= set(unseen_rest)
+    rest = [n for n in QUERIES if n in mapping and n not in placed]
+    placed |= set(rest)
+    extra = [n for n in mapping if n not in placed]
+    return {
+        n: mapping[n] for n in front + unseen_pref + unseen_rest + rest + extra
+    }
+
+
+def _checked_names() -> frozenset[str]:
+    """Names with a driver correctness row in ANY round since the r3
+    rebuild (CORRECTNESS_r0{3..}.json live next to this file). r1/r2
+    files are ignored — they graded a materially different codebase.
+    Falls back to the hardcoded r3 set if no file is readable."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) < 3:
+            continue
+        try:
+            with open(p) as f:
+                seen |= set(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return frozenset(seen) if seen else _R3_CHECKED
 
 
 # The 50 names with a CORRECTNESS_r03.json row (hardcoded, not derived from

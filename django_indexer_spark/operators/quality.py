@@ -222,7 +222,11 @@ def constraint_checks(
     aggs: list[Column] = []
     names: list[str] = []
     for name, viol in row_checks:
-        aggs.append(F.sum(viol).alias(f"__v{len(names)}"))
+        # coalesce: sum over an EMPTY table is NULL, which would make
+        # `passed` NULL instead of true
+        aggs.append(
+            F.coalesce(F.sum(viol), F.lit(0)).alias(f"__v{len(names)}")
+        )
         names.append(name)
     for c in unique_cols or []:
         aggs.append(

@@ -2804,8 +2804,15 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    final = sorted(_glob.glob(f"{state_dir}/v*"))[-1]
+    finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()
+    versions = sorted(_glob.glob(f"{state_dir}/v*"))
+    if not versions:
+        raise RuntimeError(
+            f"streaming gate produced no state versions (finished={finished})"
+        )
+    final = versions[-1]
     return spark.read.parquet(final).select(
         "payload_md5",
         F.col("n_copies").cast("long").alias("n_copies"),

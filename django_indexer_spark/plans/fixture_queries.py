@@ -2818,3 +2818,31 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("long").alias("n_copies"),
         F.col("canonical_id").cast("long").alias("canonical_id"),
     )
+
+
+@query("graph_copurchase_pairs")
+def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection (order–part → part–part): co-occurrence pair
+    counts from parts sharing an order, the standard item-item similarity
+    graph builder. Scale shape: the pair explosion happens WITHIN an
+    order (self-join on l_orderkey), so fanout is bounded by per-order
+    basket size squared (~7² here), never corpus-wide — the same
+    bounded-cell principle as the LSH bucket join; production baskets get
+    a per-group cap (sampling.per_group_cap) before projection. The
+    a < b canonical orientation halves the pairs; top-20 via TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return (
+        pairs.orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+        .select("part_a", "part_b", "n_orders")
+    )

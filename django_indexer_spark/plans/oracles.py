@@ -2377,3 +2377,17 @@ SELECT md5(text) AS payload_md5,
 FROM documents
 GROUP BY 1
 """
+
+ORACLES["graph_copurchase_pairs"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS n_orders
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM pairs
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""

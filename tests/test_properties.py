@@ -224,3 +224,43 @@ def test_dup_span_coverage_matches_set_union_model(spark, texts, n):
         for r in text_ops.dup_span_coverage(df, "doc_id", "text", n=n).collect()
     }
     assert got == _brute_dup_coverage(texts, n)
+
+
+_SCD_ROWS = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 9)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_SCD_ROWS, split=st.integers(0, 29))
+def test_scd2_merge_any_split_equals_full_build(spark, rows, split):
+    """Folding ANY prefix/suffix split of a change set through scd2_merge
+    must equal scd2_build over the whole set — the invariant that makes
+    the incremental interval table trustworthy under arbitrary batch
+    boundaries. Duplicate (k, ts) change rows collapse to one interval
+    (dedup on key+ts), mirroring replay semantics."""
+    from django_indexer_spark.operators import windows as W
+
+    uniq = {}
+    for k, ts, v in rows:
+        uniq[(k, ts)] = v
+    data = [(k, ts, str(v)) for (k, ts), v in uniq.items()]
+    schema = "k int, ts long, v string"
+    full = spark.createDataFrame(data or [(0, 0, "0")], schema)
+    if not data:
+        return
+    a = spark.createDataFrame(data[:split] or [], schema) if data[:split] else None
+    b = spark.createDataFrame(data[split:] or data, schema)
+    built = W.scd2_build(full, ["k"], "ts")
+    if a is None:
+        merged = W.scd2_merge(
+            W.scd2_build(b, ["k"], "ts"), b, ["k"], "ts"
+        )  # replaying the only batch must be a no-op
+    else:
+        merged = W.scd2_merge(W.scd2_build(a, ["k"], "ts"), b, ["k"], "ts")
+    cols = ["k", "ts", "v", "valid_from", "valid_to", "is_current"]
+    assert sorted(map(tuple, merged.select(cols).collect())) == sorted(
+        map(tuple, built.select(cols).collect())
+    )

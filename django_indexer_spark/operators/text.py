@@ -585,3 +585,39 @@ def vocab_encode(
             lambda x: x["tid"],
         ).alias("token_ids")
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    step: int = 48,
+) -> DataFrame:
+    """RAG-style chunker: each document's token stream becomes overlapping
+    windows of ``window`` tokens starting every ``step`` (overlap =
+    window − step; the last chunk may be short). Pure per-row explode —
+    token arrays never leave their row until the final chunk projection,
+    so there is NO shuffle at all: chunking 100 TB is a map-only job
+    whose output feeds the embedding stage (similarity family).
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text); zero-token
+    documents produce no chunks."""
+    toks = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    chunks = toks.filter(F.col("__n") > 0).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, __n - 1, {step}), "
+                f"st -> struct(st, slice(__toks, st + 1, {window}) AS ck))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        id_col,
+        (F.col("c.st") / step).cast("long").alias("chunk_idx"),
+        F.size("c.ck").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "c.ck").alias("chunk_text"),
+    )

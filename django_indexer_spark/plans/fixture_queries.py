@@ -2846,3 +2846,12 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("part_a", "part_b", "n_orders")
     )
+
+
+@query("text_chunk_overlap")
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 64-token windows every 48 tokens —
+    map-only (zero shuffles; the plan-guard asserts it), the shape that
+    makes corpus chunking embarrassingly parallel at 100 TB."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return text.chunk_overlap(docs, "doc_id", "text", window=64, step=48)

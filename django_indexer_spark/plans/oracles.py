@@ -2391,3 +2391,19 @@ FROM pairs
 ORDER BY n_orders DESC, part_a ASC, part_b ASC
 LIMIT 20
 """
+
+# range(0, n, step) (exclusive stop) == Spark sequence(0, n-1, step)
+# (inclusive stop) for n > 0 — both emit starts strictly below n
+ORACLES["text_chunk_overlap"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS tt FROM documents
+), s AS (
+  SELECT doc_id, tt, unnest(range(0, len(tt), 48)) AS st
+  FROM t WHERE len(tt) > 0
+)
+SELECT doc_id,
+       CAST(st // 48 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(tt, st + 1, st + 64)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(tt, st + 1, st + 64), ' ') AS chunk_text
+FROM s
+"""

@@ -304,3 +304,13 @@ def test_constraint_checks_single_scan_for_row_checks(spark):
     plan = plan_of(spark, "qa_constraint_checks")
     assert plan.count("lineitem.parquet") <= 2
     assert "LeftAnti" in plan
+
+
+def test_chunk_overlap_is_map_only(spark):
+    """Chunking must stay embarrassingly parallel: no hash/range/single
+    exchange anywhere in the plan (the only exchange allowed is the
+    fixture _spread round-robin)."""
+    plan = plan_of(spark, "text_chunk_overlap")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -2755,7 +2755,10 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/pipeline.stream_ingest; batch-split and replay invariants
     are property-tested in tests/test_streaming*.py for the silver path.
     Temp staging lives in a per-call tempdir (the returned DataFrame
-    stays parquet-backed, so the dir outlives the call by design)."""
+    stays parquet-backed, so the dir outlives the call by design). The
+    whole-state rewrite per batch is gate-sized deliberately; the
+    production path is sources/silver.merge_batch, whose touched-bucket
+    merge bounds per-batch write work by the batch's key footprint."""
     import glob as _glob
     import shutil
     import tempfile
@@ -2855,3 +2858,34 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes corpus chunking embarrassingly parallel at 100 TB."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return text.chunk_overlap(docs, "doc_id", "text", window=64, step=48)
+
+
+@query("qa_embedding_profile")
+def qa_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column health check before any ANN/dedup pass: per label —
+    count, zero-vector count (cosine poison), wrong-dimension count
+    (schema drift), and the norm distribution (min/mean/max, 6 dp via
+    decimal-exact sums). One narrow map (norm fold per row) + one
+    grouped aggregate; the vectors themselves never shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").alias("__dim"),
+        similarity.norm(F.col("embedding")).alias("__nrm"),
+    )
+    return normed.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("__nrm") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("__dim") != 64, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_dim"),
+        F.round(F.min("__nrm"), 6).alias("norm_min"),
+        F.round(
+            F.sum(F.col("__nrm").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("norm_mean"),
+        F.round(F.max("__nrm"), 6).alias("norm_max"),
+    )

@@ -2407,3 +2407,20 @@ SELECT doc_id,
        array_to_string(list_slice(tt, st + 1, st + 64), ' ') AS chunk_text
 FROM s
 """
+
+ORACLES["qa_embedding_profile"] = """
+WITH n AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         len(embedding) AS dim,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       round(min(nrm), 6) AS norm_min,
+       round(CAST(sum(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS norm_mean,
+       round(max(nrm), 6) AS norm_max
+FROM n GROUP BY label
+"""

@@ -2889,3 +2889,45 @@ def qa_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_mean"),
         F.round(F.max("__nrm"), 6).alias("norm_max"),
     )
+
+
+@query("j_full_outer_reconcile")
+def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the audit join (both-sides-preserved)
+    that t_incremental_stats uses internally (incremental.merge_partials),
+    surfaced as its own gate shape: orders vs per-order lineitem revenue,
+    classified into order_only / lineitem_only / has_both with exact
+    decimal totals. One uniform-key shuffle per side; at scale both sides
+    bucket on orderkey and the join is exchange-free (test_storage.py's
+    bucketed-join proof)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("li_gross"),
+        )
+    )
+    j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "full_outer")
+    status = (
+        F.when(F.col("o_orderkey").isNull(), F.lit("lineitem_only"))
+        .when(F.col("l_orderkey").isNull(), F.lit("order_only"))
+        .otherwise(F.lit("has_both"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(_dec("o_totalprice"), F.lit(0).cast("decimal(18,2)")).alias(
+                "__tp"
+            ),
+            F.coalesce(F.col("li_gross"), F.lit(0).cast("decimal(18,2)")).alias(
+                "__lg"
+            ),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__tp").cast("double").alias("orders_total"),
+            F.sum("__lg").cast("double").alias("lineitem_total"),
+        )
+    )

@@ -2424,3 +2424,20 @@ SELECT label,
        round(max(nrm), 6) AS norm_max
 FROM n GROUP BY label
 """
+
+ORACLES["j_full_outer_reconcile"] = """
+WITH li AS (
+  SELECT l_orderkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS li_gross
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderkey, o.o_totalprice, li.l_orderkey, li.li_gross
+  FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT CASE WHEN o_orderkey IS NULL THEN 'lineitem_only'
+            WHEN l_orderkey IS NULL THEN 'order_only'
+            ELSE 'has_both' END AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(coalesce(CAST(o_totalprice AS DECIMAL(18,2)), 0)) AS DOUBLE) AS orders_total,
+       CAST(sum(coalesce(li_gross, 0)) AS DOUBLE) AS lineitem_total
+FROM j GROUP BY 1
+"""

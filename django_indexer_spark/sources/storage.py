@@ -83,3 +83,84 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def zorder_bounds(
+    df: DataFrame, cols: list[str]
+) -> list[tuple[float, float]]:
+    """Per-column (min, max) for Z-order normalization — one aggregate
+    scan, bounded 2×|cols| driver collect (the sq8_bounds pattern).
+    Layout jobs run this once per rewrite, then inline the bounds."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return [(float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"])) for c in cols]
+
+
+def zorder_key(
+    cols: list[str], bounds: list[tuple[float, float]], bits: int = 16
+) -> Column:
+    """Z-order (Morton) key: each column normalizes to a ``bits``-bit
+    integer rank via its (min, max), then the bit planes interleave —
+    column j's bit i lands at position i·n_cols + j. Sorting by this ONE
+    key clusters rows so every file/row-group covers a small HYPER-CUBE
+    of the combined key space: a predicate on ANY clustered column skips
+    most files, instead of only predicates on the leading column of a
+    lexicographic sort (the multi-column generalization of SURVEY §4's
+    index mapping; same layout trick as Delta/Iceberg OPTIMIZE ZORDER).
+
+    Pure JVM expression (shifts and masks over the normalized ranks) —
+    generated as ONE SQL string, the _cell_sims py4j lesson. n_cols·bits
+    must fit a signed long: n_cols·bits ≤ 62.
+    """
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a signed long")
+    max_rank = (1 << bits) - 1
+    rank_exprs = []
+    for c, (lo, hi) in zip(cols, bounds):
+        span = hi - lo
+        if span <= 0:
+            rank_exprs.append("CAST(0 AS BIGINT)")
+        else:
+            rank_exprs.append(
+                f"CAST(least({max_rank}, greatest(0, "
+                f"floor((CAST(`{c}` AS DOUBLE) - CAST('{lo!r}' AS DOUBLE)) / "
+                f"CAST('{span!r}' AS DOUBLE) * {max_rank}))) AS BIGINT)"
+            )
+    terms = []
+    for j, r in enumerate(rank_exprs):
+        for i in range(bits):
+            # bit i of rank j → interleaved position i*n + j
+            terms.append(f"shiftleft(shiftright({r}, {i}) & 1, {i * n + j})")
+    return F.expr(" | ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by Z-order across ``zorder_cols``:
+    range-partition on the Morton key (n_files contiguous key ranges →
+    n_files hyper-cubes), sort within each, write one file per range.
+    read_pruned predicates on ANY of the clustered columns then skip
+    files/row-groups via min-max stats — proven by the footer-stats test
+    (tests/test_storage.py) against the lexicographic layout."""
+    bounds = zorder_bounds(df, zorder_cols)
+    zk = zorder_key(zorder_cols, bounds, bits).alias("__zk")
+    (
+        df.withColumn("__zk", zk)
+        .repartitionByRange(n_files, F.col("__zk"))
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -222,47 +222,60 @@ def test_silver_additive_schema_evolution(spark, tmp_path):
         )
 
 
-def test_bucketed_tables_join_with_zero_exchange(spark):
-    """The write_bucketed contract: two tables bucketed identically on the
-    join key sort-merge-join with NO Exchange on either side — the shuffle
-    was paid once at write time. This is the co-location mechanism §4 maps
-    the reference's composite indexes to."""
-    from django_indexer_spark.sources.storage import write_bucketed
+def test_zorder_layout_prunes_on_non_leading_column(spark, tmp_path):
+    """Z-order vs lexicographic layout, measured from parquet footers:
+    for a narrow predicate on the SECOND clustered column, far fewer
+    z-ordered files intersect the predicate's min-max box than linearly
+    sorted ones (where the leading-column sort spreads every l_partkey
+    range across all files)."""
+    import pyarrow.parquet as pq
 
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    spark.sql("DROP TABLE IF EXISTS bt_orders")
-    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
-    # at fixture scale Catalyst would broadcast instead (correct for a
-    # dim-sized side); disable it so the test exercises the fact⋈fact
-    # path the bucketing exists for
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        write_bucketed(orders, "bt_orders", ["o_orderkey"], 4)
-        write_bucketed(
-            lineitem, "bt_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"]
-        )
-        joined = (
-            spark.table("bt_orders")
-            .join(
-                spark.table("bt_lineitem"),
-                F.col("o_orderkey") == F.col("l_orderkey"),
-            )
-            .groupBy("o_orderkey")
-            .agg(F.sum("l_extendedprice").alias("rev"))
-        )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        join_part = plan.split("HashAggregate")[-1]  # below the agg
-        assert "SortMergeJoin" in plan
-        # no shuffle anywhere under the join: bucket layout satisfies the
-        # distribution requirement on BOTH sides
-        assert "Exchange hashpartitioning" not in join_part
-        n = joined.count()
-        assert n == orders.join(
-            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
-        ).select("o_orderkey").distinct().count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bt_orders")
-        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    from django_indexer_spark.sources.storage import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_files = 8
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zorder")
+    (
+        li.repartitionByRange(n_files, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_partkey")
+        .write.parquet(linear)
+    )
+    write_zordered(li, zordered, ["l_orderkey", "l_partkey"], n_files)
+
+    def files_hitting(path, lo, hi):
+        hit = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "l_partkey"
+                )
+                s = col.statistics
+                fmin = s.min if fmin is None else min(fmin, s.min)
+                fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and not (fmax < lo or fmin > hi):
+                hit += 1
+        return hit
+
+    # a ~5%-wide l_partkey band
+    pmin, pmax = [
+        r[0]
+        for r in li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()
+    ][0], li.agg(F.max("l_partkey")).collect()[0][0]
+    lo = pmin
+    hi = pmin + max(1, (pmax - pmin) // 20)
+    lin_hits = files_hitting(linear, lo, hi)
+    z_hits = files_hitting(zordered, lo, hi)
+    # lexicographic-by-orderkey spreads partkeys everywhere: all files hit
+    assert lin_hits == n_files
+    assert z_hits < lin_hits, (z_hits, lin_hits)
+    # layout changes bytes, never rows
+    assert (
+        spark.read.parquet(zordered).count() == li.count()
+    )

@@ -110,3 +110,42 @@ def last_processed_height(bronze: DataFrame) -> int | None:
     The streaming path uses checkpointLocation instead."""
     row = bronze.agg(F.max("block_height").alias("h")).first()
     return None if row is None else row["h"]
+
+
+def read_lake_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Batch lake read with corrupt-block quarantine: returns
+    (good, quarantined). With an explicit schema, PERMISSIVE mode turns a
+    malformed block file into an all-null row that would flow silently
+    into bronze; capturing ``_corrupt_record`` instead routes the raw
+    text to a quarantine relation an operator can inspect/replay (the
+    reference's equivalent failure is an asyncio handler exception that
+    SKIPS the block — tasks.py:51-90 logs and moves on; quarantining
+    loses nothing and keeps at-least-once replayable).
+
+    The one-pass cache is deliberate: Spark disallows queries whose only
+    projected column is the internal corrupt-record column, and without
+    the cache the good/bad split would re-parse the JSON twice. The cache
+    is bounded by the read's own size; for STREAMING ingest, do the same
+    split inside foreachBatch (each micro-batch DataFrame is already
+    materialized there — same two filters, no cache needed).
+    """
+    schema = LAKE_MESSAGE_SCHEMA.add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # input_file_name() only resolves during the scan itself — over
+        # the cached relation it returns '' — so bind it pre-cache
+        .withColumn("source_file", F.input_file_name())
+        .cache()
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "source_file", "_corrupt_record"
+    )
+    good = (
+        df.filter(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record", "source_file")
+    )
+    return good, bad

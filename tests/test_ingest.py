@@ -889,3 +889,31 @@ def test_tokens_prices_chains_pipelines_and_enrich_merge(spark):
     assert p2[("usdc.near", "14-11-2023")] == 1.0
     assert p2[("near", "14-11-2023")] is None  # still awaiting enrichment (T5)
     assert again["chains"].count() == 1
+
+
+def test_lake_quarantine_splits_corrupt_blocks(spark, tmp_path):
+    """A malformed block file must land in quarantine with its raw text,
+    not as a silent all-null bronze row; good blocks parse normally."""
+    import json as _json
+    import os
+
+    from django_indexer_spark.sources.lake import read_lake_quarantine
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    good_msg = {
+        "block": {"header": {"height": 7, "timestamp": 1}},
+        "shards": [],
+    }
+    with open(f"{lake}/000000007.json", "w") as f:
+        f.write(_json.dumps(good_msg))
+    with open(f"{lake}/000000008.json", "w") as f:
+        f.write('{"block": {"header": {broken json!!')
+
+    good, bad = read_lake_quarantine(spark, lake)
+    heights = [r["block"]["header"]["height"] for r in good.collect()]
+    assert heights == [7]
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "broken json" in quarantined[0]["_corrupt_record"]
+    assert quarantined[0]["source_file"].endswith("000000008.json")

@@ -273,3 +273,51 @@ def constraint_checks(
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def sequence_gaps(
+    df: DataFrame, col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Completeness audit for a dense integer sequence (block heights,
+    invoice numbers): every (prev_key, next_key) adjacency whose gap
+    skips values — the indexer's "did we miss blocks?" check (the
+    reference trusts its per-block loop + BlockHeight singleton;
+    a lake-scale engine has to PROVE density).
+
+    Scale shape — the global-lag twin of windows.ranked_global: dedup
+    keys, repartitionByRange so key order is partition-contiguous,
+    in-partition lag() (WindowExec partitioned by __pid, never global),
+    then cross-boundary adjacencies from the ≤num_partitions per-
+    partition (min, max) rows stitched with a lag over that TINY
+    relation — the one intentionally single-partition window. Returns
+    (prev_key, next_key, gap) for gap > 1; n_missing = gap - 1.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = df.select(F.col(col).cast("long").alias("k")).distinct()
+    ranged = keyed.repartitionByRange(n, F.col("k")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy("k")
+    in_part = (
+        ranged.withColumn("prev_key", F.lag("k").over(w_in))
+        .filter(F.col("prev_key").isNotNull())
+        .select("prev_key", F.col("k").alias("next_key"))
+    )
+    bounds = ranged.groupBy("__pid").agg(
+        F.min("k").alias("__lo"), F.max("k").alias("__hi")
+    )
+    w_b = Window.orderBy("__pid")  # ≤ num_partitions rows — bounded
+    cross = (
+        bounds.withColumn("prev_key", F.lag("__hi").over(w_b))
+        .filter(F.col("prev_key").isNotNull())
+        .select("prev_key", F.col("__lo").alias("next_key"))
+    )
+    return (
+        in_part.unionByName(cross)
+        .withColumn("gap", (F.col("next_key") - F.col("prev_key")).cast("long"))
+        .filter(F.col("gap") > 1)
+        .select("prev_key", "next_key", "gap")
+    )

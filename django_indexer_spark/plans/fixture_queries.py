@@ -2931,3 +2931,20 @@ def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__lg").cast("double").alias("lineitem_total"),
         )
     )
+
+
+@query("qa_sequence_gaps")
+def qa_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-density audit — "which block heights are missing": the
+    fixture's orderkeys are dense, so the audited stream is the FULFILLED
+    subset (status F), whose absent open/pending keys are the gaps, making
+    the output non-trivial at every sf. Distributed global lag via range
+    partitioning + boundary stitch — no full-table single-partition
+    window (plan-guarded). Top-100 widest gaps, deterministic order."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    gaps = quality.sequence_gaps(orders, "o_orderkey")
+    return (
+        gaps.orderBy(F.desc("gap"), F.asc("prev_key"))
+        .limit(100)
+        .select("prev_key", "next_key", "gap")
+    )

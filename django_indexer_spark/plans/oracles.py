@@ -2441,3 +2441,15 @@ SELECT CASE WHEN o_orderkey IS NULL THEN 'lineitem_only'
        CAST(sum(coalesce(li_gross, 0)) AS DOUBLE) AS lineitem_total
 FROM j GROUP BY 1
 """
+
+ORACLES["qa_sequence_gaps"] = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+adj AS (
+  SELECT lag(k) OVER (ORDER BY k) AS prev_key, k AS next_key FROM k
+)
+SELECT prev_key, next_key, CAST(next_key - prev_key AS BIGINT) AS gap
+FROM adj
+WHERE prev_key IS NOT NULL AND next_key - prev_key > 1
+ORDER BY gap DESC, prev_key ASC
+LIMIT 100
+"""

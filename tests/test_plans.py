@@ -314,3 +314,15 @@ def test_chunk_overlap_is_map_only(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_sequence_gaps_no_global_window_over_keys(spark):
+    """The only single-partition window allowed is the ≤num_partitions
+    boundary-stitch; the full key relation must lag inside its range
+    partition."""
+    plan = plan_of(spark, "qa_sequence_gaps")
+    assert "windowspecdefinition(__pid" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "__pid" not in line:
+            assert "__hi" in line or "__lo" in line, line
+    assert "rangepartitioning" in plan

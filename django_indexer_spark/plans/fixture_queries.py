@@ -2594,15 +2594,27 @@ def t_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next price row (tokens/models.py:120-152) — this materializes the
     interval form the as-of join (J6) consumes."""
     e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    return e.select(
+    iv = windows.scd2_build(
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts_us",
+            F.round(F.col("value").cast("double"), 2).alias("value_2dp"),
+        ),
+        ["user_id"],
+        "ts_us",
+        tiebreak_cols=["event_id"],
+    )
+    return iv.select(
         "user_id",
         "event_id",
-        F.col("event_type"),
-        F.col("ts_us").alias("valid_from_us"),
-        F.lead("ts_us").over(w).alias("valid_to_us"),
-        F.round(F.col("value").cast("double"), 2).alias("value_2dp"),
-    ).withColumn("is_current", F.col("valid_to_us").isNull())
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "value_2dp",
+        "is_current",
+    )
 
 
 @query("ts_state_streaks")

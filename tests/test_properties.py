@@ -264,3 +264,27 @@ def test_scd2_merge_any_split_equals_full_build(spark, rows, split):
     assert sorted(map(tuple, merged.select(cols).collect())) == sorted(
         map(tuple, built.select(cols).collect())
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(0, 500), min_size=2, max_size=60),
+    n_parts=st.integers(1, 8),
+)
+def test_sequence_gaps_matches_single_window_reference(spark, keys, n_parts):
+    """Range-partitioned gap detection (in-partition lag + boundary
+    stitch) must find EXACTLY the gaps a single global lag would, for any
+    key multiset and any partition count — including duplicate keys and
+    partitions that end up empty."""
+    from django_indexer_spark.operators import quality
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(
+        (r["prev_key"], r["next_key"], r["gap"])
+        for r in quality.sequence_gaps(df, "k", num_partitions=n_parts).collect()
+    )
+    ks = sorted(set(keys))
+    want = sorted(
+        (a, b, b - a) for a, b in zip(ks, ks[1:]) if b - a > 1
+    )
+    assert got == want

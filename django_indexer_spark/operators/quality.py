@@ -34,6 +34,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _qlabel(name: str) -> str:
+    """SQL string literal of a column name (quotes doubled)."""
+    return "'" + name.replace("'", "''") + "'"
+
+
 def column_profile(
     df: DataFrame, cols: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
@@ -69,29 +74,38 @@ def column_profile(
     str_cols = [c for c in names if dtypes[c] == "string"]
     melt_cols = str_cols if approx else names
 
+    # Hostile-name safety: quotes/backticks/dots are legal in column
+    # names but every by-name accessor (F.col AND df[...]) PARSES its
+    # argument. toDF renames POSITIONALLY — no resolution — so all
+    # internal work runs on __c{i} names and the user's names appear
+    # only as escaped string literals in the final col_name labels.
+    all_cols = list(df.columns)
+    safe_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
+    sdf = df.toDF(*[safe_of[c] for c in all_cols])
+
     # ---- pass 1: single hash-aggregatable scan
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in names:
-        col = F.col(c)
-        aggs.append(F.count(col).alias(f"__nn_{c}"))
+    for i, c in enumerate(names):
+        col = F.col(safe_of[c])
+        aggs.append(F.count(col).alias(f"__nn_{i}"))
         if approx:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{i}"))
         if dtypes[c] != "string":
-            aggs += [F.min(col).alias(f"__min_{c}"), F.max(col).alias(f"__max_{c}")]
-    one = df.agg(*aggs)
+            aggs += [F.min(col).alias(f"__min_{i}"), F.max(col).alias(f"__max_{i}")]
+    one = sdf.agg(*aggs)
     stack_args: list[str] = []
-    for c in names:
-        nd = f"__nd_{c}" if approx else "CAST(NULL AS BIGINT)"
+    for i, c in enumerate(names):
+        nd = f"__nd_{i}" if approx else "CAST(NULL AS BIGINT)"
         if dtypes[c] == "string":
             mn = mx = "CAST(NULL AS STRING)"
         elif dtypes[c] in ("double", "float"):
             # DECIMAL(18,2) render: Java's Double.toString flips to
             # scientific notation where ANSI casts do not
-            mn = f"cast(cast(__min_{c} as decimal(18,2)) as string)"
-            mx = f"cast(cast(__max_{c} as decimal(18,2)) as string)"
+            mn = f"cast(cast(__min_{i} as decimal(18,2)) as string)"
+            mx = f"cast(cast(__max_{i} as decimal(18,2)) as string)"
         else:
-            mn, mx = f"cast(__min_{c} as string)", f"cast(__max_{c} as string)"
-        stack_args.append(f"'{c}', __nn_{c}, {nd}, {mn}, {mx}")
+            mn, mx = f"cast(__min_{i} as string)", f"cast(__max_{i} as string)"
+        stack_args.append(f"{_qlabel(c)}, __nn_{i}, {nd}, {mn}, {mx}")
     base = one.selectExpr(
         "__n",
         f"stack({len(names)}, {', '.join(stack_args)}) as "
@@ -100,9 +114,11 @@ def column_profile(
 
     if melt_cols:
         # ---- pass 2: melt → hash dedup → tiny per-column aggregate
-        melted = df.selectExpr(
+        melted = sdf.selectExpr(
             f"stack({len(melt_cols)}, "
-            + ", ".join(f"'{c}', cast(`{c}` as string)" for c in melt_cols)
+            + ", ".join(
+                f"{_qlabel(c)}, cast({safe_of[c]} as string)" for c in melt_cols
+            )
             + ") as (col_name, v)"
         )
         deduped = melted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("__c"))
@@ -238,8 +254,9 @@ def constraint_checks(
     spark = df.sparkSession
     if names:
         one = df.agg(*aggs)
+        # check names embed user column names — escape the literal
         stack = ", ".join(
-            f"'{name}', __v{i}" for i, name in enumerate(names)
+            f"{_qlabel(name)}, __v{i}" for i, name in enumerate(names)
         )
         # 'check' is a reserved word in ANSI engines (DuckDB rejects it as
         # a bare alias) — check_name keeps the relation portable

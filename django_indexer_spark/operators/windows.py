@@ -202,9 +202,24 @@ def scd2_merge(
         current.join(batch_keys, key_cols, "left_semi").select(*val_cols)
     )
     dedup_keys = key_cols + [ts_col] + list(tiebreak_cols or [])
+    # Deterministic conflict rule: when the batch carries a row for an
+    # EXISTING (key, ts, tiebreaks) with different attribute values (a
+    # correction), the batch row wins — dropDuplicates alone would keep
+    # whichever copy a partition scan saw first, so two runs of the same
+    # merge could disagree. Residual equal-priority ties (duplicate rows
+    # WITHIN one source differing in attributes) break on the attribute
+    # struct itself, keeping the pick total.
+    other_cols = [c for c in val_cols if c not in dedup_keys]
+    tagged = touched_rows.withColumn("__src", F.lit(0)).unionByName(
+        batch.select(*val_cols).withColumn("__src", F.lit(1))
+    )
+    w_pick = Window.partitionBy(*dedup_keys).orderBy(
+        F.desc("__src"), *[F.desc(c) for c in other_cols]
+    )
     merged_rows = (
-        touched_rows.unionByName(batch.select(*val_cols))
-        .dropDuplicates(dedup_keys)
+        tagged.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(*val_cols)
     )
     rebuilt = scd2_build(merged_rows, key_cols, ts_col, tiebreak_cols)
     return untouched.unionByName(rebuilt)

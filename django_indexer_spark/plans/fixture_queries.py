@@ -2692,8 +2692,11 @@ def t_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         tiebreak_cols=["event_id"],
     )
+    # integer DIV, not /: float division + cast disagrees cross-engine on
+    # odd sums (Spark truncates the .5, DuckDB rounds half-to-even —
+    # verified divergent at sf0.1)
     bounds = e.agg(
-        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2)).cast("long").alias("t_mid")
+        F.expr("(min(ts_us) + max(ts_us)) DIV 2").alias("t_mid")
     )
     return (
         windows.scd2_asof(iv.crossJoin(F.broadcast(bounds)), F.col("t_mid"))
@@ -2800,8 +2803,13 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         keyed = batch_df.select(F.md5("text").alias("payload_md5"), "doc_id")
-        versions = sorted(_glob.glob(f"{state_dir}/v*"))
-        gold = spark.read.parquet(versions[-1]) if versions else None
+        # prior state is keyed by BATCH ID, not glob order: a replayed
+        # batch N must fold into v{N-1} again (reading a lexicographic
+        # "latest" would pick N's own partial output on retry — and v10
+        # sorts before v2), making the rewrite idempotent under
+        # Structured Streaming's replay contract
+        prev = f"{state_dir}/v{batch_id - 1}"
+        gold = spark.read.parquet(prev) if batch_id > 0 else None
         new_state = incremental.apply_batch(
             gold, keyed, ["payload_md5"], measures
         )
@@ -2822,7 +2830,10 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished = q.awaitTermination(120)
     if not finished:
         q.stop()
-    versions = sorted(_glob.glob(f"{state_dir}/v*"))
+    versions = sorted(
+        _glob.glob(f"{state_dir}/v*"),
+        key=lambda p: int(p.rsplit("v", 1)[-1]),
+    )
     if not versions:
         raise RuntimeError(
             f"streaming gate produced no state versions (finished={finished})"

@@ -2325,7 +2325,7 @@ ORACLES["t_scd2_asof"] = """
 WITH e AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
 ), b AS (
-  SELECT CAST((min(ts_us) + max(ts_us)) / 2 AS BIGINT) AS t_mid FROM e
+  SELECT CAST((min(ts_us) + max(ts_us)) // 2 AS BIGINT) AS t_mid FROM e
 ), iv AS (
   SELECT user_id, event_id, event_type, ts_us AS valid_from,
          lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS valid_to

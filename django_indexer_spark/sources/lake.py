@@ -112,6 +112,10 @@ def last_processed_height(bronze: DataFrame) -> int | None:
     return None if row is None else row["h"]
 
 
+# at most one quarantine read stays cached per process (see docstring)
+_QUARANTINE_CACHE: list[DataFrame] = []
+
+
 def read_lake_quarantine(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -127,11 +131,21 @@ def read_lake_quarantine(
     The one-pass cache is deliberate: Spark disallows queries whose only
     projected column is the internal corrupt-record column, and without
     the cache the good/bad split would re-parse the JSON twice. The cache
-    is bounded by the read's own size; for STREAMING ingest, do the same
-    split inside foreachBatch (each micro-batch DataFrame is already
-    materialized there — same two filters, no cache needed).
+    is bounded by the read's own size, and each call unpersists the
+    PREVIOUS call's cache (at most one quarantine read stays pinned —
+    a backfill loop can't accumulate copies); for STREAMING ingest, do
+    the same split inside foreachBatch (each micro-batch DataFrame is
+    already materialized there — same two filters, no cache needed).
     """
-    schema = LAKE_MESSAGE_SCHEMA.add("_corrupt_record", "string")
+    # copy, never .add() on the shared schema: StructType.add mutates and
+    # returns SELF, so the module-global would grow a _corrupt_record
+    # field for every later read_lake()/read_lake_stream() (and a second
+    # quarantine call would build a duplicate column)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(LAKE_MESSAGE_SCHEMA.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     df = (
         spark.read.schema(schema)
         .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -141,6 +155,9 @@ def read_lake_quarantine(
         .withColumn("source_file", F.input_file_name())
         .cache()
     )
+    while _QUARANTINE_CACHE:
+        _QUARANTINE_CACHE.pop().unpersist()
+    _QUARANTINE_CACHE.append(df)
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         "source_file", "_corrupt_record"
     )

@@ -98,7 +98,16 @@ def zorder_bounds(
             F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
         ]
     row = df.agg(*aggs).collect()[0]
-    return [(float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"])) for c in cols]
+    # empty input / all-null column → min/max are None; (0.0, 0.0) makes
+    # zorder_key's span<=0 branch pin the rank to 0 instead of crashing
+    # the layout job
+    return [
+        (
+            float(row[f"__lo_{c}"]) if row[f"__lo_{c}"] is not None else 0.0,
+            float(row[f"__hi_{c}"]) if row[f"__hi_{c}"] is not None else 0.0,
+        )
+        for c in cols
+    ]
 
 
 def zorder_key(

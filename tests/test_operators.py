@@ -1691,3 +1691,37 @@ def test_scd2_merge_incremental_invariant_and_replay(spark):
     # open intervals: exactly one per key
     opens = merged.filter("is_current").groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in opens)
+
+
+def test_scd2_merge_batch_correction_wins_deterministically(spark):
+    """A batch row at an existing (key, ts) with a DIFFERENT value is a
+    correction: the batch copy must win, on every run."""
+    from django_indexer_spark.operators import windows as W
+
+    cur = W.scd2_build(
+        spark.createDataFrame([(1, 10, "old"), (1, 20, "y")], "k int, ts long, v string"),
+        ["k"],
+        "ts",
+    )
+    batch = spark.createDataFrame([(1, 10, "corrected")], "k int, ts long, v string")
+    for _ in range(3):
+        got = {
+            (r["k"], r["ts"]): r["v"]
+            for r in W.scd2_merge(cur, batch, ["k"], "ts").collect()
+        }
+        assert got[(1, 10)] == "corrected"
+        assert got[(1, 20)] == "y"
+
+
+def test_column_profile_handles_hostile_column_names(spark):
+    """Column names with quotes/backticks/commas are legal — the generated
+    stack()/cast fragments must escape them, not corrupt the SQL."""
+    from django_indexer_spark.operators import quality
+
+    df = spark.range(3).select(
+        F.col("id").alias("it's, a `weird` name"),
+        F.col("id").cast("string").alias("plain"),
+    )
+    prof = {r["col_name"]: r for r in quality.column_profile(df).collect()}
+    assert set(prof) == {"it's, a `weird` name", "plain"}
+    assert prof["it's, a `weird` name"]["n_distinct"] == 3

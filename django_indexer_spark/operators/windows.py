@@ -184,9 +184,11 @@ def scd2_merge(
     Work is O(batch + touched keys' history), never a full rebuild: keys
     absent from the batch pass through UNTOUCHED (anti-join); for touched
     keys, their existing rows (intervals stripped back to change rows)
-    union the batch — deduplicated on (key, ts, tiebreaks), which makes
-    replaying the same batch a no-op — and rebuild via scd2_build. The
-    incremental invariant (tests): merge(build(A), B) == build(A ∪ B).
+    union the batch, keep ONE row per (key, ts, tiebreaks) with the batch
+    copy winning on attribute conflicts (a correction; deterministic —
+    see the window below), and rebuild via scd2_build. Replaying the same
+    batch is a no-op, and the incremental invariant holds (tests):
+    merge(build(A), B) == build(A ∪ B).
 
     Same division of labor as sources/silver.merge_batch's touched-bucket
     rule, applied to interval state instead of row state.

@@ -204,6 +204,10 @@ def minhash_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# one estimated-jaccard signature cache pinned per process (see docstring)
+_SIG_CACHE: list[DataFrame] = []
+
+
 def minhash_estimated_jaccard(
     df: DataFrame,
     text_col: str,
@@ -228,10 +232,18 @@ def minhash_estimated_jaccard(
     8×md5-per-shingle pipeline re-runs for each of its three consumers
     (bands, a-side join, b-side join) — measured 1.9× slower at sf0.1.
     The pair→signature joins are uniform-keyed on the doc id. E[est] =
-    true Jaccard of the shingle sets; num_hashes bounds the variance."""
+    true Jaccard of the shingle sets; num_hashes bounds the variance.
+
+    Cache ownership: the function returns a LAZY frame, so it cannot
+    unpersist its own signature cache — instead each call evicts the
+    PREVIOUS call's (one sketch stays pinned per process, bounded; a
+    bench/test loop can't accumulate cached copies)."""
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, ngram, expand_parallelism
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+    _SIG_CACHE.append(sig)
     pairs = minhash_candidate_pairs(
         bands_from_signatures(sig, id_col, num_hashes, bands), id_col
     )

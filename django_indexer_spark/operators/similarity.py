@@ -565,12 +565,19 @@ def sq8_quantize(vec_sql: str, lo: list[float], hi: list[float]) -> Column:
     512 B, its sq8 code 64 B — an 8× cut in scan+shuffle bytes for every
     downstream ANN pass, at a recall cost sim_sq8_recall measures."""
     span = [h - l for l, h in zip(lo, hi)]
+    # least/greatest clamp: the codebook is trained once per corpus build,
+    # so NEW vectors legitimately fall outside [lo, hi] — scalar
+    # quantization saturates at the codebook edge (without the clamp an
+    # out-of-range dim yields a negative or >255 code that silently
+    # corrupts the integer dot products). In-range values are untouched,
+    # so corpus-trained gates (and their oracles) are unaffected.
     return F.expr(
         f"zip_with(zip_with({vec_sql}, {_arr_sql(lo)}, "
         "(x, l) -> CAST(x AS DOUBLE) - l), "
         f"{_arr_sql(span)}, "
         "(d, s) -> CASE WHEN s = CAST('0.0' AS DOUBLE) THEN CAST(0 AS BIGINT) "
-        "ELSE CAST(round(d / s * 255, 0) AS BIGINT) END)"
+        "ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), "
+        "CAST(round(d / s * 255, 0) AS BIGINT))) END)"
     )
 
 

@@ -117,7 +117,18 @@ def kmv_distinct_estimate(
     frac = F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast("double") / F.lit(
         float(16**13)
     )
-    mins = df.select(frac.alias("f")).distinct().orderBy("f").limit(k)
+    # NULLs never enter the sketch: a NULL value hashes to a NULL fraction,
+    # which Spark's ascending sort puts FIRST — it would occupy a k-min
+    # slot (inflating n_kept and displacing the true k-th minimum) while
+    # the DuckDB oracle's NULLS LAST ordering excludes it. count_distinct
+    # semantics ignore NULL, so drop it before the distinct.
+    mins = (
+        df.select(frac.alias("f"))
+        .filter(F.col("f").isNotNull())
+        .distinct()
+        .orderBy("f")
+        .limit(k)
+    )
     return mins.agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.round(

@@ -202,6 +202,54 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str, n: int = 2) ->
     )
 
 
+def _shared_dup_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int, min_docs: int
+):
+    """Shared-window detection common to BOTH halves of exact-substring
+    dedup — dup_span_coverage (measurement) and dedup_spans_removed
+    (surgery): tokenize, posexplode word n-gram windows keyed by md5,
+    document-frequency filter (>= min_docs), shuffle-hash semi-join back.
+    One definition on purpose: the halves must agree bit-for-bit for the
+    tested invariant n_tokens - kept_tokens == dup_tokens to hold.
+
+    Returns (toks_df, dup): the (id, __toks, n_tokens) frame and the
+    surviving (id, pos, h) duplicated windows.
+
+    ``wins`` is consumed twice (df aggregate + semi-join left) and IS
+    recomputed twice: the aggregate's exchange carries partially-
+    aggregated rows so the join can't reuse it, and forcing a shared
+    repartition(h) doesn't help (the optimizer collapses it on the join
+    side — different ShuffleOrigin, no ReuseExchange; measured no-op at
+    sf0.1). Persisting |windows| ≈ |corpus tokens| is the memory-unsafe
+    option at 100 TB; one extra tokenize+explode scan is the documented
+    price of staying streaming-safe. The semi-join is shuffle-hash on
+    purpose: the shared-window set grows with the corpus (every
+    boilerplate n-gram lands in it), so it must never be a driver-sized
+    broadcast; the join key is the uniform md5, so the shuffle is
+    skew-free."""
+    toks_df = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).withColumn("n_tokens", F.size("__toks").cast("long"))
+    wins = (
+        toks_df.filter(F.col("n_tokens") >= n)
+        .select(
+            id_col,
+            F.posexplode(word_ngrams_from_tokens(F.col("__toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", F.md5(F.col("gram")).alias("h"))
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("h")
+    )
+    dup = wins.join(shared.hint("shuffle_hash"), "h", "left_semi")
+    return toks_df, dup
+
+
 def dup_span_coverage(
     df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
 ) -> DataFrame:
@@ -224,38 +272,7 @@ def dup_span_coverage(
 
     Returns (id, n_tokens, dup_tokens, dup_frac) for every input doc
     (docs shorter than n tokens have dup_tokens = 0)."""
-    toks_df = df.select(
-        F.col(id_col), tokenize(text_col).alias("__toks")
-    ).withColumn("n_tokens", F.size("__toks").cast("long"))
-    wins = (
-        toks_df.filter(F.col("n_tokens") >= n)
-        .select(
-            id_col,
-            F.posexplode(word_ngrams_from_tokens(F.col("__toks"), n)).alias(
-                "pos", "gram"
-            ),
-        )
-        .select(id_col, "pos", F.md5(F.col("gram")).alias("h"))
-    )
-    # `wins` is consumed twice (df aggregate + semi-join left) and IS
-    # recomputed twice: the aggregate's exchange carries partially-
-    # aggregated rows so the join can't reuse it, and forcing a shared
-    # repartition(h) doesn't help (the optimizer collapses it on the join
-    # side — different ShuffleOrigin, no ReuseExchange; measured no-op at
-    # sf0.1). Persisting |windows| ≈ |corpus tokens| is the memory-unsafe
-    # option at 100 TB; one extra tokenize+explode scan is the documented
-    # price of staying streaming-safe.
-    shared = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("h")
-    )
-    # shuffle-hash semi-join on purpose: the shared-window set grows with
-    # the corpus (every boilerplate 8-gram lands in it), so at 100 TB it
-    # must never be a driver-sized broadcast; the join key is the uniform
-    # md5, so the shuffle is skew-free.
-    dup = wins.join(shared.hint("shuffle_hash"), "h", "left_semi")
+    toks_df, dup = _shared_dup_windows(df, id_col, text_col, n, min_docs)
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -315,28 +332,7 @@ def dedup_spans_removed(
     Returns (id, n_tokens, kept_tokens, cleaned_text); a fully-covered
     doc comes back with kept_tokens = 0 and empty text (callers usually
     drop those rows — that decision is theirs)."""
-    toks_df = df.select(
-        F.col(id_col), tokenize(text_col).alias("__toks")
-    ).withColumn("n_tokens", F.size("__toks").cast("long"))
-    wins = (
-        toks_df.filter(F.col("n_tokens") >= n)
-        .select(
-            id_col,
-            F.posexplode(word_ngrams_from_tokens(F.col("__toks"), n)).alias(
-                "pos", "gram"
-            ),
-        )
-        .select(id_col, "pos", F.md5(F.col("gram")).alias("h"))
-    )
-    # wins recomputed for both consumers by design — see
-    # dup_span_coverage's recompute-vs-persist note
-    shared = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("h")
-    )
-    dup = wins.join(shared.hint("shuffle_hash"), "h", "left_semi")
+    toks_df, dup = _shared_dup_windows(df, id_col, text_col, n, min_docs)
     covered = dup.select(
         id_col,
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"),

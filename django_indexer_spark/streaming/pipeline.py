@@ -237,6 +237,17 @@ def stream_ingest(
                 entity = fn(prepared)
                 part = ENTITY_PARTITIONS.get(name)
                 if part is not None:
+                    # upgrade path: a table created before its entity
+                    # gained a partition column has partition_col=None in
+                    # its manifest, and merge_batch treats partitioning as
+                    # fixed at creation — adopt the TABLE's layout instead
+                    # of raising on every micro-batch forever (repartition
+                    # an existing table with an offline rewrite, not
+                    # mid-stream)
+                    existing = silver.read_manifest(f"{out_dir}/{name}")
+                    if existing is not None and existing.get("partition_col") is None:
+                        part = None
+                if part is not None:
                     entity = entity.withColumn(part[0], part[1]())
                 silver.merge_batch(
                     spark,

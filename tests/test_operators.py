@@ -1725,3 +1725,15 @@ def test_column_profile_handles_hostile_column_names(spark):
     prof = {r["col_name"]: r for r in quality.column_profile(df).collect()}
     assert set(prof) == {"it's, a `weird` name", "plain"}
     assert prof["it's, a `weird` name"]["n_distinct"] == 3
+
+
+def test_kmv_ignores_nulls(spark):
+    """NULL values must not occupy k-minimum slots (count_distinct
+    semantics; the oracle's NULLS LAST ordering would diverge otherwise)."""
+    from django_indexer_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(7)] + [(None,), (None,)], "v string"
+    )
+    row = sketches.kmv_distinct_estimate(df, "v", k=16).collect()[0]
+    assert row["n_kept"] == 7 and row["est_distinct"] == 7.0

@@ -326,3 +326,17 @@ def test_sequence_gaps_no_global_window_over_keys(spark):
         if "windowspecdefinition" in line and "__pid" not in line:
             assert "__hi" in line or "__lo" in line, line
     assert "rangepartitioning" in plan
+
+
+def test_grouped_prefix_sums_range_exchange_reused(spark):
+    """grouped_prefix_sums' correctness depends on BOTH consumers of the
+    range partitioning (per-partition sizes and the final row join)
+    reading the SAME materialized exchange: a recomputed exchange could
+    resample range bounds and tag rows with different __pid values in
+    each branch, silently corrupting the prefix offsets. Pin the
+    ReuseExchange the same way test_global_rank does for ranked_global."""
+    df = QUERIES["sample_token_budget"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+    assert "rangepartitioning" in final

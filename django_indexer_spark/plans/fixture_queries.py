@@ -2971,3 +2971,60 @@ def qa_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("prev_key", "next_key", "gap")
     )
+
+
+@query("ts_zscore_anomaly")
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: per user, each event's value against
+    the mean/std of its trailing 20-event window (current row excluded —
+    the anomaly must not dilute its own baseline). Windows are
+    user-partitioned (one shuffle, bounded per-user state); moments use
+    decimal-exact sums so the flag is bit-stable cross-engine. Output:
+    the flagged events with their z-score (2σ rule)."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    stats = e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.col("value").cast("double").alias("value"),
+        F.count(v).over(w).alias("__n"),
+        F.sum(v).over(w).cast("double").alias("__s"),
+        F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double").alias("__ss"),
+    ).filter(F.col("__n") >= 5)
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__ss") / F.col("__n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        stats.withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("user_id", "event_id", "ts_us", "value", "z")
+    )
+
+
+@query("a_grouping_sets")
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the lattice-control cousin of CUBE
+    (a_cube_matrix) and ROLLUP (a_rollup_hierarchy): exactly three
+    aggregation levels ((status, priority), (status), ()) in ONE pass —
+    the Expand feeds partial aggregates, so the fact table is read and
+    shuffled once for all three levels."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )

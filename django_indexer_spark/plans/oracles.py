@@ -2453,3 +2453,36 @@ WHERE prev_key IS NOT NULL AND next_key - prev_key > 1
 ORDER BY gap DESC, prev_key ASC
 LIMIT 100
 """
+
+ORACLES["ts_zscore_anomaly"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS value,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), stats AS (
+  SELECT user_id, event_id, ts_us, value,
+         count(v) OVER w AS n,
+         CAST(sum(v) OVER w AS DOUBLE) AS s,
+         CAST(sum(CAST(v * v AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts_us, value,
+       round((value - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6) AS z
+FROM stats
+WHERE n >= 5
+  AND abs(round((value - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6)) > 2.0
+"""
+
+ORACLES["a_grouping_sets"] = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS BIGINT) AS g_status,
+       CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS BIGINT) AS g_priority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""

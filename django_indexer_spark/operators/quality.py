@@ -140,7 +140,12 @@ def column_profile(
         "col_name",
         F.col("__n").cast("long").alias("n_rows"),
         (F.col("__n") - F.col("__nn")).cast("long").alias("n_null"),
-        F.coalesce(F.col("__nd1"), F.col("__nd2")).cast("long").alias("n_distinct"),
+        # final 0: exact mode on an EMPTY table has no melted rows, so the
+        # per_col left join leaves both __nd inputs NULL — approx mode and
+        # count-distinct semantics say 0, not NULL
+        F.coalesce(F.col("__nd1"), F.col("__nd2"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct"),
         F.coalesce(F.col("__min1"), F.col("__min2")).alias("min_s"),
         F.coalesce(F.col("__max1"), F.col("__max2")).alias("max_s"),
     )

@@ -1424,11 +1424,15 @@ def j2_prefetch_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3 prefetch-shaped nested rebuild (prefetch_related,
     accounts/api.py:351; admins arrays pots/serializers.py:55-58): per
     customer, the sorted array of their urgent order keys + count. The
-    M2M/1:N nested serializer output is a deterministic collect_list."""
+    M2M/1:N nested serializer output is a deterministic collect_list,
+    string-joined so the gate output carries no complex-typed column
+    (the driver's pandas canonicalizer cannot sort/hash array cells)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     agg = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("order_keys"),
         F.count(F.lit(1)).alias("n_urgent"),
     )
     return (
@@ -2828,16 +2832,21 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     finished = q.awaitTermination(120)
-    if not finished:
-        q.stop()
     versions = sorted(
         _glob.glob(f"{state_dir}/v*"),
         key=lambda p: int(p.rsplit("v", 1)[-1]),
     )
-    if not versions:
+    if not finished:
+        # a hung stream must surface as an infra ERROR, not silently
+        # return a partial (e.g. batch-0-only) state version that grades
+        # as a correctness mismatch
+        q.stop()
         raise RuntimeError(
-            f"streaming gate produced no state versions (finished={finished})"
+            "streaming gate timed out after 120s with "
+            f"{len(versions)} state version(s) written"
         )
+    if not versions:
+        raise RuntimeError("streaming gate produced no state versions")
     final = versions[-1]
     return spark.read.parquet(final).select(
         "payload_md5",

@@ -1279,7 +1279,7 @@ SELECT c.c_custkey, c.c_name, s.order_keys, s.n_urgent
 FROM customer c
 JOIN (
   SELECT o_custkey AS c_custkey,
-         list_sort(list(o_orderkey)) AS order_keys,
+         array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
          count(*) AS n_urgent
   FROM orders WHERE o_orderpriority = '1-URGENT'
   GROUP BY o_custkey
@@ -1886,7 +1886,7 @@ WITH e AS (
 )
 SELECT user_id, event_id, ts_us,
        CAST(count(*) OVER f AS BIGINT) AS trailing_n,
-       sum(k) OVER f AS trailing_k_sum
+       CAST(sum(k) OVER f AS BIGINT) AS trailing_k_sum
 FROM e
 WINDOW f AS (PARTITION BY user_id ORDER BY ts_us
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

@@ -113,7 +113,15 @@ def last_processed_height(bronze: DataFrame) -> int | None:
 
 
 # at most one quarantine read stays cached per process (see docstring)
+# Bounded FIFO of pinned quarantine reads (not size-1: evicting the
+# PREVIOUS call's cache while its good/bad frames are still unconsumed
+# would silently fall back to two independent re-scans, losing the
+# single-materialization consistency the cache exists for). 4 slots
+# covers any realistic interleaving of backfill splits; beyond that the
+# oldest unpersists and its frames recompute — correct, just slower.
 _QUARANTINE_CACHE: list[DataFrame] = []
+_QUARANTINE_CACHE_SLOTS = 4
+_QUARANTINE_LOCK = __import__("threading").Lock()
 
 
 def read_lake_quarantine(
@@ -131,9 +139,10 @@ def read_lake_quarantine(
     The one-pass cache is deliberate: Spark disallows queries whose only
     projected column is the internal corrupt-record column, and without
     the cache the good/bad split would re-parse the JSON twice. The cache
-    is bounded by the read's own size, and each call unpersists the
-    PREVIOUS call's cache (at most one quarantine read stays pinned —
-    a backfill loop can't accumulate copies); for STREAMING ingest, do
+    is bounded by the read's own size, and a bounded FIFO (4 slots,
+    lock-guarded) unpersists the oldest pinned read — a backfill loop
+    can't accumulate copies, and recent calls' good/bad frames stay
+    cache-backed while still unconsumed; for STREAMING ingest, do
     the same split inside foreachBatch (each micro-batch DataFrame is
     already materialized there — same two filters, no cache needed).
     """
@@ -155,9 +164,10 @@ def read_lake_quarantine(
         .withColumn("source_file", F.input_file_name())
         .cache()
     )
-    while _QUARANTINE_CACHE:
-        _QUARANTINE_CACHE.pop().unpersist()
-    _QUARANTINE_CACHE.append(df)
+    with _QUARANTINE_LOCK:
+        while len(_QUARANTINE_CACHE) >= _QUARANTINE_CACHE_SLOTS:
+            _QUARANTINE_CACHE.pop(0).unpersist()
+        _QUARANTINE_CACHE.append(df)
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         "source_file", "_corrupt_record"
     )

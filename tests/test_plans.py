@@ -229,7 +229,26 @@ def test_global_plan_hygiene_all_queries(spark):
     - Python in the row path (ArrowEvalPython / BatchEvalPython /
       FlatMapGroupsInPandas...): allowed only where the operator is
       genuinely inexpressible in DataFrame algebra (the MG sketch)
+
+    Also enforces tools/plan_budgets.json (round-4 verdict #8): the
+    committed per-query ceilings on shuffle / SMJ / Arrow / Python-UDF /
+    cartesian counts, so a refactor can't silently add a shuffle or a
+    Python stage to any gate query (the round-4 dedup-family bench drift
+    is exactly the regression class this catches). Regenerate ceilings
+    deliberately with `python tools/plan_audit.py --write-budgets` after
+    reviewing every increase.
     """
+    import json
+    from pathlib import Path
+
+    from tools.plan_audit import audit
+
+    budgets = json.loads(
+        (Path(__file__).resolve().parent.parent / "tools" / "plan_budgets.json")
+        .read_text()
+    )
+    capped = ("exch", "range", "single", "smj", "shj", "arrow", "pyudf", "cart")
+
     py_ok = {"text_heavy_hitters"}  # mapInPandas Misra-Gries sketch
     offenders: list[tuple[str, str]] = []
     for name in QUERIES:
@@ -238,6 +257,15 @@ def test_global_plan_hygiene_all_queries(spark):
             offenders.append((name, "CartesianProduct"))
         if name not in py_ok and ("EvalPython" in plan or "InPandas" in plan):
             offenders.append((name, "python-in-row-path"))
+        census = audit(plan)
+        if name not in budgets:
+            offenders.append((name, "no plan budget — run plan_audit --write-budgets"))
+            continue
+        for c in capped:
+            if census[c] > budgets[name][c]:
+                offenders.append(
+                    (name, f"{c} {census[c]} > budget {budgets[name][c]}")
+                )
     assert not offenders, offenders
 
 

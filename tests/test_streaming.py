@@ -465,3 +465,74 @@ def test_stream_ingest_adopts_legacy_unpartitioned_table(spark, tmp_path, monkey
     rows = {r["on_chain_id"] for r in read_silver(spark, out, "donations").collect()}
     assert rows == {1, 2}
     assert silver.read_manifest(f"{out}/donations").get("partition_col") is None
+
+
+def test_watermarked_dedup_drops_redelivery_and_bounds_state(spark, tmp_path):
+    """watermarked_exact_dedup contract, both halves:
+    - a redelivered key arriving WITHIN the watermark delay of the
+      original's event time is dropped (at-least-once absorbed);
+    - once the watermark passes a key's event time + delay its state is
+      EVICTED, so a much-later duplicate re-emits — the proof that state
+      is bounded by (rate x delay), not stream history (the property an
+      unbounded stream needs at 100 TB/day).
+    File-source batches with maxFilesPerTrigger=1 make watermark
+    advancement deterministic: watermark for batch N = max event time of
+    batches < N minus the delay."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from django_indexer_spark.streaming.windows import watermarked_exact_dedup
+
+    in_dir = str(tmp_path / "in")
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_batch(i: int, rows: list[tuple[str, str]]):
+        df = spark.createDataFrame(rows, "event_id string, ts_s string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], f"{in_dir}/{i}.parquet")
+
+    # batch0: A and B originals (event time 00:00)
+    write_batch(0, [("A", "2024-01-01 00:00:00"), ("B", "2024-01-01 00:00:00")])
+    # batch1: A redelivered one minute later (within the 10 min delay →
+    # dropped); C advances max event time to 01:00, so the watermark
+    # from batch2 on is 00:50 — past A's and B's 00:10 eviction point
+    write_batch(1, [("A", "2024-01-01 00:01:00"), ("C", "2024-01-01 01:00:00")])
+    # batch2: state cleanup runs at END of batch, after rows were matched
+    # against existing state — so this batch only TRIGGERS the eviction
+    # of A and B (expiry 00:10 < watermark 00:50); D passes through
+    write_batch(2, [("D", "2024-01-01 01:10:00")])
+    # batch3: B again at 01:05 — state evicted at end of batch2, and
+    # 01:05 is above batch3's watermark (01:10 - 10 min = 01:00), so it
+    # re-emits as a fresh key
+    write_batch(3, [("B", "2024-01-01 01:05:00")])
+
+    schema = "event_id string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    deduped = watermarked_exact_dedup(stream, ["event_id"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming dedup did not finish in 120s"
+
+    got = [
+        (r["event_id"], str(r["ts"]))
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    counts = {}
+    for eid, _ in got:
+        counts[eid] = counts.get(eid, 0) + 1
+    # A deduped (1), C/D pass (1), B re-emitted after eviction (2)
+    assert counts == {"A": 1, "B": 2, "C": 1, "D": 1}, got

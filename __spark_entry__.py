@@ -121,7 +121,11 @@ def _checked_names(here: str | None = None) -> frozenset[str]:
                 continue
             if err is not None:
                 continue
-            if row.get("hash_match") is False or row.get("rows_match") is False:
+            if (
+                row.get("hash_match") is False
+                or row.get("rows_match") is False
+                or row.get("schema_match") is False
+            ):
                 continue
             seen.add(name)
     return frozenset(seen) if seen else _R3_CHECKED

@@ -22,3 +22,28 @@ def rows(df, *order_cols):
     if order_cols:
         df = df.orderBy(*order_cols)
     return [r.asDict() for r in df.collect()]
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def spark_confs(spark, confs: dict[str, str]):
+    """Temporarily apply session confs; restore (or unset) on exit.
+    The session fixture is session-scoped, so any test that mutates conf
+    MUST use this to avoid leaking settings into later tests."""
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

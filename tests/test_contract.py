@@ -37,16 +37,39 @@ def duck():
     con.close()
 
 
-def test_column_names_match_oracles(spark, duck):
+def test_column_names_match_oracles_and_no_complex_outputs(spark, duck):
+    """One build of every registry DataFrame checks BOTH gate rules:
+    - column-name parity with the DuckDB oracle (the driver hash-compares
+      by sorted column name);
+    - no array/struct/map/binary output columns anywhere in the registry
+      (round-4 verdict #2: the driver's pandas canonicalizer cannot
+      sort/hash complex cells, so such a query can never earn a green
+      row — j2_prefetch_array's one driver attempt died exactly this way).
+    Built once, checked twice: some builders are eager (the streaming
+    gate runs its micro-batches), so a second full-registry build would
+    double CI cost for no coverage."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
     mismatches = []
-    for name, sql in ORACLES.items():
-        spark_cols = sorted(QUERIES[name](spark, SF_DIR).columns)
+    complex_cols = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                complex_cols.append((name, f.name, f.dataType.simpleString()))
+        if name not in ORACLES:
+            continue
+        spark_cols = sorted(df.columns)
         duck_cols = sorted(
-            d[0] for d in duck.execute(f"SELECT * FROM ({sql}) LIMIT 0").description
+            d[0]
+            for d in duck.execute(
+                f"SELECT * FROM ({ORACLES[name]}) LIMIT 0"
+            ).description
         )
         if spark_cols != duck_cols:
             mismatches.append((name, spark_cols, duck_cols))
     assert not mismatches, mismatches
+    assert not complex_cols, f"complex-typed gate outputs: {complex_cols}"
 
 
 def test_bench_emits_valid_json_line(tmp_path):
@@ -125,6 +148,10 @@ def test_checked_names_excludes_red_rows(tmp_path):
         "green_q": {"rows_match": True, "hash_match": True, "err": None},
         "err_q": {"rows_match": None, "hash_match": None, "err": "boom"},
         "hashfail_q": {"rows_match": True, "hash_match": False, "err": None},
+        "schemafail_q": {
+            "rows_match": True, "schema_match": False, "hash_match": None,
+            "err": None,
+        },
         "rowsonly_q": {
             "rows_match": None, "hash_match": None,
             "spark_rows": 3, "err": "no_oracle",
@@ -141,24 +168,8 @@ def test_checked_names_excludes_red_rows(tmp_path):
     assert "rowsonly_q" in seen  # by-design rows-only (e.g. HLL) stays checked
     assert "err_q" not in seen
     assert "hashfail_q" not in seen
+    assert "schemafail_q" not in seen
     assert "rowsfail_q" not in seen
     assert "rowsonly_dead_q" not in seen
 
 
-def test_no_complex_typed_gate_outputs(spark):
-    """Registry rule (round-4 verdict #2): no queries() entry may return
-    an array/struct/map/binary column — the driver's pandas
-    canonicalizer cannot sort/hash complex cells, so such a query can
-    never earn a green row."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    bad = []
-    for name, fn in QUERIES.items():
-        try:
-            schema = fn(spark, SF_DIR).schema
-        except Exception:
-            continue  # execution-path queries raise elsewhere; not this rule
-        for f in schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                bad.append((name, f.name, f.dataType.simpleString()))
-    assert not bad, f"complex-typed gate outputs: {bad}"

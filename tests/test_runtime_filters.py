@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from conftest import spark_confs
+
 SF_DIR = "/root/testdata/sf0.001"
 
 _CONFS = {
@@ -35,28 +37,8 @@ _CONFS = {
 }
 
 
-def _swap_confs(spark, confs):
-    old = {}
-    for k, v in confs.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
-    return old
-
-
-def _restore_confs(spark, old):
-    for k, v in old.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
-
-
 def test_selective_dim_filter_injects_bloom_on_fact_scan(spark):
-    old = _swap_confs(spark, _CONFS)
-    try:
+    with spark_confs(spark, _CONFS):
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
             F.col("p_size") == 1
@@ -71,12 +53,8 @@ def test_selective_dim_filter_injects_bloom_on_fact_scan(spark):
         # the filter must sit on the FACT (lineitem) branch, keyed by the
         # join key — i.e. upstream of the exchange, where it saves the
         # shuffle, not after it
-        fact_lines = [
-            ln for ln in phys.splitlines() if "might_contain" in ln
-        ]
+        fact_lines = [ln for ln in phys.splitlines() if "might_contain" in ln]
         assert any("l_partkey" in ln for ln in fact_lines), fact_lines
-    finally:
-        _restore_confs(spark, old)
 
 
 def test_bloom_filtered_join_preserves_results(spark):
@@ -102,18 +80,11 @@ def test_bloom_filtered_join_preserves_results(spark):
             )
         )
 
-    old = _swap_confs(spark, _CONFS)
-    try:
+    with spark_confs(spark, _CONFS):
         with_bloom = run()
-    finally:
-        _restore_confs(spark, old)
-
-    old = _swap_confs(
+    with spark_confs(
         spark, {"spark.sql.optimizer.runtime.bloomFilter.enabled": "false"}
-    )
-    try:
+    ):
         without_bloom = run()
-    finally:
-        _restore_confs(spark, old)
 
     assert with_bloom == without_bloom and len(with_bloom) > 0

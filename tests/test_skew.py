@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from conftest import spark_confs
+
 # thresholds scaled so the fixture-sized hot partition (~2 MB) trips the
 # same machinery that defaults (256 MB / factor 5) trip at cluster scale
 _SKEW_CONFS = {
@@ -37,22 +39,8 @@ _SKEW_CONFS = {
 }
 
 
-def _with_confs(spark, confs):
-    old = {}
-    for k in confs:
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-    return old
-
-
 def test_aqe_skew_join_splits_hot_key(spark):
-    old = _with_confs(spark, _SKEW_CONFS)
-    try:
-        for k, v in _SKEW_CONFS.items():
-            spark.conf.set(k, v)
-
+    with spark_confs(spark, _SKEW_CONFS):
         n = 120_000
         hot_share = 9  # 9 of 10 rows land on key 0 → ~90% single-key skew
         left = spark.range(n).select(
@@ -78,12 +66,6 @@ def test_aqe_skew_join_splits_hot_key(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan}"
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_aqe_and_salted_join_agree_on_skewed_fixture(spark):
@@ -92,16 +74,14 @@ def test_aqe_and_salted_join_agree_on_skewed_fixture(spark):
     results, they differ only in WHERE the skew is broken)."""
     from django_indexer_spark.operators.joins import salted_join
 
-    old = _with_confs(spark, _SKEW_CONFS)
-    try:
-        for k, v in _SKEW_CONFS.items():
-            spark.conf.set(k, v)
-
+    with spark_confs(spark, _SKEW_CONFS):
         left = spark.range(50_000).select(
             F.when(F.col("id") % 5 < 4, F.lit(7)).otherwise(F.col("id") % 31).alias("k"),
             F.col("id").alias("v"),
         )
-        right = spark.range(31).select(F.col("id").alias("k"), (F.col("id") + 100).alias("w"))
+        right = spark.range(31).select(
+            F.col("id").alias("k"), (F.col("id") + 100).alias("w")
+        )
 
         plain = (
             left.join(right, "k", "inner")
@@ -116,9 +96,3 @@ def test_aqe_and_salted_join_agree_on_skewed_fixture(spark):
         p = {r["k"]: (r["sv"], r["sw"]) for r in plain.collect()}
         s = {r["k"]: (r["sv"], r["sw"]) for r in salted.collect()}
         assert p == s
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

@@ -3037,3 +3037,52 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@query("link_fs_scores")
+def link_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter) over customers —
+    entity resolution as a first-class operator family (extension: the
+    reference resolves identity only by exact NEAR account id,
+    accounts/models.py:30-38). Candidate pairs meet inside blocking
+    cells (nation x 10-unit balance band — at fixture scale a coarse key
+    so candidates exist; production keys must scale cardinality with
+    the corpus, see operators/linkage.py), then three fields score each
+    pair with literal log-likelihood weights and a three-way decision.
+    All JVM-side column arithmetic; fixed-order literal-double sums are
+    engine-exact."""
+    from ..operators import linkage as L
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 10).cast("long").alias("bal_band"),
+    )
+    pairs = L.blocked_pairs(c, "c_custkey", ["c_nationkey", "bal_band"])
+    fields = [
+        (
+            L.FieldModel("seg", m=0.9, u=0.2),
+            F.col("c_mktsegment_a") == F.col("c_mktsegment_b"),
+        ),
+        (
+            L.FieldModel("name_digit", m=0.95, u=0.1),
+            F.substring("c_name_a", -1, 1) == F.substring("c_name_b", -1, 1),
+        ),
+        (
+            L.FieldModel("bal", m=0.8, u=0.05),
+            F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b")) < 1.0,
+        ),
+    ]
+    scored = L.fellegi_sunter_scores(pairs, fields, upper=4.0, lower=0.0)
+    return scored.select(
+        "id_a",
+        "id_b",
+        "agree_seg",
+        "agree_name_digit",
+        "agree_bal",
+        "score",
+        "decision",
+    )

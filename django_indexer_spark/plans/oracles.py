@@ -2486,3 +2486,32 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
+
+ORACLES["link_fs_scores"] = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         CAST(floor(c_acctbal / 10) AS BIGINT) AS bal_band
+  FROM customer
+),
+p AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         COALESCE(a.c_mktsegment = b.c_mktsegment, FALSE) AS agree_seg,
+         COALESCE(right(a.c_name, 1) = right(b.c_name, 1), FALSE) AS agree_name_digit,
+         COALESCE(abs(a.c_acctbal - b.c_acctbal) < 1.0, FALSE) AS agree_bal
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.bal_band = b.bal_band
+   AND a.c_custkey < b.c_custkey
+),
+s AS (
+  SELECT *,
+         CAST(CASE WHEN agree_seg THEN CAST(2.169925 AS DECIMAL(18,6)) ELSE CAST(-3.0 AS DECIMAL(18,6)) END
+          + CASE WHEN agree_name_digit THEN CAST(3.247928 AS DECIMAL(18,6)) ELSE CAST(-4.169925 AS DECIMAL(18,6)) END
+          + CASE WHEN agree_bal THEN CAST(4.0 AS DECIMAL(18,6)) ELSE CAST(-2.247928 AS DECIMAL(18,6)) END AS DOUBLE) AS score
+  FROM p
+)
+SELECT id_a, id_b, agree_seg, agree_name_digit, agree_bal, score,
+       CASE WHEN score >= 4.0 THEN 'match'
+            WHEN score >= 0.0 THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM s
+"""

@@ -1,0 +1,80 @@
+"""Fellegi–Sunter record-linkage operator units (operators/linkage.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from django_indexer_spark.operators import linkage as L
+
+
+def _people(spark):
+    # (id, block, name, city): 1-2 same person (name+city agree),
+    # 1-3 same name only, 4 alone in its block (no pairs)
+    return spark.createDataFrame(
+        [
+            (1, "b1", "ann", "oslo"),
+            (2, "b1", "ann", "oslo"),
+            (3, "b1", "ann", "rome"),
+            (4, "b2", "bob", "riga"),
+        ],
+        "id long, blk string, name string, city string",
+    )
+
+
+FIELDS = lambda: [  # noqa: E731 — tiny fixture factory
+    (L.FieldModel("name", m=0.9, u=0.1), F.col("name_a") == F.col("name_b")),
+    (L.FieldModel("city", m=0.8, u=0.05), F.col("city_a") == F.col("city_b")),
+]
+
+
+def test_blocked_pairs_meet_only_inside_blocks(spark):
+    pairs = L.blocked_pairs(_people(spark), "id", ["blk"])
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}  # id 4's block has no partner
+
+
+def test_scores_are_exact_literal_sums_and_decisions_split(spark):
+    pairs = L.blocked_pairs(_people(spark), "id", ["blk"])
+    scored = L.fellegi_sunter_scores(pairs, FIELDS(), upper=5.0, lower=0.0)
+    rows = {(r["id_a"], r["id_b"]): r for r in scored.collect()}
+
+    from decimal import Decimal
+
+    # the operator sums DECIMAL(18,6) literals, so the expectation must
+    # be the decimal sum too — float addition of the same weights is off
+    # by an ulp (3.169925 + -2.247928 == 0.9219969999999998 in IEEE)
+    w_name = Decimal(str(round(math.log2(0.9 / 0.1), 6)))  # 3.169925
+    w_city = Decimal(str(round(math.log2(0.8 / 0.05), 6)))  # 4.0
+    d_city = Decimal(str(round(math.log2(0.2 / 0.95), 6)))  # -2.247928
+
+    both = rows[(1, 2)]
+    assert both["agree_name"] and both["agree_city"]
+    assert both["score"] == float(w_name + w_city)  # decimal-exact sum
+    assert both["decision"] == "match"
+
+    name_only = rows[(1, 3)]
+    assert name_only["agree_name"] and not name_only["agree_city"]
+    assert name_only["score"] == float(w_name + d_city)
+    assert name_only["decision"] == "possible"
+
+
+def test_null_field_counts_as_disagreement_not_null(spark):
+    df = spark.createDataFrame(
+        [(1, "b", "ann", None), (2, "b", "ann", "oslo")],
+        "id long, blk string, name string, city string",
+    )
+    scored = L.fellegi_sunter_scores(
+        L.blocked_pairs(df, "id", ["blk"]), FIELDS(), upper=5.0, lower=0.0
+    )
+    r = scored.collect()[0]
+    # NULL city comparison must land as agree_city=False (not NULL) so
+    # the score stays total — matching the oracle's COALESCE(..., FALSE)
+    assert r["agree_city"] is False
+    assert r["score"] is not None and r["decision"] == "possible"
+
+
+def test_field_weights_signs(spark):
+    fm = L.FieldModel("x", m=0.9, u=0.2)
+    assert fm.w_agree > 0 > fm.w_disagree

@@ -64,6 +64,16 @@ def blocked_pairs(
     join shuffles on the block key only — pair fan-out is bounded per
     cell, never corpus-wide."""
     val_cols = [c for c in df.columns if c not in block_cols and c != id_col]
+    # suffixing must not collide with existing names ('x' next to 'x_a'
+    # would alias two columns to the same output name and break the join
+    # silently-downstream); fail loudly instead
+    out_names = {f"{c}_a" for c in val_cols} | {f"{c}_b" for c in val_cols}
+    clash = out_names & set(df.columns)
+    if clash or "id_a" in df.columns or "id_b" in df.columns:
+        raise ValueError(
+            f"blocked_pairs suffix collision with input columns: "
+            f"{sorted(clash | ({'id_a', 'id_b'} & set(df.columns)))}"
+        )
     a = df.select(
         *block_cols,
         F.col(id_col).alias("id_a"),

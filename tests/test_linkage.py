@@ -78,3 +78,28 @@ def test_null_field_counts_as_disagreement_not_null(spark):
 def test_field_weights_signs(spark):
     fm = L.FieldModel("x", m=0.9, u=0.2)
     assert fm.w_agree > 0 > fm.w_disagree
+
+
+def test_blocked_pairs_suffix_collision_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "b", "x", "y")], "id long, blk string, name string, name_a string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="suffix collision"):
+        L.blocked_pairs(df, "id", ["blk"])
+
+
+def test_blocked_pairs_property_matches_bruteforce(spark):
+    """Property: blocked_pairs == every (a<b) pair sharing a block key,
+    over a deterministic pseudo-random fixture (30 ids, 4 blocks)."""
+    rows = [(i, f"b{(i * 7 + 3) % 4}", f"v{i % 5}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, blk string, val string")
+    got = {(r["id_a"], r["id_b"]) for r in L.blocked_pairs(df, "id", ["blk"]).collect()}
+    want = {
+        (a, b)
+        for a, ba, _ in rows
+        for b, bb, _ in rows
+        if a < b and ba == bb
+    }
+    assert got == want

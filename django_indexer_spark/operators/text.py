@@ -617,3 +617,108 @@ def chunk_overlap(
         F.size("c.ck").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", "c.ck").alias("chunk_text"),
     )
+
+
+# one word-frequency table pinned per process (same lazy-return cache
+# ownership as dedup._SIG_CACHE: each call evicts the previous call's)
+_BPE_VOCAB_CACHE: list[DataFrame] = []
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, rounds: int = 3
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first ``rounds``
+    merge rules from a corpus → (merge_round, left_tok, right_tok,
+    pair_count).
+
+    The production-shaping trick is the WORD-FREQUENCY table (Sennrich et
+    al. 2016 do the same): the corpus is scanned ONCE to count distinct
+    lowercase a-z words; every merge round then operates on that
+    vocab-bounded frame (≤ a few million rows no matter the corpus) with
+    pair counts weighted by word frequency. Corpus-size work is one
+    pass; rounds cost O(vocab).
+
+    Each round is fully declarative — no driver loop, no collect: the
+    round's best pair is a 1-row frame (TakeOrdered by count DESC, then
+    (left, right) ASC for determinism), crossJoin-broadcast back to
+    rewrite the per-word tokenization for the next round. The chain of
+    ``rounds`` rounds is one static DAG.
+
+    Tokenizations ride along as delimiter strings ('|t|h|e|'); a merge
+    rewrites '|l|r|' → '|lr|'. The rewrite applies a single
+    left-to-right replace THREE times (bounded fixpoint): one pass
+    consumes the shared delimiter, so runs of the merged pair ('aaaa'
+    with merge a+a) need a re-scan — three passes converge for any word
+    ≤ ~16 repeats, and the semantics are engine-portable (SQL replace =
+    same leftmost non-overlapping scan), so the DuckDB oracle replays
+    the rounds exactly. Words are restricted to [a-z]+ so the delimiter
+    can never occur in a token."""
+    from pyspark import StorageLevel
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        # persist: every round's pair count AND every round's best-pair
+        # subplan re-reference the word table; without the cache the
+        # CORPUS pass would re-run O(rounds^2) times. The frame is
+        # vocab-bounded (distinct words, not corpus rows), so pinning it
+        # is safe at any corpus size — this is exactly the word-frequency
+        # compaction that makes BPE training tractable. Lazy-return cache
+        # ownership: evict the previous call's table (one pinned/process).
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    while _BPE_VOCAB_CACHE:
+        _BPE_VOCAB_CACHE.pop().unpersist()
+    _BPE_VOCAB_CACHE.append(words)
+    form = words.select(
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", r"|$1"), F.lit("|")
+        ).alias("form"),
+        "wf",
+    )
+
+    pair_struct = (
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS l, element_at(__toks, i + 1) AS r))"
+    )
+    best_rows = []
+    for rnd in range(1, rounds + 1):
+        toks = form.select(
+            F.filter(F.split("form", "\\|"), lambda x: x != "").alias("__toks"),
+            "wf",
+        )
+        pairs = (
+            toks.filter(F.size("__toks") >= 2)
+            .select(F.explode(F.expr(pair_struct)).alias("p"), "wf")
+            .groupBy(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
+            .agg(F.sum("wf").cast("long").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                "left_tok",
+                "right_tok",
+                "pair_count",
+            )
+        )
+        best_rows.append(best)
+        if rnd < rounds:
+            pat = F.concat(
+                F.lit("|"), F.col("left_tok"), F.lit("|"), F.col("right_tok"), F.lit("|")
+            )
+            rep = F.concat(F.lit("|"), F.col("left_tok"), F.col("right_tok"), F.lit("|"))
+            merged = F.replace(F.replace(F.replace(F.col("form"), pat, rep), pat, rep), pat, rep)
+            form = form.crossJoin(F.broadcast(best)).select(
+                merged.alias("form"), "wf"
+            )
+
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out

@@ -3086,3 +3086,16 @@ def link_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "decision",
     )
+
+
+@query("text_bpe_train")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (completes the tokenizer story next to
+    bpe_token_estimate and vocab_encode): learn the first 3 merge rules
+    from the documents corpus. One corpus pass builds the word-frequency
+    table; each merge round is vocab-bounded work ending in a 1-row
+    TakeOrdered broadcast — no driver loop (operators/text.py:
+    bpe_train_merges). Oracle replays the rounds with the same
+    bounded-fixpoint replace semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, "text", rounds=3)

@@ -2515,3 +2515,51 @@ SELECT id_a, id_b, agree_seg, agree_name_digit, agree_bal, score,
             ELSE 'non_match' END AS decision
 FROM s
 """
+
+# BPE merge training: replays the 3 rounds — same word-frequency
+# weighting, same (count DESC, pair ASC) tie-break, same triple-
+# replace bounded-fixpoint merge application as bpe_train_merges.
+ORACLES["text_bpe_train"] = r"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+f1 AS (SELECT regexp_replace(w, '(.)', '|\1', 'g') || '|' AS form, wf FROM words),
+p1 AS (
+  SELECT t.toks[g.i] AS left_tok, t.toks[g.i + 1] AS right_tok,
+         CAST(sum(t.wf) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(form, '|'), x -> x <> '') AS toks, wf FROM f1) t,
+       UNNEST(range(1, len(t.toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b1 AS (SELECT CAST(1 AS BIGINT) AS merge_round, left_tok, right_tok, pair_count
+       FROM p1 ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),
+m1 AS (SELECT '|' || left_tok || '|' || right_tok || '|' AS pat,
+              '|' || left_tok || right_tok || '|' AS rep FROM b1),
+f2 AS (SELECT replace(replace(replace(form, m.pat, m.rep), m.pat, m.rep), m.pat, m.rep) AS form, wf
+       FROM f1, m1 m),
+p2 AS (
+  SELECT t.toks[g.i] AS left_tok, t.toks[g.i + 1] AS right_tok,
+         CAST(sum(t.wf) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(form, '|'), x -> x <> '') AS toks, wf FROM f2) t,
+       UNNEST(range(1, len(t.toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b2 AS (SELECT CAST(2 AS BIGINT) AS merge_round, left_tok, right_tok, pair_count
+       FROM p2 ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),
+m2 AS (SELECT '|' || left_tok || '|' || right_tok || '|' AS pat,
+              '|' || left_tok || right_tok || '|' AS rep FROM b2),
+f3 AS (SELECT replace(replace(replace(form, m.pat, m.rep), m.pat, m.rep), m.pat, m.rep) AS form, wf
+       FROM f2, m2 m),
+p3 AS (
+  SELECT t.toks[g.i] AS left_tok, t.toks[g.i + 1] AS right_tok,
+         CAST(sum(t.wf) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(form, '|'), x -> x <> '') AS toks, wf FROM f3) t,
+       UNNEST(range(1, len(t.toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b3 AS (SELECT CAST(3 AS BIGINT) AS merge_round, left_tok, right_tok, pair_count
+       FROM p3 ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1)
+SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+"""

@@ -103,3 +103,30 @@ def test_blocked_pairs_property_matches_bruteforce(spark):
         if a < b and ba == bb
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/text.py:bpe_train_merges) — placed here to
+# avoid re-running the big test_operators module for two small cases.
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_learns_hand_computed_merges(spark):
+    """'the'x3 + 'cat'x2: round 1 ties (t,h)/(h,e) at 3 → (h,e) by pair
+    ASC; round 2 merges (t,he); round 3 ties (a,t)/(c,a) at 2 → (a,t)."""
+    from django_indexer_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([("the the cat",), ("the cat",)], "text string")
+    got = [tuple(r) for r in bpe_train_merges(df, "text", rounds=3).collect()]
+    assert got == [(1, "h", "e", 3), (2, "t", "he", 3), (3, "a", "t", 2)]
+
+
+def test_bpe_train_run_of_pairs_bounded_fixpoint(spark):
+    """'aaaa': the merge (a,a) must apply across the run — the triple
+    replace converges to aa|aa, so round 2 learns (aa,aa)."""
+    from django_indexer_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    got = [tuple(r) for r in bpe_train_merges(df, "text", rounds=2).collect()]
+    assert got[0] == (1, "a", "a", 6)  # 3 adjacent (a,a) pairs x 2 words
+    assert got[1] == (2, "aa", "aa", 2)

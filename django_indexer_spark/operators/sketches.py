@@ -138,3 +138,68 @@ def kmv_distinct_estimate(
             4,
         ).alias("est_distinct"),
     )
+
+
+def cm_error_profile(
+    df: DataFrame, col: str, depth: int = 4, width: int = 64, salt: str = "cm"
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) with its exact
+    error profile: per distinct value → (value, exact_count, cm_estimate,
+    overcount). cm_estimate = min over ``depth`` rows of the counter the
+    value hashes to; overcount = estimate - exact >= 0 always (counters
+    only ever ADD colliding values' mass — the one-sided error is the
+    sketch's contract, and the output proves it per value).
+
+    Rounds out the sketch family: MG (heavy hitters), KMV (distinct),
+    HLL (engine-native distinct) — CM answers point frequency queries in
+    O(depth x width) space. Like KMV, the md5-derived bucket makes the
+    whole sketch deterministic AND engine-portable (8 hex digits → int →
+    mod width), so unlike HLL it is fully oracle-checkable.
+
+    Scale shape: ONE corpus pass builds the counters via a map-side
+    partial-aggregated groupBy over (row, bucket) — the counter frame is
+    depth x width cells no matter the corpus, so it broadcasts; the
+    per-value estimate join touches only distinct values. The sketch is
+    mergeable (cell-wise sum), which is what a 1000-executor rollup or a
+    streaming foreachBatch fold uses."""
+    v = F.col(col).cast("string")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{salt}{r}:"), v)), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("b"),
+            )
+            for r in range(depth)
+        ]
+    )
+    occ = df.select(v.alias("__v"), buckets.alias("__bs"))
+    counters = (
+        occ.select(F.explode("__bs").alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    exact = occ.groupBy(F.col("__v").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_count"), F.first("__bs").alias("__bs")
+    )
+    est = (
+        exact.select("value", "exact_count", F.explode("__bs").alias("rb"))
+        .join(
+            F.broadcast(counters),
+            (F.col("rb.r") == F.col("r")) & (F.col("rb.b") == F.col("b")),
+        )
+        .groupBy("value", "exact_count")
+        .agg(F.min("cell").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "value",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).cast("long").alias("overcount"),
+    )

@@ -3099,3 +3099,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-fixpoint replace semantics."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_train_merges(docs, "text", rounds=3)
+
+
+@query("a_cm_sketch_profile")
+def a_cm_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency sketch with exact error profile over
+    event users (completes the sketch family next to MG heavy hitters,
+    KMV distinct, HLL): 4x64 md5-bucketed counters, per-user estimate =
+    min over rows, overcount proven >= 0 per value. Deterministic md5
+    buckets make the whole sketch oracle-checkable, unlike HLL
+    (operators/sketches.py:cm_error_profile)."""
+    e = _events(spark, sf_dir)
+    return sketches.cm_error_profile(e, "user_id", depth=4, width=64)

@@ -2563,3 +2563,33 @@ b3 AS (SELECT CAST(3 AS BIGINT) AS merge_round, left_tok, right_tok, pair_count
        FROM p3 ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1)
 SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
 """
+
+# Count-Min sketch — mirrors operators/sketches.py cm_error_profile:
+# same md5 8-hex-digit bucket (Spark conv(...,16,10) == DuckDB 0x cast),
+# same 4x64 geometry, min-over-rows estimate, one-sided error.
+ORACLES["a_cm_sketch_profile"] = r"""
+WITH occ AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+),
+cells AS (
+  SELECT g.r,
+         CAST(('0x' || substr(md5('cm' || g.r || ':' || v), 1, 8)) AS BIGINT) % 64 AS b,
+         CAST(count(*) AS BIGINT) AS cell
+  FROM occ, UNNEST(range(0, 4)) AS g(r)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT v AS value, CAST(count(*) AS BIGINT) AS exact_count FROM occ GROUP BY v
+),
+est AS (
+  SELECT e.value, e.exact_count, CAST(min(c.cell) AS BIGINT) AS cm_estimate
+  FROM exact e, UNNEST(range(0, 4)) AS g(r)
+  JOIN cells c
+    ON c.r = g.r
+   AND c.b = CAST(('0x' || substr(md5('cm' || g.r || ':' || e.value), 1, 8)) AS BIGINT) % 64
+  GROUP BY 1, 2
+)
+SELECT value, exact_count, cm_estimate,
+       CAST(cm_estimate - exact_count AS BIGINT) AS overcount
+FROM est
+"""

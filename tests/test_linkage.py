@@ -130,3 +130,29 @@ def test_bpe_train_run_of_pairs_bounded_fixpoint(spark):
     got = [tuple(r) for r in bpe_train_merges(df, "text", rounds=2).collect()]
     assert got[0] == (1, "a", "a", 6)  # 3 adjacent (a,a) pairs x 2 words
     assert got[1] == (2, "aa", "aa", 2)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators/sketches.py:cm_error_profile)
+# ---------------------------------------------------------------------------
+
+
+def test_cm_sketch_one_sided_error_and_exact_when_wide(spark):
+    from django_indexer_spark.operators.sketches import cm_error_profile
+
+    rows = [(f"u{i % 7}",) for i in range(70)]
+    df = spark.createDataFrame(rows, "user string")
+
+    # width 1: every value collides into one cell per row → estimate = N
+    tight = {r["value"]: r for r in cm_error_profile(df, "user", 4, 1).collect()}
+    assert all(r["cm_estimate"] == 70 for r in tight.values())
+    assert all(r["overcount"] == 70 - r["exact_count"] for r in tight.values())
+
+    # wide sketch: 7 values in 4x4096 cells → no collisions, estimate exact
+    wide = {r["value"]: r for r in cm_error_profile(df, "user", 4, 4096).collect()}
+    assert all(r["overcount"] == 0 for r in wide.values())
+    assert all(r["cm_estimate"] == r["exact_count"] == 10 for r in wide.values())
+
+    # the one-sided contract on a mid-size sketch
+    mid = cm_error_profile(df, "user", 2, 4).collect()
+    assert all(r["overcount"] >= 0 for r in mid)

@@ -323,8 +323,14 @@ def lloyd_means(
     (floats are binary fractions, so the 9-dp rounding can never land on
     an exact tie — both engines round to the same nearest), decimal sums
     are exact, and only the final sum/count division returns to double,
-    rounded to ``round_dp``. Precondition: |element| < 1e18 (any real
-    embedding).
+    rounded to ``round_dp`` via the PORTABLE form floor(q*10^dp + 0.5)/
+    10^dp — pure IEEE ops, bit-identical in both engines. Engine-native
+    round() diverges when the quotient sits within an ulp of a half
+    boundary: Spark rounds the double's exact decimal expansion while
+    DuckDB rounds the scaled multiply, so double 0.0002295 (exactly
+    0.00022949999999999998...) rounds to 0.000229 in Spark but 0.00023
+    in DuckDB — observed on the sf0.001 fixture. Precondition:
+    |element| < 1e18 (any real embedding).
 
     Scale shape: assignment is a narrow map; posexplode fans out dim× but
     groupBy(centroid_id, pos) partial-aggregates map-side to k×dim rows
@@ -336,15 +342,28 @@ def lloyd_means(
     return (
         exploded.groupBy("centroid_id", "pos")
         .agg(
-            F.sum(F.col("val").cast("decimal(27,9)")).alias("__s"),
+            # widen float→double BEFORE the decimal cast: Spark converts
+            # FLOAT→DECIMAL through the float's SHORTEST string repr
+            # (Float.toString), while DuckDB rounds the widened double's
+            # expansion — the two 9-dp values differ by 1e-9 on ~20% of
+            # elements, which the 6-dp output round absorbs everywhere
+            # except half-boundary cells (observed at sf0.001).
+            # DOUBLE→DECIMAL rounds the double's shortest repr in both
+            # engines — identical.
+            F.sum(F.col("val").cast("double").cast("decimal(27,9)")).alias("__s"),
             F.count(F.lit(1)).alias("n_members"),
         )
         .select(
             "centroid_id",
             F.col("pos").cast("long").alias("pos"),
-            F.round(F.col("__s").cast("double") / F.col("n_members"), round_dp).alias(
-                "c_val"
-            ),
+            (
+                F.floor(
+                    (F.col("__s").cast("double") / F.col("n_members"))
+                    * F.lit(float(10**round_dp))
+                    + F.lit(0.5)
+                )
+                / F.lit(float(10**round_dp))
+            ).alias("c_val"),
             "n_members",
         )
     )

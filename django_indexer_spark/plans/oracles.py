@@ -835,7 +835,12 @@ ORACLES["dedup_semantic_salted"] = ORACLES["dedup_semantic"]
 # k-means (2 Lloyd iterations, k=8, cosine assignment, seeds = vec_id<8) —
 # mirrors operators/similarity.py lloyd_means/kmeans_train exactly: sims
 # rounded to 6dp with ties to the lowest cid; means via order-independent
-# exact decimal(27,9) sums -> one double division rounded to 6dp; an empty
+# exact decimal(27,9) sums -> one double division rounded to 6dp with the
+# PORTABLE floor(q*1e6 + 0.5)/1e6 form (engine-native round() splits on
+# ulp-of-half-boundary quotients — see lloyd_means docstring); elements
+# widen FLOAT->DOUBLE before the decimal cast because DuckDB's direct
+# FLOAT->DECIMAL scales in float precision and mangles the 9th digit on
+# most elements (Spark's cast takes the true nearest); an empty
 # cluster keeps its previous centroid (LEFT JOIN + coalesce).
 ORACLES["sim_kmeans_train"] = f"""
 WITH seeds AS (
@@ -849,8 +854,8 @@ a1 AS (
 ),
 m1 AS (
   SELECT cid, r.range AS pos,
-         round(CAST(SUM(CAST(embedding[r.range + 1] AS DECIMAL(27,9))) AS DOUBLE)
-               / COUNT(*), 6) AS c_val
+         floor(CAST(SUM(CAST(CAST(embedding[r.range + 1] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*) * 1e6 + 0.5) / 1e6 AS c_val
   FROM a1 CROSS JOIN range(64) r
   GROUP BY cid, r.range
 ),
@@ -868,8 +873,8 @@ a2 AS (
 ),
 m2 AS (
   SELECT cid, r.range AS pos,
-         round(CAST(SUM(CAST(embedding[r.range + 1] AS DECIMAL(27,9))) AS DOUBLE)
-               / COUNT(*), 6) AS c_val,
+         floor(CAST(SUM(CAST(CAST(embedding[r.range + 1] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*) * 1e6 + 0.5) / 1e6 AS c_val,
          COUNT(*) AS n_members
   FROM a2 CROSS JOIN range(64) r
   GROUP BY cid, r.range

@@ -14,7 +14,17 @@ Cross-engine parity policy (why every query looks the way it does):
 - every aggregate/computed column is aliased IDENTICALLY here and in the
   oracle (driver hash-compares by sorted column name);
 - hashes shared across engines are md5 hex or the portable rolling hash
-  (functions below) — never engine-native hash().
+  (functions below) — never engine-native hash();
+- rounding a DOUBLE: engine-native round() diverges when the value sits
+  within an ulp of a half boundary (Spark rounds the double's exact
+  decimal expansion HALF_UP; DuckDB rounds the scaled multiply) — for
+  NEW queries prefer the portable form floor(x * 1e<dp> + 0.5) / 1e<dp>
+  (pure IEEE ops, bit-identical; see operators/similarity.lloyd_means).
+  Existing round() sites are proven green on the actual fixtures at
+  BOTH sf0.01 and sf0.001 (tools/parity_check.py) and stay as-is;
+- never CAST a FLOAT column straight to DECIMAL in DuckDB SQL — DuckDB
+  scales in float precision and mangles the last digit (widen to DOUBLE
+  first); Spark's float→decimal takes the true nearest.
 
 Role analogy (FIXTURES.md): orders/lineitem ≈ donations/payouts facts,
 customer ≈ accounts, events ≈ activity stream with JSON props.

@@ -21,75 +21,114 @@ from django_indexer_spark.plans.fixture_queries import QUERIES
 from django_indexer_spark.plans.oracles import ORACLES
 
 # Driver-budget rotation: the driver checks ~50 queries per round in
-# registry order. A cheap driver-green canary leads, then every query
-# WITHOUT a green driver correctness row (cheapest-first by measured
-# sf0.01 wall time so a time-capped budget reaches as many as possible —
-# _COST_ORDER is the preference order; unlisted unchecked names follow in
-# registry order), then the already-green names. Union of r3+r4+r5 rows
-# should then cover the whole registry. _COST_ORDER refreshed round 5
-# from tools/parity_check.py per-query times (42 unchecked names, ~70 s
-# total cold at sf0.01 — comfortably inside the driver's window).
+# registry order. A cheap driver-green canary leads, then every
+# UNCHECKED query, then checked queries STALEST-FIRST so the budget's
+# tail continuously re-verifies the oldest green rows against HEAD.
+#
+# "Unchecked" (round 6, per round-5 ADVICE) now also includes queries
+# whose SOURCE FINGERPRINT changed since their last local verification
+# (plans/query_fingerprint.py + tools/query_hashes.json, refreshed by
+# tools/parity_check.py on PASS): a green driver row that graded older
+# code no longer keeps a changed query out of the re-check budget.
+#
+# Ordering within blocks (replaces the hand-maintained _COST_ORDER):
+# unchecked = never-measured first (they most need ANY row), then
+# cheapest-first by the newest BENCH_DETAIL_r*.json per-query seconds;
+# checked = newest-green-round ASC (stalest first), then cheapest.
 _CANARY = ["f1_eq_filter"]
-_COST_ORDER = [
-    "qa_skew_profile", "qa_embedding_profile", "multimodal_byte_dedup",
-    "ts_zscore_anomaly", "a_grouping_sets", "a_kmv_distinct",
-    "qa_constraint_checks", "t_scd2_intervals", "ts_state_streaks",
-    "text_chunk_overlap", "j_full_outer_reconcile", "text_bpe_estimate",
-    "graph_copurchase_pairs", "qa_sequence_gaps", "qa_column_profile",
-    "dedup_provenance", "sample_pps_systematic", "t_scd2_asof",
-    "ts_range_window", "w_global_rank", "sample_token_budget",
-    "dedup_dup_ngrams", "dedup_semantic_salted", "sim_ann_multiprobe",
-    "text_dup_spans", "j2_prefetch_array", "text_vocab_encode",
-    "graph_kcore", "dedup_semantic", "sim_sq8_recall",
-    "sample_mix_pipeline", "text_span_removal", "sim_pq_recall",
-    "text_heavy_hitters", "s_stream_exact_dedup",
-    "q5_local_supplier_volume", "dedup_lsh_recall", "dedup_cluster_best",
-    "graph_pagerank", "dedup_minhash_estimate", "graph_triangles",
-    "dedup_clusters",
-]
+
+
+def _query_costs(here: str | None = None) -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_DETAIL_r*.json (sf0.1
+    steady-state — only the RELATIVE order matters here)."""
+    import glob
+    import json
+    import os
+    import re
+
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    best_round, costs = -1, {}
+    for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        q = data.get("queries")
+        if isinstance(q, dict) and q:
+            best_round, costs = int(m.group(1)), q
+    return {k: float(v) for k, v in costs.items() if isinstance(v, (int, float))}
+
+
+def _changed_since_verified() -> frozenset[str]:
+    """Names whose current source fingerprint differs from the one
+    recorded at their last local verification. Fail open (empty set):
+    a fingerprint infrastructure error must never hide the registry."""
+    try:
+        from django_indexer_spark.plans.query_fingerprint import (
+            current_fingerprints,
+            load_recorded,
+        )
+
+        recorded = load_recorded()
+        if not recorded:
+            return frozenset()
+        return frozenset(
+            n
+            for n, h in current_fingerprints().items()
+            if n in recorded and recorded[n] != h
+        )
+    except Exception:
+        return frozenset()
 
 
 def _ordered(mapping: dict) -> dict:
     # canonical order comes from the QUERIES registry so queries() and
     # oracle_sql() iterate identically regardless of either dict's own
-    # insertion order. Grouping: canary, then every name WITHOUT a driver
-    # correctness row in any prior round (cost-ordered where measured,
-    # registry-ordered otherwise), then already-checked names — so each
-    # round's ~50-query budget lands on fresh queries and the rotation
-    # maintains itself as CORRECTNESS_r{N}.json files accumulate.
-    seen = _checked_names()
+    # insertion order (ties broken by registry index everywhere).
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    seen = _checked_names()  # name -> newest green round
+    changed = _changed_since_verified()
+    cost = _query_costs()
+    inf = float("inf")
+
     front = [n for n in _CANARY if n in mapping]
-    unseen_pref = [
-        n for n in _COST_ORDER
-        if n in mapping and n not in seen and n not in front
+    placed = set(front)
+    unchecked = [
+        n
+        for n in QUERIES
+        if n in mapping and n not in placed and (n not in seen or n in changed)
     ]
-    placed = set(front) | set(unseen_pref)
-    unseen_rest = [
-        n for n in QUERIES if n in mapping and n not in seen and n not in placed
-    ]
-    placed |= set(unseen_rest)
-    rest = [n for n in QUERIES if n in mapping and n not in placed]
-    placed |= set(rest)
+    unchecked.sort(
+        key=lambda n: (n in cost, cost.get(n, inf), reg_idx[n])
+    )  # unmeasured (new) names first, then cheapest-first
+    placed |= set(unchecked)
+    checked = [n for n in QUERIES if n in mapping and n not in placed]
+    checked.sort(key=lambda n: (seen.get(n, 0), cost.get(n, inf), reg_idx[n]))
+    placed |= set(checked)
     extra = [n for n in mapping if n not in placed]
-    return {
-        n: mapping[n] for n in front + unseen_pref + unseen_rest + rest + extra
-    }
+    return {n: mapping[n] for n in front + unchecked + checked + extra}
 
 
-def _checked_names(here: str | None = None) -> frozenset[str]:
-    """Names with a GREEN driver correctness row in ANY round since the r3
-    rebuild (CORRECTNESS_r0{3..}.json live next to this file). r1/r2
+def _checked_names(here: str | None = None) -> dict[str, int]:
+    """Name → NEWEST round with a GREEN driver correctness row, since the
+    r3 rebuild (CORRECTNESS_r0{3..}.json live next to this file). r1/r2
     files are ignored — they graded a materially different codebase.
 
     Green means the row ran without error and did not hash-mismatch: a
     name whose best row has a real ``err`` or ``hash_match == false``
     sorts with the unchecked block so fixed queries get re-verified
     (round-4 verdict #3: j2_prefetch_array / ts_range_window would
-    otherwise never earn a green row). The by-design rows-only checks
-    (no oracle_sql entry — HLL, seeded sample) come back as
-    ``err: 'no_oracle'`` with a recorded ``spark_rows``; that IS their
-    green — there is nothing stronger the driver will ever record, so
-    they count as checked when the query actually ran.
+    otherwise never earn a green row). A historical ``err: 'no_oracle'``
+    row with recorded ``spark_rows`` counts as green ONLY while the
+    query still has no oracle entry — round 6 gave the last two
+    rows-only queries (o5_seeded_sample, a3_approx_distinct) real
+    oracles, so their old rows-only rows no longer satisfy anything and
+    both front for a full hash row.
 
     Falls back to the hardcoded r3 set if no file is readable."""
     import glob
@@ -99,11 +138,12 @@ def _checked_names(here: str | None = None) -> frozenset[str]:
 
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p)
         if not m or int(m.group(1)) < 3:
             continue
+        rnd = int(m.group(1))
         try:
             with open(p) as f:
                 rows = json.load(f)
@@ -116,8 +156,8 @@ def _checked_names(here: str | None = None) -> frozenset[str]:
                 continue
             err = row.get("err")
             if err == "no_oracle":
-                if row.get("spark_rows") is not None:
-                    seen.add(name)
+                if row.get("spark_rows") is not None and name not in ORACLES:
+                    seen[name] = max(seen.get(name, 0), rnd)
                 continue
             if err is not None:
                 continue
@@ -127,8 +167,8 @@ def _checked_names(here: str | None = None) -> frozenset[str]:
                 or row.get("schema_match") is False
             ):
                 continue
-            seen.add(name)
-    return frozenset(seen) if seen else _R3_CHECKED
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen if seen else dict.fromkeys(_R3_CHECKED, 3)
 
 
 # The 50 names with a CORRECTNESS_r03.json row (hardcoded, not derived from

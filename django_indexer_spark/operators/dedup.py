@@ -204,8 +204,11 @@ def minhash_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-# one estimated-jaccard signature cache pinned per process (see docstring)
-_SIG_CACHE: list[DataFrame] = []
+# bounded FIFO of pinned signature frames (shared helper — see
+# django_indexer_spark.caching for the ownership rules)
+from ..caching import BoundedFrameCache
+
+_SIG_CACHE = BoundedFrameCache(slots=4)
 
 
 def minhash_estimated_jaccard(
@@ -235,15 +238,15 @@ def minhash_estimated_jaccard(
     true Jaccard of the shingle sets; num_hashes bounds the variance.
 
     Cache ownership: the function returns a LAZY frame, so it cannot
-    unpersist its own signature cache — instead each call evicts the
-    PREVIOUS call's (one sketch stays pinned per process, bounded; a
-    bench/test loop can't accumulate cached copies)."""
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, ngram, expand_parallelism
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
-    _SIG_CACHE.append(sig)
+    unpersist its own signature cache — ownership goes to the shared
+    lock-guarded bounded FIFO (caching.BoundedFrameCache, 4 slots): a
+    bench/test loop can't accumulate pinned copies, and recent calls'
+    unconsumed plans keep their backing frame cached."""
+    sig = _SIG_CACHE.pin(
+        minhash_signatures(
+            df, text_col, id_col, num_hashes, ngram, expand_parallelism
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = minhash_candidate_pairs(
         bands_from_signatures(sig, id_col, num_hashes, bands), id_col
     )

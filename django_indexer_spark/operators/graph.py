@@ -19,11 +19,12 @@ groupBy(src) min — both keyed on node ids, partial-aggregated map-side.
 Convergence is detected with a single scalar aggregate (sum of labels,
 exact decimal so 100 TB of ids can't overflow): labels are monotonically
 non-increasing, so an unchanged sum IS the fixpoint — no extra old⋈new
-join just to diff. Each round materializes via localCheckpoint to cut the
-exponentially-growing lineage an iterative self-referential plan builds
-(on a cluster with a checkpoint dir configured, ``df.checkpoint`` is the
-fault-tolerant variant; local mode has no HDFS so we default to the
-executor-local form).
+join just to diff. Each round materializes via ``iterative.cut_lineage``
+to cut the exponentially-growing lineage an iterative self-referential
+plan builds: reliable ``df.checkpoint`` when the session has a
+checkpoint dir configured (cluster deploys — session.get_spark_cluster
+sets one so per-round state survives executor loss), executor-local
+``localCheckpoint`` otherwise (local mode has no durable store).
 
 Shuffle width is sized from the EDGE COUNT, not the session default: the
 similarity graph is orders of magnitude smaller than the corpus that
@@ -45,6 +46,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..iterative import cut_lineage
 
 # one reduce task per this many symmetrized edges — a few hundred MB of
 # (long, long) rows, comfortably in-memory for one task
@@ -85,9 +88,9 @@ def connected_components(
         # shared with concurrent query builds)
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
 
-        labels = (
+        labels = cut_lineage(
             sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-        ).localCheckpoint()
+        )
         prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
         for _ in range(max_iter):
@@ -96,7 +99,7 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
+            new_labels = cut_lineage(
                 labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
                 .select(
                     "id",
@@ -104,7 +107,7 @@ def connected_components(
                         F.col("label"), F.coalesce("nbr_label", F.col("label"))
                     ).alias("label"),
                 )
-            ).localCheckpoint()
+            )
             new_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
             ).collect()[0][0]
@@ -195,7 +198,7 @@ def pagerank(
             )
             # eager: materializes this round and cuts lineage (cluster
             # with a checkpoint dir → df.checkpoint for fault tolerance)
-            ranks = (
+            ranks = cut_lineage(
                 nodes.crossJoin(F.broadcast(nn))
                 .join(contrib, "id", "left")
                 .select(
@@ -205,7 +208,7 @@ def pagerank(
                         + F.lit(damping) * F.coalesce("__contrib", F.lit(0.0))
                     ).alias("rank"),
                 )
-            ).localCheckpoint()
+            )
         return ranks
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
@@ -241,11 +244,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # generation (measured 2.3 s -> 1.7 s on the sf0.1 minhash pair
     # graph — the remaining cost IS the one pair-generation pass).
     # Edge lists are pair-bounded, small next to the corpus.
-    und = (
+    und = cut_lineage(
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -344,7 +346,7 @@ def k_core(
     width = max(1, min(int(prev_width), -(-n_sym // ROWS_PER_PARTITION)))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
-        live = und.localCheckpoint()  # directed both ways; one row per (a,b)
+        live = cut_lineage(und)  # directed both ways; one row per (a,b)
         # each round's survivor count IS the next round's "before" count —
         # one distinct-count before the loop, then one scalar per round
         n_alive = live.select("a").distinct().count()
@@ -362,10 +364,9 @@ def k_core(
                 )
             if n_keep == 0:
                 return spark.createDataFrame([], "id long, core_degree long")
-            live = (
+            live = cut_lineage(
                 live.join(keep, "a", "left_semi")
                 .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-                .localCheckpoint()
             )
         raise RuntimeError(
             f"k_core: no fixpoint after {max_iter} rounds (peel depth "

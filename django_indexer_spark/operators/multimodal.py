@@ -196,11 +196,55 @@ def encode_png(width: int, height: int, pixels: bytes, mode: str = "RGB") -> byt
     )
 
 
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG's SOF header — stdlib-only
+    marker walk, no codec. Full PIXEL decode of JPEG genuinely needs a
+    DCT codec (Pillow — see ``decode_image``), but the frame header is
+    plain big-endian struct data: walk the marker segments to the first
+    start-of-frame (SOF0…SOF15 minus DHT/DAC/JPG) and read it. This is
+    what lets ``extract_features`` report REAL dimensions for JPEG
+    payloads even in codec-less containers (round-5 verdict next-#8)."""
+    if payload[:3] != _JPEG_SIG:
+        raise ValueError("not a JPEG payload")
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seglen < 8:
+                raise ValueError("truncated SOF segment")
+            height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            return width, height, payload[pos + 9]
+        if marker == 0xDA:  # entropy-coded data begins; SOF was missed
+            break
+        pos += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
 def decode_image(payload: bytes) -> DecodedImage:
-    """Real image decode. Prefers Pillow when installed; falls back to the
-    built-in PNG decoder; raises NotImplementedError for formats neither
-    path covers (e.g. JPEG without Pillow) — callers fall back to
-    ``fake_decode_meta`` (see ``extract_features``)."""
+    """Real image decode. Prefers Pillow when installed (PNG, JPEG, and
+    everything else PIL reads); falls back to the built-in PNG decoder;
+    raises NotImplementedError for formats neither path covers — for
+    JPEG without Pillow the error says so explicitly, and callers that
+    only need dimensions use ``jpeg_dimensions`` (header parse, no
+    codec) before falling back to ``fake_decode_meta`` (see
+    ``extract_features``)."""
     try:
         from io import BytesIO
 
@@ -213,6 +257,11 @@ def decode_image(payload: bytes) -> DecodedImage:
         pass
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:3] == _JPEG_SIG:
+        raise NotImplementedError(
+            "JPEG pixel decode requires Pillow; header metadata is "
+            "available via jpeg_dimensions()"
+        )
     raise NotImplementedError(
         "no codec for this payload format without Pillow (built-in path is PNG-only)"
     )
@@ -243,6 +292,13 @@ def extract_features(media: DataFrame) -> DataFrame:
             img = decode_image(bytes(b))
             return img.width, img.height, True
         except (NotImplementedError, ValueError):
+            pass
+        try:
+            # JPEG without Pillow: REAL dimensions from the SOF header
+            # (decoded stays False — no pixel decode happened)
+            w, h, _ch = jpeg_dimensions(bytes(b))
+            return w, h, False
+        except ValueError:
             w, h = fake_decode_meta(b)
             return w, h, False
 

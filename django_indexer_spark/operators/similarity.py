@@ -329,8 +329,15 @@ def lloyd_means(
     boundary: Spark rounds the double's exact decimal expansion while
     DuckDB rounds the scaled multiply, so double 0.0002295 (exactly
     0.00022949999999999998...) rounds to 0.000229 in Spark but 0.00023
-    in DuckDB — observed on the sf0.001 fixture. Precondition:
-    |element| < 1e18 (any real embedding).
+    in DuckDB — observed on the sf0.001 fixture. NOTE (round-5 ADVICE):
+    the portable form rounds NEGATIVE halves toward +inf (floor(-1.5 +
+    0.5) = -1.0/10^dp, e.g. -0.0000015 → -0.000001), which differs from
+    HALF_UP (away-from-zero) round() on exact negative half-boundary
+    cells — both engines use the identical form so parity is
+    unaffected, but do not assume bit-equivalence to round(). (Float
+    cells never sit exactly on a half boundary post-decimal-cast; the
+    distinction only matters for synthetic decimal inputs.)
+    Precondition: |element| < 1e18 (any real embedding).
 
     Scale shape: assignment is a narrow map; posexplode fans out dim× but
     groupBy(centroid_id, pos) partial-aggregates map-side to k×dim rows

@@ -84,7 +84,33 @@ def top_k(df: DataFrame, order_by: list, k: int) -> DataFrame:
     return df.orderBy(*order_by).limit(k)
 
 
-def seeded_sample_one(df: DataFrame, seed: int = 42) -> DataFrame:
+def seeded_sample_one(
+    df: DataFrame, seed: int = 42, key_cols: list[str] | None = None
+) -> DataFrame:
     """O5 — the reference's random.choice over registrations
-    (lists/api.py:216-223), made reproducible with a seeded rand()."""
-    return df.orderBy(F.rand(seed)).limit(1)
+    (lists/api.py:216-223): pick ONE arbitrary-but-stable row.
+
+    Deterministic md5-keyed min pick, not rand(seed): order by
+    md5(concat_ws(US, seed, key_cols…)) and take the first. Same
+    uniform-pick semantics (md5 scrambles any key distribution), but
+    bit-identical across engines — Spark and DuckDB produce the same
+    lowercase md5 hex and compare strings bytewise, so the DuckDB
+    oracle replays the pick exactly (round-5 verdict next-#1; the old
+    rand(seed) form sampled from Spark's private XORShiftRandom stream
+    and could only ever be rows-only checked). Changing ``seed``
+    re-keys the hash → a different stable pick, preserving the
+    reference's reseed-per-request behavior.
+
+    ``key_cols`` (default: all columns) must identify the row and cast
+    to string identically in both engines — use ids/strings, not
+    floats. Compiles to TakeOrderedAndProject(1): per-task 1-heaps, no
+    global sort, however big the scan."""
+    keys = key_cols if key_cols is not None else list(df.columns)
+    hashed = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.lit(str(seed)),
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in keys],
+        )
+    )
+    return df.orderBy(hashed, *[F.col(c) for c in keys]).limit(1)

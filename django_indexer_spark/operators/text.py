@@ -619,9 +619,11 @@ def chunk_overlap(
     )
 
 
-# one word-frequency table pinned per process (same lazy-return cache
-# ownership as dedup._SIG_CACHE: each call evicts the previous call's)
-_BPE_VOCAB_CACHE: list[DataFrame] = []
+# bounded FIFO of pinned word-frequency tables (same lazy-return cache
+# ownership as dedup._SIG_CACHE — see django_indexer_spark.caching)
+from ..caching import BoundedFrameCache
+
+_BPE_VOCAB_CACHE = BoundedFrameCache(slots=4)
 
 
 def bpe_train_merges(
@@ -649,10 +651,22 @@ def bpe_train_merges(
     left-to-right replace THREE times (bounded fixpoint): one pass
     consumes the shared delimiter, so runs of the merged pair ('aaaa'
     with merge a+a) need a re-scan — three passes converge for any word
-    ≤ ~16 repeats, and the semantics are engine-portable (SQL replace =
-    same leftmost non-overlapping scan), so the DuckDB oracle replays
-    the rounds exactly. Words are restricted to [a-z]+ so the delimiter
-    can never occur in a token."""
+    ≤ ~16 repeats (beyond that the word UNDER-merges: leftover adjacent
+    pairs survive the round — see the property test; exact-path
+    comparison in bpe_train_merges_local has no such cap), and the
+    semantics are engine-portable (SQL replace = same leftmost
+    non-overlapping scan), so the DuckDB oracle replays the rounds
+    exactly. Words are restricted to [a-z]+ so the delimiter can never
+    occur in a token.
+
+    Lineage: ``form`` is localCheckpointed every 8 rounds (same
+    iterative-lineage rule as graph.py's loops — round-5 verdict #2:
+    without it the chain of rounds is ONE static DAG and plan analysis
+    goes superlinear past ~5 rounds). That keeps this declarative,
+    oracle-replayable path usable to a few hundred rounds; for
+    production vocab sizes (32k merges) use bpe_train_merges_local,
+    which does the same ONE distributed corpus pass and then runs the
+    merge loop driver-side over the vocab-bounded word table."""
     from pyspark import StorageLevel
 
     words = (
@@ -668,12 +682,10 @@ def bpe_train_merges(
         # vocab-bounded (distinct words, not corpus rows), so pinning it
         # is safe at any corpus size — this is exactly the word-frequency
         # compaction that makes BPE training tractable. Lazy-return cache
-        # ownership: evict the previous call's table (one pinned/process).
+        # ownership goes to the shared bounded FIFO (caching module).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    while _BPE_VOCAB_CACHE:
-        _BPE_VOCAB_CACHE.pop().unpersist()
-    _BPE_VOCAB_CACHE.append(words)
+    _BPE_VOCAB_CACHE.pin(words)
     form = words.select(
         F.concat(
             F.regexp_replace(F.col("w"), "(.)", r"|$1"), F.lit("|")
@@ -717,8 +729,96 @@ def bpe_train_merges(
             form = form.crossJoin(F.broadcast(best)).select(
                 merged.alias("form"), "wf"
             )
+            # cut lineage every 8 rounds: materialize the (vocab-bounded)
+            # form table and start a fresh plan, so analysis cost stays
+            # linear in rounds instead of superlinear in the unrolled
+            # DAG (iterative.cut_lineage: reliable df.checkpoint when a
+            # checkpoint dir is configured, localCheckpoint otherwise).
+            if rnd % 8 == 0:
+                from ..iterative import cut_lineage
+
+                form = cut_lineage(form)
 
     out = best_rows[0]
     for b in best_rows[1:]:
         out = out.unionByName(b)
     return out
+
+
+def bpe_train_merges_local(
+    df: DataFrame, text_col: str, rounds: int, max_vocab: int | None = None
+) -> DataFrame:
+    """BPE training at production merge counts (32k rounds): the SAME
+    single distributed corpus pass as bpe_train_merges — explode to
+    lowercase [a-z]+ words, count — then the merge loop runs
+    driver-side over the collected word-frequency table, exactly as
+    every published BPE trainer does (Sennrich et al. 2016 operate on
+    word counts, never the corpus). The distributed part touches every
+    byte ONCE; the driver part is vocab-bounded (distinct words, not
+    corpus rows — ~10⁶ rows ≈ tens of MB at any corpus size, and
+    ``max_vocab`` caps the collect hard by keeping the most frequent
+    words, the standard truncation real trainers apply).
+
+    The loop operates on token LISTS (one leftmost non-overlapping
+    scan per word per round), so unlike the declarative path's
+    triple-replace there is NO under-merge cap for words with >16
+    repeats of a pair. Tie-break matches bpe_train_merges exactly:
+    count DESC, then (left, right) ASC — on any corpus where no word
+    exceeds the repeat cap, the first N merges of both paths are
+    identical (asserted in tests).
+
+    Returns (merge_round, left_tok, right_tok, pair_count) — same
+    schema as bpe_train_merges."""
+    words_df = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    if max_vocab is not None:
+        words_df = words_df.orderBy(F.desc("wf"), F.asc("w")).limit(max_vocab)
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["w"]), r["wf"]) for r in words_df.collect()
+    ]
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, wf in vocab:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + wf
+        if not counts:
+            break  # every word fully merged — nothing left to learn
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, left, right, n))
+        joined = left + right
+        for idx, (toks, wf) in enumerate(vocab):
+            out: list[str] = []
+            i = 0
+            m = len(toks)
+            while i < m:
+                if i + 1 < m and toks[i] == left and toks[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[idx] = (out, wf)
+
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_round", T.LongType()),
+            T.StructField("left_tok", T.StringType()),
+            T.StructField("right_tok", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)

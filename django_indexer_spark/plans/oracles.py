@@ -232,7 +232,16 @@ SELECT c_custkey, c_name, c_acctbal
 FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 25
 """
 
-# o5_seeded_sample: intentionally no oracle — rand(seed) is engine-specific.
+# o5_seeded_sample — deterministic md5-keyed min pick (seed 42 on
+# c_custkey): both engines emit identical lowercase md5 hex and compare
+# strings bytewise, so the picked row matches bit for bit. chr(31) is
+# the same unit separator Spark's concat_ws uses in seeded_sample_one.
+ORACLES["o5_seeded_sample"] = """
+SELECT c_custkey, c_name
+FROM customer
+ORDER BY md5(concat_ws(chr(31), '42', CAST(c_custkey AS VARCHAR))), c_custkey
+LIMIT 1
+"""
 
 ORACLES["setop_union_dedup"] = """
 SELECT DISTINCT o_orderkey, o_custkey, o_totalprice
@@ -1263,8 +1272,18 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-# a3_approx_distinct: intentionally no oracle — HLL sketches are
-# engine-specific; driver records a rows-only check.
+# a3_approx_distinct — the Spark side outputs exact count + an
+# error-bound boolean (|HLL approx − exact|/exact ≤ 0.10); the oracle
+# replays the exact count and asserts the bound held. A hash mismatch
+# now means the sketch violated its advertised rsd — a real check on
+# the approximate path without requiring engine-identical sketches.
+ORACLES["a3_approx_distinct"] = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+       TRUE AS within_rtol
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 ORACLES["f3_null_pred"] = """
 SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -1431,6 +1450,18 @@ SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
        COUNT(DISTINCT user_id) AS active_users
+FROM events
+GROUP BY 1, 2
+"""
+
+# s_stream_windowed_rollup — batch-split invariance: the streaming
+# append-mode windowed agg (time-midpoint split, no late drops by
+# construction) must equal the plain hourly GROUP BY.
+ORACLES["s_stream_windowed_rollup"] = """
+SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events
 GROUP BY 1, 2
 """
@@ -2495,7 +2526,7 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 ORACLES["link_fs_scores"] = """
 WITH c AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-         CAST(floor(c_acctbal / 10) AS BIGINT) AS bal_band
+         CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_band
   FROM customer
 ),
 p AS (

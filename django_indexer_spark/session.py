@@ -68,3 +68,57 @@ def get_spark(app_name: str = "django-indexer-spark", **extra_conf: str) -> Spar
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def get_spark_cluster(
+    app_name: str = "django-indexer-spark",
+    checkpoint_dir: str | None = None,
+    shuffle_partitions: int | None = None,
+    **extra_conf: str,
+) -> SparkSession:
+    """Cluster-deploy profile: the same tuned session as ``get_spark``
+    plus the settings that only matter with real executors.
+
+    - **dynamic allocation** with shuffle tracking (no external shuffle
+      service required — shuffleTracking keeps executors alive until
+      their shuffle files are consumed; deployments WITH an external
+      shuffle service can flip ``spark.shuffle.service.enabled`` via
+      ``extra_conf`` instead);
+    - **reliable checkpoint dir** (HDFS/S3/NFS path): iterative
+      operators (graph.py loops, BPE rounds) route per-round state
+      through ``df.checkpoint`` instead of ``localCheckpoint`` the
+      moment this is set (see iterative.cut_lineage), so losing an
+      executor mid-loop no longer kills the job's lineage;
+    - **shuffle partitions ~2-3x total executor cores** (caller passes
+      the real number; AQE coalesces down at runtime);
+    - master/deploy comes from the environment (spark-submit) — this
+      builder does NOT force a master, so it composes with YARN/K8s
+      submission.
+
+    Local smoke coverage: tests/test_sessions.py asserts the iterative
+    operators honor a configured checkpoint dir (files appear under it
+    and results are unchanged).
+    """
+    conf = {
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.scheduler.mode": "FAIR",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        conf["spark.default.parallelism"] = str(shuffle_partitions)
+    conf.update(extra_conf)
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return spark

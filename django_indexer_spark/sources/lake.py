@@ -112,16 +112,16 @@ def last_processed_height(bronze: DataFrame) -> int | None:
     return None if row is None else row["h"]
 
 
-# at most one quarantine read stays cached per process (see docstring)
 # Bounded FIFO of pinned quarantine reads (not size-1: evicting the
 # PREVIOUS call's cache while its good/bad frames are still unconsumed
 # would silently fall back to two independent re-scans, losing the
 # single-materialization consistency the cache exists for). 4 slots
 # covers any realistic interleaving of backfill splits; beyond that the
 # oldest unpersists and its frames recompute — correct, just slower.
-_QUARANTINE_CACHE: list[DataFrame] = []
-_QUARANTINE_CACHE_SLOTS = 4
-_QUARANTINE_LOCK = __import__("threading").Lock()
+# Shared helper: django_indexer_spark.caching.BoundedFrameCache.
+from ..caching import BoundedFrameCache
+
+_QUARANTINE_CACHE = BoundedFrameCache(slots=4)
 
 
 def read_lake_quarantine(
@@ -164,10 +164,7 @@ def read_lake_quarantine(
         .withColumn("source_file", F.input_file_name())
         .cache()
     )
-    with _QUARANTINE_LOCK:
-        while len(_QUARANTINE_CACHE) >= _QUARANTINE_CACHE_SLOTS:
-            _QUARANTINE_CACHE.pop(0).unpersist()
-        _QUARANTINE_CACHE.append(df)
+    _QUARANTINE_CACHE.pin(df)
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         "source_file", "_corrupt_record"
     )

@@ -23,8 +23,12 @@ TABLES = (
 ).split()
 
 
-def test_rows_only_set_is_exactly_the_documented_exceptions():
-    assert set(QUERIES) - set(ORACLES) == {"o5_seeded_sample", "a3_approx_distinct"}
+def test_every_query_has_an_oracle():
+    # round 6: the last two rows-only queries (o5_seeded_sample,
+    # a3_approx_distinct) were redesigned to be hash-checkable — the
+    # registry is now 100% oracle-gated, and any future rows-only
+    # addition must be a deliberate decision that updates this test.
+    assert set(QUERIES) - set(ORACLES) == set()
     assert set(ORACLES) - set(QUERIES) == set()
 
 
@@ -124,16 +128,45 @@ def test_driver_rotation_order():
     names = list(m.queries())
     assert names[0] == "f1_eq_filter"
     assert set(names) == set(m.queries())  # no dupes/drops
-    checked = m._checked_names()
-    # after the canary: first all-unchecked block, then all-checked block
+    checked = m._checked_names()  # name -> newest green round
+    changed = m._changed_since_verified()
+    # after the canary: first the unchecked-or-changed block, then the
+    # checked-and-unchanged block ordered stalest-first
     tail = names[1:]
-    flags = [n in checked for n in tail]
+    flags = [n in checked and n not in changed for n in tail]
     first_checked = flags.index(True) if True in flags else len(flags)
     assert all(flags[first_checked:]), "checked block interrupted by unchecked name"
     assert not any(flags[:first_checked]), "unchecked block contains checked name"
+    rounds = [checked[n] for n in tail[first_checked:]]
+    assert rounds == sorted(rounds), "checked block not stalest-first"
     # oracles keep query ordering
     onames = [n for n in m.oracle_sql()]
     assert onames == [n for n in names if n in set(onames)]
+
+
+def test_fingerprint_invalidation_fronts_changed_queries():
+    """round-5 ADVICE: a green driver row must stop counting when the
+    query's source fingerprint drifts from the recorded
+    verified-at-HEAD value."""
+    from django_indexer_spark.plans.query_fingerprint import (
+        current_fingerprints,
+        load_recorded,
+        query_fingerprint,
+    )
+
+    cur = current_fingerprints()
+    assert set(cur) == set(QUERIES)
+    # the fingerprint must move when the oracle changes
+    fn = QUERIES["f1_eq_filter"]
+    assert query_fingerprint(fn, ORACLES["f1_eq_filter"]) != query_fingerprint(
+        fn, ORACLES["f1_eq_filter"] + " -- changed"
+    )
+    # the committed record matches HEAD for every name it contains that
+    # parity_check verified (the file is refreshed on PASS; a mismatch
+    # here means a query changed without re-running local parity)
+    recorded = load_recorded()
+    stale = {n for n, h in recorded.items() if n in cur and cur[n] != h}
+    assert stale == set(), f"queries changed since last local parity: {stale}"
 
 
 def test_checked_names_excludes_red_rows(tmp_path):
@@ -161,15 +194,25 @@ def test_checked_names_excludes_red_rows(tmp_path):
             "spark_rows": None, "err": "no_oracle",
         },
         "rowsfail_q": {"rows_match": False, "hash_match": None, "err": None},
+        # a query that NOW HAS an oracle: its historical rows-only row
+        # must stop counting (round 6 — o5/a3 redesigned to hash-check)
+        "o5_seeded_sample": {
+            "rows_match": None, "hash_match": None,
+            "spark_rows": 1, "err": "no_oracle",
+        },
     }
     (tmp_path / "CORRECTNESS_r09.json").write_text(_json.dumps(rows))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        _json.dumps({"green_q": {"rows_match": True, "hash_match": True, "err": None}})
+    )
     seen = m._checked_names(here=str(tmp_path))
-    assert "green_q" in seen
-    assert "rowsonly_q" in seen  # by-design rows-only (e.g. HLL) stays checked
+    assert seen["green_q"] == 9  # NEWEST green round wins
+    assert "rowsonly_q" in seen  # by-design rows-only stays checked
     assert "err_q" not in seen
     assert "hashfail_q" not in seen
     assert "schemafail_q" not in seen
     assert "rowsfail_q" not in seen
     assert "rowsonly_dead_q" not in seen
+    assert "o5_seeded_sample" not in seen  # has an oracle now
 
 

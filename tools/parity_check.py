@@ -93,6 +93,7 @@ def main() -> int:
 
     n_pass = n_fail = n_noracle = 0
     failures = []
+    passed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -159,10 +160,21 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={len(spdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
+            passed.append(name)
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     if failures:
         print("failures:", " ".join(failures))
+    if passed:
+        # record the verified-at source fingerprints: the rotation in
+        # __spark_entry__ fronts any query whose fingerprint later
+        # drifts from this record (round-5 ADVICE — driver green rows
+        # from rounds that graded older code must not suppress
+        # re-verification of changed implementations).
+        from django_indexer_spark.plans.query_fingerprint import record
+
+        record(passed)
+        print(f"query_hashes.json refreshed for {len(passed)} passed queries")
     return 1 if n_fail else 0
 
 

@@ -1298,14 +1298,23 @@ def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and asserts the bound column TRUE, which hash-checks that
     Spark's sketch really landed inside its advertised error — a
     STRONGER gate than the old rows-only row that never looked at the
-    estimate at all. Both aggregates ride one shuffle (same groupBy)."""
-    g = (
+    estimate at all.
+
+    Plan note: DISTINCT-FIRST, not count_distinct-beside-approx in one
+    agg — mixing them makes Catalyst EXPAND every input row (2x) to
+    satisfy the distinct aggregate (measured 2.8 s vs 0.9 s at sf0.1).
+    HLL registers are max-over-hashes, so the sketch over the DEDUPED
+    (group, key) rows is bit-identical to the sketch over the raw
+    multiset — dedup first, then count + sketch ride one partial-agg
+    pass over the (much smaller) distinct set."""
+    d = (
         _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_orderkey").cast("long").alias("n_exact"),
-            F.approx_count_distinct("l_orderkey", 0.02).alias("__approx"),
-        )
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
+    g = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__approx"),
     )
     return g.select(
         "l_returnflag",
@@ -1345,6 +1354,34 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.5).alias("median_price"),
         F.percentile("o_totalprice", 0.9).alias("p90_price"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("a_approx_percentile_bound")
+def a_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch — THE percentile at
+    100 TB: fixed state, map-side combinable, no per-group sort) made
+    oracle-checkable the same way as the HLL gate (a3): the sketch
+    value itself is engine-private, so the OUTPUT is the exact median
+    plus ``within_bound`` = approx ∈ [exact p45, exact p55]. The
+    documented guarantee is rank error ≤ n/accuracy = n/1000, far
+    inside the ±5-percentile value bracket, so the oracle replays the
+    exact percentiles and asserts TRUE — a hash mismatch means the
+    sketch broke its rank guarantee. Both aggregates ride ONE shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50_exact"),
+        F.percentile("o_totalprice", 0.45).alias("__lo"),
+        F.percentile("o_totalprice", 0.55).alias("__hi"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("__approx"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "p50_exact",
+        (
+            (F.col("__approx") >= F.col("__lo"))
+            & (F.col("__approx") <= F.col("__hi"))
+        ).alias("within_bound"),
     )
 
 
@@ -2994,6 +3031,154 @@ def s_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("s_stream_sessionize")
+def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator in the correctness gate:
+    applyInPandasWithState sessionization (streaming/sessions.py) — the
+    one operator class DataFrame algebra can't express (per-key mutable
+    state + event-time timeouts) — driven by real micro-batches and
+    hash-checked against a DuckDB gaps-and-islands oracle.
+
+    Events split at the time midpoint (batch 2 never carries rows
+    behind batch 1's watermark, so no late drops and no session is
+    closed early: a session straddling the midpoint has end > mid−gap,
+    while premature timeout would need end < mid−delay−gap — empty
+    intervals for any delay ≥ 0). Two far-future sentinel batches push
+    the watermark past every real session's end+gap so EventTimeTimeout
+    closes and emits them all; the sentinel user's own open session is
+    filtered. The SQL twin is classic gaps-and-islands: break at
+    gap ≥ 6 h, prefix-sum session ids, per-session min/max/count —
+    which is exactly the batch-split-invariant meaning of the stateful
+    loop. State is bounded by ACTIVE users (event-time timeout evicts),
+    the applyInPandasWithState scale contract."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.sessions import sessionize
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    in_dir = f"{work}/in"
+    out_dir = f"{work}/out"
+    ckpt = f"{work}/ckpt"
+    _os.makedirs(in_dir)
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "ts_us"
+    )
+    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (int(lo) + int(hi)) // 2
+    halves = [e.filter(F.col("ts_us") < mid), e.filter(F.col("ts_us") >= mid)]
+    sent = e.sparkSession.range(2).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            F.lit(int(hi)) + (F.col("id") + 1) * F.lit(86_400_000_000)
+        ).alias("ts"),
+        F.lit(0).cast("long").alias("ts_us"),
+    )
+    stages = halves + [
+        sent.filter(F.expr("unix_micros(ts)") <= int(hi) + 86_400_000_000),
+        sent.filter(F.expr("unix_micros(ts)") > int(hi) + 86_400_000_000),
+    ]
+    for i, frame in enumerate(stages):
+        stage = f"{work}/stage{i}"
+        frame.drop("ts_us").coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(stages[0].drop("ts_us").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    sessions = sessionize(
+        stream, "user_id", "ts", gap="6 hours", watermark_delay="1 hours"
+    )
+    q = (
+        sessions.writeStream.foreachBatch(
+            lambda batch_df, _bid: batch_df.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("sessionize streaming gate timed out after 180s")
+    out = spark.read.parquet(out_dir)
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@query("s_stream_dedup_index")
+def s_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL NEAR-DUP INDEX in the correctness gate (T9 — round 5
+    left it unit-only): documents arrive as two real micro-batches;
+    each batch probes the persistent bucketed LSH band index for
+    collisions with everything ALREADY SEEN (reading only the colliding
+    buckets — cost ∝ batch, not corpus), appends found pairs to a
+    distributed parquet log, then merges its band rows into the index
+    (streaming/dedup_index.py:stream_dedup).
+
+    Oracle-checkability is the T9 batch-split equivalence theorem the
+    unit tests prove: (within-batch pairs) ∪ (batch-vs-index pairs)
+    across ANY partition of the corpus = the one-shot banded candidate
+    pairs — so the DuckDB twin is exactly dedup_minhash_pairs' SQL.
+    A hash mismatch means the incremental path found different
+    candidates than the batch operator — the exact regression class an
+    incremental index can silently develop."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_index import stream_dedup
+
+    work = tempfile.mkdtemp(prefix="stream_didx_")
+    in_dir = f"{work}/in"
+    _os.makedirs(in_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(2):
+        stage = f"{work}/stage{i}"
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_dedup(
+        spark,
+        stream,
+        index_dir=f"{work}/index",
+        pairs_dir=f"{work}/pairs",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("dedup-index streaming gate timed out after 180s")
+    pairs = spark.read.parquet(f"{work}/pairs")
+    return (
+        pairs.select(
+            F.least("id_new", "id_seen").alias("id_a"),
+            F.greatest("id_new", "id_seen").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 @query("graph_copurchase_pairs")
 def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection (order–part → part–part): co-occurrence pair
@@ -3184,11 +3369,11 @@ def link_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity resolution as a first-class operator family (extension: the
     reference resolves identity only by exact NEAR account id,
     accounts/models.py:30-38). Candidate pairs meet inside blocking
-    cells (nation x 500-unit balance band — sized so even the sf0.001
-    fixture yields a nonempty pair set and every sf is a meaningful
-    cross-engine gate, per round-5 ADVICE; production keys must scale
-    cardinality with the corpus, see operators/linkage.py), then three
-    fields score each
+    cells (nation x 100-unit balance band — sized so even the sf0.001
+    fixture yields a nonempty pair set (4 pairs) and every sf is a
+    meaningful cross-engine gate, per round-5 ADVICE, while sf0.1 stays
+    at ~41k pairs; production keys must scale cardinality with the
+    corpus, see operators/linkage.py), then three fields score each
     pair with literal log-likelihood weights and a three-way decision.
     All JVM-side column arithmetic; fixed-order literal-double sums are
     engine-exact."""
@@ -3200,7 +3385,7 @@ def link_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_acctbal",
         "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 500).cast("long").alias("bal_band"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_band"),
     )
     pairs = L.blocked_pairs(c, "c_custkey", ["c_nationkey", "bal_band"])
     fields = [

@@ -452,6 +452,10 @@ FROM b a JOIN b c ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < 
 _BANDS_SQL, _PAIRS_SQL = _minhash_sql(8, 4)
 ORACLES["dedup_minhash_bands"] = _BANDS_SQL
 ORACLES["dedup_minhash_pairs"] = _PAIRS_SQL
+# s_stream_dedup_index — the incremental index's pair log across any
+# batch split must equal the one-shot banded candidate pairs (T9
+# batch-split equivalence), so the oracle IS the batch pairs SQL.
+ORACLES["s_stream_dedup_index"] = _PAIRS_SQL
 
 
 # dedup_lsh_recall's oracle is registered further down (after _hex24_sql,
@@ -1403,6 +1407,17 @@ FROM orders
 GROUP BY o_orderstatus
 """
 
+# a_approx_percentile_bound — same pattern as the HLL gate: Spark
+# outputs exact median + a rank-guarantee boolean on its t-digest
+# estimate; the oracle replays the exact value and asserts the bound.
+ORACLES["a_approx_percentile_bound"] = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50_exact,
+       TRUE AS within_bound
+FROM orders
+GROUP BY o_orderstatus
+"""
+
 ORACLES["c16_array_explode"] = """
 SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word
 FROM part WHERE p_partkey <= 500
@@ -1464,6 +1479,38 @@ SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events
 GROUP BY 1, 2
+"""
+
+# s_stream_sessionize — gaps-and-islands replay of the stateful
+# sessionizer: break at inter-event gap >= 6h (the stream's strict
+# `t - end < gap` continue test), prefix-sum the breaks into session
+# ids, aggregate. Batch-split invariance (time-midpoint split, no late
+# drops, sentinel-flushed timeouts) makes the streaming result equal
+# this batch SQL exactly.
+ORACLES["s_stream_sessionize"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   >= 21600000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, t,
+         sum(brk) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM d
+)
+SELECT user_id,
+       min(t) AS session_start_us,
+       max(t) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g
+GROUP BY user_id, sid
 """
 
 ORACLES["j9_gated_update"] = """
@@ -2526,7 +2573,7 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 ORACLES["link_fs_scores"] = """
 WITH c AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-         CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_band
+         CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_band
   FROM customer
 ),
 p AS (

@@ -63,9 +63,21 @@ def main() -> None:
 
     run("stats_overview")  # warm-up: JVM + parquet footer cache
 
+    # Streaming gates (s_stream_*) restage their inputs and run a fresh
+    # stream EVERY call, so "steady state" means warm JVM/page-cache,
+    # not plan reuse: one priming run then ONE measured run (a second
+    # measured run costs 7-15 s each for noise-floor information the
+    # cold/steady pair already carries). Measured warm, like every
+    # other query — keeps round-over-round ratios comparable.
+    stream_gates = {n for n in HEADLINE if n.startswith("s_stream_")}
+
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
     for name in HEADLINE:
+        if name in stream_gates:
+            cold[name] = round(run(name), 3)
+            times[name] = round(run(name), 3)
+            continue
         cold[name] = round(run(name), 3)  # priming: codegen + JIT
         # min-of-two measured runs where it matters: single runs swing
         # ~1.5x under background load, but for sub-second queries the

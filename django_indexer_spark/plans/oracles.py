@@ -742,6 +742,40 @@ ORACLES["sim_ann_lsh"] = _ann_lsh_sql(4, 64, 5)
 ORACLES["sim_ann_multiprobe"] = _ann_lsh_sql(4, 64, 5, multi_probe=True)
 
 
+def _prefix_ann_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """s_stream_ann_index twin: per-vector single-probe LSH top-k over
+    the vectors whose batch (vec_id-midpoint split, same integer-div
+    formula the Spark gate computes) is <= its own — T10's prefix-ANN
+    invariant as one self-join with a batch inequality."""
+    from ..operators.similarity import plane_weights
+
+    ws = plane_weights(n_planes, dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{', '.join(repr(w) for w in ws[p])}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH m AS (
+  SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM embeddings
+), b AS (
+  SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket,
+         CASE WHEN vec_id < (SELECT mid FROM m) THEN 1 ELSE 2 END AS batch
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_COS}, 6) AS cosine
+  FROM b q JOIN b c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id AND c.batch <= q.batch
+)
+SELECT q_id, c_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+FROM scored
+QUALIFY rnk <= {k}
+"""
+
+
+ORACLES["s_stream_ann_index"] = _prefix_ann_sql(4, 64, 5)
+
+
 def _near_dup_sql(threshold: float, n_planes: int = 4, dim: int = 64) -> str:
     from ..operators.similarity import plane_weights
 
@@ -1459,6 +1493,53 @@ FROM p LEFT JOIN c
 GROUP BY p.event_id, p.user_id
 """
 
+# ts_resample_interpolate — dense hourly grid per type (bounded by the
+# type's observed min/max bucket), linear interpolation between the
+# nearest observed neighbors; arithmetic mirrored term-for-term against
+# the Spark side (decimal-exact bucket means, fixed-order IEEE fill).
+ORACLES["ts_resample_interpolate"] = """
+WITH obs AS (
+  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+         event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+  FROM events
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(b0, b1 + 1, 3600000000)) AS bucket_us
+  FROM (SELECT event_type, min(bucket_us) AS b0, max(bucket_us) AS b1
+        FROM obs GROUP BY event_type)
+),
+j AS (
+  SELECT g.event_type, g.bucket_us, o.v
+  FROM grid g LEFT JOIN obs o
+    ON g.event_type = o.event_type AND g.bucket_us = o.bucket_us
+),
+n AS (
+  SELECT event_type, bucket_us, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket_us
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+SELECT event_type, bucket_us,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (nv - pv) * (CAST(bucket_us - pb AS DOUBLE)
+                                   / CAST(nb - pb AS DOUBLE))
+       END AS value,
+       v IS NULL AS is_interpolated
+FROM n
+"""
+
 ORACLES["ts_hourly_rollup"] = """
 SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
        event_type,
@@ -1479,6 +1560,24 @@ SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events
 GROUP BY 1, 2
+"""
+
+# s_stream_interval_join — the inner stream-stream join emits each
+# match exactly once (watermarks bound state, not emission), so the
+# batch interval-join SQL is its oracle.
+ORACLES["s_stream_interval_join"] = """
+SELECT l.user_id,
+       l.event_id AS view_id,
+       epoch_us(l.ts) AS view_ts_us,
+       r.event_id AS purchase_id,
+       epoch_us(r.ts) AS purchase_ts_us
+FROM events l
+JOIN events r
+  ON l.event_type = 'view'
+ AND r.event_type = 'purchase'
+ AND l.user_id = r.user_id
+ AND epoch_us(r.ts) >= epoch_us(l.ts)
+ AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000
 """
 
 # s_stream_sessionize — gaps-and-islands replay of the stateful

@@ -249,6 +249,16 @@ def test_global_plan_hygiene_all_queries(spark):
     )
     capped = ("exch", "range", "single", "smj", "shj", "arrow", "pyudf", "cart")
 
+    # census COLD plans: earlier tests in the session may have left
+    # persisted frames (BoundedFrameCache pins minhash signatures for
+    # up to 4 calls), and Spark's CacheManager substitutes a cached
+    # relation into any new identical subplan — which changes the
+    # exchange census vs the cold plan tools/plan_audit.py generated
+    # the budgets from (observed: dedup_minhash_estimate exch 8-vs-5
+    # only when test_contract ran first). Within-loop cache effects are
+    # fine — the audit iterates the same registry order.
+    spark.catalog.clearCache()
+
     py_ok = {"text_heavy_hitters"}  # mapInPandas Misra-Gries sketch
     offenders: list[tuple[str, str]] = []
     for name in QUERIES:

@@ -241,3 +241,29 @@ def test_bpe_repeat_cap_under_merge_vs_exact_local(spark):
     # adjacencies). Pin the divergence so a future rewrite that FIXES
     # the cap fails here loudly and updates the docs.
     assert decl[1] != exact[1]
+
+
+def test_bpe_local_max_vocab_caps_the_collect(spark):
+    """The documented driver-side-collect bound: max_vocab keeps only
+    the most frequent words (ties by word ASC), so rare words stop
+    contributing pair counts — and the collect is hard-capped."""
+    from django_indexer_spark.operators.text import bpe_train_merges_local
+
+    df = spark.createDataFrame(
+        [("zz zz zz zz aa aa rare",)], "text string"
+    )
+    full = [tuple(r) for r in bpe_train_merges_local(df, "text", rounds=1).collect()]
+    capped = [
+        tuple(r)
+        for r in bpe_train_merges_local(df, "text", rounds=1, max_vocab=1).collect()
+    ]
+    # full corpus: (z,z) wins with wf 4; capped to top-1 word ('zz', the
+    # most frequent) the answer is the same — but 'aa'/'rare' pairs are
+    # gone, so a capped run can never see their counts
+    assert full[0][1:3] == ("z", "z") and capped[0][1:3] == ("z", "z")
+    assert full[0][3] == 4 and capped[0][3] == 4
+    capped2 = [
+        tuple(r)
+        for r in bpe_train_merges_local(df, "text", rounds=1, max_vocab=2).collect()
+    ]
+    assert capped2[0][1:3] == ("z", "z")  # aa (wf 2) joins, zz still wins

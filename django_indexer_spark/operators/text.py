@@ -693,11 +693,33 @@ def bpe_train_merges(
         "wf",
     )
 
+    _, best_rows = _bpe_round_chain(form, rounds)
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_round_chain(
+    form: DataFrame, rounds: int, rewrite_last: bool = False
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared declarative merge-round chain over a delimiter-form frame.
+
+    ``form`` needs columns ``form`` (the '|c|h|a|r|' tokenization) and
+    ``wf`` (word frequency); any OTHER columns are riders that survive
+    each rewrite untouched (``bpe_vocab_tokenize`` rides the raw word
+    through so the encoded vocab can be joined back to occurrences).
+    Pair counting selects only (form, wf), so riders never widen the
+    per-round shuffles. With ``rewrite_last`` the final learned merge is
+    also APPLIED (encoding wants all ``rounds`` rewrites; training only
+    needs the rewrites BETWEEN rounds). Returns the post-chain form frame
+    and the per-round 1-row best-merge frames."""
+    riders = [c for c in form.columns if c != "form"]
     pair_struct = (
         "transform(sequence(1, size(__toks) - 1), "
         "i -> struct(element_at(__toks, i) AS l, element_at(__toks, i + 1) AS r))"
     )
-    best_rows = []
+    best_rows: list[DataFrame] = []
     for rnd in range(1, rounds + 1):
         toks = form.select(
             F.filter(F.split("form", "\\|"), lambda x: x != "").alias("__toks"),
@@ -720,14 +742,14 @@ def bpe_train_merges(
             )
         )
         best_rows.append(best)
-        if rnd < rounds:
+        if rnd < rounds or rewrite_last:
             pat = F.concat(
                 F.lit("|"), F.col("left_tok"), F.lit("|"), F.col("right_tok"), F.lit("|")
             )
             rep = F.concat(F.lit("|"), F.col("left_tok"), F.col("right_tok"), F.lit("|"))
             merged = F.replace(F.replace(F.replace(F.col("form"), pat, rep), pat, rep), pat, rep)
             form = form.crossJoin(F.broadcast(best)).select(
-                merged.alias("form"), "wf"
+                merged.alias("form"), *riders
             )
             # cut lineage every 8 rounds: materialize the (vocab-bounded)
             # form table and start a fresh plan, so analysis cost stays
@@ -738,11 +760,50 @@ def bpe_train_merges(
                 from ..iterative import cut_lineage
 
                 form = cut_lineage(form)
+    return form, best_rows
 
-    out = best_rows[0]
-    for b in best_rows[1:]:
-        out = out.unionByName(b)
-    return out
+
+def bpe_vocab_tokenize(df: DataFrame, text_col: str, rounds: int = 3) -> DataFrame:
+    """ENCODE with the trained tokenizer: learn the first ``rounds`` BPE
+    merges from the corpus (identical chain, tie-breaks, and bounded
+    triple-replace fixpoint as ``bpe_train_merges``) and return the
+    encoded VOCAB — (w, wf, n_bpe_tokens, bpe_tokens space-joined).
+
+    This is the production encode shape for token BUDGETING at corpus
+    scale: the corpus is scanned once to build the word-frequency table,
+    all ``rounds`` rewrites run over that vocab-bounded frame (cost ∝
+    distinct words, NOT corpus rows), and callers map occurrences to
+    token counts with one join on the word — see the
+    ``text_bpe_encode`` gate. Real tokenizers cache exactly this
+    word→tokens table (Sennrich et al. 2016's apply step)."""
+    from pyspark import StorageLevel
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        # same vocab-bounded persist rationale as bpe_train_merges
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _BPE_VOCAB_CACHE.pin(words)
+    form = words.select(
+        "w",
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", r"|$1"), F.lit("|")
+        ).alias("form"),
+        "wf",
+    )
+    encoded, _ = _bpe_round_chain(form, rounds, rewrite_last=True)
+    toks = F.filter(F.split("form", "\\|"), lambda x: x != "")
+    return encoded.select(
+        "w",
+        F.col("wf").cast("long").alias("wf"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.concat_ws(" ", toks).alias("bpe_tokens"),
+    )
 
 
 def bpe_train_merges_local(
@@ -822,3 +883,45 @@ def bpe_train_merges_local(
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    postings_cap: int | None = None,
+) -> DataFrame:
+    """Build an inverted index: term → (df_docs, cf, postings) where
+    postings are (doc, tf) pairs ordered tf DESC then doc ASC — the
+    classic retrieval structure behind bm25_scores' df/tf stats, made
+    first-class (the reference's nearest analog is the search filter
+    ilike scan in accounts/api.py — a full-table scan this replaces).
+
+    Two shuffles, both key-uniform: (term, doc) for tf, then term for
+    the posting merge. ``postings_cap`` bounds each stored list (impact-
+    ordered index truncation — at corpus scale full lists for stopword
+    terms are the one skew hazard, so production callers cap); df_docs
+    and cf are computed BEFORE the cap, so stats stay exact. collect_list
+    here is per-TERM state sized ≤ cap (or ≤ corpus doc count uncapped) —
+    bounded by construction, not a driver collect."""
+    tf = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term", "__doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = F.array_sort(
+        F.collect_list(F.struct((-F.col("tf")).alias("neg_tf"), F.col("__doc").alias("doc")))
+    )
+    if postings_cap is not None:
+        postings = F.slice(postings, 1, postings_cap)
+    out = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.transform(
+            postings, lambda p: F.struct(p["doc"].alias("doc"), (-p["neg_tf"]).alias("tf"))
+        ).alias("postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df_docs") >= min_df)
+    return out

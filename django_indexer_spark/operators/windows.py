@@ -237,3 +237,84 @@ def scd2_asof(intervals: DataFrame, at_ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    period: int = 24,
+    half_window: int = 12,
+    dp: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular series:
+    value = trend + seasonal + residual, distributed as three window/agg
+    passes (the moving-average decomposition every monitoring stack runs
+    over its rollups — statsmodels' seasonal_decompose, declaratively).
+
+    ``series`` is one row per bucket: (bucket_col ascending long, e.g.
+    the hour index, plus exact DECIMAL ``value_col``). Steps:
+    - trend: centered moving average over ±half_window ROWS (edge
+      buckets average the available rows — same rule both engines);
+    - seasonal: mean of (value − trend) per phase (bucket % period),
+      centered so phases with more buckets don't bias the residual;
+    - residual: value − trend − seasonal.
+
+    Cross-engine determinism: window sums/counts run on DECIMAL (order-
+    independent); each division is done in DOUBLE and immediately pinned
+    with the portable floor(x·10^dp + 0.5)/10^dp rounding (pure IEEE
+    ops — see similarity.lloyd_means), so no order-dependent double
+    accumulation ever happens. Scale: a single series fits one ROWS
+    window over the BUCKET table (rows = time range / period — millions
+    at most, not corpus-sized); multi-series callers partition the
+    windows by series key and everything shards by key."""
+    pow10 = float(10**dp)
+
+    def _r(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    w = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    trended = series.withColumn(
+        "trend",
+        _r(
+            F.sum(F.col(value_col)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ),
+    ).withColumn(
+        # detrended, portable-rounded FIRST (the nearest-double of k/10^dp
+        # casts to the same decimal on both engines; an arbitrary double
+        # near a half boundary might not), then pinned to exact decimal so
+        # the per-phase mean sums without double-order sensitivity
+        "__detr",
+        _r(F.col(value_col).cast("double") - F.col("trend")).cast(
+            f"decimal(28,{dp})"
+        ),
+    ).withColumn("__phase", F.pmod(F.col(bucket_col), F.lit(period)))
+    phase = trended.groupBy("__phase").agg(
+        _r(
+            F.sum("__detr").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__phase_mean")
+    )
+    # center the phase means (mean of means → seasonal sums to ~0)
+    grand = phase.agg(
+        _r(
+            F.sum(F.col("__phase_mean").cast(f"decimal(28,{dp})")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__grand")
+    )
+    seasonal = phase.crossJoin(F.broadcast(grand)).select(
+        "__phase", _r(F.col("__phase_mean") - F.col("__grand")).alias("seasonal")
+    )
+    out = trended.join(F.broadcast(seasonal), "__phase").select(
+        bucket_col,
+        F.col(value_col).cast("double").alias("value"),
+        "trend",
+        "seasonal",
+        _r(F.col(value_col).cast("double") - F.col("trend") - F.col("seasonal")).alias(
+            "residual"
+        ),
+    )
+    return out

@@ -3698,3 +3698,135 @@ def a_cm_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketches.py:cm_error_profile)."""
     e = _events(spark, sf_dir)
     return sketches.cm_error_profile(e, "user_id", depth=4, width=64)
+
+
+@query("t_cdc_apply")
+def t_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log apply WITH DELETES (sources/merge.py:cdc_apply —
+    the S3 upsert sink completed for tombstones; the reference's
+    update_or_create path, utils.py:978-982, never deletes, which is
+    exactly why a lakehouse sink replaying an external Debezium-style
+    feed needs this operator). Snapshot = orders (one row per key,
+    version 0); change log = lineitem rows keyed on l_orderkey with
+    l_linenumber as the per-key version and the op derived from
+    l_returnflag (R → delete tombstone, A → update, N → insert). The
+    winner per key is the highest version (changes beat the snapshot),
+    and a winning tombstone removes the key. One natural-key shuffle —
+    the same shuffle MERGE INTO's join would take.
+
+    The synthetic fixture has DUPLICATE (l_orderkey, l_linenumber)
+    pairs, so the linenumber alone is not a total order per key — the
+    version extends it with the row's own content (exact cents + the op
+    code), making the winner engine-deterministic; any ties left are
+    bitwise-identical rows, whose winner is the same row either way."""
+    from ..sources.merge import cdc_apply
+
+    snap = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).cast("long").alias("version"),
+        F.col("o_totalprice").alias("value"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    opcode = (
+        F.when(F.col("l_returnflag") == "R", F.lit(2))
+        .when(F.col("l_returnflag") == "A", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    changes = li.select(
+        F.col("l_orderkey").alias("k"),
+        (
+            F.col("l_linenumber").cast("long") * F.lit(1_000_000_000)
+            + cents * 10
+            + opcode
+        ).alias("version"),
+        F.col("l_extendedprice").alias("value"),
+        F.when(F.col("l_returnflag") == "R", F.lit("D"))
+        .when(F.col("l_returnflag") == "A", F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    return cdc_apply(snap, changes, ["k"], "version").select(
+        "k", "version", "op", F.col("value").cast("double").alias("value")
+    )
+
+
+@query("text_bpe_encode")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE with the trained BPE merges — per-document token
+    counts under the round-3 tokenizer (operators/text.py:
+    bpe_vocab_tokenize). The production token-budgeting shape: one
+    corpus pass builds the word-frequency table, the merge rewrites run
+    over the vocab-bounded frame only, and occurrences map to token
+    counts via ONE join on the word — cost ∝ vocab + occurrences, never
+    rounds × corpus. Oracle replays the same three training rounds
+    (text_bpe_train's CTE chain) plus the final rewrite, then joins
+    identically."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = text.bpe_vocab_tokenize(docs, "text", rounds=3)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@query("text_inverted_index")
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/text.py:inverted_index): term →
+    document frequency, collection frequency, and the top-5 postings by
+    tf (ties → doc ASC), for the 200 highest-cf terms with df ≥ 3 (cf
+    ties → term ASC). Two uniform-key shuffles ((term,doc) then term);
+    stats computed before the postings cap so df/cf stay exact; the
+    output cap is a deterministic TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = text.inverted_index(docs, "doc_id", "text", min_df=3, postings_cap=5)
+    return (
+        idx.select(
+            "term",
+            "df_docs",
+            "cf",
+            F.concat_ws(
+                ",", F.transform(F.col("postings"), lambda p: p["doc"].cast("string"))
+            ).alias("top_docs"),
+        )
+        .orderBy(F.desc("cf"), "term")
+        .limit(200)
+    )
+
+
+@query("ts_decompose")
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series (operators/windows.py:seasonal_decompose): value = trend
+    (centered ±12 h moving average) + seasonal (centered hour-of-day
+    mean of the detrended values) + residual. The series table is one
+    row per hour — time-range bounded, so the single ordered ROWS window
+    is a bounded single-partition stage by design (same rule as the
+    prefix-sum samplers); every division is pinned with the portable
+    6 dp rounding, every sum is DECIMAL."""
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.groupBy(F.expr("ts_us DIV 3600000000").alias("hour_idx"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum")
+        )
+    )
+    dec = windows.seasonal_decompose(
+        hourly, "hour_idx", "value_sum", period=24, half_window=12, dp=6
+    )
+    return dec.select(
+        F.col("hour_idx").cast("long").alias("hour_idx"),
+        "value",
+        "trend",
+        "seasonal",
+        "residual",
+    )

@@ -2775,3 +2775,158 @@ SELECT value, exact_count, cm_estimate,
        CAST(cm_estimate - exact_count AS BIGINT) AS overcount
 FROM est
 """
+
+# CDC apply with deletes — mirrors sources/merge.py cdc_apply: per key the
+# highest-version row wins (change rows beat the snapshot on ties via the
+# src flag), and a winning 'D' tombstone removes the key.
+ORACLES["t_cdc_apply"] = """
+WITH snap AS (
+  SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS version, o_totalprice AS value,
+         'I' AS op, 0 AS src
+  FROM orders
+), ch AS (
+  SELECT l_orderkey AS k,
+         CAST(l_linenumber AS BIGINT) * 1000000000
+           + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10
+           + CASE WHEN l_returnflag = 'R' THEN 2
+                  WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS version,
+         l_extendedprice AS value,
+         CASE WHEN l_returnflag = 'R' THEN 'D'
+              WHEN l_returnflag = 'A' THEN 'U'
+              ELSE 'I' END AS op, 1 AS src
+  FROM lineitem
+), u AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM ch
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC, src DESC) AS rn
+  FROM u
+)
+SELECT k, version, op, CAST(value AS DOUBLE) AS value
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+# BPE encode — replays text_bpe_train's three merge rounds (same bounded
+# triple-replace fixpoint) carrying the raw word through, APPLIES the
+# third merge too (f4), then joins occurrences to the encoded vocab.
+ORACLES["text_bpe_encode"] = r"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+f1 AS (SELECT w, regexp_replace(w, '(.)', '|\1', 'g') || '|' AS form, wf FROM words),
+p1 AS (
+  SELECT t.toks[g.i] AS left_tok, t.toks[g.i + 1] AS right_tok,
+         CAST(sum(t.wf) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(form, '|'), x -> x <> '') AS toks, wf FROM f1) t,
+       UNNEST(range(1, len(t.toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b1 AS (SELECT left_tok, right_tok FROM p1
+       ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),
+m1 AS (SELECT '|' || left_tok || '|' || right_tok || '|' AS pat,
+              '|' || left_tok || right_tok || '|' AS rep FROM b1),
+f2 AS (SELECT w, replace(replace(replace(form, m.pat, m.rep), m.pat, m.rep), m.pat, m.rep) AS form, wf
+       FROM f1, m1 m),
+p2 AS (
+  SELECT t.toks[g.i] AS left_tok, t.toks[g.i + 1] AS right_tok,
+         CAST(sum(t.wf) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(form, '|'), x -> x <> '') AS toks, wf FROM f2) t,
+       UNNEST(range(1, len(t.toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b2 AS (SELECT left_tok, right_tok FROM p2
+       ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),
+m2 AS (SELECT '|' || left_tok || '|' || right_tok || '|' AS pat,
+              '|' || left_tok || right_tok || '|' AS rep FROM b2),
+f3 AS (SELECT w, replace(replace(replace(form, m.pat, m.rep), m.pat, m.rep), m.pat, m.rep) AS form, wf
+       FROM f2, m2 m),
+p3 AS (
+  SELECT t.toks[g.i] AS left_tok, t.toks[g.i + 1] AS right_tok,
+         CAST(sum(t.wf) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(form, '|'), x -> x <> '') AS toks, wf FROM f3) t,
+       UNNEST(range(1, len(t.toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b3 AS (SELECT left_tok, right_tok FROM p3
+       ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),
+m3 AS (SELECT '|' || left_tok || '|' || right_tok || '|' AS pat,
+              '|' || left_tok || right_tok || '|' AS rep FROM b3),
+f4 AS (SELECT w, replace(replace(replace(form, m.pat, m.rep), m.pat, m.rep), m.pat, m.rep) AS form, wf
+       FROM f3, m3 m),
+enc AS (
+  SELECT w, len(list_filter(string_split(form, '|'), x -> x <> '')) AS n_toks FROM f4
+),
+dw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_toks) AS BIGINT) AS n_bpe_tokens
+FROM dw d JOIN enc e USING (w)
+WHERE d.w <> ''
+GROUP BY d.doc_id
+"""
+
+
+# Inverted index — term stats before the postings cap, postings ordered
+# tf DESC then doc ASC, output = top-200 terms by (cf DESC, term ASC).
+ORACLES["text_inverted_index"] = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term FROM documents
+), tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY term, doc_id
+), stats AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df_docs,
+         CAST(sum(tf) AS BIGINT) AS cf,
+         array_to_string(
+           list_transform(
+             list_slice(list(doc_id ORDER BY tf DESC, doc_id ASC), 1, 5),
+             x -> CAST(x AS VARCHAR)),
+           ',') AS top_docs
+  FROM tf GROUP BY term
+)
+SELECT term, df_docs, cf, top_docs
+FROM stats WHERE df_docs >= 3
+ORDER BY cf DESC, term ASC LIMIT 200
+"""
+
+# Seasonal decomposition — mirrors operators/windows.py seasonal_decompose
+# exactly: DECIMAL window/group sums, every division pinned with the
+# portable floor(x*1e6 + 0.5)/1e6 rounding before reuse.
+ORACLES["ts_decompose"] = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+         SUM(CAST(value AS DECIMAL(18,2))) AS value_sum
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT hour_idx, value_sum,
+         floor(CAST(SUM(value_sum) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) * 1e6 + 0.5) / 1e6 AS trend
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_idx ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), det AS (
+  SELECT hour_idx, value_sum, trend,
+         CAST(floor((CAST(value_sum AS DOUBLE) - trend) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(28,6)) AS detr,
+         hour_idx % 24 AS phase
+  FROM tr
+), ph AS (
+  SELECT phase,
+         floor(CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS phase_mean
+  FROM det GROUP BY phase
+), gr AS (
+  SELECT floor(CAST(SUM(CAST(phase_mean AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS grand
+  FROM ph
+), sea AS (
+  SELECT phase, floor((phase_mean - grand) * 1e6 + 0.5) / 1e6 AS seasonal
+  FROM ph, gr
+)
+SELECT d.hour_idx, CAST(d.value_sum AS DOUBLE) AS value, d.trend, s.seasonal,
+       floor((CAST(d.value_sum AS DOUBLE) - d.trend - s.seasonal) * 1e6 + 0.5) / 1e6
+         AS residual
+FROM det d JOIN sea s ON d.phase = s.phase
+"""

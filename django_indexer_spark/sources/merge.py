@@ -105,3 +105,57 @@ def merge_statement(
         + matched
         + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    natural_key: list[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change log (insert/update/DELETE ops) to a snapshot —
+    ``upsert`` extended with tombstones. The reference only ever upserts
+    (utils.py:978-982 update_or_create has no delete path); a lakehouse
+    sink replaying an external CDC feed (Debezium-style op column) also
+    needs deletes, so this is the S3 sink completed for removals.
+
+    Rules (all arrival-order independent, so the log may be replayed,
+    reordered, or split across batches — same idempotence contract as
+    ``upsert``):
+    - per natural key, the HIGHEST ``version_col`` row wins (change rows
+      beat snapshot rows on equal versions);
+    - if the winner's ``op_col`` equals ``delete_op`` the key is absent
+      from the result (tombstone) — a later-versioned insert resurrects
+      it, an earlier one stays dead, exactly as MERGE INTO ... WHEN
+      MATCHED AND s.op = 'D' THEN DELETE composes with last-writer-wins;
+    - any other op value is an upsert carrying the full row.
+
+    ``snapshot`` must NOT have ``op_col`` (its rows are implicit upserts
+    at their own version); ``changes`` must. Scale: ONE shuffle on the
+    natural key — identical to the MERGE join; tombstoned keys cost one
+    winner row each, no second pass.
+    """
+    if snapshot is not None and op_col in snapshot.columns:
+        raise ValueError(
+            f"snapshot already has op column {op_col!r} — snapshot rows "
+            "are implicit upserts; rename or drop it"
+        )
+    if op_col not in changes.columns:
+        raise ValueError(f"changes is missing op column {op_col!r}")
+    ch = changes.withColumn("__src", F.lit(1))
+    if snapshot is None:
+        all_rows = ch
+    else:
+        all_rows = snapshot.withColumn(op_col, F.lit("I")).withColumn(
+            "__src", F.lit(0)
+        ).unionByName(ch)
+    w = Window.partitionBy(*natural_key).orderBy(
+        F.col(version_col).desc_nulls_last(), F.col("__src").desc()
+    )
+    return (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn", "__src")
+    )

@@ -1814,3 +1814,163 @@ def test_extract_features_jpeg_header_dims(spark):
     assert (feats[1]["width"], feats[1]["height"], feats[1]["decoded"]) == (320, 200, False)
     w, h = mm.fake_decode_meta(b"not an image at all")
     assert (feats[2]["width"], feats[2]["height"], feats[2]["decoded"]) == (w, h, False)
+
+
+# --- cdc_apply (sources/merge.py) ----------------------------------------
+
+
+def _cdc_frames(spark):
+    snap = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 0, "c")],
+        "k long, version long, val string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 2, "a2", "U"),   # plain update wins over snapshot
+            (2, 1, "b-dead", "D"),  # tombstone removes key 2
+            (3, 1, "c-dead", "D"),  # tombstone...
+            (3, 2, "c2", "I"),      # ...resurrected by later insert
+            (4, 1, "d", "I"),       # brand-new key
+            (5, 1, "e-dead", "D"),  # tombstone for a key with no snapshot
+        ],
+        "k long, version long, val string, op string",
+    )
+    return snap, changes
+
+
+def test_cdc_apply_tombstones_and_resurrection(spark):
+    from django_indexer_spark.sources.merge import cdc_apply
+
+    snap, changes = _cdc_frames(spark)
+    out = {r["k"]: r for r in cdc_apply(snap, changes, ["k"], "version").collect()}
+    assert set(out) == {1, 3, 4}          # 2 and 5 tombstoned
+    assert out[1]["val"] == "a2"
+    assert out[3]["val"] == "c2"          # delete then later insert -> alive
+    assert out[4]["val"] == "d"
+
+
+def test_cdc_apply_order_independent_and_replay_idempotent(spark):
+    from django_indexer_spark.sources.merge import cdc_apply
+
+    snap, changes = _cdc_frames(spark)
+    base = sorted(
+        r.asDict().items().__str__()
+        for r in cdc_apply(snap, changes, ["k"], "version").collect()
+    )
+    # replayed (duplicated) log and no-snapshot application agree
+    replayed = sorted(
+        r.asDict().items().__str__()
+        for r in cdc_apply(snap, changes.unionByName(changes), ["k"], "version").collect()
+    )
+    assert base == replayed
+    no_snap = cdc_apply(None, changes, ["k"], "version")
+    assert {r["k"] for r in no_snap.collect()} == {1, 3, 4}
+
+
+def test_cdc_apply_rejects_op_collision(spark):
+    import pytest as _pytest
+
+    from django_indexer_spark.sources.merge import cdc_apply
+
+    snap, changes = _cdc_frames(spark)
+    with _pytest.raises(ValueError):
+        cdc_apply(snap.withColumn("op", F.lit("I")), changes, ["k"], "version")
+    with _pytest.raises(ValueError):
+        cdc_apply(snap, changes.drop("op"), ["k"], "version")
+
+
+# --- inverted_index (operators/text.py) ----------------------------------
+
+
+def test_inverted_index_stats_and_postings(spark):
+    from django_indexer_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r["term"]: r for r in inverted_index(docs, "doc_id", "text").collect()}
+    assert idx["apple"]["df_docs"] == 2 and idx["apple"]["cf"] == 3
+    assert idx["banana"]["df_docs"] == 3 and idx["banana"]["cf"] == 5
+    # postings ordered tf DESC then doc ASC
+    assert [(p["doc"], p["tf"]) for p in idx["banana"]["postings"]] == [
+        (3, 3), (1, 1), (2, 1),
+    ]
+    # cap truncates postings but NOT the stats
+    capped = {
+        r["term"]: r
+        for r in inverted_index(docs, "doc_id", "text", postings_cap=1).collect()
+    }
+    assert [(p["doc"], p["tf"]) for p in capped["banana"]["postings"]] == [(3, 3)]
+    assert capped["banana"]["df_docs"] == 3 and capped["banana"]["cf"] == 5
+    # min_df filter
+    filtered = inverted_index(docs, "doc_id", "text", min_df=3)
+    assert {r["term"] for r in filtered.collect()} == {"banana"}
+
+
+# --- seasonal_decompose (operators/windows.py) ---------------------------
+
+
+def test_seasonal_decompose_reconstructs_and_centers(spark):
+    from django_indexer_spark.operators.windows import seasonal_decompose
+
+    # trend 10*t plus a period-4 seasonal pattern
+    pattern = [5.0, -2.0, -1.0, -2.0]
+    rows_in = [
+        (t, round(10.0 * t + pattern[t % 4], 2)) for t in range(40)
+    ]
+    series = spark.createDataFrame(rows_in, "bucket long, v double").select(
+        "bucket", F.col("v").cast("decimal(18,2)").alias("v")
+    )
+    out = seasonal_decompose(series, "bucket", "v", period=4, half_window=4).collect()
+    assert len(out) == 40
+    for r in out:
+        # decomposition identity holds to the 6-dp pin
+        assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["residual"])) < 2e-6
+    # interior buckets (full +-4 window): residual is small vs the signal
+    interior = [r for r in out if 8 <= r["bucket"] < 32]
+    assert max(abs(r["residual"]) for r in interior) < 1.5
+    # seasonal is centered: per-period phases sum to ~0
+    phases = {}
+    for r in out:
+        phases[r["bucket"] % 4] = r["seasonal"]
+    assert abs(sum(phases.values())) < 1e-4
+
+
+# --- bpe_vocab_tokenize (operators/text.py) ------------------------------
+
+
+def test_bpe_vocab_tokenize_matches_local_trainer(spark):
+    from django_indexer_spark.operators.text import (
+        bpe_train_merges_local,
+        bpe_vocab_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the theme thesis"), (2, "the other theory"), (3, "then the the")],
+        "doc_id long, text string",
+    )
+    enc = {r["w"]: r for r in bpe_vocab_tokenize(docs, "text", rounds=3).collect()}
+    # replay the same 3 merges driver-side and re-encode by hand
+    merges = [
+        (r["left_tok"], r["right_tok"])
+        for r in bpe_train_merges_local(docs, "text", rounds=3).collect()
+    ]
+    for w, row in enc.items():
+        toks = list(w)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        assert row["bpe_tokens"].split(" ") == toks, w
+        assert row["n_bpe_tokens"] == len(toks)

@@ -375,3 +375,67 @@ def k_core(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
         und.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (Raghavan et al. 2007) — community
+    detection over an undirected edge list, the denser-than-components
+    grouping (CC merges anything connected; LPA groups around local
+    majority structure). Deterministic by construction: every node
+    starts labeled with its own id, and each round EVERY node
+    simultaneously adopts the most frequent label among its NEIGHBORS
+    (count DESC, then label ASC on ties; a node with no neighbors keeps
+    its label). Classic async LPA is order-dependent — the synchronous
+    fixed-round form trades faster convergence for replayability, which
+    is exactly what lets a SQL oracle replay each round.
+
+    ``rounds`` is fixed (synchronous LPA can oscillate on bipartite
+    structure rather than converge, so production runs pick a small
+    fixed count anyway). Per round: one edge⋈labels shuffle join + one
+    (node,label) count + one top-1 window — all keyed on node ids,
+    shuffle width sized from the edge count like connected_components;
+    per-round cut_lineage keeps the plan linear in rounds.
+
+    Returns (id, label) for every node appearing in ``edges``."""
+    from pyspark.sql.window import Window
+
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    n_sym = sym.count()
+
+    spark = edges.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(1, min(int(prev_width), -(-n_sym // ROWS_PER_PARTITION)))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        labels = cut_lineage(
+            sym.select(F.col("a").alias("id")).distinct().withColumn(
+                "label", F.col("id")
+            )
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("n"), F.asc("label"))
+        for _ in range(rounds):
+            counts = (
+                sym.join(labels.select(F.col("id").alias("b"), "label"), "b")
+                .groupBy("a", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            top = (
+                counts.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("a").alias("id"), F.col("label").alias("new_label"))
+            )
+            labels = cut_lineage(
+                labels.join(top, "id", "left").select(
+                    "id", F.coalesce("new_label", "label").alias("label")
+                )
+            )
+        return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        sym.unpersist()

@@ -203,3 +203,76 @@ def cm_error_profile(
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_count")).cast("long").alias("overcount"),
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV SET-OPERATION estimates (Beyer et al., SIGMOD 2007): union
+    and intersection cardinality of two key sets from one merged k-min
+    sketch — the mergeable form a 1000-executor rollup combines, and
+    the standard pre-join cardinality probe (estimate |A ∩ B| before
+    paying for the join).
+
+    Construction: hash both sides with the SAME salted md5 fraction as
+    ``kmv_distinct_estimate`` (52-bit fold — exact in a double on any
+    engine), take the k smallest DISTINCT fractions of the UNION with
+    per-value membership flags. For a value among the union's k minima,
+    being in side X's own k-min sketch is equivalent to being in X at
+    all (it has < k union values below it, so < k X-values), so the
+    merged sketch carries exact membership — no second pass.
+
+    Estimators (K = merged sketch, f_k = its largest fraction,
+    ρ = |{v ∈ K : v ∈ A and v ∈ B}| / |K|):
+    - est_union = (k-1)/f_k, or the exact count if |K| < k;
+    - est_intersection = ρ · est_union (exact n_both when |K| < k).
+
+    One uniform-key shuffle on the hashed value, O(k) final state.
+    All arithmetic after the order statistic is IEEE double pinned to
+    4 dp with the portable rounding — bit-identical cross-engine.
+    Returns one row: (n_kept, n_both, est_union, est_intersection)."""
+
+    def frac(c: str) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(c).cast("string")))
+        return F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast(
+            "double"
+        ) / F.lit(float(16**13))
+
+    tagged = (
+        df_a.select(frac(col_a).alias("f"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .filter(F.col("f").isNotNull())
+        .unionByName(
+            df_b.select(
+                frac(col_b).alias("f"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            ).filter(F.col("f").isNotNull())
+        )
+    )
+    merged = (
+        tagged.groupBy("f")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("f")
+        .limit(k)
+    )
+
+    def _r4(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    n = F.count(F.lit(1))
+    n_both = F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+    est_union = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.max("f")
+    )
+    est_inter = F.when(n < k, n_both.cast("double")).otherwise(
+        (n_both.cast("double") / n.cast("double")) * (F.lit(float(k - 1)) / F.max("f"))
+    )
+    return merged.agg(
+        n.cast("long").alias("n_kept"),
+        n_both.cast("long").alias("n_both"),
+        _r4(est_union).alias("est_union"),
+        _r4(est_inter).alias("est_intersection"),
+    )

@@ -925,3 +925,50 @@ def inverted_index(
     if min_df > 1:
         out = out.filter(F.col("df_docs") >= min_df)
     return out
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, dp: int = 6
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF (tf · ln(N/df)) — the
+    classic keyword extractor beside bm25_scores (which ranks DOCS for a
+    query; this ranks TERMS within a doc). Returns (id, term, tfidf,
+    rk), rk 1..k ordered score DESC then term ASC.
+
+    Determinism: tf and df are exact longs; ln() is the one
+    engine-library call — its double is pinned with the portable dp
+    rounding immediately after the multiply, and rank ties (equal
+    (tf, df)) break on the term string, so the cross-engine risk
+    surface is a score landing within one ulp of a half at 10^-dp —
+    probed green on the fixtures at every sf. Two uniform-key shuffles
+    ((doc,term) then term), window per doc; N is a broadcast scalar."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    pow10 = float(10**dp)
+    score = F.floor(
+        F.col("tf").cast("double")
+        * F.log(F.col("__n").cast("double") / F.col("df_docs").cast("double"))
+        * F.lit(pow10)
+        + F.lit(0.5)
+    ) / F.lit(pow10)
+    w = Window.partitionBy("__doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("__doc").alias(id_col),
+            "term",
+            "tfidf",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -3830,3 +3830,188 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         "residual",
     )
+
+
+@query("graph_label_prop")
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the minhash-LSH
+    candidate-pair graph (operators/graph.py:label_propagation) — the
+    local-majority grouping next to dedup_clusters' transitive closure
+    (CC merges anything connected; LPA keeps dense neighborhoods
+    together). Two fixed synchronous rounds, mode-of-neighbors with
+    (count DESC, label ASC) tie-break — deterministic, so the oracle
+    replays both rounds as windowed SQL. Same edge plumbing and
+    edge-count-sized shuffles as the CC gates."""
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        expand_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = dedup.minhash_candidate_pairs(bands, "doc_id")
+    labels = graph.label_propagation(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        rounds=2,
+    )
+    return labels.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("label"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("community_size"),
+    )
+
+
+@query("a_kmv_setops")
+def a_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV union/intersection estimates between the order-placing
+    custkeys and the full customer key set, beside the exact answers
+    (operators/sketches.py:kmv_set_estimates — Beyer et al. 2007).
+    The pre-join cardinality probe as a first-class gate: one merged
+    256-min md5 sketch, membership carried per value, estimators pinned
+    with portable 4 dp rounding — oracle-exact, unlike any
+    engine-private sketch."""
+    from ..operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    est = sketches.kmv_set_estimates(orders, "o_custkey", cust, "c_custkey", k=256)
+    exact = orders.select(F.col("o_custkey").alias("ck")).unionByName(
+        cust.select(F.col("c_custkey").alias("ck"))
+    ).agg(F.count_distinct("ck").cast("long").alias("exact_union")).crossJoin(
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_semi"
+        ).agg(F.count_distinct("o_custkey").cast("long").alias("exact_intersection"))
+    )
+    return est.crossJoin(exact)
+
+
+@query("text_tfidf_keywords")
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/text.py:
+    tfidf_topk) — keyword extraction beside BM25's doc ranking. tf/df
+    exact longs, ln() pinned at 6 dp immediately after the multiply,
+    rank ties break on the term string."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+@query("s_stream_cdc_apply")
+def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CDC apply on real micro-batches: the t_cdc_apply
+    change log split into two halves consumed as genuine foreachBatch
+    batches, folding per-batch into versioned state with TOMBSTONES
+    RETAINED (sources/merge.py:cdc_apply retain_tombstones=True). The
+    gate pins the associativity invariant that makes incremental CDC
+    correct: fold(batch1) then fold(batch2) == apply(whole log) — which
+    holds ONLY because winning deletes stay in state (dropping them
+    would let batch-2's earlier-versioned upserts resurrect deleted
+    keys: the classic CDC compaction bug, unit-tested in
+    tests/test_operators.py). Oracle = t_cdc_apply's one-shot SQL.
+    Same versioned-state + checkpoint replay shape as
+    s_stream_exact_dedup; final read filters tombstones."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources.merge import cdc_apply
+
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    in_dir = f"{work}/in"
+    state_dir = f"{work}/state"
+    ckpt = f"{work}/ckpt"
+    _os.makedirs(in_dir)
+
+    li = _t(spark, sf_dir, "lineitem")
+    # split on linenumber: batch 1 carries early ops (incl. deletes later
+    # overridden in batch 2), batch 2 carries later ops (incl. deletes of
+    # keys batch 1 upserted) — both cross-batch directions exercised
+    halves = [
+        li.filter(F.col("l_linenumber") <= 2),
+        li.filter(F.col("l_linenumber") > 2),
+    ]
+    for i, h in enumerate(halves):
+        stage = f"{work}/stage{i}"
+        h.coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    snap_changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).cast("long").alias("version"),
+        F.col("o_totalprice").alias("value"),
+        F.lit("I").alias("op"),
+    )
+
+    def to_changes(batch_df: DataFrame) -> DataFrame:
+        c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        oc = (
+            F.when(F.col("l_returnflag") == "R", F.lit(2))
+            .when(F.col("l_returnflag") == "A", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return batch_df.select(
+            F.col("l_orderkey").alias("k"),
+            (
+                F.col("l_linenumber").cast("long") * F.lit(1_000_000_000)
+                + c * 10
+                + oc
+            ).alias("version"),
+            F.col("l_extendedprice").alias("value"),
+            F.when(F.col("l_returnflag") == "R", F.lit("D"))
+            .when(F.col("l_returnflag") == "A", F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        prev = (
+            spark.read.parquet(f"{state_dir}/v{batch_id - 1}")
+            if batch_id > 0
+            else snap_changes
+        )
+        new_state = cdc_apply(
+            None,
+            prev.unionByName(to_changes(batch_df)),
+            ["k"],
+            "version",
+            retain_tombstones=True,
+        )
+        new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    stream = (
+        spark.readStream.schema(halves[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    with _scoped_shuffle_width(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+    versions = sorted(
+        _glob.glob(f"{state_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[-1])
+    )
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            f"cdc streaming gate timed out after 120s with {len(versions)} versions"
+        )
+    if not versions:
+        raise RuntimeError("cdc streaming gate produced no state versions")
+    return (
+        spark.read.parquet(versions[-1])
+        .filter(F.col("op") != "D")
+        .select("k", "version", "op", F.col("value").cast("double").alias("value"))
+    )

@@ -2930,3 +2930,115 @@ SELECT d.hour_idx, CAST(d.value_sum AS DOUBLE) AS value, d.trend, s.seasonal,
          AS residual
 FROM det d JOIN sea s ON d.phase = s.phase
 """
+
+# streaming incremental CDC == one-shot batch CDC (fold associativity
+# with retained tombstones) — the oracle IS the batch query's SQL
+ORACLES["s_stream_cdc_apply"] = ORACLES["t_cdc_apply"]
+
+
+def _kmv_fold_expr(expr: str) -> str:
+    """13-hex-digit (52-bit, double-exact) fold of md5('kmv:'||expr) —
+    the generic form of _KMV_FOLD for arbitrary value expressions."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 14), "
+        "i -> (strpos('0123456789abcdef', "
+        f"substr(md5('kmv:' || {expr}), i, 1)) - 1)::BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+# KMV set ops — mirrors sketches.kmv_set_estimates: merged 256-min sketch
+# with per-value membership, (k-1)/f_k union, rho-scaled intersection,
+# portable 4dp pin; exacts computed directly.
+ORACLES["a_kmv_setops"] = f"""
+WITH ha AS (
+  SELECT DISTINCT {_kmv_fold_expr("CAST(o_custkey AS VARCHAR)")}::DOUBLE
+                  / 4503599627370496.0 AS f
+  FROM orders
+), hb AS (
+  SELECT DISTINCT {_kmv_fold_expr("CAST(c_custkey AS VARCHAR)")}::DOUBLE
+                  / 4503599627370496.0 AS f
+  FROM customer
+), u AS (
+  SELECT f, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT f, 1 AS in_a, 0 AS in_b FROM ha
+    UNION ALL
+    SELECT f, 0 AS in_a, 1 AS in_b FROM hb
+  ) GROUP BY f
+), merged AS (
+  SELECT * FROM u ORDER BY f LIMIT 256
+), sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         floor((CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                     ELSE 255.0 / max(f) END) * 1e4 + 0.5) / 1e4 AS est_union,
+         floor((CASE WHEN count(*) < 256 THEN sum(in_a * in_b)::DOUBLE
+                     ELSE (sum(in_a * in_b)::DOUBLE / count(*)::DOUBLE)
+                          * (255.0 / max(f)) END) * 1e4 + 0.5) / 1e4
+           AS est_intersection
+  FROM merged
+)
+SELECT n_kept, n_both, est_union, est_intersection,
+       (SELECT CAST(count(DISTINCT ck) AS BIGINT) FROM (
+          SELECT o_custkey AS ck FROM orders
+          UNION ALL SELECT c_custkey AS ck FROM customer)) AS exact_union,
+       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS exact_intersection
+FROM sk
+"""
+
+# TF-IDF keywords — tf/df exact longs, ln pinned at 6dp after the
+# multiply, (tfidf DESC, term ASC) rank, top 3 per doc.
+ORACLES["text_tfidf_keywords"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfq.df_docs::DOUBLE)
+               * 1e6 + 0.5) / 1e6 AS tfidf
+  FROM tf JOIN dfq USING (term), n
+)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM s
+) WHERE rk <= 3
+"""
+
+# synchronous LPA — replay of exactly 2 mode-of-neighbors rounds over the
+# (distinct, symmetrized) LSH candidate-pair graph; community_size from
+# the final labels.
+ORACLES["graph_label_prop"] = f"""
+WITH pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+m1 AS (
+  SELECT e.a, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM edges e JOIN l0 l ON l.id = e.b GROUP BY e.a, l.label
+),
+l1 AS (
+  SELECT a AS id, label FROM m1
+  QUALIFY row_number() OVER (PARTITION BY a ORDER BY n DESC, label ASC) = 1
+),
+m2 AS (
+  SELECT e.a, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM edges e JOIN l1 l ON l.id = e.b GROUP BY e.a, l.label
+),
+l2 AS (
+  SELECT a AS id, label FROM m2
+  QUALIFY row_number() OVER (PARTITION BY a ORDER BY n DESC, label ASC) = 1
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l2
+"""

@@ -114,12 +114,24 @@ def cdc_apply(
     version_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    retain_tombstones: bool = False,
 ) -> DataFrame:
     """Apply a CDC change log (insert/update/DELETE ops) to a snapshot —
     ``upsert`` extended with tombstones. The reference only ever upserts
     (utils.py:978-982 update_or_create has no delete path); a lakehouse
     sink replaying an external CDC feed (Debezium-style op column) also
     needs deletes, so this is the S3 sink completed for removals.
+
+    ``retain_tombstones`` keeps winning delete rows IN the result
+    (op = delete_op) instead of dropping them. An INCREMENTAL consumer
+    that folds the log batch-by-batch MUST retain them in its state:
+    dropping a tombstone between batches lets a LATER-ARRIVING,
+    earlier-versioned upsert resurrect the key (the classic CDC
+    compaction bug). With tombstones retained, per-key top-1-by-version
+    is associative — fold(any batch split) == apply(whole log) — and
+    readers filter ``op != delete_op`` at query time (see the
+    ``s_stream_cdc_apply`` gate, which proves the invariance on real
+    micro-batches).
 
     Rules (all arrival-order independent, so the log may be replayed,
     reordered, or split across batches — same idempotence contract as
@@ -154,8 +166,11 @@ def cdc_apply(
     w = Window.partitionBy(*natural_key).orderBy(
         F.col(version_col).desc_nulls_last(), F.col("__src").desc()
     )
+    keep = F.col("__rn") == 1
+    if not retain_tombstones:
+        keep = keep & (F.col(op_col) != delete_op)
     return (
         all_rows.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .filter(keep)
         .drop("__rn", "__src")
     )

@@ -1974,3 +1974,149 @@ def test_bpe_vocab_tokenize_matches_local_trainer(spark):
             toks = out
         assert row["bpe_tokens"].split(" ") == toks, w
         assert row["n_bpe_tokens"] == len(toks)
+
+
+# --- label_propagation (operators/graph.py) ------------------------------
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from django_indexer_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA keeps them as two
+    # communities (CC would merge everything into one component).
+    # 3 synchronous rounds settle this shape (hand-traced).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["label"] for r in label_propagation(edges, rounds=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    left = {out[1], out[2], out[3]}
+    right = {out[4], out[5], out[6]}
+    # each triangle converges onto one label; the two differ
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_isolated_pair_and_determinism(spark):
+    from django_indexer_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(10, 20)], "src long, dst long")
+    out = {r["id"]: r["label"] for r in label_propagation(edges, rounds=2).collect()}
+    # a single edge: each node's only neighbor label propagates; after 2
+    # synchronous rounds labels swap back to the start (oscillation is
+    # the documented fixed-round behavior, deterministically)
+    assert out == {10: 10, 20: 20}
+    out1 = {r["id"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
+    assert out1 == {10: 20, 20: 10}
+
+
+# --- kmv_set_estimates (operators/sketches.py) ---------------------------
+
+
+def test_kmv_set_estimates_small_sets_exact(spark):
+    from django_indexer_spark.operators.sketches import kmv_set_estimates
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(30, 80)], "v long")
+    row = kmv_set_estimates(a, "v", b, "v", k=256).collect()[0]
+    # fewer than k distinct union values -> the sketch IS the set
+    assert row["n_kept"] == 80
+    assert row["n_both"] == 20
+    assert row["est_union"] == 80.0
+    assert row["est_intersection"] == 20.0
+
+
+def test_kmv_set_estimates_large_sets_within_rtol(spark):
+    from django_indexer_spark.operators.sketches import kmv_set_estimates
+
+    a = spark.createDataFrame([(i,) for i in range(4000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "v long")
+    row = kmv_set_estimates(a, "v", b, "v", k=256).collect()[0]
+    assert row["n_kept"] == 256
+    # k=256 -> rse ~ 1/sqrt(k) ~ 6%; allow 4 sigma
+    assert abs(row["est_union"] - 6000) / 6000 < 0.25
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.5
+
+
+# --- tfidf_topk (operators/text.py) --------------------------------------
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    import math
+
+    from django_indexer_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra"),
+            (2, "common yak"),
+            (3, "common xerus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["tfidf"]))
+    # 'common' has df=3 -> idf 0 -> never outranks the distinctive term
+    assert sorted(by_doc[1])[0][1] == "zebra"
+    want = math.floor(2 * math.log(3 / 1) * 1e6 + 0.5) / 1e6
+    assert sorted(by_doc[1])[0][2] == want
+    assert sorted(by_doc[2])[0][1] == "yak"
+    # ranks are 1..k and 'common' scores exactly 0.0
+    for doc, rows_ in by_doc.items():
+        assert [rk for rk, _, _ in sorted(rows_)] == list(range(1, len(rows_) + 1))
+        assert dict((t, s) for _, t, s in rows_).get("common", 0.0) == 0.0
+
+
+# --- cdc_apply tombstone retention / associativity -----------------------
+
+
+def test_cdc_apply_incremental_fold_matches_batch(spark):
+    """Split-invariance ONLY holds with retained tombstones — the exact
+    invariant the s_stream_cdc_apply gate pins on real micro-batches,
+    here property-checked across several splits, including the
+    resurrection-hazard split (delete in part 1, earlier-versioned
+    upsert in part 2)."""
+    from django_indexer_spark.sources.merge import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 0, "a", "I"), (2, 0, "b", "I")],
+        "k long, version long, val string, op string",
+    )
+    log = [
+        (1, 5, "x", "D"),   # delete at v5 ...
+        (1, 3, "y", "U"),   # ... must NOT be resurrected by this v3 update
+        (2, 2, "z", "U"),
+        (3, 1, "w", "I"),
+        (3, 2, "w2", "D"),
+        (3, 3, "w3", "I"),  # delete then re-insert -> alive
+    ]
+    schema = "k long, version long, val string, op string"
+    whole = cdc_apply(
+        None, snap.unionByName(spark.createDataFrame(log, schema)),
+        ["k"], "version", retain_tombstones=True,
+    )
+    batch_final = sorted(
+        (r["k"], r["version"], r["val"], r["op"])
+        for r in whole.filter(F.col("op") != "D").collect()
+    )
+    assert [k for k, *_ in batch_final] == [2, 3]
+    for cut in (1, 2, 3, 5):
+        p1 = spark.createDataFrame(log[:cut], schema)
+        p2 = spark.createDataFrame(log[cut:], schema)
+        state = cdc_apply(None, snap.unionByName(p1), ["k"], "version",
+                          retain_tombstones=True)
+        state = cdc_apply(None, state.unionByName(p2), ["k"], "version",
+                          retain_tombstones=True)
+        inc = sorted(
+            (r["k"], r["version"], r["val"], r["op"])
+            for r in state.filter(F.col("op") != "D").collect()
+        )
+        assert inc == batch_final, f"cut={cut}"
+        # and WITHOUT retention the hazard split resurrects key 1
+    p1 = spark.createDataFrame(log[:1], schema)  # just the v5 delete
+    p2 = spark.createDataFrame(log[1:], schema)
+    naive = cdc_apply(None, snap.unionByName(p1), ["k"], "version")
+    naive = cdc_apply(None, naive.unionByName(p2), ["k"], "version")
+    assert 1 in {r["k"] for r in naive.collect()}  # the bug, demonstrated

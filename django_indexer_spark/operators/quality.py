@@ -343,3 +343,49 @@ def sequence_gaps(
         .filter(F.col("gap") > 1)
         .select("prev_key", "next_key", "gap")
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group winsorization report: clip ``value_col`` to the group's
+    exact [lo, hi] interpolated percentiles and compare the raw vs the
+    winsorized sum — the standard outlier-robustness pass a feature
+    pipeline runs before normalizing a skewed metric (the declarative
+    twin of the reference's ad-hoc NULL/zero guards around USD totals,
+    tasks.py:203-212).
+
+    Scale design: two shuffles on the SAME group key — one exact
+    percentile aggregate (per-group sort; at 100 TB swap for
+    approx_percentile exactly as a_approx_percentile_bound documents),
+    then the tiny bounds relation broadcasts back onto the fact scan for
+    the clip + one re-aggregate. Sums fold DECIMAL(38,6) of the 6-dp
+    rounded values, so they are order-independent and engine-exact;
+    the output casts back to double.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(v, lo).alias("__lo"),
+        F.percentile(v, hi).alias("__hi"),
+    )
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    dec = lambda c: F.round(c, round_dp).cast("decimal(38,6)")  # noqa: E731
+    out = (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(v < F.col("__lo"), 1).otherwise(0)).alias("n_clipped_lo"),
+            F.sum(F.when(v > F.col("__hi"), 1).otherwise(0)).alias("n_clipped_hi"),
+            F.round(F.min("__lo"), round_dp).alias("lo_bound"),
+            F.round(F.min("__hi"), round_dp).alias("hi_bound"),
+            F.sum(dec(v)).cast("double").alias("sum_raw"),
+            F.sum(dec(clamped)).cast("double").alias("sum_winsorized"),
+        )
+    )
+    return out

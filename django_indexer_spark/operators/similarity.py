@@ -926,3 +926,57 @@ def pq_recall(
             .alias("recall_bp"),
         )
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    band_lo: float = 0.2,
+    band_hi: float = 0.8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k corpus vectors whose cosine falls in [band_lo, band_hi) —
+    similar enough to be informative, dissimilar enough to not be a
+    positive/near-duplicate (those sit above band_hi and are the
+    dedup family's business).
+
+    Scale design: identical to cosine_topk — anchors broadcast, the
+    corpus never shuffles, the band filter runs before the per-anchor
+    row_number window so only in-band pairs reach the (tiny) rank
+    shuffle. At 100 TB the exact scan swaps for any of the bucketed
+    ANN paths (lsh/ivf/pq) feeding the same band filter.
+    """
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ),
+        )
+        .filter((F.col("cosine") >= band_lo) & (F.col("cosine") < band_hi))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )

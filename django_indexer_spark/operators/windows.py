@@ -318,3 +318,84 @@ def seasonal_decompose(
         ),
     )
     return out
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    value_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback: int,
+) -> DataFrame:
+    """First/last-touch marketing attribution: for every conversion
+    event, the earliest and the latest touch event of the same user
+    inside the ``lookback`` window strictly before the conversion.
+
+    Extension class: the reference records activities and reads them
+    back as flat lists (activities/models.py:20-75); attribution is the
+    standard analytical question asked of exactly that event log.
+
+    Scale design: ONE user-partitioned shuffle. Touches and conversions
+    ride the same RANGE-frame window pass — each row carries a
+    lexicographically ordered key ``lpad(ts)||lpad(id)||type`` (NULL for
+    non-touch rows, so min/max ignore them), and the first/last touch
+    inside ``(ts - lookback, ts)`` fall out of min/max over
+    ``rangeBetween(-lookback, -1)``. No self-join, no per-conversion
+    probe; per-user window state is bounded by the lookback horizon.
+    The string key round-trips exactly on any engine (fixed-width
+    zero-padded decimal), which is what makes the gate hash-checkable.
+
+    ``ts_col`` must be a monotonic integer timestamp (e.g. µs since
+    epoch) — RANGE frames need numeric order, and the key padding
+    assumes non-negative values.
+    """
+    key = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.concat(
+            F.lpad(F.col(ts_col).cast("string"), 20, "0"),
+            F.lpad(F.col(id_col).cast("string"), 10, "0"),
+            F.col(type_col),
+        ),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rangeBetween(-int(lookback), -1)
+    )
+    marked = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+        F.col(value_col),
+        F.min(key).over(w).alias("__first"),
+        F.max(key).over(w).alias("__last"),
+    )
+
+    def _decode(src: str, what: str) -> Column:
+        if what == "ts":
+            return F.substring(src, 1, 20).cast("long")
+        if what == "id":
+            return F.substring(src, 21, 10).cast("long")
+        return F.col(src).substr(F.lit(31), F.length(F.col(src)) - 30)
+
+    return (
+        marked.filter(
+            (F.col(type_col) == conversion_type) & F.col("__first").isNotNull()
+        )
+        .select(
+            F.col(user_col),
+            F.col(id_col).alias("conversion_id"),
+            F.col(ts_col).alias("conversion_ts"),
+            F.col(value_col).cast("double").alias("conversion_value"),
+            _decode("__first", "id").alias("first_touch_id"),
+            _decode("__first", "type").alias("first_touch_type"),
+            _decode("__last", "id").alias("last_touch_id"),
+            _decode("__last", "type").alias("last_touch_type"),
+            (F.col(ts_col) - _decode("__last", "ts")).alias("last_touch_gap"),
+        )
+    )

@@ -4015,3 +4015,55 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("k", "version", "op", F.col("value").cast("double").alias("value"))
     )
+
+
+@query("ts_attribution")
+def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution over the event log: every purchase
+    attributed to the earliest and latest click/view of the same user
+    inside a 7-day lookback (extension: the analytical question asked
+    of the reference's activity log, activities/models.py:20-75). ONE
+    user-partitioned RANGE-frame window pass — no self-join, no
+    per-conversion probe; the zero-padded ``ts||id||type`` key makes
+    min/max pick the boundary touches engine-portably."""
+    from ..operators.windows import touch_attribution
+
+    e = _events(spark, sf_dir)
+    return touch_attribution(
+        e,
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        "value",
+        touch_types=["click", "view"],
+        conversion_type="purchase",
+        lookback=604_800_000_000,
+    )
+
+
+@query("qa_winsorize")
+def qa_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization report on the event value: clip to the
+    exact [p05, p95] interpolated percentiles and compare raw vs
+    winsorized sums (DECIMAL(38,6) folds of 6-dp-rounded values — order
+    independent, engine-exact). The outlier-robustness pass before any
+    normalization; at 100 TB the exact percentile swaps for the
+    approx_percentile sketch per a_approx_percentile_bound."""
+    from ..operators.quality import winsorize_stats
+
+    e = _events(spark, sf_dir)
+    return winsorize_stats(e, "event_type", "value", lo=0.05, hi=0.95)
+
+
+@query("sim_hard_negatives")
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id < 8), top-5 corpus vectors with cosine in [0.2, 0.6) —
+    informative-but-not-positive pairs. Anchors broadcast, corpus never
+    shuffles, band filter runs before the per-anchor rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.hard_negatives(
+        q, emb, "vec_id", "vec_id", "embedding", k=5, band_lo=0.2, band_hi=0.6
+    )

@@ -3042,3 +3042,80 @@ SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
        CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
 FROM l2
 """
+
+
+# ts_attribution — same zero-padded ts||id||type key and RANGE frame as
+# operators/windows.py touch_attribution; min/max ignore the NULL key on
+# non-touch rows in both engines.
+_ATTR_KEY = (
+    "CASE WHEN event_type IN ('click','view') THEN "
+    "lpad(CAST(ts_us AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 10, '0') || event_type END"
+)
+
+ORACLES["ts_attribution"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+), m AS (
+  SELECT user_id, event_id, ts_us, event_type, value,
+         min({_ATTR_KEY}) OVER w AS fk,
+         max({_ATTR_KEY}) OVER w AS lk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       event_id AS conversion_id,
+       ts_us AS conversion_ts,
+       value AS conversion_value,
+       CAST(substring(fk, 21, 10) AS BIGINT) AS first_touch_id,
+       substring(fk, 31) AS first_touch_type,
+       CAST(substring(lk, 21, 10) AS BIGINT) AS last_touch_id,
+       substring(lk, 31) AS last_touch_type,
+       ts_us - CAST(substring(lk, 1, 20) AS BIGINT) AS last_touch_gap
+FROM m
+WHERE event_type = 'purchase' AND fk IS NOT NULL
+"""
+
+# qa_winsorize — quantile_cont matches Spark's interpolated percentile
+# (probed in a_percentiles); sums fold DECIMAL(38,6) of 6-dp values.
+ORACLES["qa_winsorize"] = """
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+), b AS (
+  SELECT event_type,
+         quantile_cont(v, 0.05) AS lo,
+         quantile_cont(v, 0.95) AS hi
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       round(min(lo), 6) AS lo_bound,
+       round(min(hi), 6) AS hi_bound,
+       CAST(sum(CAST(round(v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_raw,
+       CAST(sum(CAST(round(least(greatest(v, lo), hi), 6) AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_winsorized
+FROM e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+# sim_hard_negatives — cosine band [0.2, 0.6) then per-anchor top-5.
+ORACLES["sim_hard_negatives"] = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_COS}, 6) AS cosine
+  FROM q, c WHERE q.vec_id <> c.vec_id
+),
+banded AS (
+  SELECT * FROM scored WHERE cosine >= 0.2 AND cosine < 0.6
+)
+SELECT q_id, c_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+FROM banded
+QUALIFY rnk <= 5
+"""

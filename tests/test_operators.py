@@ -2120,3 +2120,104 @@ def test_cdc_apply_incremental_fold_matches_batch(spark):
     naive = cdc_apply(None, snap.unionByName(p1), ["k"], "version")
     naive = cdc_apply(None, naive.unionByName(p2), ["k"], "version")
     assert 1 in {r["k"] for r in naive.collect()}  # the bug, demonstrated
+
+
+def test_touch_attribution_first_last_and_lookback(spark):
+    from django_indexer_spark.operators.windows import touch_attribution
+
+    # user 1: click@10, view@20, purchase@30 -> first=click, last=view.
+    # A second purchase@35 also sees both touches (purchase@30 is not a
+    # touch type, so it never becomes an attribution target itself).
+    # user 2: touch outside the lookback (gap 100 > 50) -> excluded;
+    # purchase with no prior touch at all -> excluded.
+    rows = [
+        (1, 10, 101, "click", 0.0),
+        (1, 20, 102, "view", 0.0),
+        (1, 30, 103, "purchase", 9.5),
+        (1, 35, 104, "purchase", 1.0),
+        (2, 100, 201, "click", 0.0),
+        (2, 300, 202, "purchase", 5.0),
+        (3, 50, 301, "purchase", 2.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, event_type string, value double"
+    )
+    out = touch_attribution(
+        e, "user_id", "ts_us", "event_id", "event_type", "value",
+        touch_types=["click", "view"], conversion_type="purchase", lookback=50,
+    ).collect()
+    by_conv = {r["conversion_id"]: r for r in out}
+    assert set(by_conv) == {103, 104}
+    r = by_conv[103]
+    assert r["first_touch_id"] == 101 and r["first_touch_type"] == "click"
+    assert r["last_touch_id"] == 102 and r["last_touch_type"] == "view"
+    assert r["last_touch_gap"] == 10
+    r = by_conv[104]
+    assert r["first_touch_id"] == 101 and r["last_touch_id"] == 102
+
+
+def test_touch_attribution_key_order_ties_on_ts(spark):
+    from django_indexer_spark.operators.windows import touch_attribution
+
+    # two touches at the SAME ts: the padded key falls back to event_id
+    # order, so min picks the lower id and max the higher — deterministic.
+    rows = [
+        (1, 10, 7, "click", 0.0),
+        (1, 10, 9, "view", 0.0),
+        (1, 20, 11, "purchase", 1.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, event_type string, value double"
+    )
+    (r,) = touch_attribution(
+        e, "user_id", "ts_us", "event_id", "event_type", "value",
+        touch_types=["click", "view"], conversion_type="purchase", lookback=100,
+    ).collect()
+    assert r["first_touch_id"] == 7 and r["last_touch_id"] == 9
+
+
+def test_winsorize_stats_hand_computed(spark):
+    from django_indexer_spark.operators.quality import winsorize_stats
+
+    # group 'a': values 0..10 -> p25=2.5, p75=7.5 (interpolated);
+    # 0,1,2 clip low (3 values < 2.5), 8,9,10 clip high.
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(11)] + [("b", 5.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in winsorize_stats(df, "g", "v", lo=0.25, hi=0.75).collect()}
+    a = out["a"]
+    assert a["n"] == 11
+    assert a["lo_bound"] == 2.5 and a["hi_bound"] == 7.5
+    assert a["n_clipped_lo"] == 3 and a["n_clipped_hi"] == 3
+    assert a["sum_raw"] == 55.0
+    # winsorized: 2.5*3 + (3+4+5+6+7) + 7.5*3 = 7.5 + 25 + 22.5 = 55
+    assert a["sum_winsorized"] == 55.0
+    b = out["b"]
+    # degenerate single-value group: bounds equal the value, nothing clips
+    assert b["n"] == 1 and b["n_clipped_lo"] == 0 and b["n_clipped_hi"] == 0
+    assert b["sum_raw"] == b["sum_winsorized"] == 5.0
+
+
+def test_hard_negatives_band_and_rank(spark):
+    from django_indexer_spark.operators.similarity import hard_negatives
+
+    # 2-d unit vectors at fixed angles: anchor (1,0); cosines are the
+    # x-components. In-band [0.2, 0.6): 0.3 and 0.5; 0.9 (near-dup) and
+    # 0.1 (too easy) are excluded.
+    import math
+
+    def vec(c):
+        return [float(c), float(math.sqrt(1 - c * c))]
+
+    anchors = spark.createDataFrame([(0, vec(1.0))], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(1, vec(0.9)), (2, vec(0.5)), (3, vec(0.3)), (4, vec(0.1))],
+        "vec_id long, embedding array<float>",
+    )
+    out = hard_negatives(
+        anchors, corpus, "vec_id", "vec_id", "embedding", k=5,
+        band_lo=0.2, band_hi=0.6,
+    ).collect()
+    got = [(r["c_id"], r["rnk"]) for r in sorted(out, key=lambda r: r["rnk"])]
+    assert got == [(2, 1), (3, 2)]

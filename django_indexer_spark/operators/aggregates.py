@@ -42,3 +42,61 @@ def approx_distinct_count(df: DataFrame, col: str, rsd: float = 0.02) -> DataFra
     map-side-combinable fixed-size state. Exposed as a first-class variant
     (SURVEY.md §2.4 A3 note)."""
     return df.agg(F.approx_count_distinct(col, rsd).alias(f"approx_distinct_{col}"))
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    arm_col: Column,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Welch's two-sample t statistic per group — the A/B-test readout
+    over an event log (arms usually assigned by a deterministic hash of
+    the unit id, so re-runs and engines agree). Output per group: both
+    arms' n/mean and the t statistic.
+
+    Scale design: ONE map-side-combined shuffle — conditional decimal
+    sums of 3-dp-rounded values (DECIMAL(18,3)) and their EXACT squares
+    (DECIMAL(38,6) holds any (18,3)² without rounding) fold
+    order-independently, means/variances derive arithmetically from the
+    six folded scalars, so the t is bit-stable cross-engine. The 3-dp
+    input quantization is the portability contract: a lossless-square
+    decimal beats a 6-dp input whose square would round on the cast.
+    Sample variance uses n-1; groups where either arm has n < 2 or
+    both variances are zero emit t = NULL rather than dividing by
+    zero."""
+    v = F.col(value_col).cast("double")
+    vd = F.round(v, 3).cast("decimal(18,3)")
+    a = arm_col.cast("boolean")
+
+    def _s(cond: Column, expr, alias: str) -> Column:
+        return F.sum(F.when(cond, expr).otherwise(F.lit(None))).alias(alias)
+
+    g = df.groupBy(group_col).agg(
+        F.count(F.when(a, F.lit(1))).alias("n_a"),
+        F.count(F.when(~a, F.lit(1))).alias("n_b"),
+        _s(a, vd, "__sa"),
+        _s(~a, vd, "__sb"),
+        _s(a, (vd * vd).cast("decimal(38,6)"), "__qa"),
+        _s(~a, (vd * vd).cast("decimal(38,6)"), "__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("__sa").cast("double") / na
+    mb = F.col("__sb").cast("double") / nb
+    # sample variance: (Σv² − n·mean²) / (n − 1)
+    va = (F.col("__qa").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("__qb").cast("double") - nb * mb * mb) / (nb - 1)
+    se = F.sqrt(va / na + vb / nb)
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se > 0),
+        F.round((ma - mb) / se, round_dp),
+    )
+    return g.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round(ma, round_dp).alias("mean_a"),
+        F.round(mb, round_dp).alias("mean_b"),
+        t.alias("t_stat"),
+    )

@@ -439,3 +439,127 @@ def label_propagation(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
         sym.unpersist()
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded-hop BFS from a seed set over an undirected edge list:
+    (id, level) with the MINIMUM hop distance for every node reachable
+    in ≤ ``rounds`` hops (seeds are level 0). The neighborhood-expansion
+    primitive under "find everything within k links of these accounts"
+    — the graph twin of the reference's one-hop activity fanout
+    (activities/models.py:20-75 reads a flat neighbor list; this walks
+    the closure to a fixed depth).
+
+    Scale design: per round ONE frontier⋈edges shuffle join (shuffle
+    width sized from the edge count like connected_components), one
+    distinct, one LEFT ANTI against the visited set — each is keyed on
+    node ids, cost ∝ frontier edge boundary, never the whole graph.
+    Synchronous rounds + min-level semantics make every round exactly
+    replayable as SQL (the oracle unrolls them as CTEs). Per-round
+    cut_lineage keeps the plan linear in rounds; the loop exits early
+    once a frontier comes back empty (the count is the same scalar
+    action that materializes the round)."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    n_sym = sym.count()
+
+    spark = edges.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(1, min(int(prev_width), -(-n_sym // ROWS_PER_PARTITION)))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        levels = cut_lineage(
+            seeds.select(F.col(seed_col).alias("id"))
+            .distinct()
+            .withColumn("level", F.lit(0).cast("long"))
+        )
+        frontier = levels.select("id")
+        for r in range(1, rounds + 1):
+            nxt = cut_lineage(
+                sym.join(frontier.select(F.col("id").alias("a")), "a")
+                .select(F.col("b").alias("id"))
+                .distinct()
+                .join(levels.select("id"), "id", "left_anti")
+                .withColumn("level", F.lit(r).cast("long"))
+            )
+            if nxt.count() == 0:
+                break
+            levels = cut_lineage(levels.union(nxt))
+            frontier = nxt.select("id")
+        return levels
+    finally:
+        sym.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    min_common: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Jaccard similarity of node NEIGHBORHOODS for every node pair
+    sharing at least ``min_common`` neighbors:
+
+        J(a, b) = |N(a) ∩ N(b)| / (deg(a) + deg(b) − |N(a) ∩ N(b)|)
+
+    — the classic link-prediction / entity-consolidation score ("these
+    two accounts interact with the same set of counterparties"), applied
+    here to the same candidate-pair graphs the dedup family builds.
+    Direction, duplicate edges and self-loops are ignored.
+
+    Scale shape: the pair list comes from a wedge join through the
+    SHARED neighbor (two equi-joins on node id), never nodes × nodes —
+    cost is Σ_c deg(c)², the wedge count. That sum is dominated by hub
+    nodes, so ``max_degree`` (the standard frequency cap: a neighbor
+    shared by everyone certifies nothing) drops rows of hubs ABOVE the
+    cap from the wedge fanout while keeping their edges in the degree
+    denominator — bounding per-neighbor fanout at max_degree². Degrees
+    ride a key-partitioned join of the |V|-row degree table; J is an
+    exact long ratio rounded to ``round_dp``."""
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = cut_lineage(
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    wedge_src = sym.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    if max_degree is not None:
+        hubs = deg.filter(F.col("__deg") > max_degree).select(F.col("a").alias("c"))
+        wedge_src = wedge_src.join(F.broadcast(hubs), "c", "left_anti")
+    left = wedge_src.select(F.col("c"), F.col("n").alias("na"))
+    right = wedge_src.select(F.col("c"), F.col("n").alias("nb"))
+    common = (
+        left.join(right, "c")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("a").alias("na"), F.col("__deg").alias("__da"))
+    db = deg.select(F.col("a").alias("nb"), F.col("__deg").alias("__db"))
+    return (
+        common.join(da, "na")
+        .join(db, "nb")
+        .select(
+            F.col("na").alias("id_a"),
+            F.col("nb").alias("id_b"),
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("common")).cast("double"),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )

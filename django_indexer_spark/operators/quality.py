@@ -389,3 +389,125 @@ def winsorize_stats(
         )
     )
     return out
+
+
+def robust_anomalies(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    keep_cols: list[str],
+    cutoff: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Median/MAD outlier flags: rows whose robust z-score
+    ``0.6745 * (v - median) / MAD`` exceeds ``cutoff`` in absolute
+    value, per group. The heavy-tail-safe twin of ts_zscore_anomaly's
+    rolling mean/std — a handful of extreme values cannot drag the
+    baseline, because both the center (median) and the spread (MAD)
+    are rank statistics.
+
+    Scale design: two grouped percentile aggregates (median, then
+    median of |v - median|) — each an exact per-group sort at gate
+    scale with the documented approx_percentile swap at 100 TB — and
+    both bounds relations broadcast back onto the fact scan; the flag
+    pass itself is a narrow map. Groups with MAD = 0 (over half the
+    values identical) emit no flags rather than dividing by zero.
+    0.6745 ≈ Φ⁻¹(0.75) rescales MAD to σ-equivalents; the z is rounded
+    to ``round_dp`` for engine-exact output."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(F.percentile(v, 0.5).alias("__med"))
+    mad = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.percentile(F.abs(v - F.col("__med")), 0.5).alias("__mad"),
+            F.min("__med").alias("__med"),
+        )
+    )
+    z = F.round(F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad"), round_dp)
+    return (
+        df.join(F.broadcast(mad), group_col)
+        .filter(F.col("__mad") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > cutoff)
+        .select(group_col, *keep_cols, "robust_z")
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_col: Column,
+    n_bins: int = 10,
+    floor_p: float = 1e-4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index per group between a reference split
+    (``ref_col`` true) and the current split: decile edges are fit on
+    the REFERENCE rows only, both splits are binned against them, and
+
+        PSI = Σ_bins (p_ref − p_cur) · ln(p_ref / p_cur)
+
+    with proportions floored at ``floor_p`` (the standard zero-bin
+    guard; a bin empty in BOTH splits contributes exactly 0, so the
+    sum over observed (group, bin) rows is complete). PSI ≳ 0.2 is the
+    conventional "retrain / investigate" drift alarm — the scheduled
+    check a feature pipeline runs between a training snapshot and live
+    traffic.
+
+    Scale design: one exact-percentile aggregate over the reference
+    rows only (per-group sort at gate scale; approx_percentile is the
+    documented 100 TB swap), then the ≤|groups|-row edge relation
+    broadcasts back onto the ONE full fact scan — bin assignment is
+    ``size(filter(edges, e → v > e))``, pure codegen on a ≤(n_bins−1)
+    array, no row blowup — and one (group, bin) re-aggregate whose
+    state is ≤ |groups|·n_bins. Determinism: edges are pinned with the
+    portable 6-dp floor-rounding before any comparison (crushing
+    percentile ulp jitter); p_ref/p_cur are exact long ratios; each
+    PSI term is rounded to ``round_dp`` and folded as DECIMAL(28,6),
+    so the per-group sum is order-independent and engine-exact."""
+    v = F.col(value_col).cast("double")
+    pow10 = float(10**round_dp)
+    pin = lambda c: F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)  # noqa: E731
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = (
+        df.filter(ref_col)
+        .groupBy(group_col)
+        .agg(F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("__raw"))
+        .select(
+            group_col,
+            F.transform(F.col("__raw"), lambda e: pin(e)).alias("__edges"),
+        )
+    )
+    binned = (
+        df.join(F.broadcast(edges), group_col)
+        .select(
+            group_col,
+            ref_col.alias("__ref"),
+            F.size(F.filter(F.col("__edges"), lambda e: v > e)).alias("__bin"),
+        )
+        .groupBy(group_col, "__bin")
+        .agg(
+            F.count(F.when(F.col("__ref"), 1)).alias("__ca"),
+            F.count(F.when(~F.col("__ref"), 1)).alias("__cb"),
+        )
+    )
+    tot = binned.groupBy(group_col).agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    pa = F.greatest(F.col("__ca") / F.col("__na"), F.lit(floor_p))
+    pb = F.greatest(F.col("__cb") / F.col("__nb"), F.lit(floor_p))
+    term = F.round((pa - pb) * F.log(pa / pb), round_dp).cast(
+        f"decimal(28,{round_dp})"
+    )
+    return (
+        binned.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(term).cast("double").alias("psi"),
+            F.min("__na").cast("long").alias("n_ref"),
+            F.min("__nb").cast("long").alias("n_cur"),
+        )
+        .withColumn("drifted", F.col("psi") > F.lit(0.2))
+    )

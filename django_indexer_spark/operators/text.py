@@ -972,3 +972,45 @@ def tfidf_topk(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str, dp: int = 6) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    H = -Σ pᵢ·ln(pᵢ) over the doc's token frequencies. Low entropy
+    means repetitive/templated text (the information-theoretic summary
+    of what repetition_metrics measures piecewise) — a standard
+    pretraining quality signal next to quality_score and lm_quality.
+
+    Determinism: pᵢ = tf/n is an exact double ratio of longs (identical
+    IEEE division on any engine); each ln() term is pinned with the
+    portable dp rounding BEFORE the decimal fold, so the per-doc sum is
+    order-independent and engine-exact. One (doc,term) shuffle + one
+    doc shuffle, both uniform keys; nothing global."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("__doc"), F.explode(tokenize(text_col)).alias("term")
+        )
+        .groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pow10 = float(10**dp)
+    p = F.col("tf").cast("double") / F.col("__n").cast("double")
+    term_h = (
+        F.floor(-(p * F.log(p)) * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+    ).cast(f"decimal(28,{dp})")
+    n = Window.partitionBy("__doc")
+    return (
+        tf.withColumn("__n", F.sum("tf").over(n))
+        .groupBy("__doc")
+        .agg(
+            F.sum(term_h).cast("double").alias("entropy_nats"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.min("__n").alias("n_tokens"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "entropy_nats",
+            "n_distinct_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

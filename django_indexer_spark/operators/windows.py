@@ -399,3 +399,52 @@ def touch_attribution(
             (F.col(ts_col) - _decode("__last", "ts")).alias("last_touch_gap"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    part_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over an event log: for every
+    consecutive (prev_type → next_type) step inside a partition (user),
+    the step count and the row-normalized transition probability
+    ``p = n / Σ_next n``. The "what do users do next" readout of the
+    reference's per-account activity feed (activities/models.py:20-75
+    stores the sequence; this summarizes its dynamics) and the input to
+    next-event prediction / funnel-drop-off analysis.
+
+    Scale design: ONE user-partitioned window pass (lag over
+    (ts, tiebreak) — the same deterministic total order every sequence
+    gate here uses), then a (prev, next) groupBy whose state is the
+    |types|² matrix, then a window over that tiny matrix for the row
+    normalization — nothing downstream of the first shuffle scales with
+    the event count. ``p`` is an exact long/long division rounded to
+    ``round_dp``, so it is engine-exact."""
+    w = Window.partitionBy(part_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        events.select(
+            F.col(part_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(type_col).alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"),
+            round_dp,
+        ).alias("p"),
+    )

@@ -4067,3 +4067,154 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
         q, emb, "vec_id", "vec_id", "embedding", k=5, band_lo=0.2, band_hi=0.6
     )
+
+
+@query("graph_bfs_levels")
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (operators/graph.py:bfs_levels) over the
+    minhash-LSH candidate-pair graph: min hop level per node within 3
+    hops — "everything within k links of these" as a first-class gate.
+    Seeds are the 5 smallest node ids PRESENT in the pair graph (so
+    every sf exercises real expansion, not just the level-0 echo — the
+    round-5 link_fs lesson about vacuous small-sf gates). Synchronous
+    rounds replay exactly as unrolled SQL CTEs; same edge plumbing and
+    edge-count-sized shuffles as the CC/LPA gates."""
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        expand_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = dedup.minhash_candidate_pairs(bands, "doc_id")
+    seeds = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(5)
+    )
+    out = graph.bfs_levels(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        seeds,
+        rounds=3,
+    )
+    return out.select(F.col("id").cast("long").alias("doc_id"), "level")
+
+
+@query("qa_mad_anomaly")
+def qa_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags per event type
+    (operators/quality.py:robust_anomalies) — the heavy-tail-safe twin
+    of ts_zscore_anomaly: rank statistics for center and spread, so a
+    handful of extremes can't drag the baseline. Two grouped exact
+    percentile passes broadcast back onto the fact scan."""
+    from ..operators.quality import robust_anomalies
+
+    e = _events(spark, sf_dir)
+    return robust_anomalies(
+        e, "event_type", "value", keep_cols=["event_id", "value"], cutoff=3.0
+    )
+
+
+@query("a_ab_ttest")
+def a_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t per event type
+    (operators/aggregates.py:welch_ttest): users split into arms by
+    md5(user_id) first-hex-digit parity (deterministic, engine-portable
+    — the hash-bucket assignment every A/B framework uses), value means
+    compared arm-vs-arm in ONE map-side-combined shuffle of exact
+    decimal folds."""
+    from ..operators.aggregates import welch_ttest
+
+    e = _events(spark, sf_dir)
+    arm = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+        "0", "2", "4", "6", "8", "a", "c", "e"
+    )
+    return welch_ttest(e, "event_type", arm, "value")
+
+
+@query("text_token_entropy")
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution
+    (operators/text.py:token_entropy) — the information-theoretic
+    repetitiveness score next to quality_score/lm_quality; each
+    -p·ln(p) term is pinned 6 dp before the decimal fold so the sum is
+    order-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_entropy(docs, "doc_id", "text")
+
+
+@query("qa_psi_drift")
+def qa_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type
+    (operators/quality.py:psi_drift): decile edges fit on the reference
+    split (even-user half, the deterministic md5-free twin of an A/B
+    hash split), both halves binned against them, PSI folded from
+    6-dp-pinned nonnegative terms. The scheduled train-vs-live drift
+    check; one fact scan after a reference-only percentile pass."""
+    from ..operators.quality import psi_drift
+
+    e = _events(spark, sf_dir)
+    return psi_drift(
+        e, "event_type", "value", (F.col("user_id") % 2 == 0), n_bins=10
+    )
+
+
+@query("ts_markov_transitions")
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (operators/windows.py:event_transitions): per-user sequences in
+    (ts, event_id) order, (prev → next) counts, row-normalized
+    probabilities as exact long ratios rounded 6 dp. ONE user-keyed
+    window shuffle; everything downstream is |types|²-sized."""
+    e = _events(spark, sf_dir)
+    return windows.event_transitions(e, "user_id", "ts_us", "event_id", "event_type")
+
+
+@query("graph_jaccard_sim")
+def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard item-item similarity
+    (operators/graph.py:neighborhood_jaccard) on the order–part
+    bipartite graph: part pairs sharing ≥ 2 orders, scored
+    |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)| — the
+    co-purchase gate's counts upgraded to a normalized link-prediction
+    score. Orders ride as node id ``-(l_orderkey + 1)`` — strictly
+    negative, so the two sides of the bipartite graph can't collide
+    even at key 0 (plain negation aliased order 0 onto part 0 and
+    inflated both degrees); the wedge join through the shared order is
+    basket-bounded, never parts × parts. The LSH pair graph
+    the other graph gates use is too sparse for wedges at small sf
+    (0 rows at sf0.01 — the round-5 vacuous-gate lesson), so this gate
+    runs on the dense co-occurrence graph instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (-(F.col("l_orderkey") + 1)).cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    out = graph.neighborhood_jaccard(edges, min_common=2)
+    return out.filter(F.col("id_a") >= 0).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "common",
+        "jaccard",
+    )
+
+
+@query("storage_compaction_plan")
+def storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (sources/storage.py:compaction_plan):
+    the per-(event_type, user) row counts stand in for a partitioned
+    table's file-size listing; files are packed into ~512-row output
+    bins per event-type partition by the shared two-pass prefix sum in
+    a seeded md5 walk — the planning half of Delta OPTIMIZE, all
+    integer arithmetic."""
+    from ..sources.storage import compaction_plan
+
+    e = _events(spark, sf_dir)
+    files = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rows")
+    )
+    return compaction_plan(files, "event_type", "user_id", "rows", target=512)

@@ -3119,3 +3119,213 @@ SELECT q_id, c_id, cosine,
 FROM banded
 QUALIFY rnk <= 5
 """
+
+
+# graph_bfs_levels — 3 synchronous BFS rounds unrolled as CTEs over the
+# symmetrized LSH pair graph; min-level semantics via the NOT-IN guard
+# against everything already leveled.
+ORACLES["graph_bfs_levels"] = f"""
+WITH pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+l0 AS (SELECT id FROM (SELECT DISTINCT a AS id FROM edges) ORDER BY id LIMIT 5),
+f1 AS (
+  SELECT DISTINCT e.b AS id FROM edges e JOIN l0 ON e.a = l0.id
+  WHERE e.b NOT IN (SELECT id FROM l0)
+),
+f2 AS (
+  SELECT DISTINCT e.b AS id FROM edges e JOIN f1 ON e.a = f1.id
+  WHERE e.b NOT IN (SELECT id FROM l0 UNION ALL SELECT id FROM f1)
+),
+f3 AS (
+  SELECT DISTINCT e.b AS id FROM edges e JOIN f2 ON e.a = f2.id
+  WHERE e.b NOT IN (SELECT id FROM l0 UNION ALL SELECT id FROM f1
+                    UNION ALL SELECT id FROM f2)
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS level FROM l0
+UNION ALL SELECT CAST(id AS BIGINT), CAST(1 AS BIGINT) FROM f1
+UNION ALL SELECT CAST(id AS BIGINT), CAST(2 AS BIGINT) FROM f2
+UNION ALL SELECT CAST(id AS BIGINT), CAST(3 AS BIGINT) FROM f3
+"""
+
+# qa_mad_anomaly — exact median + MAD per type, 0.6745-scaled robust z,
+# flag after the same 6-dp rounding the Spark side applies.
+ORACLES["qa_mad_anomaly"] = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM e GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(v - med), 0.5) AS mad, min(med) AS med
+  FROM e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type, event_id, v AS value,
+       round(0.6745 * (v - med) / mad, 6) AS robust_z
+FROM e JOIN mad USING (event_type)
+WHERE mad > 0 AND abs(round(0.6745 * (v - med) / mad, 6)) > 3.0
+"""
+
+# a_ab_ttest — md5 first-hex-digit parity arms; six exact decimal folds
+# (values 3-dp DECIMAL(18,3), squares EXACT in DECIMAL(38,6)), Welch t
+# derived arithmetically from the folded scalars.
+ORACLES["a_ab_ttest"] = """
+WITH e AS (
+  SELECT event_type,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+           IN ('0','2','4','6','8','a','c','e') AS arm,
+         CAST(round(CAST(value AS DOUBLE), 3) AS DECIMAL(18,3)) AS vd
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN arm THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN NOT arm THEN 1 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN arm THEN vd END) AS sa,
+         sum(CASE WHEN NOT arm THEN vd END) AS sb,
+         sum(CASE WHEN arm THEN CAST(vd * vd AS DECIMAL(38,6)) END) AS qa,
+         sum(CASE WHEN NOT arm THEN CAST(vd * vd AS DECIMAL(38,6)) END) AS qb
+  FROM e GROUP BY event_type
+), d AS (
+  SELECT event_type, n_a, n_b,
+         CAST(sa AS DOUBLE) / n_a AS ma,
+         CAST(sb AS DOUBLE) / n_b AS mb,
+         (CAST(qa AS DOUBLE) - n_a * (CAST(sa AS DOUBLE) / n_a) * (CAST(sa AS DOUBLE) / n_a)) / (n_a - 1) AS va,
+         (CAST(qb AS DOUBLE) - n_b * (CAST(sb AS DOUBLE) / n_b) * (CAST(sb AS DOUBLE) / n_b)) / (n_b - 1) AS vb
+  FROM g
+)
+SELECT event_type, n_a, n_b,
+       round(ma, 6) AS mean_a,
+       round(mb, 6) AS mean_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND sqrt(va / n_a + vb / n_b) > 0
+            THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) END AS t_stat
+FROM d
+"""
+
+# text_token_entropy — each -p·ln(p) term pinned 6 dp (portable floor
+# rounding) before the DECIMAL(28,6) fold, like tfidf.
+ORACLES["text_token_entropy"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY doc_id
+)
+SELECT tf.doc_id,
+       CAST(sum(CAST(floor(-((tf::DOUBLE / n::DOUBLE) * ln(tf::DOUBLE / n::DOUBLE))
+                           * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+         AS entropy_nats,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(min(n) AS BIGINT) AS n_tokens
+FROM tf JOIN tot USING (doc_id)
+GROUP BY tf.doc_id
+"""
+
+
+
+# qa_psi_drift — decile edges on the even-user reference split, pinned
+# 6 dp before binning; PSI folded from 6-dp-rounded nonnegative terms
+# as DECIMAL(28,6) (order-independent), proportions floored at 1e-4.
+ORACLES["qa_psi_drift"] = """
+WITH e AS (
+  SELECT event_type, (user_id % 2 = 0) AS is_ref, CAST(value AS DOUBLE) AS v
+  FROM events
+), ed AS (
+  SELECT event_type,
+         quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS raw
+  FROM e WHERE is_ref GROUP BY event_type
+), edges AS (
+  SELECT event_type,
+         list_transform(raw, x -> floor(x * 1e6 + 0.5) / 1e6) AS edges
+  FROM ed
+), b AS (
+  SELECT e.event_type, is_ref,
+         len(list_filter(edges, x -> v > x)) AS bin
+  FROM e JOIN edges USING (event_type)
+), c AS (
+  SELECT event_type, bin,
+         CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS cb
+  FROM b GROUP BY event_type, bin
+), t AS (
+  SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY event_type
+), p AS (
+  SELECT c.event_type,
+         greatest(ca / na, 1e-4) AS pa, greatest(cb / nb, 1e-4) AS pb,
+         na, nb
+  FROM c JOIN t USING (event_type)
+), s AS (
+  SELECT event_type,
+         CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS psi,
+         CAST(min(na) AS BIGINT) AS n_ref,
+         CAST(min(nb) AS BIGINT) AS n_cur
+  FROM p GROUP BY event_type
+)
+SELECT event_type, psi, n_ref, n_cur, psi > 0.2 AS drifted FROM s
+"""
+
+# ts_markov_transitions — lag over the (ts, event_id) per-user total
+# order; p = exact long ratio rounded 6 dp.
+ORACLES["ts_markov_transitions"] = """
+WITH s AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type,
+         event_type AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type)
+             AS DOUBLE), 6) AS p
+FROM c
+"""
+
+# graph_jaccard_sim — part-part neighborhood Jaccard through shared
+# orders on the bipartite order–part graph (order ids negated on the
+# Spark side only to disambiguate; part-part rows are unaffected, so
+# the oracle works in part/order space directly). A part's neighborhood
+# is exactly its distinct order set, hence deg = per-part order count.
+ORACLES["graph_jaccard_sim"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (
+  SELECT l_partkey AS id, CAST(count(*) AS BIGINT) AS deg FROM li GROUP BY 1
+),
+common AS (
+  SELECT x.l_partkey AS na, y.l_partkey AS nb, CAST(count(*) AS BIGINT) AS common
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2
+)
+SELECT CAST(na AS BIGINT) AS id_a, CAST(nb AS BIGINT) AS id_b, common,
+       round(CAST(common AS DOUBLE) /
+             CAST(da.deg + db.deg - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN deg da ON da.id = na
+JOIN deg db ON db.id = nb
+"""
+
+# storage_compaction_plan — the shared seeded-walk prefix sum
+# (sample_pps_systematic shape): per event_type partition, running row
+# totals in md5('compact:'||user_id) order; bin = exclusive-prefix
+# integer division by the 512-row target.
+ORACLES["storage_compaction_plan"] = """
+WITH files AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS rows_
+  FROM events GROUP BY event_type, user_id
+), c AS (
+  SELECT event_type, user_id, rows_,
+         CAST(sum(rows_) OVER (
+           PARTITION BY event_type
+           ORDER BY md5('compact:' || CAST(user_id AS VARCHAR))
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM files
+)
+SELECT event_type, user_id, rows_ AS size, (cum - rows_) // 512 AS bin
+FROM c
+"""

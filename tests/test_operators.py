@@ -2221,3 +2221,180 @@ def test_hard_negatives_band_and_rank(spark):
     ).collect()
     got = [(r["c_id"], r["rnk"]) for r in sorted(out, key=lambda r: r["rnk"])]
     assert got == [(2, 1), (3, 2)]
+
+
+def test_bfs_levels_min_hop_and_early_exit(spark):
+    from django_indexer_spark.operators.graph import bfs_levels
+
+    # path 1-2-3-4-5 plus a shortcut 1-4: node 4 is 1 hop (shortcut
+    # wins over the 3-hop path), 5 is 2 hops; 9-10 is unreachable.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (9, 10)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["level"] for r in bfs_levels(edges, seeds, rounds=5).collect()}
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_levels_zero_rounds_and_isolated_seed(spark):
+    from django_indexer_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    # seed 7 is not in the graph at all: it still reports level 0
+    seeds = spark.createDataFrame([(7,)], "id long")
+    out = bfs_levels(edges, seeds, rounds=3).collect()
+    assert [(r["id"], r["level"]) for r in out] == [(7, 0)]
+
+
+def test_robust_anomalies_mad_flags_and_zero_mad_guard(spark):
+    from django_indexer_spark.operators.quality import robust_anomalies
+
+    # group 'a': 9 values at 10 ± small spread, one extreme 1000.
+    # median=10, MAD=1 -> z(1000) = 0.6745*990 huge -> flagged; the
+    # mild values are inside the cutoff. group 'b' is constant ->
+    # MAD=0 -> no flags, no div-by-zero.
+    rows = [("a", i, v) for i, v in enumerate([9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 8.0, 1000.0])]
+    rows += [("b", 100 + i, 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, event_id long, value double")
+    out = robust_anomalies(df, "g", "value", keep_cols=["event_id"], cutoff=3.0).collect()
+    assert [(r["g"], r["event_id"]) for r in out] == [("a", 9)]
+    assert out[0]["robust_z"] > 600
+
+
+def test_welch_ttest_hand_computed_and_guards(spark):
+    from django_indexer_spark.operators.aggregates import welch_ttest
+
+    # arm True: [1,2,3] (mean 2, var 1); arm False: [5,7] (mean 6, var 2)
+    # t = (2-6)/sqrt(1/3 + 2/2) = -4/sqrt(4/3) = -3.464102
+    rows = [("g", True, 1.0), ("g", True, 2.0), ("g", True, 3.0),
+            ("g", False, 5.0), ("g", False, 7.0),
+            ("tiny", True, 1.0), ("tiny", False, 2.0)]
+    df = spark.createDataFrame(rows, "g string, arm boolean, value double")
+    from pyspark.sql import functions as F
+
+    out = {r["g"]: r for r in welch_ttest(df, "g", F.col("arm"), "value").collect()}
+    r = out["g"]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["mean_a"] == 2.0 and r["mean_b"] == 6.0
+    assert abs(r["t_stat"] - (-3.464102)) < 1e-6
+    # n < 2 in an arm -> NULL t, means still reported
+    assert out["tiny"]["t_stat"] is None
+
+
+def test_token_entropy_uniform_and_repetitive(spark):
+    from django_indexer_spark.operators.text import token_entropy
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    # doc 1: uniform over 4 -> ln(4); doc 2: single token -> 0;
+    # doc 3: two at p=1/2 -> ln(2)
+    assert abs(out[1]["entropy_nats"] - math.log(4)) < 1e-5
+    assert out[2]["entropy_nats"] == 0.0
+    assert abs(out[3]["entropy_nats"] - math.log(2)) < 1e-5
+    assert out[1]["n_distinct_tokens"] == 4 and out[1]["n_tokens"] == 4
+    assert out[2]["n_distinct_tokens"] == 1 and out[2]["n_tokens"] == 4
+
+
+def test_psi_drift_zero_when_identical_and_flags_shift(spark):
+    from django_indexer_spark.operators.quality import psi_drift
+    from pyspark.sql import functions as F
+
+    # 'same': ref and cur are the identical value multiset -> every bin
+    # has pa == pb -> every term 0 -> psi == 0.0, not drifted.
+    rows = [("same", 2 * v + p, float(v)) for v in range(1, 11) for p in (0, 1)]
+    # 'shift': cur sits entirely above the ref deciles -> everything in
+    # the top bin -> large psi, drifted.
+    rows += [("shift", i, float(i % 10 + 1)) for i in range(0, 20, 2)]
+    rows += [("shift", i, 100.0 + i) for i in range(1, 20, 2)]
+    df = spark.createDataFrame(rows, "g string, uid long, v double")
+    out = {
+        r["g"]: r
+        for r in psi_drift(df, "g", "v", (F.col("uid") % 2 == 0), n_bins=10).collect()
+    }
+    assert out["same"]["psi"] == 0.0 and out["same"]["drifted"] is False
+    assert out["shift"]["psi"] > 1.0 and out["shift"]["drifted"] is True
+    assert (out["shift"]["n_ref"], out["shift"]["n_cur"]) == (10, 10)
+
+
+def test_event_transitions_counts_and_rownorm(spark):
+    from django_indexer_spark.operators.windows import event_transitions
+
+    # user 1: a->b->a->c ; user 2: b->a (same ts pair ordered by id)
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "a"), (1, 40, 4, "c"),
+        (2, 50, 5, "b"), (2, 50, 6, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, eid long, t string")
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in event_transitions(df, "u", "ts", "eid", "t").collect()
+    }
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "c")] == (1, 0.5)
+    assert out[("b", "a")] == (2, 1.0)
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "a")}
+
+
+def test_neighborhood_jaccard_hand_computed_and_hub_cap(spark):
+    from django_indexer_spark.operators.graph import neighborhood_jaccard
+
+    # N(1)={2,3}, N(2)={1,3}, N(3)={1,2,4}, N(4)={3}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+        for r in neighborhood_jaccard(edges).collect()
+    }
+    # pair (1,2): common {3}, union {1,2,3} -> 1/3
+    assert out[(1, 2)] == (1, round(1 / 3, 6))
+    # pair (1,3): common {2}, deg 2+3-1=4 -> 0.25 ; (2,3) symmetric
+    assert out[(1, 3)] == (1, 0.25) and out[(2, 3)] == (1, 0.25)
+    # pairs mediated ONLY by node 3 vanish under a degree cap of 2,
+    # but pair (1,2) via shared neighbor 3... 3 IS the hub: only the
+    # wedge through low-degree neighbors survives -> (1,3),(2,3) via
+    # shared neighbors 2 and 1 (deg 2) remain, (1,2) via 3 and (1,4)/(2,4) drop.
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in neighborhood_jaccard(edges, max_degree=2).collect()
+    }
+    assert (1, 2) not in capped and (1, 3) in capped and (2, 3) in capped
+
+
+def test_compaction_plan_bins_and_determinism(spark):
+    import hashlib
+    from django_indexer_spark.sources.storage import compaction_plan
+
+    rows = [("p", i, 30 + (i * 7) % 50) for i in range(40)]
+    rows += [("q", i, 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "part string, fid long, size long")
+    out = compaction_plan(df, "part", "fid", "size", target=100).collect()
+    got = {(r["part"], r["fid"]): (r["size"], r["bin"]) for r in out}
+    # replay the seeded walk driver-side: exclusive prefix // target
+    for part in ("p", "q"):
+        sub = sorted(
+            (r for r in rows if r[0] == part),
+            key=lambda r: hashlib.md5(f"compact:{r[1]}".encode()).hexdigest(),
+        )
+        cum = 0
+        for _, fid, size in sub:
+            assert got[(part, fid)] == (size, cum // 100)
+            cum += size
+    # packing bound: per partition, distinct bins <= ceil(total/target)
+    # and no bin exceeds target + max file size
+    from collections import defaultdict
+    import math
+
+    totals = defaultdict(int)
+    for (part, _), (size, b) in got.items():
+        totals[(part, b)] += size
+    for part in ("p", "q"):
+        sizes = [r[2] for r in rows if r[0] == part]
+        bins = [bb for (pp, bb) in totals if pp == part]
+        assert len(set(bins)) <= math.ceil(sum(sizes) / 100)
+        assert max(totals[(part, b)] for b in bins) < 100 + max(sizes)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.amounts import guarded_amount
 
@@ -99,4 +100,59 @@ def welch_ttest(
         F.round(ma, round_dp).alias("mean_a"),
         F.round(mb, round_dp).alias("mean_b"),
         t.alias("t_stat"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    weight_col: Column,
+    alias: str = "weighted_median",
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v such
+    that the weight at or below v reaches half the group's total weight
+    — percentile_cont's weighted cousin, which no SQL engine ships as a
+    built-in. The right center for "median price paid" style questions
+    where each row carries a volume, not one vote.
+
+    ``value_col`` and ``weight_col`` must be EXACT types (decimal/int):
+    the cumulative fold is then order-independent and engine-exact, so
+    the crossing point is unambiguous cross-engine (no double cumsum
+    whose association order could flip a boundary row).
+
+    Scale design: collapse to one row per (group, value) FIRST (map-side
+    combined shuffle, state = distinct values, not rows), then ONE
+    running-sum window per group over that collapsed relation and a
+    min() re-aggregate of the crossing values. The window partition
+    holds distinct values per group — bounded by the value domain, not
+    the fact table; a group whose distinct-value count rivals its row
+    count should pre-round values to the precision the question needs
+    (the same bucketing trade every exact-percentile path makes)."""
+    per_value = (
+        df.select(
+            F.col(group_col), value_col.alias("__v"), weight_col.alias("__w")
+        )
+        .groupBy(group_col, "__v")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = per_value.select(
+        F.col(group_col),
+        F.col("__v"),
+        F.sum("__w").over(w_run).alias("__cum"),
+        F.sum("__w").over(w_all).alias("__tot"),
+    )
+    return (
+        cum.filter(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(group_col)
+        .agg(
+            F.min("__v").alias(alias),
+            F.min("__tot").alias("total_weight"),
+        )
     )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _qlabel(name: str) -> str:
@@ -510,4 +511,81 @@ def psi_drift(
             F.min("__nb").cast("long").alias("n_cur"),
         )
         .withColumn("drifted", F.col("psi") > F.lit(0.2))
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+    alarm_mad: float = 0.015,
+) -> DataFrame:
+    """Benford first-significant-digit conformity per group: observed
+    digit frequencies vs the Benford expectation p(d) = log10(1 + 1/d),
+    summarized as the chi-square statistic and Nigrini's mean absolute
+    deviation (MAD), with ``nonconforming = mad > alarm_mad`` (0.015 is
+    the published "nonconformity" line for first digits). The classic
+    fabricated-amounts / broken-feed screen an audit or data-quality
+    pass runs over any naturally-scaled amount column.
+
+    First digit extraction is STRING-based (first [1-9] in the value's
+    canonical rendering) rather than log10/pow arithmetic: a floor of
+    log10(v) half an ulp low would misclassify exact powers of ten,
+    while the leading mantissa digit is rendering-stable in both plain
+    and scientific notation on every engine. Zero/NULL values carry no
+    signal and are excluded.
+
+    Scale design: ONE fact scan → (group, digit) counts (map-side
+    combine, state ≤ |groups|·9), a broadcast join against the 9-row
+    digit spine so absent digits still contribute their full expected
+    mass, and a ≤|groups|·9-row re-aggregate. Determinism: each
+    chi-square / MAD term is pinned to ``round_dp`` dp (portable floor
+    rounding) and folded as DECIMAL(28,6), so the per-group sums are
+    order-independent and engine-exact."""
+    pow10 = float(10**round_dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    digit = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (digit != ""))
+        .groupBy(F.col(group_col), digit.cast("int").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    spine = (
+        counts.select(group_col)
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                counts.sparkSession.range(1, 10).select(
+                    F.col("id").cast("int").alias("__d")
+                )
+            )
+        )
+    )
+    full = (
+        spine.join(counts, [group_col, "__d"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        .withColumn(
+            "__n", F.sum("__c").over(Window.partitionBy(group_col))
+        )
+    )
+    p_exp = _pin(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("__d")))
+    p_obs = _pin(F.col("__c") / F.col("__n"))
+    chi_term = _pin(
+        F.col("__n") * (p_obs - p_exp) * (p_obs - p_exp) / p_exp
+    ).cast(f"decimal(28,{round_dp})")
+    mad_term = _pin(F.abs(p_obs - p_exp) / F.lit(9.0)).cast(
+        f"decimal(28,{round_dp})"
+    )
+    return (
+        full.groupBy(group_col)
+        .agg(
+            F.min("__n").cast("long").alias("n"),
+            F.sum(chi_term).cast("double").alias("chi2"),
+            F.sum(mad_term).cast("double").alias("mad"),
+        )
+        .withColumn("nonconforming", F.col("mad") > F.lit(alarm_mad))
     )

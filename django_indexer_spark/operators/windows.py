@@ -448,3 +448,127 @@ def event_transitions(
             round_dp,
         ).alias("p"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detector per group (Page's test):
+    emit the rows where either one-sided cumulative sum exceeds the
+    alarm threshold h·sigma, with slack k·sigma — the standard SPC
+    changepoint screen a metrics pipeline runs over an ordered series
+    to catch a level shift that per-point z-scores miss.
+
+    The recursion S_i = max(0, S_{i-1} + d_i) is expressed in closed
+    form as TWO stock window passes — running sum and running min —
+    via  S_i = cum_i − min(0, min_{j≤i} cum_j),  so the whole detector
+    is declarative: no stateful UDF, no per-row Python.
+
+    Cross-engine determinism: the group baseline (mean, sigma) comes
+    from exact DECIMAL folds of v and v² with each derived scalar
+    immediately pinned to ``dp`` dp (portable floor rounding, pure
+    IEEE ops); each per-row deviation d_i is pinned to ``dp`` dp and
+    cast DECIMAL before the running fold, so cum/min/S are exact
+    decimals — association order can never flip an alarm row (a
+    segment-tree window sum would reassociate a double fold).
+
+    Scale design: one grouped aggregate for the baseline (broadcast
+    back), then one window partition per group — the series length per
+    group must fit a partition, the same contract as every ordered-
+    series operator here (sessionize, seasonal_decompose); longer
+    series pre-bucket to rollups first. Alarm rows only are emitted."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    vd = F.round(F.col(value_col).cast("double"), 3).cast("decimal(18,3)")
+    mu = F.col("__s").cast("double") / F.col("__n")
+    base = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(vd).alias("__s"),
+            F.sum((vd * vd).cast("decimal(38,6)")).alias("__q"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            group_col,
+            _pin(mu).alias("__mean"),
+            _pin(
+                F.sqrt(
+                    (F.col("__q").cast("double") - F.col("__n") * (mu * mu))
+                    / (F.col("__n") - 1)
+                )
+            ).alias("__sigma"),
+        )
+        .filter(F.col("__sigma") > 0)
+    )
+    slack = F.col("__sigma") * F.lit(k_sigmas)
+    # Precision budget keeps EVERY engine in exact decimals end-to-end:
+    # terms at (18,6) sum to (28,6) windows, and (28,6) − least((28,6))
+    # fits (29,6) — a (38,6) anywhere would force DuckDB's least/minus
+    # to spill to DOUBLE (no headroom left) and reintroduce float dust.
+    d_pos = _pin(vd.cast("double") - F.col("__mean") - slack).cast(
+        f"decimal(18,{dp})"
+    )
+    d_neg = _pin(F.col("__mean") - vd.cast("double") - slack).cast(
+        f"decimal(18,{dp})"
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast(f"decimal(28,{dp})")
+    scored = (
+        df.join(F.broadcast(base), group_col)
+        .select(
+            F.col(group_col),
+            F.col(order_col),
+            F.col(tiebreak_col),
+            vd.cast("double").alias("value"),
+            F.col("__sigma"),
+            F.sum(d_pos).over(w).cast(f"decimal(28,{dp})").alias("__cp"),
+            F.sum(d_neg).over(w).cast(f"decimal(28,{dp})").alias("__cn"),
+        )
+        .select(
+            group_col,
+            order_col,
+            tiebreak_col,
+            "value",
+            "__sigma",
+            # min(0, running-min) via CASE, not least(): DuckDB's least()
+            # promotes any decimal pair to DOUBLE, and the oracle twin
+            # must stay exact-decimal through the same ops
+            (
+                F.col("__cp")
+                - F.when(F.min("__cp").over(w) < 0, F.min("__cp").over(w)).otherwise(zero)
+            ).alias("__sp"),
+            (
+                F.col("__cn")
+                - F.when(F.min("__cn").over(w) < 0, F.min("__cn").over(w)).otherwise(zero)
+            ).alias("__sn"),
+        )
+    )
+    h = F.col("__sigma") * F.lit(h_sigmas)
+    return (
+        scored.filter(
+            (F.col("__sp").cast("double") > h) | (F.col("__sn").cast("double") > h)
+        )
+        .select(
+            group_col,
+            order_col,
+            tiebreak_col,
+            "value",
+            F.col("__sp").cast("double").alias("cusum_pos"),
+            F.col("__sn").cast("double").alias("cusum_neg"),
+        )
+    )

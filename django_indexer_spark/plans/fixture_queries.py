@@ -4218,3 +4218,63 @@ def storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("rows")
     )
     return compaction_plan(files, "event_type", "user_id", "rows", target=512)
+
+
+@query("qa_benford_digits")
+def qa_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity of order totals per priority
+    class (operators/quality.py:benford_profile) — the fabricated-
+    amounts / broken-feed audit screen: chi-square and Nigrini MAD of
+    the observed leading-digit distribution against log10(1 + 1/d),
+    one fact scan plus a 9-row broadcast digit spine."""
+    from ..operators.quality import benford_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_profile(o, "o_orderpriority", "o_totalprice")
+
+
+@query("a_weighted_median")
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median of extended price per return flag,
+    weighted by quantity (operators/aggregates.py:weighted_median) —
+    percentile_cont's weighted cousin: collapse to per-(group, value)
+    decimal weight first, then one running-sum window over the
+    collapsed relation picks the crossing value. All-decimal fold, so
+    the boundary row is engine-exact."""
+    from ..operators.aggregates import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    wm = weighted_median(
+        li,
+        "l_returnflag",
+        F.round(F.col("l_extendedprice").cast("double"), 2).cast(
+            "decimal(18,2)"
+        ),
+        F.round(F.col("l_quantity").cast("double"), 0).cast("decimal(18,3)"),
+    )
+    return wm.select(
+        "l_returnflag",
+        F.col("weighted_median").cast("double").alias("weighted_median"),
+        F.col("total_weight").cast("double").alias("total_weight"),
+    )
+
+
+@query("ts_cusum_alarm")
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift alarms per event type
+    (operators/windows.py:cusum_changepoints): a deterministic +150
+    level shift is injected into the back half of the January series
+    (day >= 16) and the detector — Page's recursion expressed as a
+    running-sum + running-min window pair over pinned decimal
+    deviations — emits every row past the h·sigma decision interval.
+    The SPC changepoint screen a metrics pipeline runs over rollups."""
+    from ..operators.windows import cusum_changepoints
+
+    e = _events(spark, sf_dir).withColumn(
+        "value",
+        F.col("value").cast("double")
+        + F.when(F.dayofmonth("ts") >= 16, F.lit(150.0)).otherwise(F.lit(0.0)),
+    )
+    return cusum_changepoints(
+        e, "event_type", "ts", "value", "event_id", k_sigmas=0.5, h_sigmas=5.0
+    )

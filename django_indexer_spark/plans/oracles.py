@@ -3329,3 +3329,124 @@ WITH files AS (
 SELECT event_type, user_id, rows_ AS size, (cum - rows_) // 512 AS bin
 FROM c
 """
+
+# qa_benford_digits — leading digit via the first [1-9] of the value's
+# string rendering (log-free, so exact powers of ten can't straddle a
+# floor(log10) ulp); p_obs / p_exp pinned 6 dp BEFORE the chi-square /
+# MAD terms, each term pinned and folded as DECIMAL(28,6).
+ORACLES["qa_benford_digits"] = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS INT) AS d
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') <> ''
+), counts AS (
+  SELECT grp, d, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), spine AS (
+  SELECT g.grp, dd.d
+  FROM (SELECT DISTINCT grp FROM counts) g
+  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS d) dd
+), full_ AS (
+  SELECT s.grp, s.d, coalesce(c.c, 0) AS c,
+         sum(coalesce(c.c, 0)) OVER (PARTITION BY s.grp) AS n
+  FROM spine s LEFT JOIN counts c ON c.grp = s.grp AND c.d = s.d
+), pinned AS (
+  SELECT grp, d, c, n,
+         floor((CAST(c AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS pobs,
+         floor(log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6 AS pexp
+  FROM full_
+), terms AS (
+  SELECT grp, n,
+         CAST(floor((n * (pobs - pexp) * (pobs - pexp) / pexp) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(28,6)) AS chi_t,
+         CAST(floor((abs(pobs - pexp) / 9.0) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(28,6)) AS mad_t
+  FROM pinned
+)
+SELECT grp AS o_orderpriority,
+       CAST(min(n) AS BIGINT) AS n,
+       CAST(sum(chi_t) AS DOUBLE) AS chi2,
+       CAST(sum(mad_t) AS DOUBLE) AS mad,
+       CAST(sum(mad_t) AS DOUBLE) > 0.015 AS nonconforming
+FROM terms GROUP BY grp
+"""
+
+# a_weighted_median — collapse to per-(group, value) decimal weight,
+# one running-sum window, min value whose doubled cumulative weight
+# reaches the total. All-decimal, so the crossing row is exact.
+ORACLES["a_weighted_median"] = """
+WITH pv AS (
+  SELECT l_returnflag,
+         CAST(round(CAST(l_extendedprice AS DOUBLE), 2) AS DECIMAL(18,2)) AS v,
+         sum(CAST(round(CAST(l_quantity AS DOUBLE), 0) AS DECIMAL(18,3))) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv
+)
+SELECT l_returnflag,
+       CAST(min(v) AS DOUBLE) AS weighted_median,
+       CAST(min(tot) AS DOUBLE) AS total_weight
+FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+"""
+
+# ts_cusum_alarm — Page's recursion in closed form: decimal running sum
+# minus min(0, decimal running min); baseline mean/sigma from exact
+# decimal folds, every derived scalar pinned 6 dp; same +150 injected
+# shift for day(ts) >= 16.
+ORACLES["ts_cusum_alarm"] = """
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(CAST(value AS DOUBLE)
+                    + CASE WHEN day(ts) >= 16 THEN 150.0 ELSE 0.0 END, 3)
+              AS DECIMAL(18,3)) AS vd
+  FROM events
+), b AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(vd) AS s,
+         sum(CAST(vd * vd AS DECIMAL(38,6))) AS q
+  FROM e GROUP BY 1 HAVING count(*) >= 2
+), bs AS (
+  SELECT event_type, n,
+         floor((CAST(s AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS mean,
+         floor(sqrt((CAST(q AS DOUBLE)
+                     - n * ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+                    / (n - 1)) * 1e6 + 0.5) / 1e6 AS sigma
+  FROM b
+), d AS (
+  SELECT e.event_type, ts, event_id, CAST(vd AS DOUBLE) AS value, sigma,
+         CAST(floor((CAST(vd AS DOUBLE) - mean - sigma * 0.5) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(18,6)) AS dpos,
+         CAST(floor((mean - CAST(vd AS DOUBLE) - sigma * 0.5) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(18,6)) AS dneg
+  FROM e JOIN bs USING (event_type) WHERE sigma > 0
+), c AS (
+  -- (28,6) pins: a (38,6) here would leave least()/minus no headroom
+  -- and DuckDB would promote sp/sn to DOUBLE (observed float dust)
+  SELECT * EXCLUDE (dpos, dneg),
+         CAST(sum(dpos) OVER w AS DECIMAL(28,6)) AS cp,
+         CAST(sum(dneg) OVER w AS DECIMAL(28,6)) AS cn
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  -- min(0, running-min) via CASE: DuckDB's least() promotes decimal
+  -- pairs to DOUBLE, which would poison the exact fold with float dust
+  SELECT event_type, ts, event_id, value, sigma,
+         cp - (CASE WHEN min(cp) OVER w < 0 THEN min(cp) OVER w
+               ELSE CAST(0 AS DECIMAL(28,6)) END) AS sp,
+         cn - (CASE WHEN min(cn) OVER w < 0 THEN min(cn) OVER w
+               ELSE CAST(0 AS DECIMAL(28,6)) END) AS sn
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, ts, event_id, value,
+       CAST(sp AS DOUBLE) AS cusum_pos,
+       CAST(sn AS DOUBLE) AS cusum_neg
+FROM s
+WHERE CAST(sp AS DOUBLE) > sigma * 5.0 OR CAST(sn AS DOUBLE) > sigma * 5.0
+"""

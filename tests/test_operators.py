@@ -2398,3 +2398,78 @@ def test_compaction_plan_bins_and_determinism(spark):
         bins = [bb for (pp, bb) in totals if pp == part]
         assert len(set(bins)) <= math.ceil(sum(sizes) / 100)
         assert max(totals[(part, b)] for b in bins) < 100 + max(sizes)
+
+
+def test_benford_profile_missing_digits_and_exclusions(spark):
+    from django_indexer_spark.operators.quality import benford_profile
+
+    # group 'm': every value leads with digit 1 -> p_obs(1)=1, the other
+    # eight digits contribute their full expected mass via the spine ->
+    # MAD = (|1-log10(2)| + sum_{d=2..9} p_exp(d)) / 9 ~= 0.1553.
+    rows = [("m", v) for v in [1.0, 12.5, 150.0, 0.19, 1999.0]]
+    # group 'u': one value per digit -> uniform 1/9, still nonconforming.
+    rows += [("u", float(d) * 10.0) for d in range(1, 10)]
+    # zero and NULL carry no signal and are excluded from n.
+    rows += [("m", 0.0), ("m", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in benford_profile(df, "g", "v").collect()}
+    m = out["m"]
+    assert m["n"] == 5
+    assert abs(m["mad"] - 0.15533) < 1e-3
+    assert m["nonconforming"] and m["chi2"] > 0
+    u = out["u"]
+    assert u["n"] == 9
+    assert u["nonconforming"]  # uniform is far from Benford too
+
+
+def test_weighted_median_crossing_and_duplicates(spark):
+    from django_indexer_spark.operators.aggregates import weighted_median
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 'heavy': weight mass sits on v=3 -> median 3
+        ("heavy", 1.0, 1), ("heavy", 2.0, 1), ("heavy", 3.0, 10),
+        # 'even': 2*cum(v=1)=10 >= tot=10 -> lower median 1
+        ("even", 1.0, 5), ("even", 2.0, 5),
+        # 'dup': duplicate values collapse before the window
+        ("dup", 2.0, 1), ("dup", 2.0, 1), ("dup", 9.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = {
+        r["g"]: r
+        for r in weighted_median(
+            df,
+            "g",
+            F.col("v").cast("decimal(18,2)"),
+            F.col("w").cast("decimal(18,3)"),
+        ).collect()
+    }
+    assert float(out["heavy"]["weighted_median"]) == 3.0
+    assert float(out["heavy"]["total_weight"]) == 12.0
+    assert float(out["even"]["weighted_median"]) == 1.0
+    assert float(out["dup"]["weighted_median"]) == 2.0
+
+
+def test_cusum_changepoints_alarm_rows_and_guards(spark):
+    from django_indexer_spark.operators.windows import cusum_changepoints
+
+    # 30 rows at 10.0 then 30 at 30.0: mean=20, pinned sigma=10.08439,
+    # slack=5.042195 -> per-row drift 4.957805 on the shifted side of
+    # each one-sided detector, threshold 5*sigma=50.42195 -> the 11th
+    # accumulating row alarms: downward at order 10, upward at order 40.
+    rows = [("g", i, 10.0 if i < 30 else 30.0) for i in range(60)]
+    rows += [("const", i, 7.0) for i in range(5)]  # sigma=0 -> no rows
+    rows += [("one", 0, 3.0)]  # n<2 -> excluded, no crash
+    df = spark.createDataFrame(rows, "g string, o long, v double")
+    out = cusum_changepoints(df, "g", "o", "v", "o").collect()
+    assert {r["g"] for r in out} == {"g"}
+    pos = sorted(r["o"] for r in out if r["cusum_pos"] > r["cusum_neg"])
+    neg = sorted(r["o"] for r in out if r["cusum_neg"] > r["cusum_pos"])
+    # S- peaks at 30*4.957805=148.73 on the shift row, then decays by
+    # 15.042195/row: 148.73 - 6*15.04 falls under the 50.42 threshold
+    # at order 36 -> downward alarms span exactly [10, 35].
+    assert min(neg) == 10 and max(neg) == 35
+    assert min(pos) == 40 and max(pos) == 59
+    # closed form matches the recursion S_i = max(0, S_{i-1} + d_i)
+    by_o = {r["o"]: r for r in out}
+    assert abs(by_o[40]["cusum_pos"] - 11 * 4.957805) < 1e-6

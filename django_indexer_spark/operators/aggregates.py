@@ -156,3 +156,220 @@ def weighted_median(
             F.min("__tot").alias("total_weight"),
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, over the FULL r×c contingency spine (absent cells still
+    contribute their full (0−e)²/e mass — dropping them understates
+    chi², the classic hand-rolled mistake). Output is one row:
+    n, dof = (r−1)(c−1), chi2, and Cramér's V effect size.
+
+    Scale design: ONE fact scan → (a, b) counts (map-side combine,
+    state = r·c), then everything downstream — margins, spine, terms —
+    operates on the r·c-row relation with broadcast joins only. The
+    spine is distinct(a) × distinct(b) with the b side broadcast:
+    category domains are small by definition of the test (a million-
+    category column needs a different tool).
+
+    Determinism: cell/margin counts are exact longs; expected counts
+    and each chi-square term are evaluated in double, pinned to ``dp``
+    dp, and folded as DECIMAL(28,6) — order-independent, engine-exact."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    cells = (
+        df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__r"),
+        F.countDistinct("__b").alias("__c"),
+    )
+    spine = row_m.crossJoin(F.broadcast(col_m))
+    full = (
+        spine.join(F.broadcast(cells), ["__a", "__b"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__ra") * F.col("__cb") / F.col("__n")
+    term = _pin((F.col("__o") - e) * (F.col("__o") - e) / e).cast(
+        f"decimal(28,{dp})"
+    )
+    agg = full.agg(
+        F.min("__n").cast("long").alias("n"),
+        ((F.min("__r") - 1) * (F.min("__c") - 1)).cast("long").alias("dof"),
+        F.sum(term).cast("double").alias("chi2"),
+        F.min("__r").alias("__r"),
+        F.min("__c").alias("__c"),
+    )
+    v = _pin(
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.col("__r") - 1, F.col("__c") - 1))
+        )
+    )
+    return agg.select("n", "dof", "chi2", v.alias("cramers_v"))
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    arm_col: Column,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) per group with the normal
+    approximation and tie correction — the nonparametric twin of
+    [welch_ttest] for skewed metrics where means mislead. Midranks are
+    handled exactly by working in DOUBLED rank units: for a tied run
+    of t values after p predecessors, 2·avg_rank = 2p + t + 1, an
+    integer, so 2·R_a = Σ c_a·(2p + t + 1) folds as an exact integer
+    and U = (2R_a − n_a(n_a+1))/2 has no half-point float step.
+
+    Scale design: collapse to one row per (group, 3-dp value) FIRST
+    (state = distinct values), ONE running-count window over the
+    collapsed relation yields the predecessor counts, and a single
+    re-aggregate folds 2R_a and the tie term Σ(t³−t) as
+    DECIMAL(38,0). z is derived arithmetically from the folded
+    integers in double, pinned to ``dp`` dp. Groups with an empty arm
+    or all-tied values (zero variance) emit z = NULL."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    vd = F.round(F.col(value_col).cast("double"), 3).cast("decimal(18,3)")
+    a = arm_col.cast("boolean")
+    per_value = (
+        df.select(F.col(group_col), a.alias("__a"), vd.alias("__v"))
+        .groupBy(group_col, "__v")
+        .agg(
+            F.count(F.when(F.col("__a"), 1)).alias("__ca"),
+            F.count(F.lit(1)).alias("__t"),
+        )
+    )
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_value.select(
+        F.col(group_col),
+        "__ca",
+        "__t",
+        (F.sum("__t").over(w_run) - F.col("__t")).alias("__p"),
+    )
+    r2_term = (
+        F.col("__ca") * (F.lit(2) * F.col("__p") + F.col("__t") + F.lit(1))
+    ).cast("decimal(38,0)")
+    tie_term = (
+        F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+    ).cast("decimal(38,0)")
+    g = ranked.groupBy(group_col).agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        (F.sum("__t") - F.sum("__ca")).cast("long").alias("n_b"),
+        F.sum(r2_term).cast("double").alias("__r2"),
+        F.sum(tie_term).cast("double").alias("__tt"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = (F.col("__r2") - na * (na + 1)) / F.lit(2.0)
+    var = na * nb / 12.0 * ((n + 1) - F.col("__tt") / (n * (n - 1)))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        _pin((u - na * nb / 2.0) / F.sqrt(var)),
+    )
+    return g.select(
+        group_col,
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        z.alias("z_stat"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Gini concentration coefficient per group over a nonnegative
+    amount column: G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with values
+    ascending — the inequality / concentration readout (how top-heavy
+    are order totals, donations, token counts per doc).
+
+    Tied values make Σ i·x₍ᵢ₎ tiebreak-independent, so it folds
+    EXACTLY from the per-(group, value) collapse in DOUBLED rank units
+    (mannwhitney_u's trick): a run of t equal values after p
+    predecessors contributes x·t·(2p + t + 1) = 2·Σi·x, an integer ×
+    decimal product, so G = 2RS/(n·Σx) − (n+1)/n needs no half-point
+    division. One running-count window over the collapsed relation,
+    one decimal re-aggregate, the final ratio pinned to ``dp`` dp in
+    double — same scale contract as weighted_median (window state =
+    distinct values, not rows). Groups containing negative values
+    violate the Lorenz-curve definition and are dropped."""
+    vd = F.round(F.col(value_col).cast("double"), 2).cast("decimal(18,2)")
+    per_value = (
+        df.select(F.col(group_col), vd.alias("__v"))
+        .groupBy(group_col, "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_value.select(
+        F.col(group_col),
+        "__v",
+        "__t",
+        (F.sum("__t").over(w_run) - F.col("__t")).alias("__p"),
+    )
+    # x·t·(2p+t+1) = 2·(rank contribution): DECIMAL(18,2) × up-to-n²
+    # integer fits (38,2); staying in doubled units avoids a t(t+1)/2
+    # that Spark's `/` would compute in double
+    rank_sum = (
+        F.col("__v")
+        * (
+            F.col("__t")
+            * (F.lit(2) * F.col("__p") + F.col("__t") + F.lit(1))
+        )
+    ).cast("decimal(38,2)")
+    g = ranked.groupBy(group_col).agg(
+        F.sum("__t").cast("long").alias("n"),
+        F.sum((F.col("__v") * F.col("__t")).cast("decimal(38,2)"))
+        .alias("__tot"),
+        F.sum(rank_sum).alias("__rs"),
+        F.min("__v").alias("__minv"),
+    )
+    pow10 = float(10**dp)
+    pinned = lambda c: F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)  # noqa: E731
+    nn = F.col("n").cast("double")
+    # __rs is already 2·Σi·x (doubled units), so no leading 2· factor
+    gini = pinned(
+        F.col("__rs").cast("double") / (nn * F.col("__tot").cast("double"))
+        - (nn + 1) / nn
+    )
+    return (
+        g.filter(F.col("__minv") >= 0)
+        .filter(F.col("__tot") > 0)
+        .select(
+            group_col,
+            "n",
+            F.col("__tot").cast("double").alias("total"),
+            gini.alias("gini"),
+        )
+    )

@@ -589,3 +589,88 @@ def benford_profile(
         )
         .withColumn("nonconforming", F.col("mad") > F.lit(alarm_mad))
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    split_col: Column,
+    value_col: str,
+    alpha_c: float = 1.358,
+    dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test per group: the supremum gap
+    between the two splits' empirical CDFs, with the large-sample
+    rejection line c(α)·sqrt((n_a+n_b)/(n_a·n_b)) (c = 1.358 is
+    α = 0.05). The distribution-shape drift check that complements
+    [psi_drift]'s binned score — KS needs no bin edges and reacts to
+    ANY CDF divergence, not just decile mass moves.
+
+    Scale design: collapse to one row per (group, 3-dp value) FIRST
+    (map-side combined; state = distinct values, not rows), then ONE
+    running-sum window per group over the collapsed relation computes
+    both ECDFs, and a max() re-aggregate takes the supremum. The
+    window partition is value-domain-sized, the same contract as
+    weighted_median.
+
+    Cross-engine determinism: ECDF steps are exact long counts; each
+    gap |F_a − F_b| is evaluated in double and pinned to ``dp`` dp
+    BEFORE the max, so the supremum row can't flip on float dust;
+    the threshold is pinned the same way. Groups missing either split
+    entirely are dropped (no CDF to compare)."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    vd = F.round(F.col(value_col).cast("double"), 3).cast("decimal(18,3)")
+    per_value = (
+        df.select(F.col(group_col), split_col.alias("__a"), vd.alias("__v"))
+        .groupBy(group_col, "__v")
+        .agg(
+            F.count(F.when(F.col("__a"), 1)).alias("__ca"),
+            F.count(F.when(~F.col("__a"), 1)).alias("__cb"),
+        )
+    )
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    gap = _pin(
+        F.abs(
+            F.sum("__ca").over(w_run) / F.col("__na")
+            - F.sum("__cb").over(w_run) / F.col("__nb")
+        )
+    )
+    stepped = per_value.select(
+        F.col(group_col),
+        F.sum("__ca").over(w_all).alias("__na"),
+        F.sum("__cb").over(w_all).alias("__nb"),
+        "__ca",
+        "__cb",
+        "__v",
+    ).select(
+        group_col,
+        "__na",
+        "__nb",
+        gap.alias("__gap"),
+    )
+    thr = _pin(
+        F.lit(alpha_c)
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+        )
+    )
+    return (
+        stepped.filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .groupBy(group_col)
+        .agg(
+            F.min("__na").cast("long").alias("n_a"),
+            F.min("__nb").cast("long").alias("n_b"),
+            F.max("__gap").alias("ks_stat"),
+        )
+        .withColumn("threshold", thr)
+        .withColumn("significant", F.col("ks_stat") > F.col("threshold"))
+    )

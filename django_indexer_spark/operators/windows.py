@@ -572,3 +572,89 @@ def cusum_changepoints(
             F.col("__sn").cast("double").alias("cusum_neg"),
         )
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    max_lag: int = 6,
+    dp: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function per series at lags 1..max_lag:
+    r_k = Σ(x_t − x̄)(x_{t−k} − x̄) / Σ(x_t − x̄)², the standard
+    seasonality / persistence readout over a rollup series (a daily
+    period shows as a spike at the matching lag).
+
+    ``series`` is one row per (group, bucket): lags are ROW-based over
+    ascending ``bucket_col``, so a gap in the bucket index pairs
+    across it — pre-fill gaps (gap_fill) if calendar-true lags matter.
+
+    Scale design: ONE window pass per group emits all max_lag lagged
+    columns (a single sort, not one per lag), a stack() unpivot turns
+    them into (lag, pair) rows with zero shuffle, and one (group, lag)
+    re-aggregate folds the products. Series length per group must fit
+    a partition — the rollup-series contract shared with
+    seasonal_decompose.
+
+    Cross-engine determinism: x̄ comes from an exact DECIMAL fold
+    pinned to ``dp`` dp; every cross-product term and the variance
+    term are pinned and folded as DECIMAL(38,6); the final ratio is
+    pinned double. The lag-0 variance denominator uses the FULL
+    series, so r_k is comparable across lags; constant series
+    (zero variance) emit no rows."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    vd = F.col(value_col).cast("decimal(18,2)")
+    mean = (
+        series.groupBy(group_col)
+        .agg(F.sum(vd).alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            group_col,
+            _pin(F.col("__s").cast("double") / F.col("__n")).alias("__mean"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(bucket_col)
+    lagged = series.join(F.broadcast(mean), group_col).select(
+        F.col(group_col),
+        (vd.cast("double") - F.col("__mean")).alias("__d0"),
+        *[
+            (F.lag(vd, k).over(w).cast("double") - F.col("__mean")).alias(
+                f"__d{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    # unpivot to (lag, centered pair product) — stack is zero-shuffle
+    pairs = lagged.selectExpr(
+        group_col,
+        "__d0",
+        f"stack({max_lag}, "
+        + ", ".join(f"{k}, __d{k}" for k in range(1, max_lag + 1))
+        + ") as (lag, __dk)",
+    )
+    num_t = _pin(F.col("__d0") * F.col("__dk")).cast(f"decimal(38,{dp})")
+    den_t = _pin(F.col("__d0") * F.col("__d0")).cast(f"decimal(38,{dp})")
+    num = pairs.filter(F.col("__dk").isNotNull()).groupBy(
+        group_col, "lag"
+    ).agg(F.sum(num_t).alias("__num"), F.count(F.lit(1)).alias("n_pairs"))
+    den = (
+        lagged.groupBy(group_col)
+        .agg(F.sum(den_t).alias("__den"))
+        .filter(F.col("__den") > 0)
+    )
+    return (
+        num.join(F.broadcast(den), group_col)
+        .select(
+            group_col,
+            F.col("lag").cast("int").alias("lag"),
+            _pin(
+                F.col("__num").cast("double") / F.col("__den").cast("double")
+            ).alias("acf"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )

@@ -4278,3 +4278,77 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         e, "event_type", "ts", "value", "event_id", k_sigmas=0.5, h_sigmas=5.0
     )
+
+
+@query("qa_ks_test")
+def qa_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type
+    (operators/quality.py:ks_two_sample): first half of January vs the
+    back half, supremum ECDF gap from one running-sum window over the
+    per-(type, value) collapse, 6-dp-pinned before the max so the
+    supremum row can't flip on float dust."""
+    from ..operators.quality import ks_two_sample
+
+    e = _events(spark, sf_dir)
+    return ks_two_sample(
+        e, "event_type", F.dayofmonth("ts") < 16, "value"
+    )
+
+
+@query("a_chi2_independence")
+def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type × day-of-week
+    (operators/aggregates.py:chi2_independence): full r×c contingency
+    spine (absent cells keep their expected mass), margins broadcast,
+    terms 6-dp-pinned DECIMAL folds; Cramér's V effect size."""
+    from ..operators.aggregates import chi2_independence
+
+    e = _events(spark, sf_dir).withColumn(
+        "dow", (F.dayofweek("ts") - F.lit(1)).cast("int")
+    )
+    return chi2_independence(e, "event_type", "dow")
+
+
+@query("a_mannwhitney_u")
+def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum per event type over md5-parity arms
+    (operators/aggregates.py:mannwhitney_u) — the nonparametric twin
+    of a_ab_ttest: doubled-rank integer folds make midranks exact, tie
+    correction folded as DECIMAL(38,0), z pinned 6 dp."""
+    from ..operators.aggregates import mannwhitney_u
+
+    e = _events(spark, sf_dir)
+    arm = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+        "0", "2", "4", "6", "8", "a", "c", "e"
+    )
+    return mannwhitney_u(e, "event_type", arm, "value")
+
+
+@query("ts_autocorrelation")
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..6 of the hourly value series per event type
+    (operators/windows.py:autocorrelation): one lag-window pass emits
+    all six lags, stack() unpivots with zero shuffle, centered
+    products folded as pinned DECIMAL(38,6)."""
+    from ..operators import windows
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.col("event_type"),
+        F.expr("ts_us DIV 3600000000").alias("hour_idx"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"))
+    return windows.autocorrelation(
+        hourly, "event_type", "hour_idx", "value_sum", max_lag=6
+    )
+
+
+@query("a_gini")
+def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order totals per priority class
+    (operators/aggregates.py:gini_coefficient): how top-heavy is spend
+    — doubled-rank decimal folds over the per-(class, value) collapse,
+    final ratio pinned 6 dp."""
+    from ..operators.aggregates import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders")
+    return gini_coefficient(o, "o_orderpriority", "o_totalprice")

@@ -3450,3 +3450,195 @@ SELECT event_type, ts, event_id, value,
 FROM s
 WHERE CAST(sp AS DOUBLE) > sigma * 5.0 OR CAST(sn AS DOUBLE) > sigma * 5.0
 """
+
+# qa_ks_test — ECDF steps are exact window counts over the per-(type,
+# 3-dp value) collapse; each gap pinned 6 dp BEFORE max(); threshold
+# 1.358*sqrt((na+nb)/(na*nb)) pinned the same way.
+ORACLES["qa_ks_test"] = """
+WITH e AS (
+  SELECT event_type, day(ts) < 16 AS a,
+         CAST(round(CAST(value AS DOUBLE), 3) AS DECIMAL(18,3)) AS v
+  FROM events
+), pv AS (
+  SELECT event_type, v,
+         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cb
+  FROM e GROUP BY 1, 2
+), stepped AS (
+  SELECT event_type,
+         CAST(sum(ca) OVER wa AS BIGINT) AS na,
+         CAST(sum(cb) OVER wa AS BIGINT) AS nb,
+         floor(abs(CAST(sum(ca) OVER wr AS BIGINT) / CAST(sum(ca) OVER wa AS BIGINT)
+                 - CAST(sum(cb) OVER wr AS BIGINT) / CAST(sum(cb) OVER wa AS BIGINT))
+               * 1e6 + 0.5) / 1e6 AS gap
+  FROM pv
+  WINDOW wr AS (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY event_type)
+)
+SELECT event_type,
+       CAST(min(na) AS BIGINT) AS n_a,
+       CAST(min(nb) AS BIGINT) AS n_b,
+       max(gap) AS ks_stat,
+       floor(1.358 * sqrt((min(na) + min(nb)) / (min(na) * min(nb)))
+             * 1e6 + 0.5) / 1e6 AS threshold,
+       max(gap) > floor(1.358 * sqrt((min(na) + min(nb)) / (min(na) * min(nb)))
+                        * 1e6 + 0.5) / 1e6 AS significant
+FROM stepped WHERE na > 0 AND nb > 0
+GROUP BY event_type
+"""
+
+# a_chi2_independence — full r×c spine (absent cells contribute their
+# expected mass); margins/cells exact longs, each (o−e)²/e pinned 6 dp
+# and folded DECIMAL(28,6); dow is 0=Sunday on both engines
+# (Spark dayofweek−1 ↔ DuckDB dayofweek).
+ORACLES["a_chi2_independence"] = """
+WITH e AS (SELECT event_type AS a, dayofweek(ts) AS b FROM events),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY 1, 2),
+rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS r,
+               CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+full_ AS (
+  SELECT coalesce(cells.o, 0) AS o, rm.ra, cm.cb, tot.n, tot.r, tot.c
+  FROM rm CROSS JOIN cm
+  LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b
+  CROSS JOIN tot
+), terms AS (
+  SELECT n, r, c,
+         CAST(floor(((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n))
+                    * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS t
+  FROM full_
+)
+SELECT CAST(min(n) AS BIGINT) AS n,
+       CAST((min(r) - 1) * (min(c) - 1) AS BIGINT) AS dof,
+       CAST(sum(t) AS DOUBLE) AS chi2,
+       floor(sqrt(CAST(sum(t) AS DOUBLE)
+                  / (min(n) * least(min(r) - 1, min(c) - 1)))
+             * 1e6 + 0.5) / 1e6 AS cramers_v
+FROM terms
+"""
+
+# a_mannwhitney_u — doubled-rank integer folds (2·avg_rank = 2p+t+1)
+# and the tie term Σ(t³−t) as DECIMAL(38,0); U and z derived in double
+# from the folded integers, z pinned 6 dp.
+ORACLES["a_mannwhitney_u"] = """
+WITH e AS (
+  SELECT event_type,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+           IN ('0','2','4','6','8','a','c','e') AS a,
+         CAST(round(CAST(value AS DOUBLE), 3) AS DECIMAL(18,3)) AS v
+  FROM events
+), pv AS (
+  SELECT event_type, v,
+         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(*) AS BIGINT) AS t
+  FROM e GROUP BY 1, 2
+), rk AS (
+  SELECT event_type, ca, t,
+         CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t AS p
+  FROM pv
+), g AS (
+  SELECT event_type,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(t) - sum(ca) AS BIGINT) AS n_b,
+         CAST(sum(CAST(ca * (2 * p + t + 1) AS DECIMAL(38,0))) AS DOUBLE) AS r2,
+         CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE) AS tt
+  FROM rk GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       (r2 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0 AS u_stat,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                    - tt / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))) > 0
+            THEN floor(
+              ((r2 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+              / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                     * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                        - tt / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))))
+              * 1e6 + 0.5) / 1e6
+       END AS z_stat
+FROM g
+"""
+
+# ts_autocorrelation — hourly rollup exactly as ts_decompose's; one
+# lag window per type, CASE-unpivot over generate_series(1,6), centered
+# products pinned 6 dp and folded DECIMAL(38,6); full-series variance
+# denominator.
+ORACLES["ts_autocorrelation"] = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+         SUM(CAST(value AS DECIMAL(18,2))) AS value_sum
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         floor(CAST(sum(value_sum) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean
+  FROM hourly GROUP BY 1
+), lagged AS (
+  SELECT h.event_type,
+         CAST(value_sum AS DOUBLE) - mean AS d0,
+         CAST(lag(value_sum, 1) OVER w AS DOUBLE) - mean AS d1,
+         CAST(lag(value_sum, 2) OVER w AS DOUBLE) - mean AS d2,
+         CAST(lag(value_sum, 3) OVER w AS DOUBLE) - mean AS d3,
+         CAST(lag(value_sum, 4) OVER w AS DOUBLE) - mean AS d4,
+         CAST(lag(value_sum, 5) OVER w AS DOUBLE) - mean AS d5,
+         CAST(lag(value_sum, 6) OVER w AS DOUBLE) - mean AS d6
+  FROM hourly h JOIN m USING (event_type)
+  WINDOW w AS (PARTITION BY h.event_type ORDER BY hour_idx)
+), pairs AS (
+  SELECT event_type, lag_, d0,
+         CASE lag_ WHEN 1 THEN d1 WHEN 2 THEN d2 WHEN 3 THEN d3
+                   WHEN 4 THEN d4 WHEN 5 THEN d5 WHEN 6 THEN d6 END AS dk
+  FROM lagged
+  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS lag_)
+), num AS (
+  SELECT event_type, lag_,
+         sum(CAST(floor(d0 * dk * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS num,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs WHERE dk IS NOT NULL GROUP BY 1, 2
+), den AS (
+  SELECT event_type,
+         sum(CAST(floor(d0 * d0 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS den
+  FROM lagged GROUP BY 1 HAVING den > 0
+)
+SELECT event_type, CAST(lag_ AS INT) AS lag,
+       floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf,
+       n_pairs
+FROM num JOIN den USING (event_type)
+"""
+
+# a_gini — doubled-rank decimal folds over the per-(class, value)
+# collapse: rs = Σ v·t·(2p+t+1) = 2·Σi·x, G = rs/(n·Σx) − (n+1)/n
+# pinned 6 dp; groups with negatives or zero total dropped.
+ORACLES["a_gini"] = """
+WITH pv AS (
+  SELECT o_orderpriority,
+         CAST(round(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(18,2)) AS v,
+         CAST(count(*) AS BIGINT) AS t
+  FROM orders GROUP BY 1, 2
+), rk AS (
+  SELECT o_orderpriority, v, t,
+         CAST(sum(t) OVER (PARTITION BY o_orderpriority ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t AS p
+  FROM pv
+), g AS (
+  SELECT o_orderpriority,
+         CAST(sum(t) AS BIGINT) AS n,
+         sum(CAST(v * t AS DECIMAL(38,2))) AS tot,
+         sum(CAST(v * (t * (2 * p + t + 1)) AS DECIMAL(38,2))) AS rs,
+         min(v) AS minv
+  FROM rk GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       CAST(tot AS DOUBLE) AS total,
+       floor((CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS gini
+FROM g WHERE minv >= 0 AND tot > 0
+"""

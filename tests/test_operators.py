@@ -2473,3 +2473,91 @@ def test_cusum_changepoints_alarm_rows_and_guards(spark):
     # closed form matches the recursion S_i = max(0, S_{i-1} + d_i)
     by_o = {r["o"]: r for r in out}
     assert abs(by_o[40]["cusum_pos"] - 11 * 4.957805) < 1e-6
+
+
+def test_ks_two_sample_gap_and_empty_arm_drop(spark):
+    from django_indexer_spark.operators.quality import ks_two_sample
+    from pyspark.sql import functions as F
+
+    # A=[1,2,3,4] vs B=[3,4,5,6]: ECDF gap peaks at 0.5 (v=2); the
+    # 1.358 line at n=4/4 is 0.960251 -> not significant.
+    rows = [("g", True, float(v)) for v in [1, 2, 3, 4]]
+    rows += [("g", False, float(v)) for v in [3, 4, 5, 6]]
+    rows += [("onearm", True, 1.0), ("onearm", True, 2.0)]
+    df = spark.createDataFrame(rows, "g string, a boolean, v double")
+    out = {r["g"]: r for r in ks_two_sample(df, "g", F.col("a"), "v").collect()}
+    assert set(out) == {"g"}  # empty-B group dropped
+    r = out["g"]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert abs(r["ks_stat"] - 0.5) < 1e-9
+    assert abs(r["threshold"] - 0.960251) < 1e-6
+    assert not r["significant"]
+
+
+def test_chi2_independence_spine_and_effect_size(spark):
+    from django_indexer_spark.operators.aggregates import chi2_independence
+
+    # Diagonal 2x2 with EMPTY off-diagonal cells: the spine must add
+    # them back ((0-5)^2/5 each) -> chi2 = 20, V = 1. Dropping absent
+    # cells would report 10.
+    rows = [("x", 0)] * 10 + [("y", 1)] * 10
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert (r["n"], r["dof"]) == (20, 1)
+    assert abs(r["chi2"] - 20.0) < 1e-9
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+
+    # Perfectly independent table -> chi2 exactly 0.
+    rows = [(a, b) for a in ("x", "y") for b in (0, 1) for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_mannwhitney_u_hand_case_and_all_tied_null(spark):
+    from django_indexer_spark.operators.aggregates import mannwhitney_u
+    from pyspark.sql import functions as F
+
+    # A=[1,2] B=[3,4]: U = 0, z = -2/sqrt(5/3) = -1.549193 (pinned)
+    rows = [("g", True, 1.0), ("g", True, 2.0),
+            ("g", False, 3.0), ("g", False, 4.0),
+            ("tied", True, 7.0), ("tied", True, 7.0),
+            ("tied", False, 7.0), ("tied", False, 7.0)]
+    df = spark.createDataFrame(rows, "g string, a boolean, v double")
+    out = {r["g"]: r for r in mannwhitney_u(df, "g", F.col("a"), "v").collect()}
+    g = out["g"]
+    assert (g["n_a"], g["n_b"]) == (2, 2)
+    assert g["u_stat"] == 0.0
+    assert abs(g["z_stat"] - (-1.549193)) < 1e-6
+    # all-tied group: tie correction zeroes the variance -> z NULL,
+    # U still the midrank value (2*2.5 sum - n(n+1) over 2 = 2)
+    t = out["tied"]
+    assert t["u_stat"] == 2.0 and t["z_stat"] is None
+
+
+def test_autocorrelation_alternating_series(spark):
+    from django_indexer_spark.operators.windows import autocorrelation
+
+    # 2,0,2,0,... over 10 buckets: mean 1, r1 = -9/10, r2 = +8/10
+    rows = [("s", i, 2.0 if i % 2 == 0 else 0.0) for i in range(10)]
+    rows += [("flat", i, 3.0) for i in range(5)]  # zero variance -> dropped
+    df = spark.createDataFrame(rows, "g string, b long, v double")
+    out = {(r["g"], r["lag"]): r for r in autocorrelation(df, "g", "b", "v", max_lag=2).collect()}
+    assert set(k[0] for k in out) == {"s"}
+    assert abs(out[("s", 1)]["acf"] - (-0.9)) < 1e-9
+    assert abs(out[("s", 2)]["acf"] - 0.8) < 1e-9
+    assert out[("s", 1)]["n_pairs"] == 9 and out[("s", 2)]["n_pairs"] == 8
+
+
+def test_gini_equal_concentrated_and_negative_drop(spark):
+    from django_indexer_spark.operators.aggregates import gini_coefficient
+
+    rows = [("eq", 5.0)] * 4            # perfect equality -> 0
+    rows += [("top", 0.0)] * 3 + [("top", 12.0)]  # max for n=4 -> 0.75
+    rows += [("neg", -1.0), ("neg", 5.0)]          # negative -> dropped
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in gini_coefficient(df, "g", "v").collect()}
+    assert set(out) == {"eq", "top"}
+    assert out["eq"]["gini"] == 0.0
+    assert abs(out["top"]["gini"] - 0.75) < 1e-9
+    assert out["top"]["total"] == 12.0 and out["top"]["n"] == 4

@@ -373,3 +373,50 @@ def gini_coefficient(
             gini.alias("gini"),
         )
     )
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_col: str,
+    success_col: Column,
+    z: float = 1.96,
+    dp: int = 6,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group proportion —
+    the right CI for conversion/defect rates (unlike the normal
+    approximation it never leaves [0,1] and behaves at small n or
+    extreme p). Output per group: n, successes, the point rate and
+    the [lo, hi] bounds at confidence ``z`` (1.96 = 95%).
+
+    Scale design: ONE map-side-combined count shuffle; all the
+    interval arithmetic happens on the ≤|groups|-row aggregate.
+    Determinism: n/s are exact longs; rate and both bounds are
+    derived in double with the standard closed form and pinned to
+    ``dp`` dp — identical IEEE ops on any engine."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(success_col, 1)).alias("successes"),
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / nn
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (2 * nn)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn))
+        / denom
+    )
+    return g.filter(F.col("n") > 0).select(
+        group_col,
+        "n",
+        "successes",
+        _pin(p).alias("rate"),
+        _pin(center - half).alias("ci_lo"),
+        _pin(center + half).alias("ci_hi"),
+    )

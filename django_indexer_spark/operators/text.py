@@ -1014,3 +1014,76 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str, dp: int = 6) -> Dat
             F.col("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    max_terms: int = 1000,
+    dp: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency power-law fit over the corpus vocabulary:
+    OLS of ln(freq) on ln(rank) over the top ``max_terms`` terms.
+    Natural language sits near slope −1; templated or synthetic text
+    drifts flat — a one-row corpus health check next to the per-doc
+    quality family.
+
+    Scale design: ONE (term) count shuffle (map-side combined), then
+    ``orderBy().limit(max_terms)`` compiles to TakeOrderedAndProject —
+    the only sort state anywhere is the per-task top-k heap — and the
+    rank window + regression run over the ≤max_terms-row head
+    (bounded single partition by construction, same rule as
+    ranked_topk). Rank ties break on the term string, so the fit is
+    order-deterministic.
+
+    Determinism: x = ln(rank), y = ln(freq) are pinned ``dp`` dp;
+    centered products fold as DECIMAL(38,6); slope/intercept/r² derive
+    from the five folded scalars in double, pinned. r² = Sxy²/(Sxx·Syy)."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    counts = (
+        df.select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    head = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(
+        max_terms
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    xy = head.select(
+        _pin(F.log(F.row_number().over(w).cast("double"))).alias("__x"),
+        _pin(F.log(F.col("c").cast("double"))).alias("__y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).alias("__n"),
+        _pin(
+            F.sum(F.col("__x").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mx"),
+        _pin(
+            F.sum(F.col("__y").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__my"),
+    )
+    dx = F.col("__x") - F.col("__mx")
+    dy = F.col("__y") - F.col("__my")
+    folds = xy.crossJoin(F.broadcast(m)).agg(
+        F.min("__n").cast("long").alias("n_terms"),
+        F.sum(_pin(dx * dy).cast("decimal(38,6)")).cast("double").alias("__sxy"),
+        F.sum(_pin(dx * dx).cast("decimal(38,6)")).cast("double").alias("__sxx"),
+        F.sum(_pin(dy * dy).cast("decimal(38,6)")).cast("double").alias("__syy"),
+        F.min("__mx").alias("__mx"),
+        F.min("__my").alias("__my"),
+    )
+    slope = F.col("__sxy") / F.col("__sxx")
+    return folds.filter(F.col("__sxx") > 0).select(
+        "n_terms",
+        _pin(slope).alias("slope"),
+        _pin(F.col("__my") - slope * F.col("__mx")).alias("intercept"),
+        _pin(
+            F.col("__sxy") * F.col("__sxy") / (F.col("__sxx") * F.col("__syy"))
+        ).alias("r2"),
+    )

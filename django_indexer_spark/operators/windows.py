@@ -658,3 +658,93 @@ def autocorrelation(
             F.col("n_pairs").cast("long").alias("n_pairs"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve per group, with
+    right-censoring: S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over event times,
+    where censored subjects leave the risk set without an event — the
+    churn/retention estimator that plain cohort counting gets wrong
+    the moment observation windows differ.
+
+    ``df`` is one row per subject: (group, integer duration, observed
+    flag — true means the event happened at ``duration``, false means
+    censored then). The product is computed as exp(Σ ln(1 − dᵢ/nᵢ)):
+    each ln term is pinned ``dp`` dp and folded as an exact DECIMAL
+    running sum, so the cumulative product is order-independent; the
+    final exp is pinned. If a time exhausts the risk set (dᵢ = nᵢ),
+    survival is exactly 0 from that point on (tracked with a running
+    max flag rather than ln(0)).
+
+    Scale design: collapse to one row per (group, duration) FIRST —
+    map-side combined; the windows then run over the duration-domain-
+    sized relation (weighted_median's contract), one partition per
+    group. Output rows are event times only (where dᵢ > 0), the
+    standard step-curve support."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    obs = F.col(observed_col).cast("boolean")
+    per_t = (
+        df.select(
+            F.col(group_col),
+            F.col(duration_col).cast("long").alias("__t"),
+            obs.alias("__o"),
+        )
+        .groupBy(group_col, "__t")
+        .agg(
+            F.count(F.when(F.col("__o"), 1)).alias("__d"),
+            F.count(F.lit(1)).alias("__all"),
+        )
+    )
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    risked = per_t.select(
+        F.col(group_col),
+        "__t",
+        "__d",
+        (
+            F.sum("__all").over(w_all)
+            - (F.sum("__all").over(w_run) - F.col("__all"))
+        ).alias("__n"),
+    )
+    ln_term = F.when(
+        F.col("__d") < F.col("__n"),
+        _pin(
+            F.log(
+                F.lit(1.0)
+                - F.col("__d").cast("double") / F.col("__n").cast("double")
+            )
+        ),
+    ).otherwise(F.lit(0.0)).cast(f"decimal(28,{dp})")
+    dead = F.when(F.col("__d") >= F.col("__n"), 1).otherwise(0)
+    curved = risked.select(
+        F.col(group_col),
+        "__t",
+        "__d",
+        "__n",
+        F.sum(ln_term).over(w_run).alias("__lnsum"),
+        F.max(dead).over(w_run).alias("__exhausted"),
+    )
+    survival = F.when(F.col("__exhausted") == 1, F.lit(0.0)).otherwise(
+        _pin(F.exp(F.col("__lnsum").cast("double")))
+    )
+    return curved.filter(F.col("__d") > 0).select(
+        group_col,
+        F.col("__t").alias("duration"),
+        F.col("__n").cast("long").alias("n_at_risk"),
+        F.col("__d").cast("long").alias("n_events"),
+        survival.alias("survival"),
+    )

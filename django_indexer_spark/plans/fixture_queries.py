@@ -4352,3 +4352,55 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return gini_coefficient(o, "o_orderpriority", "o_totalprice")
+
+
+@query("text_zipf_fit")
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the document corpus vocabulary
+    (operators/text.py:zipf_fit): OLS of ln(freq) on ln(rank) over the
+    top-1000 terms — one count shuffle, a TakeOrdered head, and a
+    bounded regression; natural text sits near slope −1."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.zipf_fit(docs, "text", max_terms=1000)
+
+
+@query("a_wilson_ci")
+def a_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for the high-value-event rate per
+    event type (operators/aggregates.py:wilson_interval): one count
+    shuffle, closed-form bounds pinned 6 dp — the CI that stays inside
+    [0,1] at small n where the normal approximation breaks."""
+    from ..operators.aggregates import wilson_interval
+
+    e = _events(spark, sf_dir)
+    return wilson_interval(
+        e, "event_type", F.col("value").cast("double") > F.lit(50.0)
+    )
+
+
+@query("ts_kaplan_meier")
+def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival per onboarding cohort
+    (operators/windows.py:kaplan_meier): subjects are (user, event
+    type) activity episodes — duration = days between the episode's
+    first and last event; an episode whose last event falls within the
+    final observation window (last day ≥ epoch day 19748, ~5 days
+    before the fixture's end) is right-CENSORED, otherwise it "churned"
+    at that duration. Cohorts split on an early first touch (epoch day
+    < 19727). The product-limit curve runs as exp of an exact decimal
+    running sum of pinned ln(1 − d/n) terms."""
+    from ..operators import windows as W
+
+    e = _events(spark, sf_dir)
+    per_ep = e.groupBy("user_id", "event_type").agg(
+        F.min(F.expr("ts_us DIV 86400000000")).alias("first_day"),
+        F.max(F.expr("ts_us DIV 86400000000")).alias("last_day"),
+    )
+    subj = per_ep.select(
+        F.when(F.col("first_day") < 19727, "early")
+        .otherwise("late")
+        .alias("cohort"),
+        (F.col("last_day") - F.col("first_day")).alias("dur"),
+        (F.col("last_day") < 19748).alias("obs"),
+    )
+    return W.kaplan_meier(subj, "cohort", "dur", "obs")

@@ -3642,3 +3642,122 @@ SELECT o_orderpriority, n,
              * 1e6 + 0.5) / 1e6 AS gini
 FROM g WHERE minv >= 0 AND tot > 0
 """
+
+# text_zipf_fit — same tokenizer macro; rank ties break on the term
+# string; x/y pinned 6 dp, centered products folded DECIMAL(38,6),
+# slope/intercept/r² derived from the folded scalars and pinned.
+ORACLES["text_zipf_fit"] = f"""
+WITH counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents) GROUP BY 1
+), head AS (
+  SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT 1000
+), xy AS (
+  SELECT floor(ln(CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS DOUBLE))
+               * 1e6 + 0.5) / 1e6 AS x,
+         floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
+  FROM head
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         floor(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               * 1e6 + 0.5) / 1e6 AS mx,
+         floor(CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               * 1e6 + 0.5) / 1e6 AS my
+  FROM xy
+), folds AS (
+  SELECT min(n) AS n_terms,
+         CAST(sum(CAST(floor((x - mx) * (y - my) * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(floor((x - mx) * (x - mx) * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(floor((y - my) * (y - my) * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         min(mx) AS mx, min(my) AS my
+  FROM xy CROSS JOIN m
+)
+SELECT CAST(n_terms AS BIGINT) AS n_terms,
+       floor(sxy / sxx * 1e6 + 0.5) / 1e6 AS slope,
+       floor((my - sxy / sxx * mx) * 1e6 + 0.5) / 1e6 AS intercept,
+       floor(sxy * sxy / (sxx * syy) * 1e6 + 0.5) / 1e6 AS r2
+FROM folds WHERE sxx > 0
+"""
+
+# a_wilson_ci — z² is WRITTEN as 1.96*1.96 (not a 3.8416 literal) so
+# both engines square the same double; closed form mirrored op-by-op.
+ORACLES["a_wilson_ci"] = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN CAST(value AS DOUBLE) > 50.0 THEN 1 END)
+              AS BIGINT) AS successes
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, successes,
+  floor((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rate,
+  floor((
+    (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+     + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE)))
+    / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+    - 1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+  ) * 1e6 + 0.5) / 1e6 AS ci_lo,
+  floor((
+    (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+     + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE)))
+    / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+    + 1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+  ) * 1e6 + 0.5) / 1e6 AS ci_hi
+FROM g WHERE n > 0
+"""
+
+# ts_kaplan_meier — product-limit as exp of an exact decimal running
+# sum of 6-dp-pinned ln(1 − d/n) terms; exhausted risk sets pin
+# survival to exactly 0 via a running-max flag, never ln(0).
+ORACLES["ts_kaplan_meier"] = """
+WITH per_ep AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts) // 86400000000) AS first_day,
+         max(epoch_us(ts) // 86400000000) AS last_day
+  FROM events GROUP BY 1, 2
+), subj AS (
+  SELECT CASE WHEN first_day < 19727 THEN 'early' ELSE 'late' END AS cohort,
+         CAST(last_day - first_day AS BIGINT) AS t,
+         last_day < 19748 AS o
+  FROM per_ep
+), per_t AS (
+  SELECT cohort, t,
+         CAST(count(CASE WHEN o THEN 1 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS all_
+  FROM subj GROUP BY 1, 2
+), risked AS (
+  SELECT cohort, t, d,
+         CAST(sum(all_) OVER (PARTITION BY cohort) AS BIGINT)
+           - (CAST(sum(all_) OVER wr AS BIGINT) - all_) AS n
+  FROM per_t
+  WINDOW wr AS (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), curved AS (
+  SELECT cohort, t, d, n,
+         sum(CASE WHEN d < n
+             THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                             * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))
+             ELSE CAST(0.0 AS DECIMAL(28,6)) END) OVER wr AS lnsum,
+         max(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER wr AS exhausted
+  FROM risked
+  WINDOW wr AS (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort, t AS duration, n AS n_at_risk, d AS n_events,
+       CASE WHEN exhausted = 1 THEN 0.0
+            ELSE floor(exp(CAST(lnsum AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       END AS survival
+FROM curved WHERE d > 0
+"""

@@ -2561,3 +2561,56 @@ def test_gini_equal_concentrated_and_negative_drop(spark):
     assert out["eq"]["gini"] == 0.0
     assert abs(out["top"]["gini"] - 0.75) < 1e-9
     assert out["top"]["total"] == 12.0 and out["top"]["n"] == 4
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from django_indexer_spark.operators.text import zipf_fit
+    import math
+
+    # counts 12/r for ranks 1..4 (12, 6, 4, 3): ln(c) = ln(12) - ln(r)
+    # exactly -> slope -1, intercept ln(12), r2 = 1 (up to 6-dp pins)
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df, "text", max_terms=10).collect()[0]
+    assert r["n_terms"] == 4
+    assert abs(r["slope"] - (-1.0)) < 1e-3
+    assert abs(r["intercept"] - math.log(12)) < 1e-3
+    assert abs(r["r2"] - 1.0) < 1e-3
+
+
+def test_wilson_interval_known_values_and_zero_successes(spark):
+    from django_indexer_spark.operators.aggregates import wilson_interval
+    from pyspark.sql import functions as F
+
+    rows = [("g", i < 50) for i in range(100)]  # 50/100 -> (0.40383, 0.59617)
+    rows += [("zero", False) for _ in range(10)]  # 0/10 -> lo pinned to 0
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r["g"]: r for r in wilson_interval(df, "g", F.col("s")).collect()}
+    g = out["g"]
+    assert (g["n"], g["successes"]) == (100, 50)
+    assert g["rate"] == 0.5
+    assert abs(g["ci_lo"] - 0.403830) < 1e-4
+    assert abs(g["ci_hi"] - 0.596170) < 1e-4
+    z = out["zero"]
+    assert z["rate"] == 0.0 and z["ci_lo"] == 0.0 and 0.2 < z["ci_hi"] < 0.3
+
+
+def test_kaplan_meier_textbook_curve_and_exhaustion(spark):
+    from django_indexer_spark.operators.windows import kaplan_meier
+
+    # classic 5-subject example: deaths at 1, 3, 4; censored at 2, 5
+    # -> S = 0.8, 0.8*(2/3) = 0.5333, then *1/2 = 0.2667
+    rows = [("g", 1, True), ("g", 2, False), ("g", 3, True),
+            ("g", 4, True), ("g", 5, False)]
+    # exhausted risk set: both die, the last at d == n -> survival 0
+    rows += [("ex", 1, True), ("ex", 2, True)]
+    rows += [("cens", 3, False), ("cens", 4, False)]  # no events -> no rows
+    df = spark.createDataFrame(rows, "g string, t long, o boolean")
+    out = {(r["g"], r["duration"]): r for r in kaplan_meier(df, "g", "t", "o").collect()}
+    assert set(k[0] for k in out) == {"g", "ex"}
+    assert abs(out[("g", 1)]["survival"] - 0.8) < 1e-5
+    assert abs(out[("g", 3)]["survival"] - 0.533333) < 5e-4
+    assert abs(out[("g", 4)]["survival"] - 0.266667) < 5e-4
+    assert out[("g", 1)]["n_at_risk"] == 5 and out[("g", 3)]["n_at_risk"] == 3
+    assert abs(out[("ex", 1)]["survival"] - 0.5) < 1e-5
+    assert out[("ex", 2)]["survival"] == 0.0

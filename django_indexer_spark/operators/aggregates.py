@@ -420,3 +420,169 @@ def wilson_interval(
         _pin(center - half).alias("ci_lo"),
         _pin(center + half).alias("ci_hi"),
     )
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Theil T inequality index with its group decomposition — the
+    entropy-based cousin of [gini_coefficient] whose defining property
+    is EXACT additive decomposability:
+    T_total = Σ_g share_g·T_g  +  Σ_g share_g·ln(μ_g/μ).
+    Output per group: n, total, theil_within (T_g), share (of the
+    grand total), and between_term (that group's addend to the
+    between-groups component) — the "is inequality inside teams or
+    across teams" readout.
+
+    Positive values only (ln of a value/mean ratio); zero and negative
+    rows are excluded before anything is summed.
+
+    Scale design: one fact scan folds per-group n and decimal totals;
+    group means broadcast back onto a second scan for the per-row
+    (x/μ_g)·ln(x/μ_g) terms — each pinned ``dp`` dp and folded
+    DECIMAL(38,6), so T_g is order-independent; the grand mean/total
+    come from re-aggregating the ≤|groups|-row relation (broadcast),
+    never a second full pass. All derived scalars pinned."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    vd = F.round(F.col(value_col).cast("double"), 2).cast("decimal(18,2)")
+    pos = df.select(F.col(group_col), vd.alias("__v")).filter(
+        F.col("__v") > 0
+    )
+    g = pos.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__v").cast("decimal(38,2)")).alias("__tot"),
+    )
+    grand = g.agg(
+        F.sum("__tot").alias("__gtot"), F.sum("n").alias("__gn")
+    )
+    gm = g.crossJoin(F.broadcast(grand)).select(
+        group_col,
+        "n",
+        "__tot",
+        _pin(F.col("__tot").cast("double") / F.col("n")).alias("__mu"),
+        _pin(F.col("__gtot").cast("double") / F.col("__gn")).alias("__gmu"),
+        _pin(
+            F.col("__tot").cast("double") / F.col("__gtot").cast("double")
+        ).alias("share"),
+    )
+    x = F.col("__v").cast("double") / F.col("__mu")
+    term = _pin(x * F.log(x)).cast(f"decimal(38,{dp})")
+    within = (
+        pos.join(F.broadcast(gm.select(group_col, "__mu")), group_col)
+        .groupBy(group_col)
+        .agg(F.sum(term).alias("__tsum"))
+    )
+    return (
+        gm.join(F.broadcast(within), group_col)
+        .select(
+            group_col,
+            "n",
+            F.col("__tot").cast("double").alias("total"),
+            "share",
+            _pin(F.col("__tsum").cast("double") / F.col("n")).alias(
+                "theil_within"
+            ),
+            _pin(
+                F.col("share")
+                * _pin(F.log(F.col("__mu") / F.col("__gmu")))
+            ).alias("between_term"),
+        )
+    )
+
+
+def info_gain_best_split(
+    df: DataFrame,
+    feature: Column,
+    label: Column,
+    bin_width: int,
+    dp: int = 6,
+) -> DataFrame:
+    """Best binary-split threshold by information gain — the decision-
+    stump / feature-evaluation primitive a training pipeline runs per
+    candidate feature ("where should x split to separate the label
+    best"). ``feature`` must be an integer-unit column (cents);
+    ``label`` a 0/1 integer column.
+
+    Distributed shape: one fact scan folds per-BIN (floor(x/bin_width))
+    positive/total counts — binning first bounds candidate-threshold
+    state to (range/bin_width) rows no matter the table size, the same
+    move approximate tree learners (histogram-based GBDTs) make at
+    scale. A single ordered window pass turns bin counts into
+    cumulative left-side counts, every bin edge becomes a candidate
+    split, and the 1-row argmax is a TakeOrdered (gain DESC, threshold
+    ASC) — never a full sort.
+
+    Entropy arithmetic is the engine-exact form used across this
+    package: each −(c/t)·ln(c/t) term pinned to ``dp`` dp (0 terms for
+    empty classes, never ln(0)), each weighted child entropy pinned,
+    the final gain pinned. Counts stay exact BIGINTs end to end.
+
+    Returns ONE row: threshold (split is `feature <= threshold`, the
+    bin's inclusive upper edge), n/pos on each side, child entropies,
+    and gain."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    def _plogp(c: Column, t: Column) -> Column:
+        # pinned -(c/t)·ln(c/t); exact-0 for c == 0 (lim x·ln x = 0)
+        p = c.cast("double") / t.cast("double")
+        return F.when(c == 0, F.lit(0.0)).otherwise(
+            _pin(-(p * F.log(p)))
+        )
+
+    def _entropy(pos: Column, n: Column) -> Column:
+        return _plogp(pos, n) + _plogp(n - pos, n)
+
+    bins = (
+        df.select(
+            F.floor(feature / F.lit(bin_width)).cast("long").alias("__b"),
+            label.cast("long").alias("__y"),
+        )
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__pos"),
+        )
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "__b",
+        F.sum("__n").over(w).alias("__nl"),
+        F.sum("__pos").over(w).alias("__pl"),
+    )
+    tot = bins.agg(
+        F.sum("__n").alias("__nt"), F.sum("__pos").alias("__pt")
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).filter(
+        F.col("__nl") < F.col("__nt")  # right side must be nonempty
+    )
+    nl, pl = F.col("__nl"), F.col("__pl")
+    nt, pt = F.col("__nt"), F.col("__pt")
+    nr, pr = nt - nl, pt - pl
+    h_root = _entropy(pt, nt)
+    h_l = _entropy(pl, nl)
+    h_r = _entropy(pr, nr)
+    wl = _pin(nl.cast("double") / nt.cast("double") * h_l)
+    wr = _pin(nr.cast("double") / nt.cast("double") * h_r)
+    scored = cand.select(
+        ((F.col("__b") + 1) * F.lit(bin_width) - 1).alias("threshold"),
+        nl.alias("n_left"),
+        pl.alias("pos_left"),
+        nr.alias("n_right"),
+        pr.alias("pos_right"),
+        _pin(h_l).alias("entropy_left"),
+        _pin(h_r).alias("entropy_right"),
+        _pin(h_root - wl - wr).alias("gain"),
+    )
+    return scored.orderBy(
+        F.col("gain").desc(), F.col("threshold").asc()
+    ).limit(1)

@@ -201,3 +201,144 @@ def salted_join(
     r = right.select("*", salts)
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_val: Column,
+    r_val: Column,
+    delta_cents: int,
+    l_keep: list[str],
+    r_keep: list[str],
+) -> DataFrame:
+    """Numeric band join: all (left, right) pairs with
+    |l_val − r_val| ≤ δ, WITHOUT a cartesian product — the numeric
+    sibling of the as-of join's time bands. ``l_val``/``r_val`` are
+    integer columns in the value's smallest unit (cents), ``delta_cents``
+    the band half-width in the same unit.
+
+    Technique (bucketized blocking): both sides bucket by
+    ``value DIV δ``; a pair within δ can differ by at most one bucket,
+    so the left side explodes to its 3 candidate buckets {b−1, b, b+1}
+    and an EQUI-join on the bucket id finds every candidate — Catalyst
+    gets a plain shuffled hash join keyed by bucket, sized by bucket
+    occupancy (3·|L| + |R| rows), never |L|·|R|. The exact |Δ| ≤ δ
+    filter then prunes the corner candidates.
+
+    At 100 TB this is the standard inequality-join rewrite: shuffle
+    ∝ data, skew bounded by the hottest value bucket (salt the bucket
+    id if one value dominates). All-integer arithmetic — bucket ids
+    and the band test are exact on any engine."""
+    # floor-division bucket (floor(v/δ), not DIV): balances can be
+    # negative and truncating division would split the band at zero
+    l2 = left.select(
+        *[F.col(c) for c in l_keep],
+        l_val.alias("__lv"),
+    ).withColumn(
+        "__b0", F.expr(f"CAST(floor(__lv / {delta_cents}) AS BIGINT)")
+    )
+    l3 = l2.select(
+        *l_keep,
+        "__lv",
+        F.explode(
+            F.array(
+                F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1
+            )
+        ).alias("__b"),
+    )
+    r2 = right.select(
+        *[F.col(c) for c in r_keep],
+        r_val.alias("__rv"),
+    ).withColumn(
+        "__b", F.expr(f"CAST(floor(__rv / {delta_cents}) AS BIGINT)")
+    )
+    return (
+        l3.join(r2, "__b")
+        .filter(F.abs(F.col("__lv") - F.col("__rv")) <= F.lit(delta_cents))
+        .select(
+            *l_keep,
+            *r_keep,
+            F.col("__lv").alias("l_cents"),
+            F.col("__rv").alias("r_cents"),
+            (F.col("__lv") - F.col("__rv")).alias("diff_cents"),
+        )
+    )
+
+
+def grid_join_2d(
+    left: DataFrame,
+    right: DataFrame,
+    l_x: Column,
+    l_y: Column,
+    r_x: Column,
+    r_y: Column,
+    radius: int,
+    l_keep: list[str],
+    r_keep: list[str],
+) -> DataFrame:
+    """2-D distance join: all (left, right) pairs with Euclidean
+    distance ≤ ``radius`` — ``band_join`` lifted to two dimensions,
+    i.e. the spatial join primitive (points within r of each other)
+    without a cartesian product.
+
+    Technique (grid blocking): both sides land in square cells of side
+    ``radius`` (floor(x/r), floor(y/r)); any pair within r sits in the
+    same or an adjacent cell, so the left side explodes to its 3×3
+    candidate neighborhood and an EQUI-join on the (cx, cy) cell id
+    finds every candidate — a plain shuffled hash join sized by cell
+    occupancy (9·|L| + |R| rows), never |L|·|R|. The exact integer
+    test dx² + dy² ≤ r² then prunes the corner candidates (the 3×3
+    block over-covers by the square-vs-circle margin).
+
+    At 100 TB this is the standard spatial-join plan (geohash/S2 cells
+    are the same idea on a sphere): shuffle ∝ data, skew bounded by
+    the densest cell — shrink the cell side (explode to 5×5) or salt
+    the hot cell id if one region dominates. ``l_x``/``l_y``/... must
+    be integer columns (e.g. cents, scaled coordinates): cell ids and
+    the distance test are then exact on any engine. floor-division
+    cells keep negative coordinates' neighborhoods adjacent across
+    zero, exactly like band_join's buckets."""
+    lx, ly = l_x.alias("__lx"), l_y.alias("__ly")
+    l2 = left.select(*[F.col(c) for c in l_keep], lx, ly).withColumns(
+        {
+            "__cx0": F.expr(f"CAST(floor(__lx / {radius}) AS BIGINT)"),
+            "__cy0": F.expr(f"CAST(floor(__ly / {radius}) AS BIGINT)"),
+        }
+    )
+    offs = F.expr(
+        "explode(transform(sequence(0, 8), "
+        "i -> struct(i DIV 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+    l3 = l2.select(
+        *l_keep,
+        "__lx",
+        "__ly",
+        "__cx0",
+        "__cy0",
+        offs.alias("__o"),
+    ).select(
+        *l_keep,
+        "__lx",
+        "__ly",
+        (F.col("__cx0") + F.col("__o.dx")).alias("__cx"),
+        (F.col("__cy0") + F.col("__o.dy")).alias("__cy"),
+    )
+    r2 = right.select(
+        *[F.col(c) for c in r_keep],
+        r_x.alias("__rx"),
+        r_y.alias("__ry"),
+    ).withColumns(
+        {
+            "__cx": F.expr(f"CAST(floor(__rx / {radius}) AS BIGINT)"),
+            "__cy": F.expr(f"CAST(floor(__ry / {radius}) AS BIGINT)"),
+        }
+    )
+    dx = F.col("__lx") - F.col("__rx")
+    dy = F.col("__ly") - F.col("__ry")
+    dist2 = dx * dx + dy * dy
+    return (
+        l3.join(r2, ["__cx", "__cy"])
+        .filter(dist2 <= F.lit(int(radius) * int(radius)))
+        .select(*l_keep, *r_keep, dist2.alias("dist2"))
+    )

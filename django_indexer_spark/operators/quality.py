@@ -674,3 +674,55 @@ def ks_two_sample(
         .withColumn("threshold", thr)
         .withColumn("significant", F.col("ks_stat") > F.col("threshold"))
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    row_str: Column,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Anti-entropy table fingerprint: collapse an arbitrarily large
+    table to ``n_buckets`` order-independent per-bucket signatures, so
+    two replicas (or a table before/after a migration) can be diffed by
+    exchanging ``n_buckets`` rows instead of re-reading 100 TB — the
+    Merkle-bucket handshake storage systems use for replica repair,
+    here as a relational operator.
+
+    ``row_str`` is the caller's CANONICAL row rendering (stable string
+    from exact-typed columns — integer cents, epoch days; never raw
+    doubles). Each row hashes once (md5); the first 8 hex digits pick
+    the bucket, digits 9-23 (60 bits) become the row's signature
+    contribution. Per bucket:
+
+    - ``n_rows``   — count,
+    - ``xor_sig``  — bit_xor of the 60-bit row hashes (order- and
+      duplicate-pair-sensitive in opposite ways to the sum, so the two
+      together catch what either alone misses),
+    - ``sum_sig``  — sum of row hashes mod 2^61−1, folded as
+      DECIMAL(38,0) so the modular reduction is exact at any row count.
+
+    One scan, one ``n_buckets``-ary shuffle of pre-aggregated partials
+    (map-side combine: every executor emits ≤ n_buckets rows); the
+    mismatching-bucket set from a replica diff then scopes the
+    re-read to 1/n_buckets of the table per bad bucket. All md5/mod
+    arithmetic is engine-portable (conv(hex) == 0x-cast)."""
+    h = F.md5(row_str)
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket")
+    sig = F.conv(F.substring(h, 9, 15), 16, 10).cast("long")
+    mersenne = 2305843009213693951  # 2^61 - 1
+    return (
+        df.select(bucket, sig.alias("__sig"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__sig)").alias("xor_sig"),
+            (
+                F.sum(F.col("__sig").cast("decimal(38,0)"))
+                % F.lit(mersenne)
+            )
+            .cast("long")
+            .alias("sum_sig"),
+        )
+    )

@@ -7,8 +7,9 @@ accounts/models.py:64-65), otherwise pages are not reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_PAGE_SIZE = 30  # reference DRF default (base/settings.py:111-115)
 
@@ -114,3 +115,62 @@ def seeded_sample_one(
         )
     )
     return df.orderBy(hashed, *[F.col(c) for c in keys]).limit(1)
+
+
+def pareto_skyline(
+    df: DataFrame,
+    group_col: str,
+    x_col: Column,
+    y_col: Column,
+    id_col: Column,
+) -> DataFrame:
+    """2-D Pareto skyline per group (both criteria MINIMIZED): the rows
+    no other row dominates — x' ≤ x AND y' ≤ y with at least one
+    strict. The multi-criteria shortlist ("cheapest AND earliest")
+    that top-k on any single sort key cannot express.
+
+    Distributed form: collapse to the min y per (group, x) first
+    (map-side combined — dominated duplicates die before any window),
+    then ONE ordered pass per group: a point survives iff its y is
+    strictly below every y at strictly smaller x, i.e. below the
+    running min over the RANGE frame ending 1 BEFORE the current x —
+    the frame bound (not a lag) is what makes equal-x runs safe. The
+    window partition holds distinct x values, not rows
+    (weighted_median's contract).
+
+    ``x_col``/``y_col`` must be integer-unit columns (cents, epoch
+    days): RANGE frames demand a numeric order key, and integer min/
+    compare is exact on any engine. ``id_col`` tags each surviving
+    point with the smallest id among the rows that realize it."""
+    per_x = (
+        df.select(
+            F.col(group_col),
+            x_col.alias("__x"),
+            y_col.alias("__y"),
+            id_col.alias("__id"),
+        )
+        .groupBy(group_col, "__x")
+        .agg(F.min(F.struct("__y", "__id")).alias("__best"))
+        .select(
+            group_col,
+            "__x",
+            F.col("__best.__y").alias("__y"),
+            F.col("__best.__id").alias("__id"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(group_col)
+        .orderBy("__x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prev_min = F.min("__y").over(w_prev)
+    return (
+        per_x.withColumn("__pm", prev_min)
+        .filter(F.col("__pm").isNull() | (F.col("__y") < F.col("__pm")))
+        .select(
+            group_col,
+            F.col("__x").alias("x"),
+            F.col("__y").alias("y"),
+            F.col("__id").alias("id"),
+        )
+    )

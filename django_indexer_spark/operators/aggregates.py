@@ -586,3 +586,114 @@ def info_gain_best_split(
     return scored.orderBy(
         F.col("gain").desc(), F.col("threshold").asc()
     ).limit(1)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Cohen's kappa between two categorical raters — chance-corrected
+    agreement κ = (p_o − p_e)/(1 − p_e), the label-quality readout a
+    curation pipeline runs between a gold column and a cheap
+    classifier (raw agreement flatters whichever class dominates;
+    kappa doesn't). Returns ONE row: n_items, p_observed, p_expected,
+    kappa.
+
+    Distributed shape: one fact scan folds n and the agreement count;
+    the two marginal histograms are grouped counts (≤ |categories|
+    rows each), their per-category chance products pin to ``dp`` dp
+    and fold as DECIMAL(38,6) — order-independent, so p_e is exact no
+    matter how partitions merge. Everything downstream of the scans is
+    |categories|-sized and broadcast."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    tot = df.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col(col_a) == F.col(col_b)).cast("long")).alias("__agree"),
+    )
+    ma = df.groupBy(F.col(col_a).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    mb = df.groupBy(F.col(col_b).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    chance = (
+        ma.join(mb, "__k")
+        .crossJoin(F.broadcast(tot.select("n_items")))
+        .select(
+            _pin(
+                (F.col("__na") * F.col("__nb")).cast("double")
+                / (F.col("n_items") * F.col("n_items")).cast("double")
+            )
+            .cast("decimal(38,6)")
+            .alias("__term")
+        )
+        .agg(F.sum("__term").cast("double").alias("__pe"))
+    )
+    po = _pin(
+        F.col("__agree").cast("double") / F.col("n_items").cast("double")
+    )
+    pe = _pin(F.col("__pe"))
+    return tot.crossJoin(F.broadcast(chance)).select(
+        F.col("n_items").cast("long").alias("n_items"),
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        _pin((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def hamilton_apportion(
+    df: DataFrame,
+    group_col: str,
+    seats: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    integer budget of ``seats`` across groups proportionally to their
+    row counts — quota sampling, shard-count assignment, GPU-hour
+    allocation: any "divide N discrete units fairly" step. ALL-INTEGER
+    arithmetic: quota = seats·n_g as exact BIGINT, base = quota DIV N,
+    remainder = quota % N; the seats − Σbase leftovers go to the
+    largest remainders (ties broken by the group key, so the result is
+    total and deterministic on any engine — no floating quotas ever).
+
+    One grouped count, a broadcast 1-row total, then a row_number
+    window over the ≤|groups|-row relation (remainder DESC, key ASC) —
+    the only state after the first shuffle is one row per group.
+    Σ seats_g == seats by construction (the largest-remainder
+    invariant), which the gate's unit test asserts."""
+    g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(F.sum("n").alias("__N"))
+    q = g.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n",
+        F.expr(f"CAST({seats} AS BIGINT) * n DIV __N").alias("base_seats"),
+        F.expr(f"CAST({seats} AS BIGINT) * n % __N").alias("__rem"),
+        F.col("__N"),
+    )
+    leftover = F.lit(seats) - F.sum("base_seats").over(
+        Window.partitionBy(F.lit(1))
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    return (
+        q.withColumn("__rank", F.row_number().over(w))
+        .withColumn("__left", leftover)
+        .select(
+            group_col,
+            F.col("n").cast("long").alias("n"),
+            F.col("base_seats").cast("long").alias("base_seats"),
+            (F.col("__rank") <= F.col("__left"))
+            .cast("long")
+            .alias("extra_seat"),
+            (
+                F.col("base_seats")
+                + (F.col("__rank") <= F.col("__left")).cast("long")
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+    )

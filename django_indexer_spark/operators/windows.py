@@ -748,3 +748,54 @@ def kaplan_meier(
         F.col("__d").cast("long").alias("n_events"),
         survival.alias("survival"),
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value: Column,
+    lags: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Bounded-lookback exponential moving average (α = 1/2) per
+    partition: the trend-smoothing primitive, in the FINITE-window form
+    s_t = Σ_{j<L} 2^{−j}·x_{t−j} / Σ_{j<L} 2^{−j} over the lags that
+    exist — at L = 8 the truncated tail weight is 2^−8 ≈ 0.4 % of the
+    infinite-EWMA mass, and the start of each series renormalizes over
+    the lags present instead of leaking zeros.
+
+    Why this form: the textbook recursion s_t = αx_t + (1−α)s_{t−1}
+    needs a sequential scan per key (applyInPandas territory) and its
+    accumulated float state is NOT portable across engines. Bounded
+    lags are ONE window pass with L lag() reads — no Python, no
+    recursion — and α = 1/2 makes every weight 2^−j exactly
+    representable, so with integer-cent inputs each product is a
+    dyadic rational held exactly in a double: numerator, denominator
+    and their mirrored left-assoc sums are bit-equal on any IEEE
+    engine, and only the final quotient needs the ``dp`` pin.
+
+    ``value`` must be an integer-unit column; |x| < 2^45 keeps every
+    partial sum exact. One RANGE-free rows window, state = L rows per
+    key."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    out = df.withColumn("__x0", value.cast("long"))
+    num: Column | None = None
+    den: Column | None = None
+    for j in range(lags):
+        xj = F.col("__x0") if j == 0 else F.lag("__x0", j).over(w)
+        wj = F.lit(0.5**j)  # 2^-j: exact in double AND as a SQL literal
+        t = F.when(xj.isNotNull(), xj.cast("double") * wj).otherwise(
+            F.lit(0.0)
+        )
+        d = F.when(xj.isNotNull(), wj).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return out.withColumn("ewma", _pin(num / den)).drop("__x0")

@@ -4584,3 +4584,100 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored parse shape and pinned 6 dp."""
     docs = _t(spark, sf_dir, "documents")
     return text.pmi_bigrams(docs, "text", min_pair_count=3, top_k=50)
+
+
+@query("graph_sssp_bounded")
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted shortest paths over the minhash-LSH
+    candidate-pair graph (operators/graph.py:sssp_bounded): 3
+    synchronous Bellman-Ford relaxations from the 5 smallest node ids,
+    edge weight = 1 + (id_a + id_b) % 5 (deterministic non-negative
+    integers, so every distance is engine-exact). Same edge plumbing
+    and edge-count-sized shuffles as the BFS/CC/LPA gates; the oracle
+    replays the rounds as unrolled CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        expand_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = dedup.minhash_candidate_pairs(bands, "doc_id")
+    edges = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        (F.lit(1) + (F.col("id_a") + F.col("id_b")) % 5)
+        .cast("long")
+        .alias("w"),
+    )
+    seeds = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(5)
+    )
+    out = graph.sssp_bounded(edges, seeds, rounds=3)
+    return out.select(F.col("id").cast("long").alias("doc_id"), "dist")
+
+
+@query("ts_ewma")
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback EWMA (α = 1/2, 8 lags) of event value per user
+    (operators/windows.py:ewma_bounded): one rows-window pass, dyadic
+    2^−j weights exact in double with integer-cent inputs, series
+    starts renormalize over the lags present. The engine-portable form
+    of the sequential-recursion smoother."""
+    from ..operators.windows import ewma_bounded
+
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast("long")
+    out = ewma_bounded(
+        e.select("user_id", "event_id", "ts_us", cents.alias("value_cents")),
+        "user_id",
+        ["ts_us", "event_id"],
+        F.col("value_cents"),
+        lags=8,
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+        "ewma",
+    )
+
+
+@query("a_cohens_kappa")
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled lang column and the heuristic
+    language-ID prediction (operators/aggregates.py:cohens_kappa) —
+    chance-corrected classifier quality over the same pair text_lang_id
+    scores row-by-row. Marginal chance products pinned 6 dp into
+    DECIMAL(38,6) folds; one fact scan + two |categories|-row
+    histograms."""
+    from ..operators.aggregates import cohens_kappa
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    rated = docs.select(
+        F.col("lang").alias("lang_gold"),
+        text.lang_id("text").alias("lang_pred"),
+    )
+    return cohens_kappa(rated, "lang_gold", "lang_pred")
+
+
+@query("a_apportion_seats")
+def a_apportion_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of 1000 sample slots
+    across nations by customer count
+    (operators/aggregates.py:hamilton_apportion): all-integer quotas
+    (base = 1000·n DIV N, remainder = 1000·n % N), leftovers to the
+    largest remainders with key tiebreak — the deterministic 'divide a
+    fixed budget fairly' primitive; Σ seats == 1000 exactly."""
+    from ..operators.aggregates import hamilton_apportion
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey")
+    )
+    return hamilton_apportion(c, "c_nationkey", 1000)

@@ -3969,3 +3969,151 @@ JOIN uni cb ON b.w2 = cb.wd
 CROSS JOIN nu CROSS JOIN nb
 ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 50
 """
+
+
+# graph_sssp_bounded — 3 unrolled Bellman-Ford relaxations over the
+# same minhash pair graph, weight = 1 + (id_a + id_b) % 5; round r is
+# exactly "min cost over paths of <= r edges".
+ORACLES["graph_sssp_bounded"] = f"""
+WITH pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b, 1 + ((id_a + id_b) % 5) AS w FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b, 1 + ((id_a + id_b) % 5) AS w FROM pairs
+),
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist
+       FROM (SELECT DISTINCT a AS id FROM edges) ORDER BY id LIMIT 5),
+d1 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         SELECT id, dist FROM d0
+         UNION ALL
+         SELECT e.b AS id, d0.dist + e.w AS dist
+         FROM edges e JOIN d0 ON e.a = d0.id) GROUP BY id),
+d2 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         SELECT id, dist FROM d1
+         UNION ALL
+         SELECT e.b AS id, d1.dist + e.w AS dist
+         FROM edges e JOIN d1 ON e.a = d1.id) GROUP BY id),
+d3 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         SELECT id, dist FROM d2
+         UNION ALL
+         SELECT e.b AS id, d2.dist + e.w AS dist
+         FROM edges e JOIN d2 ON e.a = d2.id) GROUP BY id)
+SELECT CAST(id AS BIGINT) AS doc_id, dist FROM d3
+"""
+
+# ts_ewma — identical 8-lag dyadic-weight form; every 2^-j literal is
+# exact in double on both engines, sums mirrored left-assoc, final
+# quotient pinned 6 dp.
+ORACLES["ts_ewma"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x
+  FROM events
+), l AS (
+  SELECT user_id, event_id, x,
+         lag(x, 1) OVER w AS x1,
+         lag(x, 2) OVER w AS x2,
+         lag(x, 3) OVER w AS x3,
+         lag(x, 4) OVER w AS x4,
+         lag(x, 5) OVER w AS x5,
+         lag(x, 6) OVER w AS x6,
+         lag(x, 7) OVER w AS x7
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(x AS BIGINT) AS value_cents,
+       floor((
+         (CASE WHEN x IS NOT NULL THEN CAST(x AS DOUBLE) * 1.0 ELSE 0.0 END
+          + CASE WHEN x1 IS NOT NULL THEN CAST(x1 AS DOUBLE) * 0.5 ELSE 0.0 END
+          + CASE WHEN x2 IS NOT NULL THEN CAST(x2 AS DOUBLE) * 0.25 ELSE 0.0 END
+          + CASE WHEN x3 IS NOT NULL THEN CAST(x3 AS DOUBLE) * 0.125 ELSE 0.0 END
+          + CASE WHEN x4 IS NOT NULL THEN CAST(x4 AS DOUBLE) * 0.0625 ELSE 0.0 END
+          + CASE WHEN x5 IS NOT NULL THEN CAST(x5 AS DOUBLE) * 0.03125 ELSE 0.0 END
+          + CASE WHEN x6 IS NOT NULL THEN CAST(x6 AS DOUBLE) * 0.015625 ELSE 0.0 END
+          + CASE WHEN x7 IS NOT NULL THEN CAST(x7 AS DOUBLE) * 0.0078125 ELSE 0.0 END)
+         /
+         (CASE WHEN x IS NOT NULL THEN 1.0 ELSE 0.0 END
+          + CASE WHEN x1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+          + CASE WHEN x2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+          + CASE WHEN x3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+          + CASE WHEN x4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+          + CASE WHEN x5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+          + CASE WHEN x6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+          + CASE WHEN x7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
+       ) * 1e6 + 0.5) / 1e6 AS ewma
+FROM l
+"""
+
+# a_cohens_kappa — identical lang_id CASE chain as text_lang_id; kappa
+# arithmetic mirrored: chance products pinned 6 dp into DECIMAL(38,6)
+# folds, p_o / p_e / kappa pinned.
+ORACLES["a_cohens_kappa"] = f"""
+WITH base0 AS (
+  SELECT lang, text, {_TOKS} AS toks FROM documents
+), hits AS (
+  SELECT lang, text,
+         len(list_filter(toks, t -> list_contains({_STOP_DE}, t))) AS de,
+         len(list_filter(toks, t -> list_contains({_STOP_FR}, t))) AS fr,
+         len(list_filter(toks, t -> list_contains({_STOP_ES}, t))) AS es
+  FROM base0
+), base AS (
+  SELECT lang AS a,
+       CASE
+         WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN regexp_matches(text, '[äöüßÄÖÜ]') OR (de > fr AND de > es AND de > 0) THEN 'de'
+         WHEN fr > es AND fr > 0 THEN 'fr'
+         WHEN es > 0 THEN 'es'
+         ELSE 'en'
+       END AS b
+  FROM hits
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM base
+), ma AS (
+  SELECT a AS k, CAST(count(*) AS BIGINT) AS na FROM base GROUP BY 1
+), mb AS (
+  SELECT b AS k, CAST(count(*) AS BIGINT) AS nb FROM base GROUP BY 1
+), pe0 AS (
+  SELECT CAST(sum(CAST(
+           floor(CAST(na * nb AS DOUBLE) / CAST(n * n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS pe_raw
+  FROM ma JOIN mb USING (k) CROSS JOIN tot
+), s AS (
+  SELECT n,
+         floor(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS po,
+         floor(pe_raw * 1e6 + 0.5) / 1e6 AS pe
+  FROM tot CROSS JOIN pe0
+)
+SELECT n AS n_items, po AS p_observed, pe AS p_expected,
+       floor((po - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
+FROM s
+"""
+
+# a_apportion_seats — all-integer Hamilton quotas; leftovers by
+# (remainder DESC, key ASC) row_number.
+ORACLES["a_apportion_seats"] = """
+WITH g AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt FROM g
+), q AS (
+  SELECT c_nationkey, n,
+         CAST(1000 * n // nt AS BIGINT) AS base_seats,
+         CAST((1000 * n) % nt AS BIGINT) AS rem
+  FROM g CROSS JOIN tot
+), r AS (
+  SELECT c_nationkey, n, base_seats, rem,
+         row_number() OVER (ORDER BY rem DESC, c_nationkey ASC) AS rk,
+         1000 - sum(base_seats) OVER () AS leftover
+  FROM q
+)
+SELECT c_nationkey, n, base_seats,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra_seat,
+       CAST(base_seats + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS seats
+FROM r
+"""

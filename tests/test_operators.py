@@ -2756,3 +2756,68 @@ def test_pmi_bigrams_prefers_exclusive_pair(spark):
     assert pmis[("alpha", "beta")] > pmis[("the", "end")]
     # pairs below min_pair_count are gone
     assert ("the", "cat") not in pmis
+
+
+def test_sssp_bounded_weighted_path_beats_hops(spark):
+    from django_indexer_spark.operators.graph import sssp_bounded
+
+    # 1-2 direct costs 10; 1-3-2 costs 2+3=5. Within 3 rounds the
+    # 2-edge path must win. Node 4 hangs off 2 (dist 5+1=6).
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 2), (3, 2, 3), (2, 4, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["dist"] for r in sssp_bounded(edges, seeds, rounds=3).collect()}
+    assert out == {1: 0, 3: 2, 2: 5, 4: 6}
+    # at 1 round only direct edges are relaxed
+    out1 = {r["id"]: r["dist"] for r in sssp_bounded(edges, seeds, rounds=1).collect()}
+    assert out1 == {1: 0, 2: 10, 3: 2}
+
+
+def test_ewma_bounded_constant_and_renormalized_start(spark):
+    from django_indexer_spark.operators.windows import ewma_bounded
+    from pyspark.sql import functions as F
+
+    rows = [(1, i, 100) for i in range(10)] + [(2, 0, 400), (2, 1, 0)]
+    df = spark.createDataFrame(rows, "u long, t long, x long")
+    out = ewma_bounded(df, "u", ["t"], F.col("x"), lags=8)
+    got = {(r["u"], r["t"]): r["ewma"] for r in out.collect()}
+    # constant series -> ewma == the constant at every position
+    assert all(got[(1, t)] == 100.0 for t in range(10))
+    # first element of a series: only lag 0 present -> itself
+    assert got[(2, 0)] == 400.0
+    # second: (0*1 + 400*0.5) / (1 + 0.5) = 133.333333 pinned
+    assert abs(got[(2, 1)] - 133.333333) < 1e-9
+
+
+def test_cohens_kappa_textbook(spark):
+    from django_indexer_spark.operators.aggregates import cohens_kappa
+
+    # classic 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n_items"] == 50
+    assert r["p_observed"] == 0.7
+    # pe = (25*30 + 25*20) / 2500 = 0.5
+    assert r["p_expected"] == 0.5
+    assert abs(r["kappa"] - 0.4) < 1e-9
+
+
+def test_hamilton_apportion_invariants(spark):
+    from django_indexer_spark.operators.aggregates import hamilton_apportion
+
+    # populations 50307, 29021, 20672 over 100 seats: quotas
+    # 50.307/29.021/20.672 -> bases 50/29/20, one leftover goes to the
+    # largest remainder (.672).
+    rows = (
+        [("a",)] * 50307 + [("b",)] * 29021 + [("c",)] * 20672
+    )
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["g"]: r for r in hamilton_apportion(df, "g", 100).collect()}
+    assert {g: r["seats"] for g, r in out.items()} == {"a": 50, "b": 29, "c": 21}
+    assert sum(r["seats"] for r in out.values()) == 100
+    assert out["c"]["extra_seat"] == 1 and out["a"]["extra_seat"] == 0

@@ -521,3 +521,111 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    dp: int = 6,
+) -> DataFrame:
+    """All-pairs word-set Jaccard ≥ t via PREFIX FILTERING (the
+    ppjoin/all-pairs family) — the corpus-global scale path where
+    ``ngram_jaccard_pairs``'s group blocking can't be assumed and LSH's
+    false negatives can't be afforded. LOSSLESS for Jaccard ≥ t: order
+    all tokens by global rarity (document frequency ASC, token ASC —
+    one total order for the whole corpus); a doc of n distinct tokens
+    emits only its n − ⌈t·n⌉ + 1 rarest as join keys. If J(A,B) ≥ t,
+    the rarest SHARED token provably sits inside both prefixes (else
+    the shared set would fit in a suffix smaller than t·n), so the
+    prefix equi-join finds every qualifying pair; frequent tokens —
+    the quadratic blowup keys — never leave the prefix filter.
+
+    t is taken as the exact fraction ``threshold_num/threshold_den``
+    so ⌈t·n⌉ is INTEGER arithmetic ((num·n + den − 1) DIV den): a
+    float ceil that lands one high would silently shorten the prefix
+    and break losslessness in the unsafe direction.
+
+    Shape: token-keyed joins only (words⋈df-counts, prefix⋈prefix),
+    never docs×docs; the exact verify joins the candidate list back to
+    the per-doc sorted token arrays (arrays ride one hash join each
+    side) and re-checks J on full sets, pinned ``dp`` dp. Shuffle ∝
+    Σ prefix-bucket occupancy² — bounded by rare-token frequencies by
+    construction."""
+    pow10 = float(10**dp)
+    thr = threshold_num / threshold_den
+    words = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_set(text_col)).alias("w")
+    )
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+    docs = (
+        words.join(dfreq, "w")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__df", "w"))).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .withColumn(
+            "__plen",
+            F.col("n")
+            - F.expr(
+                f"({threshold_num} * n + {threshold_den} - 1) "
+                f"DIV {threshold_den}"
+            )
+            + 1,
+        )
+    )
+    pref = docs.select(
+        "doc", F.explode(F.expr("slice(__s, 1, __plen)")).alias("__p")
+    ).select("doc", F.col("__p.w").alias("w"))
+    cand = (
+        pref.select(F.col("doc").alias("doc_a"), "w")
+        .join(pref.select(F.col("doc").alias("doc_b"), F.col("w").alias("__wb")),
+              F.col("w") == F.col("__wb"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = docs.select(
+        "doc",
+        F.expr("transform(__s, x -> x.w)").alias("__t"),
+        "n",
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast(
+        "long"
+    )
+    jac = F.floor(
+        inter.cast("double")
+        / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+        * F.lit(pow10)
+        + F.lit(0.5)
+    ) / F.lit(pow10)
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("__t").alias("__ta"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("__t").alias("__tb"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            "n_a",
+            "n_b",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(thr))
+    )

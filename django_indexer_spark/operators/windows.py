@@ -799,3 +799,91 @@ def ewma_bounded(
         num = t if num is None else num + t
         den = d if den is None else den + d
     return out.withColumn("ewma", _pin(num / den)).drop("__x0")
+
+
+def sliding_distinct(
+    df: DataFrame,
+    day_col: Column,
+    key_col: Column,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling W-day distinct count: for every day PRESENT in the data,
+    the number of distinct keys seen in [day − W + 1, day] — rolling
+    active users, the windowed-distinct metric COUNT(DISTINCT) OVER
+    RANGE cannot express (distinct state is not subtractable, so no
+    engine supports the frame form).
+
+    The scale rewrite: collapse to distinct (day, key) once — the ONLY
+    fact-sized shuffle — then each survivor replicates to the W target
+    days it can influence (explode of a W-literal sequence, map-side),
+    a semi-join against the distinct day list drops targets past the
+    observed range, and one count-distinct per target day finishes.
+    Cost ∝ W·|day-key pairs|, never W passes over the raw table; skew
+    bounded by the busiest window, not the busiest day×W."""
+    ud = df.select(day_col.alias("__d"), key_col.alias("__k")).distinct()
+    days = ud.select(F.col("__d").alias("day")).distinct()
+    fanout = ud.select(
+        "__d",
+        "__k",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("__j"),
+    ).select((F.col("__d") + F.col("__j")).alias("day"), "__k")
+    return (
+        fanout.join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("__k")).cast("long").alias("n_distinct"))
+    )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    part_col: str,
+    start: Column,
+    end: Column,
+    tiebreak: Column,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per partition and report
+    the coverage profile — entity timeline union ("how much wall-clock
+    was this user actually active, counting concurrent sessions
+    once"). Returns per partition: n_raw input intervals, n_merged
+    maximal islands, covered total length.
+
+    Gaps-and-islands, one window pass: order by (start, tiebreak), an
+    interval opens a new island iff its start exceeds the running max
+    END of everything earlier (the running max — not lag(end) — is
+    what makes nested intervals safe: a short interval inside a long
+    one must not reopen), island id = running count of opens, then one
+    groupBy folds island extents and a second ≤-island-count groupBy
+    folds the profile. Start/end must be integer units (µs, days);
+    touching intervals (start == prev end) merge."""
+    w = Window.partitionBy(part_col).orderBy("__s", "__tb")
+    prev_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_end.isNull() | (F.col("__s") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        df.select(
+            F.col(part_col),
+            start.alias("__s"),
+            end.alias("__e"),
+            tiebreak.alias("__tb"),
+        )
+        .withColumn("__isl", island)
+        .groupBy(part_col, "__isl")
+        .agg(
+            F.min("__s").alias("__lo"),
+            F.max("__e").alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return islands.groupBy(part_col).agg(
+        F.sum("__n").cast("long").alias("n_raw"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.sum(F.col("__hi") - F.col("__lo")).cast("long").alias("covered"),
+    )

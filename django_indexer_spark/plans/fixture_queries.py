@@ -4681,3 +4681,90 @@ def a_apportion_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("long").alias("c_nationkey")
     )
     return hamilton_apportion(c, "c_nationkey", 1000)
+
+
+@query("dedup_ppjoin")
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-GLOBAL word-set Jaccard ≥ 0.8 pairs via lossless prefix
+    filtering (operators/dedup.py:ppjoin_pairs) — no group blocking, no
+    LSH false negatives: tokens ordered by global rarity, each doc
+    emits only its n−⌈0.8n⌉+1 rarest tokens as join keys (exact
+    integer ceil), candidates verified on full sets. The oracle is the
+    brute-force pairwise definition the prefix theorem guarantees this
+    matches."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = dedup.ppjoin_pairs(docs, "text", "doc_id", 4, 5)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "n_inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
+@query("ts_sliding_distinct")
+def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day
+    (operators/windows.py:sliding_distinct): the windowed-distinct
+    metric no RANGE frame can express — one (day,user) dedup shuffle,
+    a 7-way map-side fanout to target days, a semi-join against the
+    observed-day list, one count-distinct per day."""
+    from ..operators.windows import sliding_distinct
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts_us DIV 86400000000")
+    out = sliding_distinct(e, day, F.col("user_id"), window_days=7)
+    return out.select(F.col("day").cast("long").alias("day"), "n_distinct")
+
+
+@query("ts_interval_coalesce")
+def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-interval union
+    (operators/windows.py:interval_coalesce): each event opens
+    [ts, ts + max(value_cents,0)·1000 µs]; overlapping/touching
+    intervals merge through the running-max-end gaps-and-islands pass
+    (nested intervals safe), output = per-user raw count, merged
+    island count, and total covered µs."""
+    from ..operators.windows import interval_coalesce
+
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast("long")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("s"),
+        (
+            F.col("ts_us")
+            + F.greatest(cents, F.lit(0)) * F.lit(1000)
+        ).alias("e2"),
+    )
+    out = interval_coalesce(
+        base, "user_id", F.col("s"), F.col("e2"), F.col("event_id")
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_raw",
+        "n_merged",
+        "covered",
+    )
+
+
+@query("storage_rebalance_plan")
+def storage_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-volume shard rebalancing moves for the event-type
+    shards (sources/storage.py:rebalance_plan): Hamilton-split integer
+    targets, surplus/deficit shards own aligned segments of the same
+    excess line, every overlap is one (from, to, qty) transfer —
+    total moved == Σ surplus, the provable minimum; ≤ |shards| rows
+    after the one grouped count."""
+    from ..sources.storage import rebalance_plan
+
+    e = _events(spark, sf_dir)
+    out = rebalance_plan(e, "event_type")
+    return out.select(
+        F.col("from_shard").cast("string").alias("from_shard"),
+        F.col("to_shard").cast("string").alias("to_shard"),
+        "qty",
+    )

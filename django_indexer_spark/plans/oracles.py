@@ -4117,3 +4117,114 @@ SELECT c_nationkey, n, base_seats,
          AS seats
 FROM r
 """
+
+# dedup_ppjoin — the oracle is the brute-force pairwise DEFINITION the
+# prefix-filter theorem guarantees the Spark rewrite matches; same
+# pinned Jaccard and >= 0.8 cut.
+ORACLES["dedup_ppjoin"] = f"""
+WITH d0 AS (
+  SELECT doc_id, {_WORDSET} AS s FROM documents
+), dd AS (
+  SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n FROM d0 WHERE len(s) > 0
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+         a.n AS n_a, b.n AS n_b
+  FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+), j AS (
+  SELECT doc_a, doc_b, n_inter, n_a, n_b,
+         floor(CAST(n_inter AS DOUBLE)
+               / CAST(n_a + n_b - n_inter AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS jaccard
+  FROM p
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       n_inter, n_a, n_b, jaccard
+FROM j WHERE jaccard >= 0.8
+"""
+
+# ts_sliding_distinct — (day,user) dedup, 7-way fanout, semi-join to
+# observed days, count distinct per day.
+ORACLES["ts_sliding_distinct"] = """
+WITH ud AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+), x AS (
+  SELECT ud.d + g.j AS day, ud.user_id
+  FROM ud, UNNEST(range(0, 7)) AS g(j)
+)
+SELECT CAST(x.day AS BIGINT) AS day,
+       CAST(count(DISTINCT x.user_id) AS BIGINT) AS n_distinct
+FROM x JOIN days ON days.d = x.day
+GROUP BY 1
+"""
+
+# ts_interval_coalesce — same running-max-end gaps-and-islands with
+# (start, event_id) ordering; nested intervals never reopen.
+ORACLES["ts_interval_coalesce"] = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + greatest(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT),
+                      0) * 1000 AS e2
+  FROM events
+), m AS (
+  SELECT user_id, event_id, s, e2,
+         max(e2) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pe
+  FROM b
+), isl AS (
+  SELECT user_id, s, e2,
+         sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM m
+), g AS (
+  SELECT user_id, isl, min(s) AS lo, max(e2) AS hi, count(*) AS nn
+  FROM isl GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(nn) AS BIGINT) AS n_raw,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       CAST(sum(hi - lo) AS BIGINT) AS covered
+FROM g GROUP BY 1
+"""
+
+# storage_rebalance_plan — Hamilton targets in key order, aligned
+# surplus/deficit cumulative segments, overlaps are the moves.
+ORACLES["storage_rebalance_plan"] = """
+WITH loads AS (
+  SELECT event_type AS k, CAST(count(*) AS BIGINT) AS ld
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ld) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+  FROM loads
+), tt AS (
+  SELECT k, ld,
+         t // n + CASE WHEN row_number() OVER (ORDER BY k) <= t % n
+                       THEN 1 ELSE 0 END AS target
+  FROM loads CROSS JOIN tot
+), dl AS (
+  SELECT k, ld - target AS delta FROM tt
+), sur AS (
+  SELECT k AS from_shard,
+         sum(delta) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - delta AS slo,
+         sum(delta) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS shi
+  FROM dl WHERE delta > 0
+), dfc AS (
+  SELECT k AS to_shard,
+         sum(-delta) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) + delta AS dlo,
+         sum(-delta) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS dhi
+  FROM dl WHERE delta < 0
+)
+SELECT from_shard, to_shard,
+       CAST(least(shi, dhi) - greatest(slo, dlo) AS BIGINT) AS qty
+FROM sur JOIN dfc ON slo < dhi AND dlo < shi
+WHERE least(shi, dhi) - greatest(slo, dlo) > 0
+"""

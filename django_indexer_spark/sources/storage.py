@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def write_clustered(
@@ -220,4 +221,83 @@ def compaction_plan(
         F.col(id_col),
         F.col("__tok").cast("long").alias("size"),
         F.expr(f"(__cum - __tok) div {int(target)}").cast("long").alias("bin"),
+    )
+
+
+def rebalance_plan(
+    df: DataFrame,
+    shard_col: str,
+) -> DataFrame:
+    """Minimum-volume shard rebalancing plan: given current per-shard
+    row loads, emit the (from_shard, to_shard, qty) transfers that
+    equalize every shard to its fair target — the planning half of a
+    cluster rebalance (consistent-hash ring repair, Kafka partition
+    reassignment, HDFS mover), sized so total moved volume is exactly
+    Σ surplus, the theoretical minimum.
+
+    All-integer: targets are the Hamilton split of the total (total
+    DIV n, remainders to the first total%n shards in key order); each
+    surplus shard owns the half-open segment [cum_before, cum_after)
+    of the global "excess" line, each deficit shard owns its segment
+    of the identical-length "need" line, and a transfer is every
+    overlap between a surplus and a deficit segment (qty = overlap
+    length > 0). Segment alignment is the waterline trick: it yields
+    at most n_surplus + n_deficit − 1 moves, provably minimal volume.
+
+    Scale shape: ONE grouped count over the fact table; everything
+    after is ≤|shards| rows — two windows over that tiny relation and
+    one broadcast interval-overlap join (shards², but shards is the
+    small side by definition). The moves list is the artifact an
+    executor fleet consumes; the data movement itself would be a
+    shuffle keyed by the plan."""
+    loads = df.groupBy(shard_col).agg(F.count(F.lit(1)).alias("__load"))
+    tot = loads.agg(
+        F.sum("__load").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    wk = Window.orderBy(F.col(shard_col).asc())
+    t = (
+        loads.crossJoin(F.broadcast(tot))
+        .withColumn("__rk", F.row_number().over(wk))
+        .select(
+            shard_col,
+            "__load",
+            (
+                F.expr("__tot DIV __n")
+                + (F.col("__rk") <= F.expr("__tot % __n")).cast("long")
+            ).alias("__target"),
+        )
+        .withColumn("__delta", F.col("__load") - F.col("__target"))
+    )
+    ws = Window.orderBy(F.col(shard_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sur = (
+        t.filter(F.col("__delta") > 0)
+        .withColumn("__hi", F.sum("__delta").over(ws))
+        .select(
+            F.col(shard_col).alias("from_shard"),
+            (F.col("__hi") - F.col("__delta")).alias("__slo"),
+            F.col("__hi").alias("__shi"),
+        )
+    )
+    dfc = (
+        t.filter(F.col("__delta") < 0)
+        .withColumn("__hi", F.sum(-F.col("__delta")).over(ws))
+        .select(
+            F.col(shard_col).alias("to_shard"),
+            (F.col("__hi") + F.col("__delta")).alias("__dlo"),
+            F.col("__hi").alias("__dhi"),
+        )
+    )
+    qty = F.least(F.col("__shi"), F.col("__dhi")) - F.greatest(
+        F.col("__slo"), F.col("__dlo")
+    )
+    return (
+        sur.join(
+            F.broadcast(dfc),
+            (F.col("__slo") < F.col("__dhi"))
+            & (F.col("__dlo") < F.col("__shi")),
+        )
+        .select("from_shard", "to_shard", qty.cast("long").alias("qty"))
+        .filter(F.col("qty") > 0)
     )

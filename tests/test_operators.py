@@ -2821,3 +2821,81 @@ def test_hamilton_apportion_invariants(spark):
     assert {g: r["seats"] for g, r in out.items()} == {"a": 50, "b": 29, "c": 21}
     assert sum(r["seats"] for r in out.values()) == 100
     assert out["c"]["extra_seat"] == 1 and out["a"]["extra_seat"] == 0
+
+
+def test_ppjoin_matches_bruteforce(spark):
+    from django_indexer_spark.operators.dedup import ppjoin_pairs
+    import itertools
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "one two three four five"),
+        (5, "one two three four six"),
+        (6, "completely different words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, "text", "doc_id", 4, 5).collect()
+    }
+    # brute force at t=0.8 on word sets
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(j, 6) >= 0.8:
+            want[(a, b)] = round(j, 6)
+    assert set(got) == set(want)  # {(1,3)} identical pair only
+    assert got[(1, 3)] == 1.0
+
+
+def test_sliding_distinct_window_membership(spark):
+    from django_indexer_spark.operators.windows import sliding_distinct
+    from pyspark.sql import functions as F
+
+    # user 1 on day 0, user 2 on day 5, user 3 on day 20
+    rows = [(0, 1), (5, 2), (20, 3), (5, 2)]
+    df = spark.createDataFrame(rows, "d long, u long")
+    out = {
+        r["day"]: r["n_distinct"]
+        for r in sliding_distinct(df, F.col("d"), F.col("u"), 7).collect()
+    }
+    # only observed days reported; day 5 sees users {1, 2} (0 within 6 back)
+    assert out == {0: 1, 5: 2, 20: 1}
+
+
+def test_interval_coalesce_nested_and_touching(spark):
+    from django_indexer_spark.operators.windows import interval_coalesce
+    from pyspark.sql import functions as F
+
+    # [0,100] contains [10,20] (nested must NOT reopen); [100,150]
+    # touches 100 (merges); [200,210] separate.
+    rows = [
+        ("u", 1, 0, 100),
+        ("u", 2, 10, 20),
+        ("u", 3, 100, 150),
+        ("u", 4, 200, 210),
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, s long, e long")
+    r = interval_coalesce(
+        df, "g", F.col("s"), F.col("e"), F.col("i")
+    ).collect()[0]
+    assert r["n_raw"] == 4 and r["n_merged"] == 2
+    assert r["covered"] == 150 + 10
+
+
+def test_rebalance_plan_moves_minimum_volume(spark):
+    from django_indexer_spark.sources.storage import rebalance_plan
+    from pyspark.sql import functions as F
+
+    # loads a=10, b=1, c=1: total 12, targets 4/4/4 -> a gives 3 to b, 3 to c
+    rows = [("a",)] * 10 + [("b",)] + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = rebalance_plan(df, "k").collect()
+    moves = {(r["from_shard"], r["to_shard"]): r["qty"] for r in out}
+    assert moves == {("a", "b"): 3, ("a", "c"): 3}
+    # net flow restores every shard to its target
+    assert sum(moves.values()) == 6

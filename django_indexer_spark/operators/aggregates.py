@@ -697,3 +697,77 @@ def hamilton_apportion(
             .alias("seats"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    label: Column,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC by the rank statistic — the model-eval twin
+    of the Mann-Whitney U gate, with the tie handling a real score
+    column forces (average ranks). ALL-INTEGER until the final
+    division: with per-score tie groups of c_g rows (p_g positive) and
+    b_g rows strictly below, twice the positives' rank sum is
+    Σ p_g·(2b_g + c_g + 1) exactly, so
+
+        AUC = (2R⁺ − P(P+1)) / (2·P·N)
+
+    has an exact BIGINT numerator and denominator; only the quotient
+    is pinned ``dp`` dp. ``score`` must be an integer column; ``label``
+    0/1. Groups with no positives or no negatives return NULL auc
+    (undefined, surfaced not masked).
+
+    Shape: one groupBy(group, score) collapse (map-side combined — the
+    window then ranks DISTINCT scores, not rows), one group-partitioned
+    cumulative window, one final fold per group."""
+    pow10 = float(10**dp)
+    per_score = (
+        df.select(
+            F.col(group_col),
+            score.cast("long").alias("__s"),
+            label.cast("long").alias("__y"),
+        )
+        .groupBy(group_col, "__s")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__y").alias("__p"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_score.select(
+        F.col(group_col),
+        "__c",
+        "__p",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__b"),
+    )
+    agg = stepped.groupBy(group_col).agg(
+        F.sum("__c").alias("n"),
+        F.sum("__p").alias("n_pos"),
+        F.sum(
+            F.col("__p") * (F.lit(2) * F.col("__b") + F.col("__c") + 1)
+        ).alias("__r2"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    num = F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * n_neg
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (n_neg > 0),
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(pow10)
+                + F.lit(0.5)
+            )
+            / F.lit(pow10),
+        ).alias("auc"),
+    )

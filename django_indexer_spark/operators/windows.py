@@ -887,3 +887,60 @@ def interval_coalesce(
         F.count(F.lit(1)).cast("long").alias("n_merged"),
         F.sum(F.col("__hi") - F.col("__lo")).cast("long").alias("covered"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    month_col: Column,
+    value: Column,
+    dp: int = 6,
+) -> DataFrame:
+    """Month-over-month and year-over-year comparison of a monthly
+    measure — the BI staple that needs CALENDAR joins, not lag():
+    months can be missing, and lag(1) over present months would
+    silently compare March to January across a gap. ``month_col``
+    must be an integer yyyymm code.
+
+    One grouped fold to ≤|months| rows, then two self-joins on exact
+    month arithmetic (prev month = m−1, or (y−1)·100+12 across
+    January; prior year = m−100) — broadcast-sized after the first
+    shuffle no matter the fact-table size. Absent comparison periods
+    yield NULL pct (gap surfaced, not zero-filled); pct = pinned
+    (cur − prev)/prev, guarded against prev = 0."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    m = (
+        df.select(month_col.cast("long").alias("month"), value.alias("__v"))
+        .groupBy("month")
+        .agg(F.sum("__v").cast("long").alias("rev"))
+    )
+    prev_m = F.when(
+        F.col("month") % 100 == 1, F.col("month") - 100 + 11
+    ).otherwise(F.col("month") - 1)
+    base = m.withColumn("__pm", prev_m).withColumn(
+        "__py", F.col("month") - 100
+    )
+    mm = m.select(F.col("month").alias("__pm"), F.col("rev").alias("__mrev"))
+    yy = m.select(F.col("month").alias("__py"), F.col("rev").alias("__yrev"))
+
+    def _pct(cur: Column, prev: Column) -> Column:
+        return F.when(
+            prev.isNotNull() & (prev != 0),
+            _pin(
+                (cur - prev).cast("double") / prev.cast("double")
+            ),
+        )
+
+    return (
+        base.join(F.broadcast(mm), "__pm", "left")
+        .join(F.broadcast(yy), "__py", "left")
+        .select(
+            "month",
+            "rev",
+            _pct(F.col("rev"), F.col("__mrev")).alias("mom_pct"),
+            _pct(F.col("rev"), F.col("__yrev")).alias("yoy_pct"),
+        )
+    )

@@ -4768,3 +4768,107 @@ def storage_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("to_shard").cast("string").alias("to_shard"),
         "qty",
     )
+
+
+@query("q9_product_profit")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for one
+    part family ('widget' parts; the fixture has no partsupp, so profit
+    = extended revenue after discount). The star-join showcase at its
+    widest: part filters FIRST (the only selective predicate —
+    broadcast after the contains() prune), supplier/nation broadcast,
+    and the two fact tables meet in the single orderkey shuffle.
+    Exact-decimal profit; (nation, year) total order."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit_e4 = to_fixed("l_extendedprice", 2) * (
+        F.lit(100) - to_fixed("l_discount", 2)
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+    )
+    g = grouped_exact_sums(
+        joined, ["n_name", "o_year"], sums={"profit": (profit_e4, 4)}
+    )
+    return g.orderBy("n_name", "o_year").select("n_name", "o_year", "profit")
+
+
+@query("a_roc_auc")
+def a_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority ROC AUC of order price as a predictor of the
+    fulfilled flag (operators/aggregates.py:roc_auc): tie-averaged
+    rank statistic with an exact BIGINT numerator/denominator — only
+    the final quotient is pinned. Group-partitioned windows over
+    DISTINCT scores, never rows."""
+    from ..operators.aggregates import roc_auc
+
+    o = _t(spark, sf_dir, "orders")
+    return roc_auc(
+        o,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("long"),
+        (F.col("o_orderstatus") == "F").cast("long"),
+    )
+
+
+@query("ts_period_over_period")
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month / year-over-year revenue deltas on calendar
+    joins (operators/windows.py:period_over_period): missing months
+    yield NULL pct instead of lag() silently comparing across gaps;
+    two broadcast self-joins on exact yyyymm arithmetic after the one
+    grouped fold."""
+    from ..operators.windows import period_over_period
+
+    o = _t(spark, sf_dir, "orders")
+    month = F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+        "long"
+    )
+    return period_over_period(o, month, cents)
+
+
+@query("storage_zorder_boxes")
+def storage_zorder_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout plan over customers in (acctbal, nationkey)
+    space (sources/storage.py:zorder_plan): fixed integer literals
+    scale each domain to 16 bits (no sampling pass), one shared SQL
+    string interleaves the bit planes on both engines, fixed-width
+    Morton ranges become files, per-file 2-D bounding boxes prove the
+    both-dimensions pruning payoff. No sort, no single-partition
+    window — one projection + one ≤32-row groupBy."""
+    from ..sources.storage import zorder_plan
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal").cast("double") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    # acctbal cents ∈ [-99999, 999999] → +99999 ∈ [0, 1099998] → 16 bits;
+    # nationkey ∈ [0, 24] → ×2621 ∈ [0, 62904] < 65536
+    out = zorder_plan(
+        c,
+        "(cents + 99999) * 65536 DIV 1100000",
+        "nk * 2621",
+        shift=27,
+    )
+    return out.select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+    )

@@ -4228,3 +4228,97 @@ SELECT from_shard, to_shard,
 FROM sur JOIN dfc ON slo < dhi AND dlo < shi
 WHERE least(shi, dhi) - greatest(slo, dlo) > 0
 """
+
+# storage_zorder_boxes — morton expression generated by the SAME
+# _morton_sql builder the Spark side uses (only integer division
+# spelling differs: DIV vs //); fixed-width ranges, per-file boxes.
+ORACLES["storage_zorder_boxes"] = """
+WITH c AS (
+  SELECT CAST(round(CAST(c_acctbal AS DOUBLE) * 100, 0) AS BIGINT) AS cents,
+         CAST(c_nationkey AS BIGINT) AS nk
+  FROM customer
+), m AS (
+  SELECT ((((((cents + 99999) * 65536 // 1100000) >> 0) & 1) << 0) | ((((nk * 2621) >> 0) & 1) << 1) | (((((cents + 99999) * 65536 // 1100000) >> 1) & 1) << 2) | ((((nk * 2621) >> 1) & 1) << 3) | (((((cents + 99999) * 65536 // 1100000) >> 2) & 1) << 4) | ((((nk * 2621) >> 2) & 1) << 5) | (((((cents + 99999) * 65536 // 1100000) >> 3) & 1) << 6) | ((((nk * 2621) >> 3) & 1) << 7) | (((((cents + 99999) * 65536 // 1100000) >> 4) & 1) << 8) | ((((nk * 2621) >> 4) & 1) << 9) | (((((cents + 99999) * 65536 // 1100000) >> 5) & 1) << 10) | ((((nk * 2621) >> 5) & 1) << 11) | (((((cents + 99999) * 65536 // 1100000) >> 6) & 1) << 12) | ((((nk * 2621) >> 6) & 1) << 13) | (((((cents + 99999) * 65536 // 1100000) >> 7) & 1) << 14) | ((((nk * 2621) >> 7) & 1) << 15) | (((((cents + 99999) * 65536 // 1100000) >> 8) & 1) << 16) | ((((nk * 2621) >> 8) & 1) << 17) | (((((cents + 99999) * 65536 // 1100000) >> 9) & 1) << 18) | ((((nk * 2621) >> 9) & 1) << 19) | (((((cents + 99999) * 65536 // 1100000) >> 10) & 1) << 20) | ((((nk * 2621) >> 10) & 1) << 21) | (((((cents + 99999) * 65536 // 1100000) >> 11) & 1) << 22) | ((((nk * 2621) >> 11) & 1) << 23) | (((((cents + 99999) * 65536 // 1100000) >> 12) & 1) << 24) | ((((nk * 2621) >> 12) & 1) << 25) | (((((cents + 99999) * 65536 // 1100000) >> 13) & 1) << 26) | ((((nk * 2621) >> 13) & 1) << 27) | (((((cents + 99999) * 65536 // 1100000) >> 14) & 1) << 28) | ((((nk * 2621) >> 14) & 1) << 29) | (((((cents + 99999) * 65536 // 1100000) >> 15) & 1) << 30) | ((((nk * 2621) >> 15) & 1) << 31)) >> 27 AS file_id,
+         (cents + 99999) * 65536 // 1100000 AS x, nk * 2621 AS y
+  FROM c
+)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM m GROUP BY 1
+"""
+
+ORACLES["q9_product_profit"] = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY n_name, o_year
+"""
+
+# a_roc_auc — tie-averaged rank AUC with exact integer numerator and
+# denominator; only the quotient is pinned.
+ORACLES["a_roc_auc"] = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), ps AS (
+  SELECT g, s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+  FROM b GROUP BY 1, 2
+), st AS (
+  SELECT g, c, p,
+         CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bb
+  FROM ps
+), ag AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(p * (2 * bb + c + 1)) AS BIGINT) AS r2
+  FROM st GROUP BY 1
+)
+SELECT g AS o_orderpriority, n, n_pos,
+       CAST(n - n_pos AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+         floor(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) * 1e6 + 0.5) / 1e6
+       END AS auc
+FROM ag
+"""
+
+# ts_period_over_period — calendar self-joins on exact yyyymm codes;
+# absent periods stay NULL.
+ORACLES["ts_period_over_period"] = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS month,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT month, rev,
+         CASE WHEN month % 100 = 1 THEN month - 100 + 11
+              ELSE month - 1 END AS pm,
+         month - 100 AS py
+  FROM m
+)
+SELECT b.month, b.rev,
+       CASE WHEN mm.rev IS NOT NULL AND mm.rev != 0 THEN
+         floor(CAST(b.rev - mm.rev AS DOUBLE) / CAST(mm.rev AS DOUBLE)
+               * 1e6 + 0.5) / 1e6 END AS mom_pct,
+       CASE WHEN yy.rev IS NOT NULL AND yy.rev != 0 THEN
+         floor(CAST(b.rev - yy.rev AS DOUBLE) / CAST(yy.rev AS DOUBLE)
+               * 1e6 + 0.5) / 1e6 END AS yoy_pct
+FROM b
+LEFT JOIN m mm ON mm.month = b.pm
+LEFT JOIN m yy ON yy.month = b.py
+"""

@@ -301,3 +301,60 @@ def rebalance_plan(
         .select("from_shard", "to_shard", qty.cast("long").alias("qty"))
         .filter(F.col("qty") > 0)
     )
+
+
+def _morton_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """Bit-interleaved (Morton / Z-order) key as a plain SQL expression —
+    x in the even bit positions, y in the odd. Pure shifts/ANDs/ORs in
+    one fixed parse shape, so the SAME string runs on Spark SQL and
+    DuckDB and yields the identical BIGINT (2·bits ≤ 62)."""
+    terms = []
+    for j in range(bits):
+        # every term fully parenthesized: << vs | precedence must not
+        # depend on either engine's parser
+        terms.append(f"(((({x_expr}) >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((({y_expr}) >> {j}) & 1) << {2 * j + 1})")
+    return " | ".join(terms)
+
+
+def zorder_plan(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    shift: int,
+) -> DataFrame:
+    """Z-order data-layout plan: interleave two 16-bit cell coordinates
+    into a Morton key, assign each row to a fixed-width key-range file
+    (``morton >> shift``), and report every file's 2-D bounding box —
+    the planning half of Delta/Iceberg Z-ORDER clustering. The payoff
+    the bounding boxes make visible: along a Z-curve a file's min/max
+    stay tight in BOTH dimensions at once, so a predicate on EITHER
+    column prunes files — a single-column sort gives tight boxes in
+    one dimension and full-range boxes in the other.
+
+    ``x_expr``/``y_expr`` must be SQL strings yielding integers in
+    [0, 65536) (the caller scales domain → 16 bits with fixed integer
+    literals — data-independent, no sampling pass). Fixed-width ranges
+    instead of NTILE keep the whole plan ONE map-side projection plus
+    one ≤-2^(32−shift)-row groupBy: no global sort, no
+    single-partition window; occupancy varies per file exactly as
+    fixed range boundaries do in production (the write path would
+    range-partition by the same key)."""
+    file_id = F.expr(f"({_morton_sql(x_expr, y_expr)}) >> {shift}").cast(
+        "long"
+    )
+    return (
+        df.select(
+            file_id.alias("file_id"),
+            F.expr(x_expr).cast("long").alias("__x"),
+            F.expr(y_expr).cast("long").alias("__y"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("x_min"),
+            F.max("__x").alias("x_max"),
+            F.min("__y").alias("y_min"),
+            F.max("__y").alias("y_max"),
+        )
+    )

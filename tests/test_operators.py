@@ -2899,3 +2899,60 @@ def test_rebalance_plan_moves_minimum_volume(spark):
     assert moves == {("a", "b"): 3, ("a", "c"): 3}
     # net flow restores every shard to its target
     assert sum(moves.values()) == 6
+
+
+def test_roc_auc_hand_cases(spark):
+    from django_indexer_spark.operators.aggregates import roc_auc
+    from pyspark.sql import functions as F
+
+    # g1: perfect separation -> 1.0; g2: all ties -> 0.5;
+    # g3: one class only -> NULL auc
+    rows = (
+        [("g1", 1, 0), ("g1", 2, 0), ("g1", 3, 1), ("g1", 4, 1)]
+        + [("g2", 5, 0), ("g2", 5, 1), ("g2", 5, 0), ("g2", 5, 1)]
+        + [("g3", 1, 1), ("g3", 2, 1)]
+    )
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    out = {r["g"]: r for r in roc_auc(df, "g", F.col("s"), F.col("y")).collect()}
+    assert out["g1"]["auc"] == 1.0
+    assert out["g2"]["auc"] == 0.5
+    assert out["g3"]["auc"] is None
+    assert out["g1"]["n_pos"] == 2 and out["g1"]["n_neg"] == 2
+
+
+def test_period_over_period_calendar_gaps(spark):
+    from django_indexer_spark.operators.windows import period_over_period
+    from pyspark.sql import functions as F
+
+    # months: 199512, 199601 (Jan crosses year for MoM), 199603 (gap:
+    # no 199602 -> mom NULL), 199701 (yoy vs 199601)
+    rows = [(199512, 100), (199601, 110), (199603, 50), (199701, 220)]
+    df = spark.createDataFrame(rows, "m long, v long")
+    out = {
+        r["month"]: r
+        for r in period_over_period(df, F.col("m"), F.col("v")).collect()
+    }
+    assert out[199601]["mom_pct"] == 0.1  # vs 199512 across the year edge
+    assert out[199603]["mom_pct"] is None  # gap not silently bridged
+    assert out[199701]["yoy_pct"] == 1.0  # 220 vs 110
+    assert out[199512]["mom_pct"] is None and out[199512]["yoy_pct"] is None
+
+
+def test_zorder_plan_boxes_tight_in_both_dims(spark):
+    from django_indexer_spark.sources.storage import zorder_plan
+
+    # four quadrant clusters in a 16-bit domain: each must land in its
+    # own morton range with a bounding box confined to its quadrant
+    pts = (
+        [(100 + i, 200 + i) for i in range(20)]
+        + [(50000 + i, 60000 + i) for i in range(20)]
+        + [(100 + i, 60000 + i) for i in range(20)]
+        + [(50000 + i, 200 + i) for i in range(20)]
+    )
+    df = spark.createDataFrame(pts, "cents long, nk long")
+    out = zorder_plan(df, "cents", "nk", shift=30).collect()
+    assert len(out) == 4  # 2 leading bits of each dim -> 4 files
+    for r in out:
+        assert r["x_max"] - r["x_min"] < 32768  # box confined to a half
+        assert r["y_max"] - r["y_min"] < 32768
+    assert sum(r["n_rows"] for r in out) == 80

@@ -771,3 +771,127 @@ def roc_auc(
             / F.lit(pow10),
         ).alias("auc"),
     )
+
+
+def pareto_vital_few(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value: Column,
+    pct_num: int = 8,
+    pct_den: int = 10,
+) -> DataFrame:
+    """Pareto "vital few" report: per group, how many entities cover
+    ``pct_num/pct_den`` of the total — the 80/20 concentration readout
+    ("how many customers are 80 % of revenue") that complements the
+    Gini/Theil indices with an actionable COUNT. The crossing test is
+    ALL-INTEGER: an entity is needed while
+    den·(cum − own) < num·total, so no float share ever decides
+    membership; only the reported share of the selected head is
+    pinned.
+
+    One entity-grained fold (map-side combined), one group-partitioned
+    window ordered (value DESC, entity ASC — a total order so the
+    crossing row is deterministic), one final fold per group."""
+    ent = (
+        df.select(
+            F.col(group_col),
+            F.col(entity_col).alias("__e"),
+            value.alias("__v"),
+        )
+        .groupBy(group_col, "__e")
+        .agg(F.sum("__v").cast("long").alias("__val"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__val").desc(), F.col("__e").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(group_col)
+    stepped = ent.select(
+        F.col(group_col),
+        "__val",
+        F.sum("__val").over(w).alias("__cum"),
+        F.sum("__val").over(wt).alias("__tot"),
+    )
+    needed = (
+        F.lit(pct_den) * (F.col("__cum") - F.col("__val"))
+        < F.lit(pct_num) * F.col("__tot")
+    ).cast("long")
+    return (
+        stepped.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum(needed).cast("long").alias("n_vital"),
+            F.sum(F.when(needed == 1, F.col("__val"))).cast("long").alias(
+                "vital_cents"
+            ),
+            F.min("__tot").cast("long").alias("total_cents"),
+        )
+        .select(
+            group_col,
+            "n_entities",
+            "n_vital",
+            "vital_cents",
+            "total_cents",
+            (
+                F.floor(
+                    F.col("vital_cents").cast("double")
+                    / F.col("total_cents").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("vital_share"),
+        )
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: Column,
+    col_b: Column,
+    dp: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    magnitude companion to the chi-square independence gate ("HOW MUCH
+    does knowing A tell you about B", in nats). MI =
+    Σ_xy (c_xy/n)·ln(c_xy·n / (c_x·c_y)); independent columns → 0.
+
+    One joint count (the only fact-sized shuffle), two marginal counts
+    re-aggregated FROM the joint (≤|A×B| rows, never a second fact
+    scan), per-cell terms pinned ``dp`` dp into DECIMAL(38,6) folds so
+    the sum is order-independent; the single ln ratio uses one fixed
+    parse shape mirrored in the oracle."""
+    pow10 = float(10**dp)
+    joint = (
+        df.select(col_a.alias("__a"), col_b.alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__cab"))
+    )
+    ma = joint.groupBy("__a").agg(F.sum("__cab").alias("__ca"))
+    mb = joint.groupBy("__b").agg(F.sum("__cab").alias("__cb"))
+    tot = joint.agg(F.sum("__cab").alias("n"))
+    term = F.floor(
+        (F.col("__cab").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("__cab").cast("double") * F.col("n").cast("double"))
+            / (F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+        )
+        * F.lit(pow10)
+        + F.lit(0.5)
+    ) / F.lit(pow10)
+    return (
+        joint.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            term.cast("decimal(38,6)").alias("__t"),
+        )
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("__t").cast("double").alias("mi_nats"),
+        )
+    )

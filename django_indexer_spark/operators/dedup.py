@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from .graph import connected_components
@@ -628,4 +629,65 @@ def ppjoin_pairs(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(thr))
+    )
+
+
+def content_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS primitive): cut each
+    payload where a rolling fingerprint of the trailing ``window``
+    bytes hits 0 mod ``divisor``, so chunk boundaries depend on CONTENT,
+    not offsets — insert one byte near the front and only the touched
+    chunk's hash changes, unlike fixed-size blocks where every
+    subsequent block shifts. The chunk-manifest output (doc, idx,
+    start, length, chunk md5) is what block-level dedup stores and
+    diffs at 100 TB; expected chunk length ≈ ``divisor`` chars.
+
+    Engine-portable fingerprint: md5 of the ``window``-char substring
+    at each position (1-based substr on both engines), first 8 hex
+    digits mod ``divisor`` — heavier than a true rolling polynomial
+    but bit-identical everywhere; production swaps in a Rabin hash,
+    the boundary SEMANTICS (and this gate's manifest shape) stay.
+
+    Shape: the position scan is a per-row array transform (zero
+    shuffle, cost ∝ corpus chars); chunk assembly is one posexplode +
+    one lead() over a per-doc window (rows = chunks, bounded by
+    len/divisor). Payloads shorter than window+1 become one chunk."""
+    h = (
+        f"CAST(conv(substr(md5(substr({text_col}, i, {window})), 1, 8), "
+        f"16, 10) AS BIGINT) % {divisor} = 0"
+    )
+    starts = F.expr(
+        f"concat(array(1), CASE WHEN length({text_col}) >= {window + 1} "
+        f"THEN filter(sequence(2, length({text_col}) - {window - 1}), "
+        f"i -> {h}) ELSE array() END)"
+    )
+    pos = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__txt"),
+        F.length(text_col).cast("long").alias("__len"),
+        F.posexplode(starts).alias("__i", "__start"),
+    )
+    w = Window.partitionBy("doc").orderBy("__i")
+    nxt = F.lead("__start").over(w)
+    chunks = pos.select(
+        "doc",
+        (F.col("__i") + 1).cast("long").alias("chunk_idx"),
+        F.col("__start").cast("long").alias("start"),
+        (
+            F.coalesce(nxt, F.col("__len") + 1) - F.col("__start")
+        ).cast("long").alias("length"),
+        "__txt",
+    )
+    return chunks.select(
+        "doc",
+        "chunk_idx",
+        "start",
+        "length",
+        F.md5(F.expr("substr(__txt, start, length)")).alias("chunk_md5"),
     )

@@ -1183,3 +1183,78 @@ def pmi_bigrams(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+def bigram_lm_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy against the corpus's OWN
+    add-one-smoothed bigram model — ``lm_quality``'s order-sensitive
+    sibling: a document of common words in an incoherent ORDER scores
+    fine under the unigram model and badly here, which is exactly the
+    word-salad signal a pretraining quality filter wants.
+
+    Model: p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), V = distinct
+    corpus vocabulary (the classic Laplace estimator — every count is
+    an exact BIGINT, so the probability is one mirrored double ratio).
+    Score = mean −ln p over the doc's adjacent pairs, each term pinned
+    ``dp`` dp and folded DECIMAL(38,6) per doc (order-independent),
+    the mean pinned once more. Docs with < 2 tokens are dropped (no
+    bigram evidence — surfaced by absence, not a fake 0).
+
+    Shape: ONE tokenize pass feeds doc-bigrams, the corpus bigram
+    counts, and the w1-marginal; V and the model tables join back
+    token-keyed (model size ∝ distinct bigrams, never corpus rows)."""
+    pow10 = float(10**dp)
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokenize(text_col).alias("__t")
+    )
+    pairs = (
+        toks.filter(F.size("__t") >= 2)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
+                )
+            ).alias("__p"),
+        )
+        .select("doc", "__p.w1", "__p.w2")
+    )
+    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    marg = model.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    vocab = (
+        toks.select(F.explode("__t").alias("w"))
+        .agg(F.count_distinct("w").alias("__v"))
+    )
+    term = F.floor(
+        -F.log(
+            (F.col("__c12").cast("double") + F.lit(1.0))
+            / (F.col("__c1").cast("double") + F.col("__v").cast("double"))
+        )
+        * F.lit(pow10)
+        + F.lit(0.5)
+    ) / F.lit(pow10)
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .join(marg, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc", term.cast("decimal(38,6)").alias("__nll"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("__nll").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    * F.lit(pow10)
+                    + F.lit(0.5)
+                )
+                / F.lit(pow10)
+            ).alias("xent_nats"),
+        )
+    )

@@ -4872,3 +4872,67 @@ def storage_zorder_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_min",
         "y_max",
     )
+
+
+@query("dedup_cdc_chunks")
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk manifest over the documents corpus
+    (operators/dedup.py:content_chunks): boundaries where the md5 of
+    the trailing 8 chars hits 0 mod 64, so an edit moves only the
+    touched chunk's hash — the rsync/LBFS block-dedup primitive.
+    Position scan is a zero-shuffle array transform; chunk assembly
+    one lead() over per-doc windows."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = dedup.content_chunks(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "start",
+        "length",
+        "chunk_md5",
+    )
+
+
+@query("a_pareto_8020")
+def a_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto vital-few report per order priority
+    (operators/aggregates.py:pareto_vital_few): how many customers
+    cover 80% of revenue — integer crossing test
+    (10·(cum−own) < 8·total), only the selected head's share pinned."""
+    from ..operators.aggregates import pareto_vital_few
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+        "long"
+    )
+    return pareto_vital_few(o, "o_orderpriority", "o_custkey", cents)
+
+
+@query("a_mutual_information")
+def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and (arithmetic) day of
+    week (operators/aggregates.py:mutual_information) — the magnitude
+    companion to the chi-square gate; dow = (epoch_day + 4) % 7 on
+    both engines so no calendar function mismatch can leak in."""
+    from ..operators.aggregates import mutual_information
+
+    e = _events(spark, sf_dir)
+    dow = (F.expr("ts_us DIV 86400000000") + 4) % 7
+    return mutual_information(e, F.col("event_type"), dow.cast("long"))
+
+
+@query("text_bigram_lm")
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under the corpus's own
+    add-one-smoothed bigram model
+    (operators/text.py:bigram_lm_quality) — the order-sensitive
+    quality score unigram lm_quality can't see (word salad scores
+    badly here, fine there). Exact-count Laplace probabilities, terms
+    pinned 6 dp into decimal folds."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = text.bigram_lm_quality(docs, "doc_id", "text")
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "xent_nats",
+    )

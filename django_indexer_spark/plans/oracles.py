@@ -4322,3 +4322,122 @@ FROM b
 LEFT JOIN m mm ON mm.month = b.pm
 LEFT JOIN m yy ON yy.month = b.py
 """
+
+# dedup_cdc_chunks — same md5-of-trailing-8 boundary rule (hex-bucket
+# arithmetic = conv vs 0x-cast), 1-based substr on both engines.
+ORACLES["dedup_cdc_chunks"] = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS ln FROM documents
+), st AS (
+  SELECT doc_id, text, ln,
+         list_concat([CAST(1 AS BIGINT)],
+           CASE WHEN ln >= 9 THEN
+             list_filter(range(2, ln - 6),
+               i -> CAST(('0x' || substr(md5(substr(text,
+                          CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT)
+                    % 64 = 0)
+           ELSE [] END) AS starts
+  FROM d
+), pos AS (
+  SELECT doc_id, text, ln, CAST(g.j AS BIGINT) AS chunk_idx,
+         CAST(starts[CAST(g.j AS INTEGER)] AS BIGINT) AS start
+  FROM st, UNNEST(range(1, CAST(len(starts) AS BIGINT) + 1)) AS g(j)
+), ch AS (
+  SELECT doc_id, text, chunk_idx, start,
+         coalesce(lead(start) OVER (PARTITION BY doc_id ORDER BY chunk_idx),
+                  ln + 1) - start AS length
+  FROM pos
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx, start,
+       CAST(length AS BIGINT) AS length,
+       md5(substr(text, CAST(start AS INTEGER), CAST(length AS INTEGER)))
+         AS chunk_md5
+FROM ch
+"""
+
+# a_pareto_8020 — integer crossing test 10·(cum−own) < 8·total; only
+# the selected head's share is pinned.
+ORACLES["a_pareto_8020"] = """
+WITH ent AS (
+  SELECT o_orderpriority AS g, o_custkey AS e,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS val
+  FROM orders GROUP BY 1, 2
+), st AS (
+  SELECT g, val,
+         CAST(sum(val) OVER (PARTITION BY g ORDER BY val DESC, e ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(val) OVER (PARTITION BY g) AS BIGINT) AS tot
+  FROM ent
+), nn AS (
+  SELECT g, val, cum, tot,
+         CASE WHEN 10 * (cum - val) < 8 * tot THEN 1 ELSE 0 END AS needed
+  FROM st
+)
+SELECT g AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(needed) AS BIGINT) AS n_vital,
+       CAST(sum(CASE WHEN needed = 1 THEN val END) AS BIGINT) AS vital_cents,
+       CAST(min(tot) AS BIGINT) AS total_cents,
+       floor(CAST(sum(CASE WHEN needed = 1 THEN val END) AS DOUBLE)
+             / CAST(min(tot) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS vital_share
+FROM nn GROUP BY 1
+"""
+
+# a_mutual_information — arithmetic dow (epoch_day+4)%7 on both
+# engines; per-cell terms pinned into DECIMAL(38,6) folds.
+ORACLES["a_mutual_information"] = """
+WITH j AS (
+  SELECT event_type AS a,
+         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS cab
+  FROM events GROUP BY 1, 2
+), ma AS (
+  SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM j GROUP BY 1
+), mb AS (
+  SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM j GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cab) AS BIGINT) AS n FROM j
+), t AS (
+  SELECT n,
+         CAST(floor((CAST(cab AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln((CAST(cab AS DOUBLE) * CAST(n AS DOUBLE))
+                   / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS term
+  FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+)
+SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(term) AS DOUBLE) AS mi_nats
+FROM t GROUP BY 1
+"""
+
+# text_bigram_lm — identical tokenization, Laplace bigram model from
+# exact counts, per-bigram −ln p pinned into decimal folds per doc.
+ORACLES["text_bigram_lm"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), p AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(w))) AS g(i)
+  WHERE len(w) >= 2
+), model AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2
+), marg AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT u.x) AS BIGINT) AS vv
+  FROM t, UNNEST(w) AS u(x)
+), s AS (
+  SELECT p.doc_id,
+         CAST(floor(-ln((CAST(c12 AS DOUBLE) + 1.0)
+                        / (CAST(c1 AS DOUBLE) + CAST(vv AS DOUBLE)))
+                    * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS nll
+  FROM p JOIN model USING (w1, w2) JOIN marg USING (w1) CROSS JOIN v
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(CAST(sum(nll) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS xent_nats
+FROM s GROUP BY 1
+"""

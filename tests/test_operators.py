@@ -2956,3 +2956,79 @@ def test_zorder_plan_boxes_tight_in_both_dims(spark):
         assert r["x_max"] - r["x_min"] < 32768  # box confined to a half
         assert r["y_max"] - r["y_min"] < 32768
     assert sum(r["n_rows"] for r in out) == 80
+
+
+def test_content_chunks_edit_locality_and_coverage(spark):
+    from django_indexer_spark.operators.dedup import content_chunks
+
+    import hashlib
+
+    # non-repeating deterministic text so every chunk hash is distinct
+    base = "".join(
+        hashlib.md5(f"seed{i}".encode()).hexdigest() for i in range(60)
+    )
+    edited = base[:100] + "X" + base[100:]  # one inserted char
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "tiny")], "doc_id long, text string"
+    )
+    rows = content_chunks(df, "text", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], []).append(r)
+    # chunks tile the doc exactly: starts contiguous, lengths sum to len
+    for doc, text in [(1, base), (2, edited), (3, "tiny")]:
+        ch = sorted(by_doc[doc], key=lambda r: r["chunk_idx"])
+        assert ch[0]["start"] == 1
+        assert sum(c["length"] for c in ch) == len(text)
+        for a, b in zip(ch, ch[1:]):
+            assert b["start"] == a["start"] + a["length"]
+    # short doc: single whole-text chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["length"] == 4
+    # content-defined locality: the majority of chunk hashes survive a
+    # single-character insert (fixed-size blocks would shift them ALL)
+    h1 = [c["chunk_md5"] for c in sorted(by_doc[1], key=lambda r: r["chunk_idx"])]
+    h2 = [c["chunk_md5"] for c in sorted(by_doc[2], key=lambda r: r["chunk_idx"])]
+    shared = len(set(h1) & set(h2))
+    assert shared >= len(h1) // 2
+
+
+def test_pareto_vital_few_hand_case(spark):
+    from django_indexer_spark.operators.aggregates import pareto_vital_few
+    from pyspark.sql import functions as F
+
+    # values 50, 30, 10, 10: 80% of 100 = 80 -> need 50+30 = 2 entities
+    rows = [("g", 1, 50), ("g", 2, 30), ("g", 3, 10), ("g", 4, 10)]
+    df = spark.createDataFrame(rows, "g string, e long, v long")
+    r = pareto_vital_few(df, "g", "e", F.col("v")).collect()[0]
+    assert r["n_entities"] == 4 and r["n_vital"] == 2
+    assert r["vital_cents"] == 80 and r["vital_share"] == 0.8
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    from django_indexer_spark.operators.aggregates import mutual_information
+    from pyspark.sql import functions as F
+    import math
+
+    # independent uniform 2x2 -> MI == 0
+    ind = spark.createDataFrame(
+        [("x", 0), ("x", 1), ("y", 0), ("y", 1)] * 5, "a string, b long"
+    )
+    r = mutual_information(ind, F.col("a"), F.col("b")).collect()[0]
+    assert r["mi_nats"] == 0.0 and r["n_cells"] == 4
+    # perfectly dependent -> MI = ln(2) for two equiprobable classes
+    dep = spark.createDataFrame(
+        [("x", 0), ("y", 1)] * 10, "a string, b long"
+    )
+    r2 = mutual_information(dep, F.col("a"), F.col("b")).collect()[0]
+    assert abs(r2["mi_nats"] - math.log(2)) < 1e-5
+
+
+def test_bigram_lm_flags_word_salad(spark):
+    from django_indexer_spark.operators.text import bigram_lm_quality
+
+    coherent = "the cat sat on the mat"
+    docs = [(i, coherent) for i in range(8)] + [(9, "mat the on sat cat the")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc"]: r["xent_nats"] for r in bigram_lm_quality(df, "doc_id", "text").collect()}
+    # the scrambled doc's bigrams are unseen except by itself -> worse score
+    assert out[9] > out[0]

@@ -726,3 +726,38 @@ def table_fingerprint(
             .alias("sum_sig"),
         )
     )
+
+
+def monotonic_violations(
+    df: DataFrame,
+    part_col: str,
+    seq_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Out-of-order delivery metric: per partition, how many events
+    arrive with a TIMESTAMP older than the previous event in SEQUENCE
+    order — the "how late is my stream" readout that sizes watermarks
+    (a violation rate near zero justifies a tight watermark; the max
+    regression bounds the allowed lateness). One lag() over
+    per-partition windows; integer µs everywhere.
+
+    Output per partition: n_events, n_violations, max_regression
+    (largest backwards ts jump, 0 if none)."""
+    w = Window.partitionBy(part_col).orderBy(seq_col)
+    prev_ts = F.lag(ts_col).over(w)
+    reg = F.when(
+        prev_ts.isNotNull() & (F.col(ts_col) < prev_ts),
+        prev_ts - F.col(ts_col),
+    ).otherwise(F.lit(0))
+    return (
+        df.select(F.col(part_col), F.col(seq_col), F.col(ts_col))
+        .withColumn("__reg", reg)
+        .groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("__reg") > 0).cast("long"))
+            .cast("long")
+            .alias("n_violations"),
+            F.max("__reg").cast("long").alias("max_regression"),
+        )
+    )

@@ -174,3 +174,68 @@ def pareto_skyline(
             F.col("__id").alias("id"),
         )
     )
+
+
+def rank_biased_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    depth: int = 20,
+    p_num: int = 1,
+    p_den: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """Truncated rank-biased overlap between two TOP-``depth`` rankings
+    (each input: (id, rank) with ranks 1..depth) — "how much did the
+    leaderboard change", the top-weighted comparison Kendall/Spearman
+    can't give because they weight every position equally. RBO@d =
+    (1−p)·Σ_{k≤d} p^{k−1}·|A_k ∩ B_k|/k with p = p_num/p_den.
+
+    Exactness: p = 1/2 makes every weight p^{k−1} a dyadic rational
+    held exactly in a double; overlap counts are integers off ONE
+    inner join on id (agreement at depth k = #ids with
+    max(rank_a, rank_b) ≤ k, a cumulative count over the join's max
+    rank); per-depth terms pin ``dp`` dp and fold as DECIMAL(38,6).
+    Everything after the two top-``depth`` inputs is ≤ depth rows —
+    the depth spine is a literal sequence, never a fact-table scan."""
+    pow10 = float(10**dp)
+    p = p_num / p_den
+    a = left.select(F.col(id_col).alias("__id"), F.col("rank").alias("__ra"))
+    b = right.select(F.col(id_col).alias("__id"), F.col("rank").alias("__rb"))
+    m = a.join(b, "__id").select(
+        F.greatest("__ra", "__rb").alias("__m")
+    )
+    per_m = m.groupBy("__m").agg(F.count(F.lit(1)).alias("__c"))
+    spine = left.sparkSession.range(1, depth + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    overlap = (
+        spine.join(F.broadcast(per_m), F.col("__m") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("x_k"))
+    )
+    if (p_num, p_den) != (1, 2):
+        raise ValueError("only p = 1/2 keeps weights exactly dyadic")
+    # p^(k-1) = 1 / 2^(k-1) via an integer shift: exact on any engine,
+    # immune to libm pow() ulp differences
+    weight = F.expr("1.0 / CAST(1 << CAST(k - 1 AS INT) AS DOUBLE)")
+    term = (
+        F.floor(
+            F.col("x_k").cast("double")
+            / F.col("k").cast("double")
+            * weight
+            * F.lit(pow10)
+            + F.lit(0.5)
+        )
+        / F.lit(pow10)
+    ).cast("decimal(38,6)")
+    return overlap.select(term.alias("__t")).agg(
+        F.lit(depth).cast("long").alias("depth"),
+        (
+            F.floor(
+                F.sum("__t").cast("double") * F.lit(1.0 - p) * F.lit(pow10)
+                + F.lit(0.5)
+            )
+            / F.lit(pow10)
+        ).alias("rbo"),
+    )

@@ -1258,3 +1258,104 @@ def bigram_lm_quality(
             ).alias("xent_nats"),
         )
     )
+
+
+def nb_train_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes on the corpus's own labels and
+    classify every document with it — the end-to-end "ML as relational
+    algebra" showcase: model = two grouped counts, inference = one
+    token-keyed join + a decimal-fold argmax. No driver loop, no UDF,
+    no float accumulation order anywhere.
+
+    Model (add-one smoothing, all exact BIGINTs): prior(c) =
+    docs_c/docs, lik(w|c) = (count_{w,c} + 1)/(tokens_c + V). Score =
+    ln prior + Σ_w ln lik — each ln pinned ``dp`` dp and folded
+    DECIMAL(38,6) per (doc, class), so the sum is order-independent
+    and the argmax (score DESC, class ASC for determinism) is
+    engine-exact. Unseen (w, c) pairs fall back to the 1/(tokens_c+V)
+    floor via a class-grained join, not a row-level CASE walk.
+
+    Scale: model size ∝ V×|classes| (token-keyed joins); per-doc work
+    ∝ its token count; the only windows run per doc over |classes|
+    rows. Returns (doc, label, pred, correct)."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).alias("lbl"),
+        F.explode(tokenize(text_col)).alias("w"),
+    )
+    docs = df.select(F.col(id_col).alias("doc"), F.col(label_col).alias("lbl"))
+    classes = docs.groupBy("lbl").agg(F.count(F.lit(1)).alias("__dc"))
+    n_docs = classes.agg(F.sum("__dc").alias("__nd"))
+    wc = toks.groupBy("lbl", "w").agg(F.count(F.lit(1)).alias("__cwc"))
+    ctot = wc.groupBy("lbl").agg(F.sum("__cwc").alias("__ct"))
+    vocab = toks.agg(F.count_distinct("w").alias("__v"))
+    # per-class denominator (tokens_c + V), broadcast-tiny
+    cls = (
+        classes.join(F.broadcast(ctot), "lbl")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("lbl").alias("cls"),
+            _pin(
+                F.log(F.col("__dc").cast("double") / F.col("__nd").cast("double"))
+            ).alias("__lprior"),
+            (F.col("__ct") + F.col("__v")).alias("__den"),
+        )
+    )
+    # doc tokens × every class; seen (w, cls) pairs pick up their count
+    seen = wc.select(
+        F.col("lbl").alias("cls"), "w", F.col("__cwc").alias("__cnt")
+    )
+    scored = (
+        toks.select("doc", "lbl", "w")
+        .join(F.broadcast(cls.select("cls", "__den")), how="cross")
+        .join(seen, ["cls", "w"], "left")
+        .select(
+            "doc",
+            "lbl",
+            "cls",
+            _pin(
+                F.log(
+                    (F.coalesce(F.col("__cnt"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / F.col("__den").cast("double")
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("__ll"),
+        )
+        .groupBy("doc", "lbl", "cls")
+        .agg(F.sum("__ll").alias("__sll"))
+    )
+    w_best = Window.partitionBy("doc").orderBy(
+        F.col("__score").desc(), F.col("cls").asc()
+    )
+    return (
+        scored.join(F.broadcast(cls.select("cls", "__lprior")), "cls")
+        .select(
+            "doc",
+            "lbl",
+            "cls",
+            (F.col("__sll").cast("double") + F.col("__lprior")).alias(
+                "__score"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc",
+            F.col("lbl").alias("label"),
+            F.col("cls").alias("pred"),
+            (F.col("cls") == F.col("lbl")).alias("correct"),
+        )
+    )

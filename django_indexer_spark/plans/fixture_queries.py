@@ -4936,3 +4936,144 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "xent_nats",
     )
+
+
+@query("q17_small_quantity")
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — lineitems whose
+    quantity is below 20% of their part's average, for one brand. THE
+    correlated-scalar-subquery pattern: Catalyst rewrites the per-part
+    average into ONE grouped aggregate joined back on partkey (two
+    passes over the brand's lineitems, never a per-row subquery).
+    Exact-decimal threshold: qty < avg/5 tested as 5·qty·n < sum·1 in
+    integers (quantities are integral cents), so no float average ever
+    gates a row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    qcents = F.round(F.col("l_quantity").cast("double") * 100, 0).cast(
+        "long"
+    )
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        qcents.alias("__q"),
+        F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("__ep"),
+    )
+    avg_side = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__q").alias("__qsum"), F.count(F.lit(1)).alias("__n")
+    )
+    small = branded.join(
+        avg_side, F.col("l_partkey") == F.col("__pk")
+    ).filter(
+        F.lit(5) * F.col("__q") * F.col("__n") < F.col("__qsum")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        F.coalesce(F.sum("__ep"), F.lit(0)).cast("long").alias(
+            "lost_revenue_cents"
+        ),
+    )
+
+
+@query("text_nb_classifier")
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own lang labels
+    and applied back to every document
+    (operators/text.py:nb_train_classify): model = two grouped counts,
+    inference = token-keyed join + decimal-fold argmax (score DESC,
+    class ASC) — ML train+apply as pure relational algebra, no UDF."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = text.nb_train_classify(docs, "doc_id", "text", "lang")
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "label",
+        "pred",
+        "correct",
+    )
+
+
+@query("o_rank_overlap_rbo")
+def o_rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the top-20 parts by revenue and by
+    quantity (operators/sorts.py:rank_biased_overlap): top-weighted
+    leaderboard comparison, p = 1/2 so every weight is dyadic-exact;
+    both rankings come off TakeOrdered heads with key tiebreaks."""
+    from ..operators.sorts import rank_biased_overlap
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+                .cast("long")
+            ).alias("__v")
+        )
+        .orderBy(F.col("__v").desc(), F.col("l_partkey").asc())
+        .limit(20)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("__v").desc(), F.col("l_partkey").asc())
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    qty = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity").cast("double") * 100, 0)
+                .cast("long")
+            ).alias("__v")
+        )
+        .orderBy(F.col("__v").desc(), F.col("l_partkey").asc())
+        .limit(20)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("__v").desc(), F.col("l_partkey").asc())
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    return rank_biased_overlap(rev, qty, "l_partkey", depth=20)
+
+
+@query("qa_monotonic_violations")
+def qa_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order delivery per user
+    (operators/quality.py:monotonic_violations) — the stream-lateness
+    readout that sizes watermarks; max_regression bounds allowed
+    lateness. The fixture's events are perfectly ordered, so the gate
+    drives the operator with deterministic simulated network jitter
+    (arrival = ts + (value_cents mod 7s) — identical arithmetic on
+    both engines) to keep every sf a non-vacuous check; production
+    passes the real arrival timestamp."""
+    from ..operators.quality import monotonic_violations
+
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast("long")
+    arrival = (
+        F.col("ts_us") + F.pmod(cents, F.lit(7000)) * F.lit(1000)
+    ).alias("arrival_us")
+    out = monotonic_violations(
+        e.select("user_id", "event_id", arrival),
+        "user_id",
+        "event_id",
+        "arrival_us",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_events",
+        "n_violations",
+        "max_regression",
+    )

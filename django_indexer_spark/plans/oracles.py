@@ -4441,3 +4441,139 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
              * 1e6 + 0.5) / 1e6 AS xent_nats
 FROM s GROUP BY 1
 """
+
+# q17_small_quantity — correlated scalar subquery rewritten as a
+# grouped aggregate joined back; integer threshold 5·q·n < Σq.
+ORACLES["q17_small_quantity"] = """
+WITH branded AS (
+  SELECT l_partkey,
+         CAST(round(CAST(l_quantity AS DOUBLE) * 100, 0) AS BIGINT) AS q,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)
+           AS ep
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+), a AS (
+  SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS qsum,
+         CAST(count(*) AS BIGINT) AS n
+  FROM branded GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(coalesce(sum(ep), 0) AS BIGINT) AS lost_revenue_cents
+FROM branded JOIN a ON l_partkey = pk
+WHERE 5 * q * n < qsum
+"""
+
+# text_nb_classifier — same Laplace model from exact counts, per-token
+# ln terms pinned into decimal folds, argmax (score DESC, class ASC).
+ORACLES["text_nb_classifier"] = f"""
+WITH t0 AS (
+  SELECT doc_id, lang, {_TOKS} AS w FROM documents
+), toks AS (
+  SELECT doc_id, lang, u.x AS w FROM t0, UNNEST(w) AS u(x)
+), classes AS (
+  SELECT lang AS cls, CAST(count(*) AS BIGINT) AS dc FROM documents
+  GROUP BY 1
+), nd AS (
+  SELECT CAST(sum(dc) AS BIGINT) AS nd FROM classes
+), wc AS (
+  SELECT lang AS cls, w, CAST(count(*) AS BIGINT) AS cwc FROM toks
+  GROUP BY 1, 2
+), ct AS (
+  SELECT cls, CAST(sum(cwc) AS BIGINT) AS ctok FROM wc GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vv FROM toks
+), cl AS (
+  SELECT c.cls,
+         floor(ln(CAST(c.dc AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+               * 1e6 + 0.5) / 1e6 AS lprior,
+         ct.ctok + v.vv AS den
+  FROM classes c JOIN ct ON c.cls = ct.cls CROSS JOIN v CROSS JOIN nd
+), scored AS (
+  SELECT tk.doc_id, tk.lang AS lbl, c.cls,
+         sum(CAST(floor(ln((CAST(coalesce(s.cwc, 0) AS DOUBLE) + 1.0)
+                           / CAST(c.den AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                  AS DECIMAL(38,6))) AS sll
+  FROM toks tk CROSS JOIN cl c
+  LEFT JOIN wc s ON s.cls = c.cls AND s.w = tk.w
+  GROUP BY 1, 2, 3
+), fin AS (
+  SELECT s.doc_id, s.lbl, s.cls,
+         CAST(sll AS DOUBLE) + c2.lprior AS score
+  FROM scored s JOIN cl c2 ON s.cls = c2.cls
+), ranked AS (
+  SELECT doc_id, lbl, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM fin
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lbl AS label, cls AS pred,
+       cls = lbl AS correct
+FROM ranked WHERE rn = 1
+"""
+
+# o_rank_overlap_rbo — dyadic weights via integer shift (immune to
+# libm pow ulp); agreement at depth k from the max-rank cumulative.
+ORACLES["o_rank_overlap_rbo"] = """
+WITH rev AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY v DESC, l_partkey ASC) AS rank
+  FROM (SELECT l_partkey,
+               CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1)
+  QUALIFY rank <= 20
+), qty AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY v DESC, l_partkey ASC) AS rank
+  FROM (SELECT l_partkey,
+               CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1)
+  QUALIFY rank <= 20
+), m AS (
+  SELECT greatest(rev.rank, qty.rank) AS mm
+  FROM rev JOIN qty USING (l_partkey)
+), pm AS (
+  SELECT mm, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1
+), spine AS (
+  SELECT CAST(g.k AS BIGINT) AS k FROM UNNEST(range(1, 21)) AS g(k)
+), ov AS (
+  SELECT k, CAST(coalesce(sum(c), 0) AS BIGINT) AS x_k
+  FROM spine LEFT JOIN pm ON pm.mm <= spine.k GROUP BY 1
+), tm AS (
+  SELECT CAST(floor(CAST(x_k AS DOUBLE) / CAST(k AS DOUBLE)
+              * (1.0 / CAST(1 << CAST(k - 1 AS INTEGER) AS DOUBLE))
+              * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS t
+  FROM ov
+)
+SELECT CAST(20 AS BIGINT) AS depth,
+       floor(CAST(sum(t) AS DOUBLE) * 0.5 * 1e6 + 0.5) / 1e6 AS rbo
+FROM tm
+"""
+
+# qa_monotonic_violations — simulated arrival jitter (ts + (cents mod
+# 7000)·1000 µs), lag over event_id order, integer regressions.
+ORACLES["qa_monotonic_violations"] = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts)
+           + ((CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               % 7000 + 7000) % 7000) * 1000 AS arr
+  FROM events
+), l AS (
+  SELECT user_id, arr,
+         lag(arr) OVER (PARTITION BY user_id ORDER BY event_id) AS parr
+  FROM e
+), r AS (
+  SELECT user_id,
+         CASE WHEN parr IS NOT NULL AND arr < parr THEN parr - arr
+              ELSE 0 END AS reg
+  FROM l
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(max(reg) AS BIGINT) AS max_regression
+FROM r GROUP BY 1
+"""

@@ -3032,3 +3032,44 @@ def test_bigram_lm_flags_word_salad(spark):
     out = {r["doc"]: r["xent_nats"] for r in bigram_lm_quality(df, "doc_id", "text").collect()}
     # the scrambled doc's bigrams are unseen except by itself -> worse score
     assert out[9] > out[0]
+
+
+def test_nb_classifier_learns_separable_classes(spark):
+    from django_indexer_spark.operators.text import nb_train_classify
+
+    docs = (
+        [(i, "apple banana cherry", "fruit") for i in range(5)]
+        + [(10 + i, "carrot potato onion", "veg") for i in range(5)]
+        + [(20, "apple banana onion", "fruit")]  # majority-fruit tokens
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {r["doc"]: r for r in nb_train_classify(df, "doc_id", "text", "lang").collect()}
+    assert all(out[i]["correct"] for i in range(5))
+    assert all(out[10 + i]["correct"] for i in range(5))
+    assert out[20]["pred"] == "fruit"  # 2 fruit tokens beat 1 veg token
+
+
+def test_rank_biased_overlap_bounds(spark):
+    from django_indexer_spark.operators.sorts import rank_biased_overlap
+
+    ids = list(range(1, 21))
+    a = spark.createDataFrame([(i, r) for r, i in enumerate(ids, 1)], "id long, rank long")
+    b_same = spark.createDataFrame([(i, r) for r, i in enumerate(ids, 1)], "id long, rank long")
+    b_disj = spark.createDataFrame([(i + 100, r) for r, i in enumerate(ids, 1)], "id long, rank long")
+    same = rank_biased_overlap(a, b_same, "id").collect()[0]["rbo"]
+    disj = rank_biased_overlap(a, b_disj, "id").collect()[0]["rbo"]
+    # identical rankings: truncated RBO -> (1-p)·Σp^(k-1) = 1 - p^20 ≈ 1
+    assert abs(same - (1 - 0.5**20)) < 1e-5
+    assert disj == 0.0
+
+
+def test_monotonic_violations_counts_and_max(spark):
+    from django_indexer_spark.operators.quality import monotonic_violations
+
+    # seq order 1..4 with ts 10, 5 (back 5), 20, 8 (back 12)
+    rows = [("u", 1, 10), ("u", 2, 5), ("u", 3, 20), ("u", 4, 8),
+            ("v", 1, 1), ("v", 2, 2)]
+    df = spark.createDataFrame(rows, "g string, s long, t long")
+    out = {r["g"]: r for r in monotonic_violations(df, "g", "s", "t").collect()}
+    assert out["u"]["n_violations"] == 2 and out["u"]["max_regression"] == 12
+    assert out["v"]["n_violations"] == 0 and out["v"]["max_regression"] == 0

@@ -895,3 +895,92 @@ def mutual_information(
             F.sum("__t").cast("double").alias("mi_nats"),
         )
     )
+
+
+def gains_table(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    label: Column,
+    n_buckets: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Cumulative gains / lift table per group — the decile report
+    behind "the top 10% of scores captures 42% of positives, lift
+    4.2×": how model-eval looks to a campaign owner, complementing
+    the single-number AUC. Bucketing is ALL-INTEGER over the
+    per-score collapse: a tie group starting after ``b`` of ``T``
+    rows lands in bucket (n_buckets·b) DIV T + 1, so ties never
+    straddle buckets and no float percentile decides membership;
+    capture and lift pin only at the end (lift =
+    (pos_d·T)/(n_d·P) in one mirrored ratio).
+
+    Same shape as roc_auc: one groupBy(group, score) collapse, one
+    group-partitioned cumulative window over DISTINCT scores, one
+    fold per (group, bucket)."""
+    pow10 = float(10**dp)
+    per_score = (
+        df.select(
+            F.col(group_col),
+            score.cast("long").alias("__s"),
+            label.cast("long").alias("__y"),
+        )
+        .groupBy(group_col, "__s")
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy(group_col)
+    stepped = per_score.select(
+        F.col(group_col),
+        "__c",
+        "__p",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__b"),
+        F.sum("__c").over(wt).alias("__t"),
+        F.sum("__p").over(wt).alias("__pt"),
+    )
+    per_bucket = (
+        stepped.withColumn(
+            "__bk",
+            F.expr(f"{n_buckets} * __b DIV __t") + 1,
+        )
+        .groupBy(group_col, "__bk")
+        .agg(
+            F.sum("__c").alias("n"),
+            F.sum("__p").alias("n_pos"),
+            F.min("__t").alias("__tt"),
+            F.min("__pt").alias("__ppt"),
+        )
+    )
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_bucket.select(
+        group_col,
+        F.col("__bk").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (
+            F.floor(
+                F.sum("n_pos").over(wc).cast("double")
+                / F.col("__ppt").cast("double")
+                * F.lit(pow10)
+                + F.lit(0.5)
+            )
+            / F.lit(pow10)
+        ).alias("cum_capture"),
+        (
+            F.floor(
+                (F.col("n_pos") * F.col("__tt")).cast("double")
+                / (F.col("n") * F.col("__ppt")).cast("double")
+                * F.lit(pow10)
+                + F.lit(0.5)
+            )
+            / F.lit(pow10)
+        ).alias("lift"),
+    )

@@ -436,3 +436,70 @@ def pps_systematic_sample(
         F.col("__tok").alias("tokens"),
         F.col("__cum").alias("cum_tokens"),
     )
+
+
+# per-stratum keep numerators over BUCKETS for the IPW gate: the
+# sampling design is literal, so the inverse weights are exact
+# rationals, not estimated floats
+IPW_DESIGN: dict[str, int] = {}
+
+
+def stratified_ipw_estimate(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    design: dict[str, int],
+    default_num: int,
+    salt: str = "ipw",
+    dp: int = 6,
+) -> DataFrame:
+    """Biased stratified sample + inverse-propensity reconstruction —
+    the mixture-reweighting mechanic every training-data pipeline
+    needs when it downsamples hot strata ("keep 1/4 of clicks, all
+    errors") but still must report UNBIASED totals. ``design`` maps
+    stratum → keep numerator over the hash-bucket modulus (keep iff
+    bucket < num); the inverse weight is the exact rational
+    modulus/num, so the estimator n_kept·(B/num) involves no float
+    until the final pinned division.
+
+    Output per stratum: true n, kept n, the design fraction, the
+    IPW-estimated total (pinned), and the signed error — the gate's
+    point is that the MECHANICS are exact and engine-identical; the
+    error column is the sampling noise itself, honestly surfaced.
+    One scan, one grouped fold; membership is the same md5 bucket
+    arithmetic every sampling gate here uses."""
+    pow10 = float(10**dp)
+    num = F.coalesce(
+        *[
+            F.when(F.col(stratum_col) == F.lit(k), F.lit(v))
+            for k, v in sorted(design.items())
+        ],
+        F.lit(default_num),
+    ) if design else F.lit(default_num)
+    b = hash_bucket(id_col, salt)
+    kept = (b < num).cast("long")
+    g = df.select(
+        F.col(stratum_col).alias("stratum"), num.alias("__num"), kept.alias("__k")
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("__k").cast("long").alias("n_kept"),
+        F.min("__num").cast("long").alias("keep_num"),
+    )
+    est = (
+        F.floor(
+            (F.col("n_kept") * F.lit(BUCKETS)).cast("double")
+            / F.col("keep_num").cast("double")
+            * F.lit(pow10)
+            + F.lit(0.5)
+        )
+        / F.lit(pow10)
+    )
+    return g.select(
+        "stratum",
+        "n_true",
+        "n_kept",
+        "keep_num",
+        F.lit(BUCKETS).cast("long").alias("keep_den"),
+        est.alias("est_total"),
+        (est - F.col("n_true").cast("double")).alias("est_error"),
+    )

@@ -276,3 +276,78 @@ def kmv_set_estimates(
         _r4(est_union).alias("est_union"),
         _r4(est_inter).alias("est_intersection"),
     )
+
+
+def bottomk_quantile_profile(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value: "F.Column",
+    k: int = 64,
+    salt: str = "q",
+) -> DataFrame:
+    """Uniform-sample quantile sketch with its EXACT error profile —
+    the quantile sibling of ``cm_error_profile`` (frequencies) and
+    ``kmv_distinct_estimate`` (cardinality): per group, keep the k
+    rows with the smallest md5(salt:id) (a deterministic uniform
+    sample — bottom-k by hash IS the sample, no RNG), take the
+    sample's lower median, and report it NEXT TO the exact lower
+    median so the gate measures the estimator's real error instead of
+    trusting a bound.
+
+    Medians are the LOWER median (position ⌈n/2⌉ in (value, id)
+    order) — a value actually present in the data, so every output
+    column is an exact integer; nothing to pin. Shape: two
+    group-partitioned windows (hash rank for membership, value rank
+    for the median pick), per-group state = k rows for the sketch
+    side; at 100 TB the bottom-k membership is the same
+    partial-aggregable trick KMV uses (per-partition top-k heaps,
+    merge keeps the global bottom-k)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col).alias("__id"),
+        value.cast("long").alias("__v"),
+        F.md5(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    w_h = Window.partitionBy(group_col).orderBy("__h", "__id")
+    w_v = Window.partitionBy(group_col).orderBy("__v", "__id")
+    exact = (
+        base.withColumn("__rv", F.row_number().over(w_v))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+        .filter(F.col("__rv") == F.expr("(__n + 1) DIV 2"))
+        .select(
+            F.col(group_col),
+            F.col("__n").cast("long").alias("n"),
+            F.col("__v").alias("exact_median"),
+        )
+    )
+    sample = base.withColumn("__rh", F.row_number().over(w_h)).filter(
+        F.col("__rh") <= k
+    )
+    w_sv = Window.partitionBy(group_col).orderBy("__v", "__id")
+    est = (
+        sample.withColumn("__rv", F.row_number().over(w_sv))
+        .withColumn(
+            "__sn", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
+        .filter(F.col("__rv") == F.expr("(__sn + 1) DIV 2"))
+        .select(
+            F.col(group_col),
+            F.col("__sn").cast("long").alias("sample_n"),
+            F.col("__v").alias("est_median"),
+        )
+    )
+    return exact.join(est, group_col).select(
+        group_col,
+        "n",
+        "sample_n",
+        "exact_median",
+        "est_median",
+        F.abs(F.col("est_median") - F.col("exact_median"))
+        .cast("long")
+        .alias("abs_err"),
+    )

@@ -5077,3 +5077,81 @@ def qa_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         "max_regression",
     )
+
+
+@query("a_lift_gains")
+def a_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift deciles of order price vs the fulfilled
+    flag per priority (operators/aggregates.py:gains_table): integer
+    tie-safe bucketing ((10·before) DIV total + 1), capture and lift
+    pinned only at the end — the campaign-owner view of the same
+    signal a_roc_auc reduces to one number."""
+    from ..operators.aggregates import gains_table
+
+    o = _t(spark, sf_dir, "orders")
+    return gains_table(
+        o,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("long"),
+        (F.col("o_orderstatus") == "F").cast("long"),
+    )
+
+
+@query("sample_ipw_totals")
+def sample_ipw_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biased stratified sample + exact inverse-propensity
+    reconstruction (operators/sampling.py:stratified_ipw_estimate):
+    keep 1/4 of clicks, 1/2 of views, everything else — inverse
+    weights are exact rationals (modulus/num), the estimate pins only
+    at the final division, and the signed error column surfaces the
+    sampling noise honestly."""
+    from ..operators.sampling import stratified_ipw_estimate
+
+    e = _events(spark, sf_dir)
+    return stratified_ipw_estimate(
+        e,
+        "event_type",
+        "event_id",
+        {"click": 2500, "view": 5000},
+        default_num=10000,
+    )
+
+
+@query("setop_bag_ops")
+def setop_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL over customer vs supplier
+    nation keys — the BAG semantics §2.7's set-ops gate doesn't cover
+    (duplicates preserved up to matching multiplicity). Spark side is
+    the native df.intersectAll / df.exceptAll operators; the oracle is
+    DuckDB's INTERSECT ALL / EXCEPT ALL. Output = tagged multiset
+    rows (op, nationkey), duplicates and all."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    inter = c.intersectAll(s).select(
+        F.lit("intersect_all").alias("op"), "nationkey"
+    )
+    exc = c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey")
+    return inter.unionAll(exc)
+
+
+@query("a_sketch_quantile")
+def a_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-hash quantile sketch with exact error profile per
+    event type (operators/sketches.py:bottomk_quantile_profile): the
+    deterministic uniform sample IS the k smallest md5 ranks, the
+    estimate is the sample's lower median, and the exact lower median
+    sits beside it — all integer columns, nothing pinned."""
+    from ..operators.sketches import bottomk_quantile_profile
+
+    e = _events(spark, sf_dir)
+    return bottomk_quantile_profile(
+        e,
+        "event_type",
+        "event_id",
+        F.round(F.col("value").cast("double") * 100, 0).cast("long"),
+        k=64,
+    )

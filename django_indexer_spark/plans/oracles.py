@@ -4577,3 +4577,105 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(reg) AS BIGINT) AS max_regression
 FROM r GROUP BY 1
 """
+
+# a_lift_gains — integer tie-safe decile bucketing, capture/lift pinned
+# only at the end.
+ORACLES["a_lift_gains"] = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), ps AS (
+  SELECT g, s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+  FROM b GROUP BY 1, 2
+), st AS (
+  SELECT g, c, p,
+         CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bb,
+         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS t,
+         CAST(sum(p) OVER (PARTITION BY g) AS BIGINT) AS pt
+  FROM ps
+), pb AS (
+  SELECT g, 10 * bb // t + 1 AS bk,
+         CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np,
+         CAST(min(t) AS BIGINT) AS tt, CAST(min(pt) AS BIGINT) AS ppt
+  FROM st GROUP BY 1, 2
+)
+SELECT g AS o_orderpriority, CAST(bk AS BIGINT) AS bucket, n, np AS n_pos,
+       floor(CAST(sum(np) OVER (PARTITION BY g ORDER BY bk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(ppt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_capture,
+       floor(CAST(np * tt AS DOUBLE) / CAST(n * ppt AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS lift
+FROM pb
+"""
+
+# sample_ipw_totals — same md5-bucket membership, exact rational
+# inverse weights, estimate pinned only at the final division.
+ORACLES["sample_ipw_totals"] = """
+WITH e AS (
+  SELECT event_type AS stratum,
+         CASE event_type WHEN 'click' THEN 2500 WHEN 'view' THEN 5000 ELSE 10000 END AS num,
+         CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 7), i -> (strpos('0123456789abcdef', substr(substr(md5('ipw:' || CAST(event_id AS VARCHAR)), 1, 6), i, 1)) - 1)::BIGINT)), (a, b) -> a * 16 + b) % 10000 < (CASE event_type WHEN 'click' THEN 2500 WHEN 'view' THEN 5000 ELSE 10000 END)
+              THEN 1 ELSE 0 END AS k
+  FROM events
+)
+SELECT stratum,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(k) AS BIGINT) AS n_kept,
+       CAST(min(num) AS BIGINT) AS keep_num,
+       CAST(10000 AS BIGINT) AS keep_den,
+       floor(CAST(sum(k) * 10000 AS DOUBLE) / CAST(min(num) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS est_total,
+       floor(CAST(sum(k) * 10000 AS DOUBLE) / CAST(min(num) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 - CAST(count(*) AS DOUBLE) AS est_error
+FROM e GROUP BY 1
+"""
+
+# setop_bag_ops — native bag semantics on both engines.
+ORACLES["setop_bag_ops"] = """
+SELECT 'intersect_all' AS op, CAST(nationkey AS BIGINT) AS nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except_all' AS op, CAST(nationkey AS BIGINT) AS nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+# a_sketch_quantile — bottom-64-by-md5 sample, lower medians, all
+# integer columns.
+ORACLES["a_sketch_quantile"] = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v,
+         md5('q:' || CAST(event_id AS VARCHAR)) AS h
+  FROM events
+), ex AS (
+  SELECT g, n, v AS exact_median FROM (
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS rv,
+           CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+    FROM base) WHERE rv = (n + 1) // 2
+), sm AS (
+  SELECT g, id, v FROM (
+    SELECT g, id, v,
+           row_number() OVER (PARTITION BY g ORDER BY h, id) AS rh
+    FROM base) WHERE rh <= 64
+), es AS (
+  SELECT g, sn AS sample_n, v AS est_median FROM (
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS rv,
+           CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS sn
+    FROM sm) WHERE rv = (sn + 1) // 2
+)
+SELECT ex.g AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(sample_n AS BIGINT) AS sample_n,
+       exact_median, est_median,
+       CAST(abs(est_median - exact_median) AS BIGINT) AS abs_err
+FROM ex JOIN es ON ex.g = es.g
+"""

@@ -3073,3 +3073,42 @@ def test_monotonic_violations_counts_and_max(spark):
     out = {r["g"]: r for r in monotonic_violations(df, "g", "s", "t").collect()}
     assert out["u"]["n_violations"] == 2 and out["u"]["max_regression"] == 12
     assert out["v"]["n_violations"] == 0 and out["v"]["max_regression"] == 0
+
+
+def test_gains_table_perfect_model(spark):
+    from django_indexer_spark.operators.aggregates import gains_table
+    from pyspark.sql import functions as F
+
+    # scores 1..100, positives = top 20 scores: bucket 1 (top decile)
+    # captures 50% of positives at lift 5
+    rows = [(s, 1 if s > 80 else 0) for s in range(1, 101)]
+    df = spark.createDataFrame([("g", s, y) for s, y in rows], "g string, s long, y long")
+    out = {r["bucket"]: r for r in gains_table(df, "g", F.col("s"), F.col("y")).collect()}
+    assert out[1]["n"] == 10 and out[1]["n_pos"] == 10
+    assert out[1]["cum_capture"] == 0.5 and out[1]["lift"] == 5.0
+    assert out[2]["cum_capture"] == 1.0 and out[2]["lift"] == 5.0
+    assert out[10]["cum_capture"] == 1.0 and out[10]["lift"] == 0.0
+    assert sum(r["n"] for r in out.values()) == 100
+
+
+def test_ipw_estimate_full_keep_is_exact(spark):
+    from django_indexer_spark.operators.sampling import stratified_ipw_estimate
+
+    rows = [("a", i) for i in range(200)] + [("b", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "t string, id long")
+    # default keep = all (num == BUCKETS == 10000): estimate must be EXACT
+    out = {r["stratum"]: r for r in stratified_ipw_estimate(df, "t", "id", {}, 10000).collect()}
+    assert out["a"]["n_kept"] == 200 and out["a"]["est_total"] == 200.0
+    assert out["a"]["est_error"] == 0.0 and out["b"]["est_error"] == 0.0
+
+
+def test_bottomk_quantile_full_sample_is_exact(spark):
+    from django_indexer_spark.operators.sketches import bottomk_quantile_profile
+    from pyspark.sql import functions as F
+
+    # n=50 < k=64: the "sample" is the whole group -> est == exact
+    rows = [("g", i, i * 7 % 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r = bottomk_quantile_profile(df, "g", "id", F.col("v"), k=64).collect()[0]
+    assert r["sample_n"] == 50 and r["abs_err"] == 0
+    assert r["est_median"] == r["exact_median"]

@@ -404,3 +404,60 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.md5("payload").alias("content_md5"),
         F.col("meta.source_uri").alias("source_uri"),
     )
+
+
+def strip_and_reassemble(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    strip_len: int,
+) -> DataFrame:
+    """Blob striping round-trip proof: split each payload into
+    ``strip_len``-unit strips (index + fragment rows — the shape big
+    binaries take through row-size-limited transports and shuffle
+    planes), then reassemble strictly by strip index and certify
+    md5(reassembled) == md5(original). The output is the per-blob
+    manifest a striped store keeps: n_strips, total length, payload
+    digest, and the round-trip bit — at 100 TB the strips are what
+    shuffles (bounded row width), never the whole blob, exactly like
+    multimodal byte-dedup's digests-not-blobs rule.
+
+    All engine-portable: 1-based substr slicing, array_join-free
+    reassembly via collect_list over an idx-sorted struct (sort_array
+    on the (idx, fragment) struct makes order explicit, not an
+    accident of partitioning)."""
+    strips = df.select(
+        F.col(id_col).alias("blob"),
+        F.md5(F.col(payload_col)).alias("__orig_md5"),
+        F.length(payload_col).cast("long").alias("__len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(length({payload_col}) "
+                f"/ CAST({strip_len} AS DOUBLE)) AS INT)), "
+                f"i -> substr({payload_col}, ({strip_len} * (i - 1)) + 1, "
+                f"{strip_len}))"
+            )
+        ).alias("__idx", "__frag"),
+    )
+    return (
+        strips.groupBy("blob", "__orig_md5", "__len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_strips"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(sort_array(collect_list("
+                        "struct(__idx, __frag))), x -> x.__frag)"
+                    ),
+                    "",
+                )
+            ).alias("__re_md5"),
+        )
+        .select(
+            "blob",
+            F.col("__len").alias("payload_len"),
+            "n_strips",
+            F.col("__orig_md5").alias("payload_md5"),
+            (F.col("__re_md5") == F.col("__orig_md5")).alias("roundtrip_ok"),
+        )
+    )

@@ -1359,3 +1359,69 @@ def nb_train_classify(
             (F.col("cls") == F.col("lbl")).alias("correct"),
         )
     )
+
+
+def trigram_substring_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+) -> DataFrame:
+    """Substring search (LIKE '%pattern%') via a TRIGRAM prefilter —
+    the scale path for arbitrary-infix search, where no parquet
+    min/max stat, prefix index, or word-level inverted index
+    (text_inverted_index tokenizes on word boundaries) can help: a
+    doc can contain the pattern only if it contains EVERY trigram of
+    the pattern, so the candidate set comes from a trigram-postings
+    equi-join and only candidates pay the exact contains() scan —
+    the pg_trgm / code-search design as relational algebra.
+
+    Occurrence count is exact integer arithmetic:
+    (len(text) − len(replace(text, pattern, ''))) / len(pattern).
+    Shape: per-doc trigram explode (distinct — postings, not
+    positions), a |pattern-trigrams|-way semi-ish join (group count
+    == n pattern trigrams), then the verify scan over candidates
+    only. Patterns shorter than 3 chars fall back to the full scan."""
+    if len(pattern) < 3:
+        raise ValueError("trigram prefilter needs a pattern of >= 3 chars")
+    trgms = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    pat_arr = F.array(*[F.lit(t) for t in trgms])
+    doc_trgms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), "
+                    f"i -> substr({text_col}, i, 3))"
+                )
+            )
+        ).alias("__t"),
+    )
+    hits = (
+        doc_trgms.join(
+            F.broadcast(
+                df.sparkSession.range(1)
+                .select(F.explode(pat_arr).alias("__t"))
+            ),
+            "__t",
+        )
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("__nt"))
+        .filter(F.col("__nt") == len(trgms))
+        .select("doc")
+    )
+    verified = df.join(
+        hits, df[id_col] == hits["doc"]
+    ).select(
+        F.col(id_col),
+        (
+            (
+                F.length(text_col)
+                - F.length(F.replace(F.col(text_col), F.lit(pattern)))
+            )
+            / F.lit(len(pattern))
+        )
+        .cast("long")
+        .alias("n_occurrences"),
+    )
+    return verified.filter(F.col("n_occurrences") > 0)

@@ -300,6 +300,73 @@ def mannwhitney_u(
     )
 
 
+def spearman_rho(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation per group with exact tie midranks —
+    the monotone-association twin of a_corr_covar's Pearson (which a
+    single outlier can saturate). ρ = Pearson over the two rank
+    vectors; Pearson is affine-invariant, so ranks are carried in
+    DOUBLED units to stay integer under ties: for a row whose value
+    has competition rank r (rank()) in a tied run of t, the doubled
+    midrank is 2r + t − 1 (2·(r + (t−1)/2)), never a half-point
+    float. Cross-engine exactness: the five moment sums
+    (Σdx, Σdy, Σdx², Σdy², Σdxdy) fold as DECIMAL(38,0) integers, so
+    only the final quotient touches float, pinned ``dp`` dp.
+
+    Shape: ONE shuffle on the group key; the per-axis rank() +
+    tied-run-count windows reuse that partitioning (two in-partition
+    sorts, no extra exchange), then a single grouped fold. Groups
+    where either axis is constant (zero rank variance) emit NULL rho
+    rather than 0/0. Values are quantized to 3 dp first — the same
+    cross-engine rank-stability contract as mannwhitney_u."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    xv = F.round(F.col(x_col).cast("double"), 3).cast("decimal(18,3)")
+    yv = F.round(F.col(y_col).cast("double"), 3).cast("decimal(18,3)")
+    rows = df.select(F.col(group_col), xv.alias("__x"), yv.alias("__y"))
+    wx = Window.partitionBy(group_col).orderBy("__x")
+    wy = Window.partitionBy(group_col).orderBy("__y")
+    cx = Window.partitionBy(group_col, "__x")
+    cy = Window.partitionBy(group_col, "__y")
+    dxy = rows.select(
+        F.col(group_col),
+        (F.lit(2) * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - F.lit(1))
+        .cast("long")
+        .alias("__dx"),
+        (F.lit(2) * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - F.lit(1))
+        .cast("long")
+        .alias("__dy"),
+    )
+    d38 = "decimal(38,0)"
+    g = dxy.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__dx").cast(d38)).alias("__sx"),
+        F.sum(F.col("__dy").cast(d38)).alias("__sy"),
+        F.sum((F.col("__dx") * F.col("__dx")).cast(d38)).alias("__sxx"),
+        F.sum((F.col("__dy") * F.col("__dy")).cast(d38)).alias("__syy"),
+        F.sum((F.col("__dx") * F.col("__dy")).cast(d38)).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    rho = F.when(
+        (varx > 0) & (vary > 0),
+        _pin((nd * sxy - sx * sy) / F.sqrt(varx * vary)),
+    )
+    return g.select(group_col, "n", rho.alias("rho"))
+
+
 def gini_coefficient(
     df: DataFrame,
     group_col: str,

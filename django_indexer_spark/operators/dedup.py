@@ -531,9 +531,10 @@ def ppjoin_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     dp: int = 6,
+    ngram: int = 1,
 ) -> DataFrame:
-    """All-pairs word-set Jaccard ≥ t via PREFIX FILTERING (the
-    ppjoin/all-pairs family) — the corpus-global scale path where
+    """All-pairs token-set Jaccard ≥ t via PPJoin-style PREFIX, LENGTH
+    and POSITIONAL filtering — the corpus-global scale path where
     ``ngram_jaccard_pairs``'s group blocking can't be assumed and LSH's
     false negatives can't be afforded. LOSSLESS for Jaccard ≥ t: order
     all tokens by global rarity (document frequency ASC, token ASC —
@@ -543,6 +544,26 @@ def ppjoin_pairs(
     the shared set would fit in a suffix smaller than t·n), so the
     prefix equi-join finds every qualifying pair; frequent tokens —
     the quadratic blowup keys — never leave the prefix filter.
+
+    ``ngram`` picks the token universe: 1 = distinct words, n>1 =
+    distinct word n-gram shingles (docs with fewer than n words emit
+    no shingles and drop out). Shingling matters at scale: natural
+    corpora have small WORD vocabularies with near-flat document
+    frequency (this repo's documents table: 31 words, ~78% df each),
+    which makes every word a hot join key AND makes most doc pairs
+    genuinely similar — all-pairs output itself goes quadratic.
+    Shingle sets are sparse (vocab ~27k at sf0.1, max df 25), so both
+    the candidate join and the qualifying-pair count stay near-linear.
+
+    Two further PPJoin prunes, both applied INSIDE the prefix join so
+    pruned candidates never reach the verify arrays:
+    - length filter: J(A,B) ≥ t ⟹ t·|A| ≤ |B| ∧ t·|B| ≤ |A|,
+      checked as integer cross-multiplication;
+    - positional filter: a shared token at (1-based) global sort
+      positions (pa, pb) bounds the overlap by 1 + min(n_a−pa,
+      n_b−pb), which must reach ⌈t/(1+t)·(n_a+n_b)⌉. Lossless per
+      pair: the FIRST shared token of a qualifying pair always
+      passes, and one surviving match is enough to keep the pair.
 
     t is taken as the exact fraction ``threshold_num/threshold_den``
     so ⌈t·n⌉ is INTEGER arithmetic ((num·n + den − 1) DIV den): a
@@ -557,9 +578,32 @@ def ppjoin_pairs(
     construction."""
     pow10 = float(10**dp)
     thr = threshold_num / threshold_den
-    words = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_set(text_col)).alias("w")
-    )
+    if ngram <= 1:
+        words = df.select(
+            F.col(id_col).alias("doc"), F.explode(word_set(text_col)).alias("w")
+        )
+    else:
+        # materialize tokens first (shingling over a raw text column
+        # re-tokenizes per shingle index), and explode IN THE SAME
+        # projection that builds the shingle array: a select(array)
+        # followed by a separate explode lets InferFiltersFromGenerate
+        # push a size()>0 filter through the projection with full alias
+        # substitution — the tokenizer ends up inlined per element
+        # access inside the lambda (measured 10× on sf0.1 documents)
+        words = (
+            df.select(
+                F.col(id_col).alias("doc"), tokenize(text_col).alias("__w0")
+            )
+            .filter(F.size("__w0") >= ngram)
+            .select(
+                "doc",
+                F.explode(
+                    F.array_distinct(
+                        word_ngrams_from_tokens(F.col("__w0"), ngram)
+                    )
+                ).alias("w"),
+            )
+        )
     dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
     docs = (
         words.join(dfreq, "w")
@@ -579,13 +623,42 @@ def ppjoin_pairs(
         )
     )
     pref = docs.select(
-        "doc", F.explode(F.expr("slice(__s, 1, __plen)")).alias("__p")
-    ).select("doc", F.col("__p.w").alias("w"))
+        "doc",
+        "n",
+        F.posexplode(F.expr("slice(__s, 1, __plen)")).alias("__i", "__p"),
+    ).select(
+        "doc", "n", (F.col("__i") + 1).cast("long").alias("pos"),
+        F.col("__p.w").alias("w"),
+    )
+    pa = pref.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("__na"),
+        F.col("pos").alias("__pa"), "w",
+    )
+    pb = pref.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("__nb"),
+        F.col("pos").alias("__pb"), F.col("w").alias("__wb"),
+    )
+    num, den = threshold_num, threshold_den
     cand = (
-        pref.select(F.col("doc").alias("doc_a"), "w")
-        .join(pref.select(F.col("doc").alias("doc_b"), F.col("w").alias("__wb")),
-              F.col("w") == F.col("__wb"))
+        pa.join(pb, F.col("w") == F.col("__wb"))
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: t·max(n_a,n_b) ≤ min(n_a,n_b), integer form
+        .filter(
+            (F.lit(num) * F.col("__na") <= F.lit(den) * F.col("__nb"))
+            & (F.lit(num) * F.col("__nb") <= F.lit(den) * F.col("__na"))
+        )
+        # positional filter: overlap upper bound from this match's
+        # positions must reach the required overlap ⌈t/(1+t)·(na+nb)⌉
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+            )
+            >= F.expr(
+                f"({num} * (__na + __nb) + {num} + {den} - 1) "
+                f"DIV ({num} + {den})"
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

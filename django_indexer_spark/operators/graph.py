@@ -217,6 +217,98 @@ def pagerank(
         deg.unpersist()
 
 
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    directed edge list → (kind, node_id, score) with kind ∈
+    {'hub','authority'} — PageRank's bipartite twin: where pagerank
+    ranks nodes by global stationary mass, HITS splits the signal into
+    "good pointers" (hubs) and "good targets" (authorities), which is
+    the natural readout on bipartite supplier→part / user→item graphs
+    (a node can only be one of the two).
+
+    Determinism/parity: scores are pinned to ``dp`` dp after every
+    L1 normalization, so each round's inputs are exact DECIMAL(18,6)
+    values; per-node sums fold as DECIMAL(38,6) (order-independent),
+    and only the normalizing quotient touches IEEE double (identical
+    operands both engines). Oracle-checkable as unrolled SQL rounds.
+
+    Scale shape per round: two edge⋈score shuffle joins + two grouped
+    decimal folds (uniform node keys), each normalizer a broadcast
+    1-row aggregate; loop-invariant edge list persisted once, each
+    round's scores cut_lineage-materialized (same iterative-lineage
+    rule as pagerank/connected_components)."""
+    pow10 = float(10**dp)
+
+    def _pin(c) -> F.Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    d18 = "decimal(18,6)"
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    spark = edges.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(1, min(int(prev_width), -(-n_edges // ROWS_PER_PARTITION)))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        hubs = e.select("src").distinct().select(
+            "src", F.lit(1.0).alias("h")
+        )
+        auth = None
+        for _ in range(iterations):
+            araw = (
+                e.join(hubs, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("h").cast(d18)).alias("__a"))
+            )
+            asum = araw.agg(F.sum("__a").alias("__s"))
+            auth = cut_lineage(
+                araw.crossJoin(F.broadcast(asum)).select(
+                    "dst",
+                    _pin(
+                        F.col("__a").cast("double") / F.col("__s").cast("double")
+                    ).alias("a"),
+                )
+            )
+            hraw = (
+                e.join(auth, "dst")
+                .groupBy("src")
+                .agg(F.sum(F.col("a").cast(d18)).alias("__h"))
+            )
+            hsum = hraw.agg(F.sum("__h").alias("__s"))
+            hubs = cut_lineage(
+                hraw.crossJoin(F.broadcast(hsum)).select(
+                    "src",
+                    _pin(
+                        F.col("__h").cast("double") / F.col("__s").cast("double")
+                    ).alias("h"),
+                )
+            )
+        return hubs.select(
+            F.lit("hub").alias("kind"),
+            F.col("src").alias("node_id"),
+            F.col("h").alias("score"),
+        ).unionAll(
+            auth.select(
+                F.lit("authority").alias("kind"),
+                F.col("dst").alias("node_id"),
+                F.col("a").alias("score"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        e.unpersist()
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph given as an edge list (direction and duplicates

@@ -438,12 +438,6 @@ def pps_systematic_sample(
     )
 
 
-# per-stratum keep numerators over BUCKETS for the IPW gate: the
-# sampling design is literal, so the inverse weights are exact
-# rationals, not estimated floats
-IPW_DESIGN: dict[str, int] = {}
-
-
 def stratified_ipw_estimate(
     df: DataFrame,
     stratum_col: str,

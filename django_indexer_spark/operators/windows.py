@@ -801,6 +801,77 @@ def ewma_bounded(
     return out.withColumn("ewma", _pin(num / den)).drop("__x0")
 
 
+def holt_weights(lags: int = 8) -> list[float]:
+    """Impulse-response weights of Holt's linear (double-exponential)
+    one-step forecast at α = β = 1/2, as EXACT dyadic rationals.
+
+    Holt recursion: l_t = ½y_t + ½(l_{t−1}+b_{t−1}),
+    b_t = ½(l_t−l_{t−1}) + ½b_{t−1}; forecast f_t = l_t + b_t.
+    Substituting gives the homogeneous matrix M = [[½,½],[−¼,¾]] and
+    input vector [½,¼], so the weight of y_{t−j} in f_t is
+    [1,1]·Mʲ·[½,¼] — every entry dyadic because α = β = ½, hence every
+    weight is exactly representable in an IEEE double AND as a SQL
+    literal. Computed with Fraction so no float error enters the
+    derivation. (w = [¾, 7/16, 11/64, −1/256, …] — the small negative
+    tail is the trend term looking back.)"""
+    from fractions import Fraction as Fr
+
+    half, quarter = Fr(1, 2), Fr(1, 4)
+    l_c, b_c = half, quarter  # state coefficients of the y impulse
+    out: list[float] = []
+    for _ in range(lags):
+        out.append(float(l_c + b_c))
+        l_c, b_c = half * l_c + half * b_c, -quarter * l_c + Fr(3, 4) * b_c
+    return out
+
+
+def holt_forecast(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value: Column,
+    lags: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Bounded-lookback Holt linear one-step-ahead forecast per
+    partition — the TREND-aware sibling of [ewma_bounded] (a pure EWMA
+    lags a ramp forever; Holt's trend state catches it). Same
+    engine-portability rewrite: the sequential two-state recursion
+    (applyInPandas territory, float state not portable) becomes ONE
+    rows-window pass over the ``lags`` most recent values with the
+    recursion's EXACT dyadic impulse-response weights (holt_weights)
+    baked in as literals; series starts renormalize over the weights
+    present (w₀ = ¾ dominates, so the denominator stays ≥ ¾ and the
+    division is well-conditioned).
+
+    ``value`` must be an integer-unit column (|x| < 2^45): every
+    product is dyadic-weight × integer — exact in double — and the
+    mirrored left-assoc sums are bit-equal on any IEEE engine; only
+    the final quotient is pinned to ``dp`` dp."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    ws = holt_weights(lags)
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    out = df.withColumn("__x0", value.cast("long"))
+    num: Column | None = None
+    den: Column | None = None
+    for j, wj_val in enumerate(ws):
+        xj = F.col("__x0") if j == 0 else F.lag("__x0", j).over(w)
+        wj = F.lit(wj_val)
+        t = F.when(xj.isNotNull(), xj.cast("double") * wj).otherwise(
+            F.lit(0.0)
+        )
+        d = F.when(xj.isNotNull(), wj).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return out.withColumn("holt_next", _pin(num / den)).drop("__x0")
+
+
 def sliding_distinct(
     df: DataFrame,
     day_col: Column,

@@ -4685,15 +4685,20 @@ def a_apportion_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_ppjoin")
 def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-GLOBAL word-set Jaccard ≥ 0.8 pairs via lossless prefix
-    filtering (operators/dedup.py:ppjoin_pairs) — no group blocking, no
-    LSH false negatives: tokens ordered by global rarity, each doc
-    emits only its n−⌈0.8n⌉+1 rarest tokens as join keys (exact
-    integer ceil), candidates verified on full sets. The oracle is the
-    brute-force pairwise definition the prefix theorem guarantees this
-    matches."""
+    """Corpus-GLOBAL trigram-shingle-set Jaccard ≥ 0.8 pairs via
+    lossless PPJoin filtering (operators/dedup.py:ppjoin_pairs) — no
+    group blocking, no LSH false negatives: shingles ordered by global
+    rarity, each doc emits only its n−⌈0.8n⌉+1 rarest as join keys
+    (exact integer ceil) with length + positional prunes inside the
+    join, candidates verified on full sets. Tokens are word TRIGRAMS,
+    not words: this corpus has a 31-word vocabulary at ~78% document
+    frequency, so word-set similarity is degenerate (≈60% of ALL doc
+    pairs clear 0.8 — the output itself is quadratic) while the
+    trigram universe is sparse (~27k shingles, max df 25 at sf0.1)
+    and only genuine near-dups qualify. The oracle is the brute-force
+    pairwise definition the prefix theorem guarantees this matches."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    out = dedup.ppjoin_pairs(docs, "text", "doc_id", 4, 5)
+    out = dedup.ppjoin_pairs(docs, "text", "doc_id", 4, 5, ngram=3)
     return out.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),

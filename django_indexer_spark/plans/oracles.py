@@ -4120,10 +4120,17 @@ FROM r
 
 # dedup_ppjoin — the oracle is the brute-force pairwise DEFINITION the
 # prefix-filter theorem guarantees the Spark rewrite matches; same
-# pinned Jaccard and >= 0.8 cut.
+# pinned Jaccard and >= 0.8 cut. Token universe = distinct word
+# TRIGRAM shingles (docs with < 3 words emit none and drop out), same
+# as the Spark side's ngram=3 — see the gate docstring for why words
+# alone are degenerate on this corpus.
+_TRISET = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))"
+)
 ORACLES["dedup_ppjoin"] = f"""
 WITH d0 AS (
-  SELECT doc_id, {_WORDSET} AS s FROM documents
+  SELECT doc_id, {_TRISET} AS s FROM documents
 ), dd AS (
   SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n FROM d0 WHERE len(s) > 0
 ), p AS (

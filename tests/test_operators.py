@@ -3063,6 +3063,86 @@ def test_rank_biased_overlap_bounds(spark):
     assert disj == 0.0
 
 
+def test_rank_biased_overlap_deep_truncation(spark):
+    # depth >= 32 exercises the BIGINT shift (a 32-bit literal wraps
+    # negative at k-1 = 31 and flips the weight sign); depth > 62 and
+    # non-dyadic p must be rejected before any plan is built
+    import pytest
+
+    from django_indexer_spark.operators.sorts import rank_biased_overlap
+
+    ids = list(range(1, 41))
+    a = spark.createDataFrame(
+        [(i, r) for r, i in enumerate(ids, 1)], "id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(i, r) for r, i in enumerate(ids, 1)], "id long, rank long"
+    )
+    same = rank_biased_overlap(a, b, "id", depth=40).collect()[0]["rbo"]
+    assert abs(same - (1 - 0.5**40)) < 1e-5  # positive weights throughout
+    with pytest.raises(ValueError):
+        rank_biased_overlap(a, b, "id", depth=63)
+    with pytest.raises(ValueError):
+        rank_biased_overlap(a, b, "id", p_num=2, p_den=3)
+
+
+def test_trigram_substring_short_pattern_fallback(spark):
+    # patterns under 3 chars have no trigram: same output columns via
+    # the exact contains() full scan; empty pattern is rejected
+    import pytest
+
+    from django_indexer_spark.operators.text import trigram_substring_search
+
+    df = spark.createDataFrame(
+        [(1, "abxxab"), (2, "zzz"), (3, "ab")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in trigram_substring_search(df, "doc_id", "text", "ab").collect()
+    }
+    assert out == {1: 2, 3: 1}
+    with pytest.raises(ValueError):
+        trigram_substring_search(df, "doc_id", "text", "")
+
+
+def test_ppjoin_ngram_shingles_match_bruteforce(spark):
+    # trigram-shingle universe + length/positional prunes stay LOSSLESS:
+    # compare against the brute-force pairwise definition on randomized
+    # near-dup docs (seeded), including docs shorter than the shingle
+    import itertools
+    import random
+
+    from django_indexer_spark.operators.dedup import ppjoin_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    base = [rng.choice(vocab) for _ in range(30)]
+    for i in range(20):
+        words = list(base)
+        for _ in range(rng.randrange(0, 4)):  # 0-3 point edits
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+    docs += [(100, "w0 w1"), (101, "w0")]  # < 3 tokens: emit no shingles
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, "text", "doc_id", 4, 5, ngram=3).collect()
+    }
+    sets = {
+        i: {" ".join(t.split()[j : j + 3]) for j in range(len(t.split()) - 2)}
+        for i, t in docs
+        if len(t.split()) >= 3
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(j, 6) >= 0.8:
+            want[(a, b)] = round(j, 6)
+    assert got == want and want  # non-vacuous: some pairs qualify
+
+
 def test_monotonic_violations_counts_and_max(spark):
     from django_indexer_spark.operators.quality import monotonic_violations
 

@@ -5160,3 +5160,175 @@ def a_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value").cast("double") * 100, 0).cast("long"),
         k=64,
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-7 gates
+# ---------------------------------------------------------------------------
+
+
+@query("q13_customer_distribution")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer
+    INCLUDING zero-order customers — the outer-join-then-re-aggregate
+    shape no inner join can produce (inner drops exactly the customers
+    the zero bucket counts; lists/api.py:268's registrations-per-list
+    histogram is this rollup). LEFT OUTER customer⋈orders on custkey,
+    count(o_orderkey) per customer (NULL-safe: counts 0 for no-order
+    customers), then a second count grouped BY that count. First join
+    shuffles on custkey; everything after is |distinct counts|-sized."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .select("c_count", "custdist")
+    )
+
+
+@query("q21_exclusive_fault")
+def q21_exclusive_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the fixture's columns: for each supplier, count multi-supplier
+    orders where THIS supplier shipped a returned line (l_returnflag =
+    'R') and NO OTHER supplier in the same order had a return — the
+    double-correlated EXISTS / NOT EXISTS on the same fact table,
+    expressed as one semi-join (another supplier exists) and one
+    anti-join (another faulty supplier does not). Both correlations are
+    orderkey-keyed self-joins of per-order supplier sets — the fact
+    table never joins itself row×row. Top 20 by (count DESC, name)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # distinct (order, supplier) pairs and the faulty subset
+    os_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    faults = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = os_pairs.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    other_fault = faults.select(
+        F.col("l_orderkey").alias("f_k"), F.col("l_suppkey").alias("f_s")
+    )
+    cand = (
+        faults.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_k"))
+            & (F.col("l_suppkey") != F.col("o_s")),
+            "left_semi",
+        )
+        .join(
+            other_fault,
+            (F.col("l_orderkey") == F.col("f_k"))
+            & (F.col("l_suppkey") != F.col("f_s")),
+            "left_anti",
+        )
+    )
+    counted = cand.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    return (
+        counted.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+        .select("s_name", "numwait")
+    )
+
+
+@query("a_spearman_rho")
+def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag (operators/aggregates.py:spearman_rho): exact tie
+    midranks in doubled-integer units, five DECIMAL(38,0) moment
+    folds, only the final quotient pinned — the monotone-association
+    twin of a_corr_covar's Pearson."""
+    from ..operators.aggregates import spearman_rho
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_rho(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
+@query("a_hits_scores")
+def a_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the bipartite supplier→part shipment
+    graph (operators/graph.py:hits_scores): 2 synchronous rounds, L1
+    normalization pinned 6 dp per round so every per-node sum is an
+    exact decimal fold; output = top 10 hubs (suppliers) + top 10
+    authorities (parts) by (score DESC, node_id). PageRank's bipartite
+    twin — 'which suppliers stock broadly, which parts are stocked
+    broadly', weighted by each other."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    scores = graph.hits_scores(li, "src", "dst", iterations=2)
+    w = Window.partitionBy("kind").orderBy(
+        F.col("score").desc(), F.col("node_id").asc()
+    )
+    return (
+        scores.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 10)
+        .select("kind", "node_id", "score")
+        .orderBy("kind", F.col("score").desc(), "node_id")
+    )
+
+
+@query("ts_holt_linear")
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear one-step forecast of daily event value per type
+    (operators/windows.py:holt_forecast): the trend-aware sibling of
+    ts_ewma — the two-state recursion collapsed to ONE rows-window
+    pass with its exact dyadic impulse-response weights (α = β = ½)
+    baked in as literals; integer-cent daily sums keep every product
+    exact, only the final quotient pinned."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr("ts_us DIV 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value").cast("double") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from ..operators.windows import holt_forecast
+
+    out = holt_forecast(
+        daily, "event_type", ["day"], F.col("cents"), lags=8
+    )
+    return out.select(
+        "event_type", "day", F.col("cents").cast("long").alias("cents"),
+        "holt_next"
+    )
+
+
+@query("text_ngram_coverage")
+def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/text.py:vocab_coverage):
+    fraction of all token occurrences covered by the top-{5,10,25}
+    terms — the tokenizer-sizing readout beside text_zipf_fit. Exact
+    integer running sums off a TakeOrdered head; the vocabulary is
+    never globally sorted."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, "text", cutoffs=(5, 10, 25)).orderBy(
+        "cutoff"
+    )

@@ -4033,14 +4033,14 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
           + CASE WHEN x6 IS NOT NULL THEN CAST(x6 AS DOUBLE) * 0.015625 ELSE 0.0 END
           + CASE WHEN x7 IS NOT NULL THEN CAST(x7 AS DOUBLE) * 0.0078125 ELSE 0.0 END)
          /
-         (CASE WHEN x IS NOT NULL THEN 1.0 ELSE 0.0 END
-          + CASE WHEN x1 IS NOT NULL THEN 0.5 ELSE 0.0 END
-          + CASE WHEN x2 IS NOT NULL THEN 0.25 ELSE 0.0 END
-          + CASE WHEN x3 IS NOT NULL THEN 0.125 ELSE 0.0 END
-          + CASE WHEN x4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
-          + CASE WHEN x5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
-          + CASE WHEN x6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
-          + CASE WHEN x7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
+         (CASE WHEN x IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN x1 IS NOT NULL THEN CAST(0.5 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN x2 IS NOT NULL THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN x3 IS NOT NULL THEN CAST(0.125 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN x4 IS NOT NULL THEN CAST(0.0625 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN x5 IS NOT NULL THEN CAST(0.03125 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN x6 IS NOT NULL THEN CAST(0.015625 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN x7 IS NOT NULL THEN CAST(0.0078125 AS DOUBLE) ELSE 0.0 END)
        ) * 1e6 + 0.5) / 1e6 AS ewma
 FROM l
 """
@@ -4686,3 +4686,198 @@ SELECT ex.g AS event_type, CAST(n AS BIGINT) AS n,
        CAST(abs(est_median - exact_median) AS BIGINT) AS abs_err
 FROM ex JOIN es ON ex.g = es.g
 """
+
+# ---------------------------------------------------------------------------
+# Round-7 oracles
+# ---------------------------------------------------------------------------
+
+# q13_customer_distribution — LEFT OUTER + NULL-safe count, then the
+# histogram of counts (zero-order customers land in c_count = 0).
+ORACLES["q13_customer_distribution"] = """
+WITH pc AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM pc GROUP BY 1
+"""
+
+# q21_exclusive_fault — double-correlated EXISTS / NOT EXISTS on the
+# same fact, the definitional form of the Spark semi+anti rewrite.
+ORACLES["q21_exclusive_fault"] = """
+WITH osp AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), f AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+), cand AS (
+  SELECT f.l_orderkey, f.l_suppkey FROM f
+  WHERE EXISTS (SELECT 1 FROM osp o
+                WHERE o.l_orderkey = f.l_orderkey
+                  AND o.l_suppkey <> f.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM f f2
+                    WHERE f2.l_orderkey = f.l_orderkey
+                      AND f2.l_suppkey <> f.l_suppkey)
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM cand JOIN supplier s ON s.s_suppkey = cand.l_suppkey
+GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""
+
+# a_spearman_rho — doubled midranks (2r + t − 1, exact integers under
+# ties), five DECIMAL(38,0) moment folds, only the quotient pinned.
+ORACLES["a_spearman_rho"] = """
+WITH rows_ AS (
+  SELECT l_returnflag AS g,
+         CAST(round(CAST(l_quantity AS DOUBLE), 3) AS DECIMAL(18,3)) AS x,
+         CAST(round(CAST(l_extendedprice AS DOUBLE), 3) AS DECIMAL(18,3)) AS y
+  FROM lineitem
+), d AS (
+  SELECT g,
+    2 * rank() OVER (PARTITION BY g ORDER BY x)
+      + count(*) OVER (PARTITION BY g, x) - 1 AS dx,
+    2 * rank() OVER (PARTITION BY g ORDER BY y)
+      + count(*) OVER (PARTITION BY g, y) - 1 AS dy
+  FROM rows_
+), s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM d GROUP BY g
+)
+SELECT g AS l_returnflag, n,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+    THEN floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy))
+               * 1e6 + 0.5) / 1e6
+  END AS rho
+FROM s
+"""
+
+# a_hits_scores — 2 HITS rounds unrolled; every per-node sum is a
+# decimal fold of 6-dp-pinned scores, each normalizer one scalar.
+ORACLES["a_hits_scores"] = """
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                  CAST(l_partkey AS BIGINT) AS dst
+  FROM lineitem
+), a1r AS (
+  SELECT dst, sum(CAST(1.0 AS DECIMAL(18,6))) AS a FROM e GROUP BY 1
+), a1s AS (SELECT sum(a) AS s FROM a1r),
+a1 AS (
+  SELECT dst, floor(CAST(a AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS a
+  FROM a1r, a1s
+), h1r AS (
+  SELECT src, sum(CAST(a AS DECIMAL(18,6))) AS h
+  FROM e JOIN a1 USING (dst) GROUP BY 1
+), h1s AS (SELECT sum(h) AS s FROM h1r),
+h1 AS (
+  SELECT src, floor(CAST(h AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h
+  FROM h1r, h1s
+), a2r AS (
+  SELECT dst, sum(CAST(h AS DECIMAL(18,6))) AS a
+  FROM e JOIN h1 USING (src) GROUP BY 1
+), a2s AS (SELECT sum(a) AS s FROM a2r),
+a2 AS (
+  SELECT dst, floor(CAST(a AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS a
+  FROM a2r, a2s
+), h2r AS (
+  SELECT src, sum(CAST(a AS DECIMAL(18,6))) AS h
+  FROM e JOIN a2 USING (dst) GROUP BY 1
+), h2s AS (SELECT sum(h) AS s FROM h2r),
+h2 AS (
+  SELECT src, floor(CAST(h AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h
+  FROM h2r, h2s
+), both_ AS (
+  SELECT 'hub' AS kind, src AS node_id, h AS score FROM h2
+  UNION ALL
+  SELECT 'authority' AS kind, dst AS node_id, a AS score FROM a2
+)
+SELECT kind, node_id, score FROM (
+  SELECT kind, node_id, score,
+         row_number() OVER (PARTITION BY kind
+                            ORDER BY score DESC, node_id ASC) AS r
+  FROM both_
+) WHERE r <= 10
+"""
+
+# text_ngram_coverage — exact integer running sums over the top-25
+# head; the only float is the final coverage quotient.
+ORACLES["text_ngram_coverage"] = f"""
+WITH terms AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+), counts AS (
+  SELECT term, count(*) AS c FROM terms GROUP BY 1
+), total AS (
+  SELECT sum(CAST(c AS DECIMAL(38,0))) AS t FROM counts
+), head AS (
+  SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT 25
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, term ASC) AS r,
+         sum(CAST(c AS DECIMAL(38,0)))
+           OVER (ORDER BY c DESC, term ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM head
+), per AS (
+  SELECT r, cum, cutoff
+  FROM ranked, UNNEST([5, 10, 25]) AS u(cutoff)
+  WHERE r <= cutoff
+)
+SELECT CAST(cutoff AS BIGINT) AS cutoff,
+       CAST(max(r) AS BIGINT) AS n_terms,
+       floor(CAST(max(cum) AS DOUBLE) / CAST((SELECT t FROM total) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS coverage
+FROM per GROUP BY 1
+"""
+
+
+def _holt_oracle() -> str:
+    """ts_holt_linear — generated so the dyadic weight literals are BY
+    CONSTRUCTION identical to the Spark expression (both derive from
+    windows.holt_weights' Fraction arithmetic); the num/den sums mirror
+    the Spark left-assoc order exactly."""
+    from ..operators.windows import holt_weights
+
+    ws = holt_weights(8)
+    num_terms = []
+    den_terms = []
+    for j, w in enumerate(ws):
+        xj = "CAST(cents AS DOUBLE)" if j == 0 else (
+            f"CAST(lag(cents, {j}) OVER w AS DOUBLE)"
+        )
+        pres = "TRUE" if j == 0 else f"lag(cents, {j}) OVER w IS NOT NULL"
+        # CAST the weight to DOUBLE explicitly: a bare numeric literal is
+        # DECIMAL in DuckDB, and double/DECIMAL division detours through
+        # a decimal path that loses the last ulp — enough to flip the
+        # 6-dp pin when the quotient sits on a half boundary (observed
+        # on the sf0.01 fixture)
+        num_terms.append(
+            f"(CASE WHEN {pres} THEN {xj} * CAST({w!r} AS DOUBLE) "
+            f"ELSE 0.0 END)"
+        )
+        den_terms.append(
+            f"(CASE WHEN {pres} THEN CAST({w!r} AS DOUBLE) ELSE 0.0 END)"
+        )
+    num = "(" + " + ".join(num_terms) + ")"
+    den = "(" + " + ".join(den_terms) + ")"
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, cents,
+       floor({num} / {den} * 1e6 + 0.5) / 1e6 AS holt_next
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+ORACLES["ts_holt_linear"] = _holt_oracle()

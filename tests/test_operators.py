@@ -3192,3 +3192,114 @@ def test_bottomk_quantile_full_sample_is_exact(spark):
     r = bottomk_quantile_profile(df, "g", "id", F.col("v"), k=64).collect()[0]
     assert r["sample_n"] == 50 and r["abs_err"] == 0
     assert r["est_median"] == r["exact_median"]
+
+
+def test_spearman_rho_hand_cases(spark):
+    from django_indexer_spark.operators.aggregates import spearman_rho
+
+    # group "t": x has a tie (midranks 1, 2.5, 2.5, 4); hand Pearson of
+    # the rank vectors = 0.632456 at 6 dp. group "p": perfect monotone
+    # -> 1.0. group "c": constant x -> NULL rho.
+    rows = (
+        [("t", 1.0, 2.0), ("t", 2.0, 1.0), ("t", 2.0, 4.0), ("t", 3.0, 3.0)]
+        + [("p", float(i), float(i * 2)) for i in range(1, 5)]
+        + [("c", 7.0, float(i)) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in spearman_rho(df, "g", "x", "y").collect()}
+    # ranks x: [1, 2.5, 2.5, 4]; ranks y: [2, 1, 4, 3]
+    import math
+
+    rx, ry = [1, 2.5, 2.5, 4], [2, 1, 4, 3]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(out["t"]["rho"] - want) < 2e-6
+    assert out["p"]["rho"] == 1.0 and out["p"]["n"] == 4
+    assert out["c"]["rho"] is None
+
+
+def test_hits_scores_replicates_reference_loop(spark):
+    from django_indexer_spark.operators.graph import hits_scores
+
+    edges = [(1, 10), (1, 20), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["kind"], r["node_id"]): r["score"]
+        for r in hits_scores(df, "src", "dst", iterations=2).collect()
+    }
+
+    def pin(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # replicate: h0 = 1 per src
+    h = {1: 1.0, 2: 1.0}
+    for _ in range(2):
+        a = {}
+        for s, d in edges:
+            a[d] = a.get(d, 0.0) + h[s]
+        sa = sum(a.values())
+        a = {d: pin(v / sa) for d, v in a.items()}
+        h = {}
+        for s, d in edges:
+            h[s] = h.get(s, 0.0) + a[d]
+        sh = sum(h.values())
+        h = {s: pin(v / sh) for s, v in h.items()}
+    want = {("hub", s): v for s, v in h.items()}
+    want |= {("authority", d): v for d, v in a.items()}
+    assert got == want
+    # authority mass concentrates on the doubly-cited part
+    assert got[("authority", 10)] > got[("authority", 20)]
+
+
+def test_holt_weights_and_forecast(spark):
+    from django_indexer_spark.operators.windows import (
+        holt_forecast,
+        holt_weights,
+    )
+
+    ws = holt_weights(8)
+    assert ws[:4] == [0.75, 0.4375, 0.171875, -0.00390625]
+    # dyadic: every weight times 2^16 is an integer (M^j doubles the
+    # denominator at most twice per round)
+    assert all(float(w * (1 << 16)).is_integer() for w in ws)
+
+    # constant series: renormalized forecast is exactly the constant
+    rows = [("k", t, 500) for t in range(12)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = {
+        r["t"]: r["holt_next"]
+        for r in holt_forecast(df, "g", ["t"], F.col("v")).collect()
+    }
+    assert all(v == 500.0 for v in out.values())
+
+    # ramp series: trend-aware forecast overshoots the last value
+    # (a pure EWMA would undershoot it)
+    ramp = [("k", t, 100 * t) for t in range(12)]
+    df2 = spark.createDataFrame(ramp, "g string, t long, v long")
+    last = holt_forecast(df2, "g", ["t"], F.col("v")).filter(
+        F.col("t") == 11
+    ).collect()[0]["holt_next"]
+    assert last > 1100.0
+
+
+def test_vocab_coverage_hand_case(spark):
+    from django_indexer_spark.operators.text import vocab_coverage
+
+    # freq: a=5, b=3, c=2 -> total 10
+    docs = [(1, "a a a b b"), (2, "a a b c c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["cutoff"]: r
+        for r in vocab_coverage(df, "text", cutoffs=(1, 2, 3)).collect()
+    }
+    assert out[1]["coverage"] == 0.5 and out[1]["n_terms"] == 1
+    assert out[2]["coverage"] == 0.8 and out[2]["n_terms"] == 2
+    assert out[3]["coverage"] == 1.0 and out[3]["n_terms"] == 3

@@ -705,6 +705,149 @@ def ppjoin_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    dp: int = 6,
+    ngram: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC containment join: ordered pairs (a, b), a ≠ b, with
+    C(A→B) = |A∩B| / |A| ≥ t — "doc a is mostly contained in doc b",
+    the quote/excerpt/superset detector Jaccard misses (a short quote
+    inside a long doc has tiny Jaccard but containment ≈ 1; this is the
+    decontamination primitive when benchmarks hide INSIDE training
+    documents rather than equaling them).
+
+    Same lossless rarity-prefix theorem as [ppjoin_pairs], asymmetric
+    form: order tokens by global rarity (df ASC, token ASC); a doc of n
+    distinct tokens emits its n − ⌈t·n⌉ + 1 rarest as PROBE keys, but
+    the indexed side posts ALL its tokens — if C(A→B) ≥ t, the rarest
+    shared token sits inside A's prefix (else the shared ⌈t·n_a⌉ tokens
+    would fit in A's suffix, too small), and it is somewhere in B by
+    definition. Two prunes ride inside the join: |B| ≥ ⌈t·|A|⌉ (the
+    overlap can't exceed |B|) and the positional bound
+    1 + min(n_a−pa, n_b−pb) ≥ ⌈t·n_a⌉ over the shared token's rank
+    positions. Integer ceils throughout ((num·n + den − 1) DIV den).
+
+    Shape: probe-prefix ⋈ full-postings on token (shuffle ∝
+    Σ_w prefix_df(w)·df(w) — rare tokens by construction), then the
+    exact verify joins candidate pairs back to the per-doc sorted
+    arrays; containment pinned ``dp`` dp. ``ngram`` as in ppjoin_pairs
+    (word n-gram shingles keep the token universe sparse)."""
+    pow10 = float(10**dp)
+    thr = threshold_num / threshold_den
+    num, den = threshold_num, threshold_den
+    if ngram <= 1:
+        words = df.select(
+            F.col(id_col).alias("doc"), F.explode(word_set(text_col)).alias("w")
+        )
+    else:
+        # one-step explode: see ppjoin_pairs for the
+        # InferFiltersFromGenerate re-inlining trap this avoids
+        words = (
+            df.select(
+                F.col(id_col).alias("doc"), tokenize(text_col).alias("__w0")
+            )
+            .filter(F.size("__w0") >= ngram)
+            .select(
+                "doc",
+                F.explode(
+                    F.array_distinct(
+                        word_ngrams_from_tokens(F.col("__w0"), ngram)
+                    )
+                ).alias("w"),
+            )
+        )
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+    docs = (
+        words.join(dfreq, "w")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__df", "w"))).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .withColumn(
+            "__plen",
+            F.col("n")
+            - F.expr(f"({num} * n + {den} - 1) DIV {den}")
+            + 1,
+        )
+    )
+    probe = docs.select(
+        "doc",
+        "n",
+        F.posexplode(F.expr("slice(__s, 1, __plen)")).alias("__i", "__p"),
+    ).select(
+        F.col("doc").alias("doc_a"),
+        F.col("n").alias("__na"),
+        (F.col("__i") + 1).cast("long").alias("__pa"),
+        F.col("__p.w").alias("w"),
+    )
+    post = docs.select(
+        "doc", "n", F.posexplode("__s").alias("__i", "__p")
+    ).select(
+        F.col("doc").alias("doc_b"),
+        F.col("n").alias("__nb"),
+        (F.col("__i") + 1).cast("long").alias("__pb"),
+        F.col("__p.w").alias("__wb"),
+    )
+    need = F.expr(f"({num} * __na + {den} - 1) DIV {den}")
+    cand = (
+        probe.join(post, F.col("w") == F.col("__wb"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("__nb") >= need)
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+            )
+            >= need
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = docs.select(
+        "doc", F.expr("transform(__s, x -> x.w)").alias("__t"), "n"
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast(
+        "long"
+    )
+    cont = F.floor(
+        inter.cast("double") / F.col("n_a").cast("double") * F.lit(pow10)
+        + F.lit(0.5)
+    ) / F.lit(pow10)
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("__t").alias("__ta"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("__t").alias("__tb"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            "n_a",
+            "n_b",
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(thr))
+    )
+
+
 def content_chunks(
     df: DataFrame,
     text_col: str,

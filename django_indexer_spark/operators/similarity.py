@@ -103,6 +103,87 @@ def cosine_topk(
     )
 
 
+def norm2(a: Column) -> Column:
+    """Squared L2 norm as the same sequential fold as [dot] (no sqrt)."""
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximum-inner-product top-k via the NORM-AUGMENTATION reduction
+    (Bachrach et al., RecSys'14): recommendation scoring is argmax
+    ⟨q,x⟩, which cosine indexes cannot serve directly (a long vector
+    can beat a well-aligned one). Lift the corpus by one dimension —
+    x′ = [x, √(M²−‖x‖²)] with M = max corpus norm — and queries by a
+    literal zero: every lifted corpus vector has norm exactly M, so
+    cosine order in the lifted space IS inner-product order, and MIPS
+    becomes the cosine problem every bucketed ANN index here already
+    solves (the production path feeds the lifted vectors straight into
+    lsh_ann_topk; this operator is the exact/verifiable form).
+
+    Shape: one scalar max-norm² aggregate broadcasts; queries broadcast;
+    the corpus never shuffles — per-partition Q×P scoring plus a top-k
+    window, same plan as cosine_topk. Scores round to ``round_dp``
+    (sim-family convention, proven on these fixtures) and ties break on
+    corpus id; the raw inner product rides along so the consumer gets
+    the actual recommendation score, not the lifted proxy."""
+    vd = F.col(vec_col)
+    c0 = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        vd.alias("c_vec"),
+        norm2(vd).alias("__n2"),
+    )
+    m2 = c0.agg(F.max("__n2").alias("__m2"))
+    c = c0.crossJoin(F.broadcast(m2)).select(
+        "c_id",
+        "c_vec",
+        F.concat(
+            F.transform("c_vec", lambda x: x.cast("double")),
+            F.array(F.sqrt(F.col("__m2") - F.col("__n2"))),
+        ).alias("c_aug"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        vd.alias("q_vec"),
+        F.concat(
+            F.transform(vd, lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("q_aug"),
+    ).select("q_id", "q_vec", "q_aug", norm(F.col("q_aug")).alias("q_nrm"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("q_aug"), F.col("c_aug"))
+                / (F.col("q_nrm") * norm(F.col("c_aug"))),
+                round_dp,
+            ).alias("lifted_cosine"),
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), round_dp).alias(
+                "inner_product"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("lifted_cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "lifted_cosine", "inner_product", "rnk")
+    )
+
+
 def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane weights in [-1, 1):
     md5("p:<plane>:<dim>") first 8 hex → uint32 → scaled. Computed in

@@ -5332,3 +5332,37 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_coverage(docs, "text", cutoffs=(5, 10, 25)).orderBy(
         "cutoff"
     )
+
+
+@query("dedup_containment")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join ≥ 0.9 on trigram-shingle sets
+    (operators/dedup.py:containment_pairs): ordered (a,b) pairs where
+    doc a's shingles are ≥90% inside doc b — the quote/excerpt detector
+    Jaccard misses, via the lossless rarity-prefix probe against full
+    postings with |B| and positional prunes. The oracle is the
+    brute-force pairwise definition."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = dedup.containment_pairs(docs, "text", "doc_id", 9, 10, ngram=3)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "n_inter",
+        "n_a",
+        "n_b",
+        "containment",
+    )
+
+
+@query("sim_mips_topk")
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 for 8 query vectors via the
+    norm-augmentation reduction (operators/similarity.py:mips_topk):
+    corpus lifted by √(M²−‖x‖²), queries by a zero — cosine order in
+    the lifted space IS inner-product order, so MIPS rides the same
+    broadcast-query / corpus-never-shuffles plan as sim_cosine_topk
+    (and at scale, the same LSH buckets). Raw inner product rides
+    along as the consumer-facing score."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.mips_topk(q, emb, "vec_id", "vec_id", "embedding", k=5)

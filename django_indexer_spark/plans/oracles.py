@@ -4881,3 +4881,62 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day)
 
 
 ORACLES["ts_holt_linear"] = _holt_oracle()
+
+# dedup_containment — brute-force pairwise DEFINITION of asymmetric
+# containment on the same trigram-shingle universe as dedup_ppjoin.
+ORACLES["dedup_containment"] = f"""
+WITH d0 AS (
+  SELECT doc_id, {_TRISET} AS s FROM documents
+), dd AS (
+  SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n FROM d0 WHERE len(s) > 0
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+         a.n AS n_a, b.n AS n_b
+  FROM dd a JOIN dd b ON a.doc_id <> b.doc_id
+), j AS (
+  SELECT doc_a, doc_b, n_inter, n_a, n_b,
+         floor(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6 + 0.5)
+           / 1e6 AS containment
+  FROM p
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       n_inter, n_a, n_b, containment
+FROM j WHERE containment >= 0.9
+"""
+
+# sim_mips_topk — the SAME lifted-space arithmetic, list ops mirrored
+# (list_dot_product == the Spark sequential fold, proven by the sim
+# family); M² is the max corpus norm², lift = sqrt(M² − ‖x‖²).
+ORACLES["sim_mips_topk"] = """
+WITH m AS (
+  SELECT max(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+    AS m2
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec,
+         list_concat(
+           embedding::DOUBLE[],
+           [sqrt(m.m2 - list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))]
+         ) AS c_aug
+  FROM embeddings, m
+), q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+         list_concat(embedding::DOUBLE[], [CAST(0.0 AS DOUBLE)]) AS q_aug
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.q_id, c.c_id,
+         round(list_dot_product(q.q_aug, c.c_aug)
+               / (sqrt(list_dot_product(q.q_aug, q.q_aug))
+                  * sqrt(list_dot_product(c.c_aug, c.c_aug))), 6)
+           AS lifted_cosine,
+         round(list_dot_product(q.q_vec, c.c_vec), 6) AS inner_product
+  FROM q, c WHERE q.q_id <> c.c_id
+)
+SELECT q_id, c_id, lifted_cosine, inner_product,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY lifted_cosine DESC, c_id ASC) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""

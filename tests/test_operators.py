@@ -3303,3 +3303,79 @@ def test_vocab_coverage_hand_case(spark):
     assert out[1]["coverage"] == 0.5 and out[1]["n_terms"] == 1
     assert out[2]["coverage"] == 0.8 and out[2]["n_terms"] == 2
     assert out[3]["coverage"] == 1.0 and out[3]["n_terms"] == 3
+
+
+def test_containment_pairs_finds_embedded_quote(spark):
+    from django_indexer_spark.operators.dedup import containment_pairs
+
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    quote = "w3 w4 w5 w6 w7"  # every trigram of quote is inside long
+    unrelated = "z1 z2 z3 z4 z5 z6"
+    df = spark.createDataFrame(
+        [(1, long), (2, quote), (3, unrelated)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", 9, 10).collect()
+    }
+    # asymmetric: quote⊂long qualifies, long⊄quote does not (3/8 < 0.9)
+    assert got == {(2, 1): 1.0}
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from django_indexer_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = []
+    base = [rng.choice(vocab) for _ in range(24)]
+    for i in range(14):
+        words = list(base)
+        for _ in range(rng.randrange(0, 3)):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        # some docs are truncated slices -> genuine containments
+        if i % 3 == 0:
+            words = words[: rng.randrange(6, 18)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", 9, 10).collect()
+    }
+    sets = {
+        i: {" ".join(t.split()[j : j + 3]) for j in range(len(t.split()) - 2)}
+        for i, t in docs
+        if len(t.split()) >= 3
+    }
+    want = {}
+    for a, b in itertools.permutations(sorted(sets), 2):
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if round(c, 6) >= 0.9:
+            want[(a, b)] = round(c, 6)
+    assert got == want and want
+
+
+def test_mips_topk_beats_cosine_on_long_vectors(spark):
+    from django_indexer_spark.operators.similarity import mips_topk
+
+    # q=[1,0]: cosine prefers the aligned unit vector (id 1), MIPS the
+    # long slightly-off vector (id 2) — dot 2.0 vs 0.9
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.0]),
+        (2, [2.0, 0.5]),
+        (3, [0.1, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = {
+        r["rnk"]: r for r in mips_topk(q, df, "vec_id", "vec_id").collect()
+    }
+    assert out[1]["c_id"] == 2 and abs(out[1]["inner_product"] - 2.0) < 1e-6
+    assert out[2]["c_id"] == 1  # cosine's favorite comes second
+    # lifted-cosine order equals raw inner-product order
+    dots = [out[r]["inner_product"] for r in sorted(out)]
+    assert dots == sorted(dots, reverse=True)

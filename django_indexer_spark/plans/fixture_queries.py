@@ -5366,3 +5366,20 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.mips_topk(q, emb, "vec_id", "vec_id", "embedding", k=5)
+
+
+@query("a_bootstrap_ci")
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence band for the mean event value per
+    type (operators/sampling.py:poisson_bootstrap_ci): 32 deterministic
+    resamples in ONE scan — each replicate's weights are inverse-CDF
+    Poisson(1) draws off 24-bit md5 uniforms compared against INTEGER
+    thresholds, so every replicate mean is engine-exact; the band is
+    the 2nd/31st order statistic of the replicate means."""
+    from ..operators.sampling import poisson_bootstrap_ci
+
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast("long")
+    return poisson_bootstrap_ci(
+        e, "event_type", "event_id", cents, b=32
+    ).orderBy("event_type")

@@ -4940,3 +4940,73 @@ SELECT q_id, c_id, lifted_cosine, inner_product,
 FROM scored
 QUALIFY rnk <= 5
 """
+
+
+def _bootstrap_oracle(b: int = 32, salt: str = "boot") -> str:
+    """a_bootstrap_ci — generated so the integer Poisson(1) thresholds
+    and the per-replicate md5 salts are BY CONSTRUCTION identical to
+    sampling.poisson_bootstrap_ci; 2·b mirrored agg expressions, then
+    the same 2nd / (m−1)th order-statistic pick."""
+    from ..operators.sampling import poisson_cdf24
+
+    ts = poisson_cdf24()
+    hexts = [format(t, "06x") for t in ts]
+    aggs = []
+    means = []
+    for i in range(b):
+        grp, chunk = divmod(i, 5)
+        # fixed-width lowercase hex compares lexicographically as the
+        # integer it encodes — same string-compare form as the Spark side
+        u = (
+            f"substr(md5('{salt}:g{grp}:' || "
+            f"CAST(event_id AS VARCHAR)), {1 + 6 * chunk}, 6)"
+        )
+        w = f"{len(ts)}"
+        for k in range(len(ts) - 1, -1, -1):
+            w = f"CASE WHEN {u} < '{hexts[k]}' THEN {k} ELSE {w} END"
+        aggs.append(
+            f"sum(CAST(({w}) * x AS DECIMAL(38,0))) AS s{i},\n"
+            f"  sum(CAST(({w}) AS BIGINT)) AS c{i}"
+        )
+        means.append(
+            f"('b{i}', CASE WHEN c{i} > 0 THEN floor(CAST(s{i} AS DOUBLE)"
+            f" / CAST(c{i} AS DOUBLE) * 1e6 + 0.5) / 1e6 END)"
+        )
+    agg_sql = ",\n  ".join(aggs)
+    vals = ",\n    ".join(means)
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x
+  FROM events
+), folded AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+  {agg_sql}
+  FROM base GROUP BY g
+), melted AS (
+  SELECT g, n,
+         floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS mean,
+         u.rep, u.rep_mean
+  FROM folded, LATERAL (
+    SELECT * FROM (VALUES
+    {vals}
+    ) AS t(rep, rep_mean)
+  ) AS u
+  WHERE u.rep_mean IS NOT NULL
+), ranked AS (
+  SELECT g, n, mean, rep_mean,
+         row_number() OVER (PARTITION BY g ORDER BY rep_mean ASC, rep ASC)
+           AS r,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM melted
+)
+SELECT lo.g AS event_type, lo.n, lo.mean,
+       lo.rep_mean AS boot_lo, hi.rep_mean AS boot_hi
+FROM ranked lo JOIN ranked hi ON lo.g = hi.g
+WHERE lo.r = 2 AND hi.r = hi.m - 1
+"""
+
+
+ORACLES["a_bootstrap_ci"] = _bootstrap_oracle()

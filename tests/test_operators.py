@@ -3379,3 +3379,46 @@ def test_mips_topk_beats_cosine_on_long_vectors(spark):
     # lifted-cosine order equals raw inner-product order
     dots = [out[r]["inner_product"] for r in sorted(out)]
     assert dots == sorted(dots, reverse=True)
+
+
+def test_poisson_bootstrap_ci_replicates_hand_loop(spark):
+    import hashlib
+    import math
+
+    from django_indexer_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+        poisson_cdf24,
+    )
+
+    ts = poisson_cdf24()
+    assert ts == sorted(ts) and ts[-1] < (1 << 24)
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    gdf = df.withColumn("g", F.lit("all"))
+    got = poisson_bootstrap_ci(gdf, "g", "id", F.col("v"), b=32).collect()[0]
+
+    def weight(b, i):
+        grp, chunk = divmod(b, 5)
+        h = hashlib.md5(f"boot:g{grp}:{i}".encode()).hexdigest()
+        u = int(h[6 * chunk : 6 * chunk + 6], 16)
+        for k, t in enumerate(ts):
+            if u < t:
+                return k
+        return len(ts)
+
+    def pin(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    means = []
+    for b in range(32):
+        ws = [(weight(b, i), v) for i, v in rows]
+        cw = sum(w for w, _ in ws)
+        if cw > 0:
+            means.append(pin(sum(w * v for w, v in ws) / cw))
+    means.sort()
+    assert got["n"] == 40
+    assert got["mean"] == pin(sum(v for _, v in rows) / 40)
+    assert got["boot_lo"] == means[1]
+    assert got["boot_hi"] == means[len(means) - 2]
+    assert got["boot_lo"] <= got["mean"] <= got["boot_hi"]

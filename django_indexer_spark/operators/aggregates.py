@@ -1051,3 +1051,99 @@ def gains_table(
             / F.lit(pow10)
         ).alias("lift"),
     )
+
+
+def ols_two_features(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Closed-form TWO-feature least squares per group — the normal
+    equations solved by Cramer's rule on centered moments, the
+    multi-regressor step past zipf_fit's single-feature OLS (price on
+    quantity AND discount, value on hour AND day…). No iteration, no
+    Python: fitting is five exact covariance folds and four divisions.
+
+    Exactness contract (the repo's two-pass pattern): inputs quantize
+    to 3 dp; per-group means come off ONE group-partitioned window
+    (count + sum reuse the single shuffle) and pin to ``dp``; centered
+    products pin per row and fold as DECIMAL(38,6) (order-independent);
+    the β solve runs in double on the folded scalars only, pinned.
+    Groups with a singular normal matrix (either feature constant, or
+    the two features perfectly collinear) emit NULL βs — surfaced, not
+    0/0. Output: (group, n, beta0, beta1, beta2).
+
+    Shape: one shuffle on the group key; window pass + grouped fold
+    reuse it. State per group = 6 decimals — safe at any cardinality."""
+    pow10 = float(10**dp)
+
+    def _pin(c: Column) -> Column:
+        return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
+
+    q3 = lambda c: F.round(F.col(c).cast("double"), 3).cast("decimal(18,3)")
+    rows = df.select(
+        F.col(group_col),
+        q3(x1_col).alias("__x1"),
+        q3(x2_col).alias("__x2"),
+        q3(y_col).alias("__y"),
+    )
+    wg = Window.partitionBy(group_col)
+    mean = lambda c: _pin(
+        F.sum(F.col(c).cast("decimal(38,3)")).over(wg).cast("double")
+        / F.count(F.lit(1)).over(wg).cast("double")
+    )
+    centered = rows.select(
+        F.col(group_col),
+        (F.col("__x1").cast("double") - mean("__x1")).alias("__d1"),
+        (F.col("__x2").cast("double") - mean("__x2")).alias("__d2"),
+        (F.col("__y").cast("double") - mean("__y")).alias("__dy"),
+        mean("__x1").alias("__m1"),
+        mean("__x2").alias("__m2"),
+        mean("__y").alias("__my"),
+    )
+    d386 = "decimal(38,6)"
+    g = centered.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("__m1").alias("__m1"),
+        F.min("__m2").alias("__m2"),
+        F.min("__my").alias("__my"),
+        F.sum(_pin(F.col("__d1") * F.col("__d1")).cast(d386))
+        .cast("double")
+        .alias("__a11"),
+        F.sum(_pin(F.col("__d2") * F.col("__d2")).cast(d386))
+        .cast("double")
+        .alias("__a22"),
+        F.sum(_pin(F.col("__d1") * F.col("__d2")).cast(d386))
+        .cast("double")
+        .alias("__a12"),
+        F.sum(_pin(F.col("__d1") * F.col("__dy")).cast(d386))
+        .cast("double")
+        .alias("__c1"),
+        F.sum(_pin(F.col("__d2") * F.col("__dy")).cast(d386))
+        .cast("double")
+        .alias("__c2"),
+    )
+    det = F.col("__a11") * F.col("__a22") - F.col("__a12") * F.col("__a12")
+    b1 = (
+        F.col("__c1") * F.col("__a22") - F.col("__c2") * F.col("__a12")
+    ) / det
+    b2 = (
+        F.col("__c2") * F.col("__a11") - F.col("__c1") * F.col("__a12")
+    ) / det
+    ok = det > 0
+    b1p = F.when(ok, _pin(b1))
+    b2p = F.when(ok, _pin(b2))
+    b0 = F.when(
+        ok,
+        _pin(F.col("__my") - _pin(b1) * F.col("__m1") - _pin(b2) * F.col("__m2")),
+    )
+    return g.select(
+        group_col,
+        "n",
+        b0.alias("beta0"),
+        b1p.alias("beta1"),
+        b2p.alias("beta2"),
+    )

@@ -5383,3 +5383,68 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ci(
         e, "event_type", "event_id", cents, b=32
     ).orderBy("event_type")
+
+
+@query("q20_dominant_supplier")
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested GROUPED-threshold semi-join — which
+    suppliers to audit because they dominate a part's supply. For
+    'widget' parts shipped in 1996-1998, a (part, supplier) cell
+    qualifies when its quantity exceeds 30% of the part's total: the
+    inner query aggregates at TWO levels ((part,supplier) and (part))
+    and the share test is exact integer cross-multiplication
+    (10·cell > 3·total in integer quantity cents — no float share
+    gates a row, same policy as q17). Qualifying suppliers dedupe and
+    semi-join back to the supplier dimension for names; one orderkey-
+    free fact aggregation, part filter broadcasts first."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    qcents = F.round(F.col("l_quantity").cast("double") * 100, 0).cast(
+        "long"
+    )
+    widget_li = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    ).join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_suppkey", qcents.alias("__q"))
+    cell = widget_li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("__q").alias("__cq")
+    )
+    tot = widget_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__q").alias("__tq")
+    )
+    dominant = (
+        cell.join(tot, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.lit(10) * F.col("__cq") > F.lit(3) * F.col("__tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .orderBy("s_name")
+        .select("s_name")
+    )
+
+
+@query("a_ols2_price_model")
+def a_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form least squares per return flag
+    (operators/aggregates.py:ols_two_features): extended price modeled
+    on quantity AND discount — normal equations via Cramer's rule on
+    five exact centered-moment folds; means off one group window,
+    products pinned per row, βs solved in double from the folded
+    scalars only. The multi-regressor step past text_zipf_fit's
+    single-feature OLS."""
+    from ..operators.aggregates import ols_two_features
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_two_features(
+        li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).orderBy("l_returnflag")

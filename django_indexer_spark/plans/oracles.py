@@ -5010,3 +5010,86 @@ WHERE lo.r = 2 AND hi.r = hi.m - 1
 
 
 ORACLES["a_bootstrap_ci"] = _bootstrap_oracle()
+
+# q20_dominant_supplier — the definitional nested form: EXISTS over a
+# grouped-threshold subquery, integer cross-multiplied share test.
+ORACLES["q20_dominant_supplier"] = """
+WITH wli AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(round(CAST(l.l_quantity AS DOUBLE) * 100, 0) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%widget%'
+    AND l.l_shipdate >= DATE '1996-01-01'
+    AND l.l_shipdate <  DATE '1999-01-01'
+), cell AS (
+  SELECT l_partkey, l_suppkey, sum(q) AS cq
+  FROM wli GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, sum(q) AS tq FROM wli GROUP BY 1
+)
+SELECT s.s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM cell c JOIN tot t ON c.l_partkey = t.l_partkey
+  WHERE c.l_suppkey = s.s_suppkey AND 10 * c.cq > 3 * t.tq
+)
+ORDER BY s.s_name
+"""
+
+# a_ols2_price_model — mirrored two-pass centered-moment OLS; every
+# pin, fold type and the Cramer solve match aggregates.ols_two_features
+# operation for operation.
+ORACLES["a_ols2_price_model"] = """
+WITH rows_ AS (
+  SELECT l_returnflag AS g,
+         CAST(round(CAST(l_quantity AS DOUBLE), 3) AS DECIMAL(18,3)) AS x1,
+         CAST(round(CAST(l_discount AS DOUBLE), 3) AS DECIMAL(18,3)) AS x2,
+         CAST(round(CAST(l_extendedprice AS DOUBLE), 3) AS DECIMAL(18,3)) AS y
+  FROM lineitem
+), m AS (
+  SELECT g, x1, x2, y,
+    floor(CAST(sum(CAST(x1 AS DECIMAL(38,3))) OVER w AS DOUBLE)
+          / CAST(count(*) OVER w AS DOUBLE) * 1e6 + 0.5) / 1e6 AS m1,
+    floor(CAST(sum(CAST(x2 AS DECIMAL(38,3))) OVER w AS DOUBLE)
+          / CAST(count(*) OVER w AS DOUBLE) * 1e6 + 0.5) / 1e6 AS m2,
+    floor(CAST(sum(CAST(y AS DECIMAL(38,3))) OVER w AS DOUBLE)
+          / CAST(count(*) OVER w AS DOUBLE) * 1e6 + 0.5) / 1e6 AS my
+  FROM rows_
+  WINDOW w AS (PARTITION BY g)
+), c AS (
+  SELECT g, m1, m2, my,
+         CAST(x1 AS DOUBLE) - m1 AS d1,
+         CAST(x2 AS DOUBLE) - m2 AS d2,
+         CAST(y AS DOUBLE) - my AS dy
+  FROM m
+), f AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         min(m1) AS m1, min(m2) AS m2, min(my) AS my,
+         CAST(sum(CAST(floor(d1 * d1 * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS a11,
+         CAST(sum(CAST(floor(d2 * d2 * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS a22,
+         CAST(sum(CAST(floor(d1 * d2 * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS a12,
+         CAST(sum(CAST(floor(d1 * dy * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS c1,
+         CAST(sum(CAST(floor(d2 * dy * 1e6 + 0.5) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS c2
+  FROM c GROUP BY g
+), s AS (
+  SELECT *, a11 * a22 - a12 * a12 AS det FROM f
+), t AS (
+  SELECT *,
+         (c1 * a22 - c2 * a12) / det AS b1r,
+         (c2 * a11 - c1 * a12) / det AS b2r
+  FROM s
+)
+SELECT g AS l_returnflag, n,
+  CASE WHEN det > 0 THEN
+    floor((my - (floor(b1r * 1e6 + 0.5) / 1e6) * m1
+              - (floor(b2r * 1e6 + 0.5) / 1e6) * m2) * 1e6 + 0.5) / 1e6
+  END AS beta0,
+  CASE WHEN det > 0 THEN floor(b1r * 1e6 + 0.5) / 1e6 END AS beta1,
+  CASE WHEN det > 0 THEN floor(b2r * 1e6 + 0.5) / 1e6 END AS beta2
+FROM t
+"""

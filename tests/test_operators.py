@@ -3422,3 +3422,22 @@ def test_poisson_bootstrap_ci_replicates_hand_loop(spark):
     assert got["boot_lo"] == means[1]
     assert got["boot_hi"] == means[len(means) - 2]
     assert got["boot_lo"] <= got["mean"] <= got["boot_hi"]
+
+
+def test_ols_two_features_recovers_exact_plane(spark):
+    from django_indexer_spark.operators.aggregates import ols_two_features
+
+    # y = 2 + 3*x1 - x2, exactly: betas recover exactly (residuals 0)
+    pts = [(x1, x2, 2.0 + 3.0 * x1 - x2) for x1 in range(5) for x2 in range(4)]
+    rows = [("g", float(x1), float(x2), y) for x1, x2, y in pts]
+    # plus a group with a CONSTANT second feature -> singular -> NULLs
+    rows += [("s", float(i), 7.0, float(2 * i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    out = {
+        r["g"]: r
+        for r in ols_two_features(df, "g", "x1", "x2", "y").collect()
+    }
+    assert out["g"]["beta0"] == 2.0
+    assert out["g"]["beta1"] == 3.0
+    assert out["g"]["beta2"] == -1.0
+    assert out["s"]["beta1"] is None and out["s"]["beta2"] is None

@@ -5448,3 +5448,38 @@ def a_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_two_features(
         li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
     ).orderBy("l_returnflag")
+
+
+@query("ts_top_paths")
+def ts_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step journeys: sessionize (ts_sessionize's exact
+    cut), then every in-session consecutive event-type TRIGRAM via two
+    lead() reads on the session-partitioned window — the sequence-
+    mining rollup one step past ts_markov_transitions' single-step
+    matrix (A→B→C paths distinguish 'browse→click→buy' from
+    'click→browse→buy'; the pairwise matrix cannot). One user shuffle
+    (sessionize + leads share it), one path-count shuffle, TakeOrdered
+    top-20 on (count DESC, path)."""
+    e = _events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    sess = windows.sessionize(
+        e, "user_id", "ts_us", gap=hour_us, tiebreak_cols=["event_id"]
+    )
+    w = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts_us", "event_id"
+    )
+    paths = (
+        sess.select(
+            F.concat_ws(
+                ">",
+                "event_type",
+                F.lead("event_type", 1).over(w),
+                F.lead("event_type", 2).over(w),
+            ).alias("path"),
+            F.lead("event_type", 2).over(w).isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(20)

@@ -5093,3 +5093,30 @@ SELECT g AS l_returnflag, n,
   CASE WHEN det > 0 THEN floor(b2r * 1e6 + 0.5) / 1e6 END AS beta2
 FROM t
 """
+
+# ts_top_paths — same session cut as ts_sessionize's oracle (gap >= 1h
+# on the (ts_us, event_id) total order), then lead()x2 trigram paths.
+ORACLES["ts_top_paths"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), marked AS (
+  SELECT *,
+         CASE WHEN ts_us - lag(ts_us) OVER w >= 3600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+), tri AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER w
+                    || '>' || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w IS NOT NULL AS full_
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_idx ORDER BY ts_us, event_id)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE full_
+GROUP BY path ORDER BY n DESC, path ASC LIMIT 20
+"""

@@ -32,10 +32,29 @@ from django_indexer_spark.plans.oracles import ORACLES
 # code no longer keeps a changed query out of the re-check budget.
 #
 # Ordering within blocks (replaces the hand-maintained _COST_ORDER):
-# unchecked = never-measured first (they most need ANY row), then
+# unchecked = names with NO driver row in ANY CORRECTNESS_r{3..} first
+# (absolute priority, round-7 verdict #1: cheapest-first starved the 4
+# expensive streaming gates behind each round's new/changed batch), then
+# forced re-checks, then the changed/red block unmeasured-first +
 # cheapest-first by the newest BENCH_DETAIL_r*.json per-query seconds;
 # checked = newest-green-round ASC (stalest first), then cheapest.
 _CANARY = ["f1_eq_filter"]
+
+# Names whose semantics changed but whose fingerprints were refreshed
+# before a driver row graded the new code (round-7 ADVICE: dedup_ppjoin's
+# trigram rebuild shipped with only an r6 word-set-era driver row;
+# ts_top_paths / o_rank_overlap_rbo had oracle fixes in round 8;
+# s_stream_windowed_rollup's sentinel staging was trimmed in round 8).
+# They sort right behind the never-rowed block until a green row lands
+# in a round >= 8.
+_FORCE_RECHECK = frozenset(
+    {
+        "dedup_ppjoin",
+        "ts_top_paths",
+        "o_rank_overlap_rbo",
+        "s_stream_windowed_rollup",
+    }
+)
 
 
 def _query_costs(here: str | None = None) -> dict[str, float]:
@@ -92,12 +111,31 @@ def _ordered(mapping: dict) -> dict:
     # insertion order (ties broken by registry index everywhere).
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
     seen = _checked_names()  # name -> newest green round
+    ever = _ever_rowed()  # names with ANY driver row, green or not
     changed = _changed_since_verified()
     cost = _query_costs()
     inf = float("inf")
 
     front = [n for n in _CANARY if n in mapping]
     placed = set(front)
+    # Absolute priority: no driver row in any round, ever — regardless of
+    # cost, ahead of fingerprint-changed re-checks (round-7 verdict #1).
+    never = [
+        n for n in QUERIES if n in mapping and n not in placed and n not in ever
+    ]
+    never.sort(key=lambda n: reg_idx[n])
+    placed |= set(never)
+    # Forced re-checks whose newest green row predates the forcing round.
+    forced = [
+        n
+        for n in QUERIES
+        if n in mapping
+        and n not in placed
+        and n in _FORCE_RECHECK
+        and seen.get(n, 0) < 8
+    ]
+    forced.sort(key=lambda n: reg_idx[n])
+    placed |= set(forced)
     unchecked = [
         n
         for n in QUERIES
@@ -111,7 +149,35 @@ def _ordered(mapping: dict) -> dict:
     checked.sort(key=lambda n: (seen.get(n, 0), cost.get(n, inf), reg_idx[n]))
     placed |= set(checked)
     extra = [n for n in mapping if n not in placed]
-    return {n: mapping[n] for n in front + unchecked + checked + extra}
+    return {
+        n: mapping[n] for n in front + never + forced + unchecked + checked + extra
+    }
+
+
+def _ever_rowed(here: str | None = None) -> frozenset[str]:
+    """Every name with ANY driver row (green, red, or err) in any
+    CORRECTNESS_r{3..}.json. Names absent from all files have never been
+    graded by the driver and take absolute rotation priority."""
+    import glob
+    import json
+    import os
+    import re
+
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    ever: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) < 3:
+            continue
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            ever.update(n for n, r in rows.items() if isinstance(r, dict))
+    return frozenset(ever)
 
 
 def _checked_names(here: str | None = None) -> dict[str, int]:

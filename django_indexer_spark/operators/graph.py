@@ -232,6 +232,13 @@ def hits_scores(
     the natural readout on bipartite supplier→part / user→item graphs
     (a node can only be one of the two).
 
+    Hub-seed asymmetry: hubs are seeded only over nodes WITH out-edges
+    and authorities derive from them, so on a general digraph a node
+    with only in-edges earns an authority score but never a hub score
+    (and vice versa for out-only nodes on the authority side). That is
+    exactly right for bipartite graphs; callers ranking a general
+    digraph should not expect every node in both listings.
+
     Determinism/parity: scores are pinned to ``dp`` dp after every
     L1 normalization, so each round's inputs are exact DECIMAL(18,6)
     values; per-node sums fold as DECIMAL(38,6) (order-independent),
@@ -243,6 +250,8 @@ def hits_scores(
     1-row aggregate; loop-invariant edge list persisted once, each
     round's scores cut_lineage-materialized (same iterative-lineage
     rule as pagerank/connected_components)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     pow10 = float(10**dp)
 
     def _pin(c) -> F.Column:

@@ -4549,7 +4549,8 @@ WITH rev AS (
   FROM spine LEFT JOIN pm ON pm.mm <= spine.k GROUP BY 1
 ), tm AS (
   SELECT CAST(floor(CAST(x_k AS DOUBLE) / CAST(k AS DOUBLE)
-              * (1.0 / CAST(1 << CAST(k - 1 AS INTEGER) AS DOUBLE))
+              * (1.0 / CAST(CAST(1 AS BIGINT) << CAST(k - 1 AS INTEGER)
+                            AS DOUBLE))
               * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS t
   FROM ov
 )
@@ -5094,14 +5095,16 @@ SELECT g AS l_returnflag, n,
 FROM t
 """
 
-# ts_top_paths — same session cut as ts_sessionize's oracle (gap >= 1h
-# on the (ts_us, event_id) total order), then lead()x2 trigram paths.
+# ts_top_paths — same session cut as ts_sessionize's oracle (a new
+# session starts only when the gap STRICTLY exceeds 1h, matching
+# windows.sessionize's `> gap` semantics; an exactly-one-hour gap stays
+# in-session), then lead()x2 trigram paths.
 ORACLES["ts_top_paths"] = """
 WITH e AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
 ), marked AS (
   SELECT *,
-         CASE WHEN ts_us - lag(ts_us) OVER w >= 3600000000
+         CASE WHEN ts_us - lag(ts_us) OVER w > 3600000000
               THEN 1 ELSE 0 END AS brk
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ), sess AS (

@@ -117,27 +117,41 @@ def test_bench_emits_valid_json_line(tmp_path):
 
 def test_driver_rotation_order():
     """Driver-budget rotation (__spark_entry__._ordered): canary first,
-    every name without a GREEN driver correctness row before every name
-    with one — so the driver's ~50-query budget reaches unchecked (and
-    previously-failed) queries first. The expected partition derives
-    from _checked_names() itself (round-4 verdict #5: hardcoding the r3
-    set broke the suite the moment the driver dropped a new
-    CORRECTNESS file)."""
+    then names with NO driver row EVER (absolute priority, round-7
+    verdict #1 — cheapest-first starved the expensive streaming gates),
+    then forced re-checks awaiting a round>=8 green row, then the
+    unchecked-or-changed block, then checked names stalest-first. The
+    expected partition derives from _checked_names()/_ever_rowed()
+    themselves (round-4 verdict #5: hardcoding the r3 set broke the
+    suite the moment the driver dropped a new CORRECTNESS file)."""
     import __spark_entry__ as m
 
     names = list(m.queries())
     assert names[0] == "f1_eq_filter"
     assert set(names) == set(m.queries())  # no dupes/drops
     checked = m._checked_names()  # name -> newest green round
+    ever = m._ever_rowed()
     changed = m._changed_since_verified()
-    # after the canary: first the unchecked-or-changed block, then the
-    # checked-and-unchanged block ordered stalest-first
     tail = names[1:]
-    flags = [n in checked and n not in changed for n in tail]
+    # never-driver-rowed names lead the tail, before everything else
+    never = [n for n in tail if n not in ever]
+    assert tail[: len(never)] == never, "never-rowed block not at front"
+    # forced re-checks (no green row in a round >= 8 yet) come next
+    forced = [
+        n
+        for n in tail[len(never):]
+        if n in m._FORCE_RECHECK and checked.get(n, 0) < 8
+    ]
+    assert (
+        tail[len(never): len(never) + len(forced)] == forced
+    ), "forced block not directly behind never-rowed block"
+    # then: unchecked-or-changed block, then checked stalest-first
+    rest = tail[len(never) + len(forced):]
+    flags = [n in checked and n not in changed for n in rest]
     first_checked = flags.index(True) if True in flags else len(flags)
     assert all(flags[first_checked:]), "checked block interrupted by unchecked name"
     assert not any(flags[:first_checked]), "unchecked block contains checked name"
-    rounds = [checked[n] for n in tail[first_checked:]]
+    rounds = [checked[n] for n in rest[first_checked:]]
     assert rounds == sorted(rounds), "checked block not stalest-first"
     # oracles keep query ordering
     onames = [n for n in m.oracle_sql()]

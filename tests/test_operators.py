@@ -495,7 +495,11 @@ def test_decode_image_unknown_format_raises():
     from django_indexer_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")  # no Pillow here
+        decode_image(b"GIF89a not a png or jpeg")  # no Pillow here
+    # malformed JPEG-signature bytes hit the built-in decoder and fail
+    # with a parse error rather than pretending to be undecodable-format
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
 
 
 def test_extract_features_decodes_real_png_payloads(spark):
@@ -1764,11 +1768,79 @@ def test_jpeg_dimensions_header_parse():
         mm.jpeg_dimensions(b"\xff\xd8\xff\xd9")  # EOI before SOF
 
 
-def test_decode_image_jpeg_without_pillow_honest_error():
+def test_decode_image_jpeg_without_pillow_decodes_baseline():
+    """Round-8: baseline JPEG pixel-decodes WITHOUT Pillow via the
+    built-in T.81 decoder; malformed streams and progressive frames
+    still fail honestly (ValueError / NotImplementedError)."""
     from django_indexer_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    # _mini_jpeg has a spec-valid header but NO scan data — honest error
+    with pytest.raises(ValueError, match="SOS"):
         decode_image(_mini_jpeg(8, 8))
+    # progressive (SOF2) is beyond the baseline decoder — honest error
+    progressive = _mini_jpeg(8, 8).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="[Pp]rogressive"):
+        decode_image(progressive)
+
+
+def _gradient_rgb(w: int, h: int):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 5) % 256, (y * 7) % 256, ((x + y) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_gray_and_solid():
+    """encode_jpeg → _decode_jpeg: real pixels both ways, stdlib+numpy
+    only. Solid color must survive almost exactly; a wrapping gradient
+    (hard edges) within normal JPEG quantization loss."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    w, h = 37, 21  # non-multiple-of-8 on both axes
+    g = np.fromfunction(lambda y, x: (x * 5 + y * 3) % 256, (h, w)).astype(np.uint8)
+    img = mm.decode_image(mm.encode_jpeg(w, h, g.tobytes(), "L"))
+    assert (img.width, img.height, img.mode) == (w, h, "L")
+    got = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w)
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 8
+
+    solid = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+    img = mm.decode_image(mm.encode_jpeg(16, 16, solid.tobytes(), "RGB"))
+    assert img.mode == "RGB"
+    got = np.frombuffer(img.pixels, dtype=np.uint8).reshape(16, 16, 3)
+    assert np.abs(got.astype(int) - solid.astype(int)).max() <= 3
+
+
+def test_jpeg_roundtrip_subsampling_and_restarts():
+    """4:4:4 and 4:2:0 chroma sampling (exercises the decoder's
+    upsample path), with and without DRI/RSTn restart markers; restart
+    placement must not change a single decoded pixel (same quantized
+    coefficients either way)."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    w, h = 45, 33  # odd dims: chroma padding + crop both exercised
+    rgb = _gradient_rgb(w, h)
+    for ss in ("4:4:4", "4:2:0"):
+        for ri in (0, 3):
+            data = mm.encode_jpeg(
+                w, h, rgb.tobytes(), "RGB", subsampling=ss, restart_interval=ri
+            )
+            assert mm.jpeg_dimensions(data) == (w, h, 3)
+            img = mm.decode_image(data)
+            got = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, 3)
+            err = np.abs(got.astype(int) - rgb.astype(int))
+            assert err.max() <= 16, (ss, ri, err.max())
+            assert err.mean() <= 4.0, (ss, ri, err.mean())
+    base = mm.decode_image(mm.encode_jpeg(w, h, rgb.tobytes(), "RGB")).pixels
+    rst = mm.decode_image(
+        mm.encode_jpeg(w, h, rgb.tobytes(), "RGB", restart_interval=2)
+    ).pixels
+    assert base == rst
 
 
 def test_decode_image_jpeg_with_pillow(monkeypatch):
@@ -3257,6 +3329,24 @@ def test_hits_scores_replicates_reference_loop(spark):
     assert got == want
     # authority mass concentrates on the doubly-cited part
     assert got[("authority", 10)] > got[("authority", 20)]
+
+
+def test_hits_scores_guards_and_hub_seed_asymmetry(spark):
+    from django_indexer_spark.operators.graph import hits_scores
+
+    # chain 1 -> 2 -> 3: node 3 has only in-edges, node 1 only out-edges
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        (r["kind"], r["node_id"])
+        for r in hits_scores(df, "src", "dst", iterations=1).collect()
+    }
+    # in-edge-only node 3 never earns a hub score; out-edge-only node 1
+    # never earns an authority score (documented asymmetry)
+    assert ("hub", 3) not in got and ("authority", 1) not in got
+    assert ("hub", 1) in got and ("authority", 3) in got
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits_scores(df, "src", "dst", iterations=0)
 
 
 def test_holt_weights_and_forecast(spark):

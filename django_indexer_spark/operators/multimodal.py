@@ -347,6 +347,8 @@ def _dct_matrix():
 
 def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
     """(length, code) -> symbol, canonical JPEG code assignment."""
+    if len(bits) < 16 or sum(bits) > len(values):
+        raise ValueError("truncated JPEG huffman table")
     table, code, idx = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -535,7 +537,7 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
     for c in comps:
         c["bw"] = mcus_x * c["h"]  # blocks per row incl. padding
         c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
         c["pred"] = 0
 
     reader = _BitReader(data, scan_pos)
@@ -554,6 +556,8 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
                         for bx in range(c["h"]):
                             blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
                             size = reader.read_symbol(dc_tab)
+                            if size > 11:  # T.81 F.1.2.1: baseline DC SSSS <= 11
+                                raise ValueError("invalid JPEG DC size")
                             diff = _extend(reader.read_bits(size), size) if size else 0
                             c["pred"] += diff
                             blk[0] = c["pred"]
@@ -566,6 +570,8 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
                                         k += 16
                                         continue
                                     break  # EOB
+                                if size > 10:  # T.81 F.1.2.2: baseline AC SSSS <= 10
+                                    raise ValueError("invalid JPEG AC size")
                                 k += run
                                 if k > 63:
                                     raise ValueError("JPEG AC run past block end")
@@ -916,6 +922,9 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("payload", T.BinaryType()),
+        # True when a real decode→resample→re-encode ran; False = the
+        # deterministic stand-in for undecodable payloads
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
@@ -928,25 +937,55 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def resize_nearest(img: DecodedImage, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a decoded pixel buffer (numpy index
+    maps, no per-pixel Python)."""
+    import numpy as np
+
+    ch = len(img.mode)
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, ch
+    )
+    ys = np.minimum(np.arange(height) * img.height // height, img.height - 1)
+    xs = np.minimum(np.arange(width) * img.width // width, img.width - 1)
+    return arr[ys][:, xs].tobytes()
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """mapInPandas 1→1 resize — the transcode shape. A real deployment
-    decodes, resizes, re-encodes per payload inside the batch loop; the
-    stub emits a deterministic payload (md5 of input + target dims) so
-    schema/batching are exercised without codecs."""
+    """mapInPandas 1→1 transcode: decode (Pillow / built-in PNG / built-in
+    baseline JPEG) → nearest-neighbor resample → re-encode as PNG
+    (lossless + deterministic, so the output is byte-stable across runs
+    regardless of the input format). Payloads no codec can decode keep
+    the deterministic stand-in (md5 of input + target dims) with
+    ``decoded = false`` — the operator stays total over mixed media.
+
+    Scale shape: per-payload work inside Arrow batches, 1→1 rows, blobs
+    never shuffle; output columns are narrow except the new payload."""
     import hashlib
+
+    def one(b) -> tuple[bytes | None, bool | None]:
+        if b is None:
+            return None, None
+        try:
+            img = decode_image(bytes(b))
+        except (NotImplementedError, ValueError):
+            return (
+                hashlib.md5(b).digest() + bytes([width % 256, height % 256]),
+                False,
+            )
+        pixels = resize_nearest(img, width, height)
+        return encode_png(width, height, pixels, img.mode), True
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            done = [one(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"].map(
-                        lambda b: None
-                        if b is None
-                        else hashlib.md5(b).digest() + bytes([width % 256, height % 256])
-                    ),
+                    "payload": [d[0] for d in done],
+                    "decoded": pd.array([d[1] for d in done], dtype="boolean"),
                 }
             )
 

@@ -408,6 +408,8 @@ def test_multimodal_resize_and_frame_sample(spark):
 
     resized = {r["media_id"]: r for r in multimodal.resize_images(media, 64, 48).collect()}
     assert resized[1]["width"] == 64 and resized[1]["height"] == 48
+    # text bytes are undecodable → deterministic stand-in path
+    assert resized[1]["decoded"] is False
     assert len(resized[1]["payload"]) == 18  # md5 digest + 2 dim bytes
     assert resized[1]["payload"] != resized[2]["payload"]
 
@@ -1841,6 +1843,70 @@ def test_jpeg_roundtrip_subsampling_and_restarts():
         mm.encode_jpeg(w, h, rgb.tobytes(), "RGB", restart_interval=2)
     ).pixels
     assert base == rst
+
+
+def test_jpeg_decoder_never_hangs_on_corrupt_streams():
+    """Fuzz the decoder with deterministic corruptions of a valid JPEG:
+    every mutated stream must either decode or raise a clean
+    ValueError/NotImplementedError — never hang or crash the worker."""
+    import random
+
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    rgb = _gradient_rgb(24, 16)
+    good = bytearray(mm.encode_jpeg(24, 16, rgb.tobytes(), "RGB"))
+    rng = random.Random(8)
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(200):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            bad[rng.randrange(2, len(bad))] = rng.randrange(256)
+        try:
+            img = mm._decode_jpeg(bytes(bad))
+            assert len(img.pixels) == img.width * img.height * len(img.mode)
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, KeyError):
+            outcomes["err"] += 1
+    assert sum(outcomes.values()) == 200
+    # truncations (the other corruption class) must also fail cleanly
+    for cut in (4, 20, len(good) // 2, len(good) - 3):
+        try:
+            mm._decode_jpeg(bytes(good[:cut]))
+        except (ValueError, NotImplementedError, KeyError):
+            pass
+
+
+def test_resize_images_real_transcode(spark):
+    """resize_images is a REAL decode→resample→re-encode for decodable
+    payloads: a JPEG gradient in, a PNG out at the target dims whose
+    pixels still follow the gradient (decoded=true); text bytes keep
+    the deterministic stand-in (decoded=false, covered above)."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    rgb = _gradient_rgb(48, 32)
+    jpeg = mm.encode_jpeg(48, 32, rgb.tobytes(), "RGB")
+    png = mm.encode_png(48, 32, rgb.tobytes(), "RGB")
+    media = spark.createDataFrame(
+        [(1, bytearray(jpeg)), (2, bytearray(png)), (3, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.resize_images(media, 24, 16).collect()}
+    assert out[1]["decoded"] is True and out[2]["decoded"] is True
+    assert out[3]["decoded"] is False
+    for mid in (1, 2):
+        img = mm.decode_image(bytes(out[mid]["payload"]))
+        assert (img.width, img.height, img.mode) == (24, 16, "RGB")
+        got = np.frombuffer(img.pixels, dtype=np.uint8).reshape(16, 24, 3)
+        # nearest-neighbor of the source gradient at the sampled coords
+        ys = np.minimum(np.arange(16) * 32 // 16, 31)
+        xs = np.minimum(np.arange(24) * 48 // 24, 47)
+        want = rgb[ys][:, xs]
+        tol = 16 if mid == 1 else 0  # JPEG path is lossy, PNG exact
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= tol
 
 
 def test_decode_image_jpeg_with_pillow(monkeypatch):

@@ -704,7 +704,7 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG encoder (Annex K quant + huffman tables),
-    modes L and RGB, 4:4:4 or 4:2:0, optional DRI/RSTn restart markers
+    modes L and RGB, 4:4:4 / 4:2:2 / 4:2:0, optional DRI/RSTn restart markers
     every ``restart_interval`` MCUs — the fixture generator that makes
     the decoder round-trip testable (incl. its restart and chroma-
     upsample paths) without any image library. Lossy by nature: tests
@@ -716,11 +716,13 @@ def encode_jpeg(
         raise ValueError("encode_jpeg supports modes L and RGB")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be 4:4:4, 4:2:2 or 4:2:0")
     if channels == 1:
         subsampling = "4:4:4"
-    sub = 2 if subsampling == "4:2:0" else 1
+    # Y sampling factors per mode; chroma is always 1x1
+    sub_h = 2 if subsampling in ("4:2:2", "4:2:0") else 1
+    sub_v = 2 if subsampling == "4:2:0" else 1
 
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     if channels == 3:
@@ -735,14 +737,18 @@ def encode_jpeg(
     else:
         planes = [img[:, :, 0].astype(np.float64)]
 
-    def downsample(p):
+    def downsample(p, fy, fx):
         h, w = p.shape
-        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
         padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        return padded.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        return padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
-    if channels == 3 and sub == 2:
-        planes = [planes[0], downsample(planes[1]), downsample(planes[2])]
+    if channels == 3 and (sub_h > 1 or sub_v > 1):
+        planes = [
+            planes[0],
+            downsample(planes[1], sub_v, sub_h),
+            downsample(planes[2], sub_v, sub_h),
+        ]
 
     a = _dct_matrix()
     zz = np.array(_ZIGZAG)
@@ -757,8 +763,8 @@ def encode_jpeg(
 
     # per-plane quantized zigzag coefficients
     comp_specs = []  # (quantized_zz[bh,bw,64], h, v, tq, td/ta id)
-    hsamp = [sub, 1, 1][: channels] if channels == 3 else [1]
-    vsamp = list(hsamp)
+    hsamp = [sub_h, 1, 1] if channels == 3 else [1]
+    vsamp = [sub_v, 1, 1] if channels == 3 else [1]
     hmax, vmax = max(hsamp), max(vsamp)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))

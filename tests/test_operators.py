@@ -1827,7 +1827,7 @@ def test_jpeg_roundtrip_subsampling_and_restarts():
 
     w, h = 45, 33  # odd dims: chroma padding + crop both exercised
     rgb = _gradient_rgb(w, h)
-    for ss in ("4:4:4", "4:2:0"):
+    for ss in ("4:4:4", "4:2:2", "4:2:0"):
         for ri in (0, 3):
             data = mm.encode_jpeg(
                 w, h, rgb.tobytes(), "RGB", subsampling=ss, restart_interval=ri

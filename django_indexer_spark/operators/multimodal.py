@@ -589,7 +589,6 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
     for c in comps:
         q = np.array(qts[c["tq"]], dtype=np.float64)
         coef = c["coef"].astype(np.float64) * q  # dequant in zigzag order
-        blocks = np.zeros((c["bh"], c["bw"], 8, 8))
         zz = np.array(_ZIGZAG)
         flat = np.zeros((c["bh"], c["bw"], 64))
         flat[:, :, zz] = coef  # dezigzag

@@ -288,3 +288,46 @@ def test_sequence_gaps_matches_single_window_reference(spark, keys, n_parts):
         (a, b, b - a) for a, b in zip(ks, ks[1:]) if b - a > 1
     )
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsampling=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+)
+def test_jpeg_roundtrip_property_smooth_images(w, h, seed, subsampling):
+    """Pure-Python codec property (no Spark): for SMOOTH images (random
+    low-frequency sinusoid mixes — JPEG's design regime, where
+    quantization loss is bounded), encode→decode round-trips every
+    size/subsampling within a small error bound, and the output buffer
+    is always exactly w*h*channels bytes."""
+    import math
+
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = []
+    for _ in range(3):
+        fy, fx = rng.uniform(0, 0.2, size=2)  # low spatial frequency
+        phase, amp, base = rng.uniform(0, 2 * math.pi), rng.uniform(10, 80), rng.uniform(60, 180)
+        planes.append(base + amp * np.sin(fy * yy + fx * xx + phase))
+    rgb = np.clip(np.stack(planes, axis=-1), 0, 255).astype(np.uint8)
+
+    data = mm.encode_jpeg(w, h, rgb.tobytes(), "RGB", subsampling=subsampling)
+    assert mm.jpeg_dimensions(data) == (w, h, 3)
+    img = mm._decode_jpeg(data)
+    assert (img.width, img.height, img.mode) == (w, h, "RGB")
+    assert len(img.pixels) == w * h * 3
+    got = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, 3)
+    err = np.abs(got.astype(int) - rgb.astype(int))
+    # bounds from a 900-image scan (worst measured: max 63 / mean 9.5,
+    # tiny 4:2:0 images at amplitude 80, where chroma averaging + 8x8
+    # edge padding dominate); a broken huffman/IDCT/upsample path
+    # produces mean errors an order of magnitude larger
+    assert err.max() <= 80, (w, h, subsampling, err.max())
+    assert err.mean() <= 12.0, (w, h, subsampling, err.mean())

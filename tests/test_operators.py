@@ -1845,6 +1845,37 @@ def test_jpeg_roundtrip_subsampling_and_restarts():
     assert base == rst
 
 
+def test_jpeg_decoder_against_hand_assembled_spec_stream():
+    """Decoder vs the SPEC, not vs our own encoder (a shared encoder/
+    decoder misconception would pass round-trips): an 8x8 grayscale
+    DC-only JPEG hand-assembled bit by bit with the PUBLISHED Annex K
+    code words — DC size-3 is '100', magnitude 5 is '101', AC EOB is
+    '1010'; padded '1001011010' + six 1-bits = 0x96 0xBF. Quantized
+    DC 5 dequantizes to 5*16=80; an orthonormal DC-only IDCT gives
+    80/8 = 10 everywhere; +128 level shift = EVERY pixel exactly 138."""
+    import struct as _struct
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    def seg(marker, payload):
+        return marker + _struct.pack(">H", len(payload) + 2) + payload
+
+    stream = b"\xff\xd8"
+    stream += seg(b"\xff\xdb", bytes([0]) + bytes(mm._QT_LUMA))
+    stream += seg(b"\xff\xc0", _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    db, dv = mm._HT_DC_LUMA
+    ab, av = mm._HT_AC_LUMA
+    stream += seg(b"\xff\xc4", bytes([0x00]) + bytes(db) + bytes(dv))
+    stream += seg(b"\xff\xc4", bytes([0x10]) + bytes(ab) + bytes(av))
+    stream += seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    stream += bytes([0b10010110, 0b10111111])  # '100'+'101'+'1010'+pad 1s
+    stream += b"\xff\xd9"
+
+    img = mm._decode_jpeg(stream)
+    assert (img.width, img.height, img.mode) == (8, 8, "L")
+    assert img.pixels == bytes([138]) * 64
+
+
 def test_jpeg_decoder_never_hangs_on_corrupt_streams():
     """Fuzz the decoder with deterministic corruptions of a valid JPEG:
     every mutated stream must either decode or raise a clean

@@ -117,6 +117,14 @@ def sessionize(
     twin of streaming/sessions.py's stateful sessionizer, and the classic
     "sessions from a 100 TB clickstream" shape.
 
+    Boundary semantics: this operator is GAP-INCLUSIVE — an interval of
+    EXACTLY ``gap`` stays in-session (break at ``> gap``). The streaming
+    twin (streaming/sessions.py) is gap-EXCLUSIVE (break at ``>= gap``),
+    matching Spark's native session_window convention. Both gates'
+    oracles mirror their own operator; callers comparing the two paths
+    on data containing exact-gap intervals must account for the tie
+    (round-8 ADVICE pinned ts_top_paths' oracle to this rule).
+
     Scale: both windows partition by the user — per-user data is bounded,
     keys are many and uniform, so this is one shuffle on user_col and a
     per-partition sort; no global sort anywhere. The two windows share

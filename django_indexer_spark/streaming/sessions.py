@@ -9,7 +9,10 @@ e.g. attributing a burst of donation events to one funding session.
 
 Semantics:
   - events for a user belong to one session while consecutive gaps are
-    < ``gap``; a larger gap closes the session and starts a new one;
+    < ``gap``; a gap of EXACTLY ``gap`` or larger closes the session and
+    starts a new one (gap-EXCLUSIVE, Spark's native session_window
+    convention; NOTE the batch twin operators/windows.sessionize is
+    gap-INCLUSIVE — an exactly-``gap`` interval stays in-session there);
   - a session also closes when the event-time watermark passes
     session_end + gap (user went quiet) — GroupStateTimeout's
     EventTimeTimeout, so state is bounded by the number of ACTIVE users,

@@ -230,3 +230,59 @@ def test_checked_names_excludes_red_rows(tmp_path):
     assert "o5_seeded_sample" not in seen  # has an oracle now
 
 
+
+
+def test_ts_top_paths_exact_one_hour_gap_cross_engine(spark, tmp_path):
+    """Round-8 ADVICE regression: the ts_top_paths oracle previously broke
+    sessions at gap >= 1h while the Spark side (windows.sessionize) cuts
+    strictly at > 1h; the fixture has no exact one-hour gap, so the gate
+    passed silently. Pin the boundary with a synthetic events table that
+    HAS one: both engines must keep the exactly-1h interval in-session
+    and produce identical trigram paths."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from django_indexer_spark.plans.fixture_queries import QUERIES, _TABLE_CACHE
+    from django_indexer_spark.plans.oracles import ORACLES
+
+    base = 1_700_000_000_000_000  # µs
+    mins = lambda m: base + m * 60_000_000
+    rows = [
+        # user 1: a --60min(EXACT)-- b --10-- c --10-- d  → one session
+        (1, mins(0), 1, "a"), (2, mins(60), 1, "b"),
+        (3, mins(70), 1, "c"), (4, mins(80), 1, "d"),
+        # user 2: e --61min-- f --10-- g --10-- h → split, one full trigram
+        (5, mins(0), 2, "e"), (6, mins(61), 2, "f"),
+        (7, mins(71), 2, "g"), (8, mins(81), 2, "h"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["path"], r["n"])
+        for r in QUERIES["ts_top_paths"](spark, str(tmp_path)).collect()
+    }
+    _TABLE_CACHE.clear()  # drop the tmp_path-keyed entries for other tests
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = {(r[0], r[1]) for r in con.execute(ORACLES["ts_top_paths"]).fetchall()}
+
+    assert got == want
+    # the exactly-1h gap stays IN-session: a>b>c and b>c>d both exist
+    assert ("a>b>c", 1) in got and ("b>c>d", 1) in got
+    # the 61-minute gap splits: no e-prefixed trigram, f>g>h survives
+    assert ("f>g>h", 1) in got
+    assert not any(p.startswith("e>") for p, _ in got)

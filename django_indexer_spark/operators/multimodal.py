@@ -885,18 +885,24 @@ def extract_features(media: DataFrame) -> DataFrame:
     def dims(b: bytes | None) -> tuple[int | None, int | None, bool | None]:
         if b is None:
             return None, None, None
+        bb = bytes(b)
+        if bb[:3] == _JPEG_SIG:
+            # metadata path: dims come from the SOF header walk — NEVER
+            # the full pixel decode (the built-in baseline decoder is
+            # pure-Python entropy decoding; spending it per payload to
+            # read two header ints would be a 100 TB hot-path regression;
+            # decoded stays False — no pixel decode ran). Callers that
+            # want JPEG pixels use decode_image/resize_images.
+            try:
+                w, h, _ch = jpeg_dimensions(bb)
+                return w, h, False
+            except ValueError:
+                w, h = fake_decode_meta(b)
+                return w, h, False
         try:
-            img = decode_image(bytes(b))
+            img = decode_image(bb)
             return img.width, img.height, True
         except (NotImplementedError, ValueError):
-            pass
-        try:
-            # JPEG the built-in decoder can't pixel-decode (progressive
-            # without Pillow, truncated scan): REAL dimensions from the
-            # SOF header (decoded stays False — no pixel decode happened)
-            w, h, _ch = jpeg_dimensions(bytes(b))
-            return w, h, False
-        except ValueError:
             w, h = fake_decode_meta(b)
             return w, h, False
 

@@ -1985,6 +1985,26 @@ def test_extract_features_jpeg_header_dims(spark):
     assert (feats[2]["width"], feats[2]["height"], feats[2]["decoded"]) == (w, h, False)
 
 
+def test_extract_features_never_pixel_decodes_jpeg(spark):
+    """The metadata path must use the SOF header walk even for JPEGs the
+    built-in decoder COULD fully decode — per-payload pure-Python entropy
+    decoding just to read two header ints is the 100 TB hot-path
+    regression class. decoded stays False (no pixel decode ran); pixel
+    consumers use decode_image/resize_images explicitly."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    rgb = np.full((16, 24, 3), 120, dtype=np.uint8)
+    jpeg = mm.encode_jpeg(24, 16, rgb.tobytes(), "RGB")
+    assert mm.decode_image(jpeg).width == 24  # decodable, pixels available
+    media = spark.createDataFrame(
+        [(1, bytearray(jpeg))], "media_id long, payload binary"
+    )
+    feats = mm.extract_features(media).collect()[0]
+    assert (feats["width"], feats["height"], feats["decoded"]) == (24, 16, False)
+
+
 # --- cdc_apply (sources/merge.py) ----------------------------------------
 
 

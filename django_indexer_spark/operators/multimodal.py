@@ -468,6 +468,8 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
         if marker == 0xD9:
             break
         seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("truncated JPEG segment")
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             i = 0
@@ -506,7 +508,10 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
                 )
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):  # T.81 B.2.2
+                    raise ValueError("invalid JPEG sampling factors")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
         elif marker == 0xC2:
             raise NotImplementedError(
                 "progressive JPEG (SOF2) is not supported without Pillow"
@@ -532,6 +537,22 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    # Malformed streams must surface as ValueError (never KeyError from a
+    # table lookup mid-scan): a corrupt payload in a mixed-media batch has
+    # to hit callers' stand-in fallback, not crash the Spark task.
+    for c in comps:
+        if "td" not in c or "ta" not in c:
+            raise ValueError("SOS scan omits a SOF component")
+        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError("SOS references an undefined huffman table")
+        if c["tq"] not in qts:
+            raise ValueError("SOF references an undefined quantization table")
+        if vmax % c["v"] or hmax % c["h"]:
+            # T.81 permits e.g. hmax=3 vs h=2; integer-ratio repeat would
+            # silently skip the upsample — refuse honestly instead.
+            raise NotImplementedError(
+                "non-integer JPEG chroma sampling ratios are not supported"
+            )
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     for c in comps:
@@ -850,6 +871,12 @@ def decode_image(payload: bytes) -> DecodedImage:
 
         img = Image.open(BytesIO(payload))
         img.load()
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            # resize_nearest/encode_png assume len(mode) == bytes-per-pixel
+            # over gray/RGB(+alpha); normalize palette ('P'), CMYK, '1',
+            # 'I;16' etc. so the preferred Pillow path can't crash
+            # downstream on mainstream payloads.
+            img = img.convert("L" if img.mode in ("1", "I;16", "I", "F") else "RGB")
         return DecodedImage(img.width, img.height, img.mode, img.tobytes())
     except ImportError:
         pass
@@ -902,7 +929,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         try:
             img = decode_image(bb)
             return img.width, img.height, True
-        except (NotImplementedError, ValueError):
+        except (NotImplementedError, ValueError, KeyError, IndexError):
             w, h = fake_decode_meta(b)
             return w, h, False
 
@@ -979,7 +1006,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             return None, None
         try:
             img = decode_image(bytes(b))
-        except (NotImplementedError, ValueError):
+        # KeyError/IndexError belt-and-braces: _decode_jpeg translates
+        # malformed-stream lookups into ValueError, but one corrupt blob
+        # must never crash a mixed-media task — totality over the batch
+        # outranks surfacing a decoder bug here.
+        except (NotImplementedError, ValueError, KeyError, IndexError):
             return (
                 hashlib.md5(b).digest() + bytes([width % 256, height % 256]),
                 False,

@@ -1969,6 +1969,158 @@ def test_decode_image_jpeg_with_pillow(monkeypatch):
     assert img.pixels == bytes(8 * 6 * 3)
 
 
+def _jpeg_stream(segments):
+    """Hand-assemble a JPEG marker stream from (marker, payload) pairs."""
+    import struct as _struct
+
+    out = b"\xff\xd8"
+    for marker, payload in segments:
+        out += marker + _struct.pack(">H", len(payload) + 2) + payload
+    return out
+
+
+def _jpeg_missing_dht(width=8, height=8):
+    """A structurally valid baseline JPEG whose SOS references huffman
+    table 0 — but no DHT segment ever defined it (the ADVICE repro that
+    used to escape as KeyError (0, 0) mid-scan)."""
+    import struct as _struct
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    return (
+        _jpeg_stream(
+            [
+                (b"\xff\xdb", bytes([0]) + bytes(mm._QT_LUMA)),
+                (
+                    b"\xff\xc0",
+                    _struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+                ),
+                (b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0])),
+            ]
+        )
+        + b"\x96\xbf\xff\xd9"
+    )
+
+
+def test_jpeg_malformed_streams_raise_valueerror_not_keyerror():
+    """Malformed-but-plausible streams must surface as clean ValueError /
+    NotImplementedError — never a KeyError table lookup or a
+    ZeroDivisionError, which would crash a mixed-media Spark task instead
+    of hitting the callers' stand-in fallback."""
+    import struct as _struct
+
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    # SOS references huffman table 0; no DHT defines it
+    with pytest.raises(ValueError, match="undefined huffman"):
+        mm._decode_jpeg(_jpeg_missing_dht())
+
+    # segment length runs past the end of the buffer
+    trunc = b"\xff\xd8\xff\xdb" + _struct.pack(">H", 200) + b"\x00" * 10
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        mm._decode_jpeg(trunc)
+
+    # sampling factor 0 (would divide by zero in the chroma upsample)
+    bad_sof = _jpeg_stream(
+        [
+            (b"\xff\xdb", bytes([0]) + bytes(mm._QT_LUMA)),
+            (b"\xff\xc0", _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x10, 0])),
+        ]
+    )
+    with pytest.raises(ValueError, match="sampling factors"):
+        mm._decode_jpeg(bad_sof)
+
+    # SOF references quant table 3; only table 0 is defined
+    db, dv = mm._HT_DC_LUMA
+    ab, av = mm._HT_AC_LUMA
+    bad_dqt = _jpeg_stream(
+        [
+            (b"\xff\xdb", bytes([0]) + bytes(mm._QT_LUMA)),
+            (b"\xff\xc0", _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 3])),
+            (b"\xff\xc4", bytes([0x00]) + bytes(db) + bytes(dv)),
+            (b"\xff\xc4", bytes([0x10]) + bytes(ab) + bytes(av)),
+            (b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0])),
+        ]
+    ) + b"\x96\xbf\xff\xd9"
+    with pytest.raises(ValueError, match="quantization"):
+        mm._decode_jpeg(bad_dqt)
+
+    # hmax=3 vs h=2: T.81-legal non-integer chroma ratio we don't support
+    comps = bytes([1, 0x31, 0]) + bytes([2, 0x21, 0]) + bytes([3, 0x11, 0])
+    noninteger = _jpeg_stream(
+        [
+            (b"\xff\xdb", bytes([0]) + bytes(mm._QT_LUMA)),
+            (b"\xff\xc0", _struct.pack(">BHHB", 8, 8, 8, 3) + comps),
+            (b"\xff\xc4", bytes([0x00]) + bytes(db) + bytes(dv)),
+            (b"\xff\xc4", bytes([0x10]) + bytes(ab) + bytes(av)),
+            (b"\xff\xda", bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])),
+        ]
+    ) + b"\x96\xbf\xff\xd9"
+    with pytest.raises(NotImplementedError, match="non-integer"):
+        mm._decode_jpeg(noninteger)
+
+
+def test_resize_images_total_over_corrupt_jpeg_batch(spark):
+    """One corrupt JPEG-signature payload in a mixed batch must take the
+    md5 stand-in (decoded=false), not crash the task — the ADVICE repro
+    (SOS with an undefined huffman table escaped as KeyError)."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    rgb = _gradient_rgb(24, 16)
+    good = mm.encode_jpeg(24, 16, rgb.tobytes(), "RGB")
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(_jpeg_missing_dht()))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.resize_images(media, 8, 8).collect()}
+    assert out[1]["decoded"] is True
+    assert out[2]["decoded"] is False and out[2]["payload"] is not None
+
+
+def test_decode_image_pillow_normalizes_exotic_modes(monkeypatch):
+    """With Pillow present, palette ('P') and similar modes must be
+    convert()ed before DecodedImage is built — resize_nearest/encode_png
+    assume len(mode) == bytes-per-pixel over gray/RGB(+alpha)."""
+    import sys
+    import types
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    class _RGBImg:
+        width, height, mode = 4, 2, "RGB"
+
+        def load(self):
+            pass
+
+        def tobytes(self):
+            return bytes(4 * 2 * 3)
+
+    class _PalImg:
+        width, height, mode = 4, 2, "P"
+
+        def load(self):
+            pass
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return _RGBImg()
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: _PalImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    img = mm.decode_image(_mini_jpeg(4, 2))
+    assert img.mode == "RGB"
+    assert len(img.pixels) == 4 * 2 * 3
+    # and the normalized buffer survives the resize+encode path
+    png = mm.encode_png(8, 4, mm.resize_nearest(img, 8, 4), img.mode)
+    assert png[:8] == mm._PNG_SIG
+
+
 def test_extract_features_jpeg_header_dims(spark):
     """JPEG payloads in a codec-less container: extract_features reports
     the REAL header dimensions with decoded=False (fake fallback only

@@ -166,15 +166,22 @@ def _scoped_shuffle_width(spark: SparkSession, width: int = 8):
 
 
 @contextmanager
-def _pinned_no_data_batches(spark: SparkSession):
+def _pinned_no_data_batches(spark: SparkSession, enabled: bool = True):
     """The one-sentinel streaming gates rely on the FINAL no-data
     micro-batch to run with the sentinel-advanced watermark (that batch
     is what fires EventTimeTimeout / flushes closed windows). It is on
     by default, but the gates' correctness must not hinge on a default:
-    pin it for the stream's lifetime, scoped and restored."""
+    pin it for the stream's lifetime, scoped and restored.
+
+    ``enabled=False`` is the inverse pin, for gates whose OUTPUT the
+    no-data batch cannot change (inner stream-stream joins emit on data
+    arrival; the empty batch only evicts state that availableNow is
+    about to discard anyway) — there it is pure per-run overhead
+    (measured ~1.0 s on s_stream_interval_join at sf0.1), pinned OFF so
+    a config-default flip can't silently re-add it."""
     key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get(key)
-    spark.conf.set(key, "true")
+    spark.conf.set(key, "true" if enabled else "false")
     try:
         yield
     finally:
@@ -2930,6 +2937,93 @@ def multimodal_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_media_payload(mid: int) -> bytes:
+    """Deterministic per-id media payload for the codec gate: ids 0-5 are
+    real baseline JPEGs from ``encode_jpeg`` (gray, RGB, 4:4:4 / 4:2:2 /
+    4:2:0, non-MCU-multiple dims, DRI/RSTn restarts — one per decoder
+    path); id 6 is a non-image blob and id 7 a JPEG-signature stream
+    whose SOS references an undefined huffman table (both must take the
+    md5 stand-in, the second via the malformed→ValueError translation)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from ..operators import multimodal as mm
+
+    if mid == 6:
+        return b"not-an-image-payload-6"
+    if mid == 7:
+        return (
+            b"\xff\xd8"
+            + b"\xff\xdb"
+            + _struct.pack(">H", 67)
+            + bytes([0])
+            + bytes(mm._QT_LUMA)
+            + b"\xff\xc0"
+            + _struct.pack(">H", 11)
+            + _struct.pack(">BHHB", 8, 8, 8, 1)
+            + bytes([1, 0x11, 0])
+            + b"\xff\xda"
+            + _struct.pack(">H", 8)
+            + bytes([1, 1, 0x00, 0, 63, 0])
+            + b"\x96\xbf\xff\xd9"
+        )
+    w, h = (17, 11) if mid == 4 else (24, 16)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    base = x * (3 + mid) + y * (5 + 2 * mid)
+    if mid == 0:
+        pix = (base % 256).astype(np.uint8)
+        return mm.encode_jpeg(w, h, pix.tobytes(), "L")
+    pix = np.stack(
+        [base % 256, (base * 2 + 31) % 256, (base * 3 + 67) % 256], axis=-1
+    ).astype(np.uint8)
+    sub = {1: "4:4:4", 2: "4:2:2", 3: "4:2:0", 4: "4:2:0", 5: "4:4:4"}[mid]
+    return mm.encode_jpeg(
+        w, h, pix.tobytes(), "RGB", sub, restart_interval=2 if mid == 5 else 0
+    )
+
+
+@query("multimodal_resize_fingerprint")
+def multimodal_resize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JPEG codec under the driver's hard signal (round-8 verdict
+    next-#2): eight deterministic payloads are synthesized IN-PLAN
+    (``_synth_media_payload`` — every decoder path: gray/RGB, all three
+    subsampling modes, padded-grid crop, restart markers, plus two
+    undecodables), pushed through the REAL decode→resample→PNG-transcode
+    (``resize_images``), and fingerprinted. The codec is deterministic
+    pure numpy/stdlib, so the oracle is the precomputed literal rows.
+
+    Scale shape: payloads are generated and consumed inside the same
+    task's Arrow batches — blobs never shuffle; the output carries only
+    the 32-hex md5, dims, and flags (sf-invariant by design: the gate
+    grades the codec, not the fixtures)."""
+    import pandas as _pd
+
+    gen = spark.range(0, 8, 1, 4).select(F.col("id").alias("media_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": [
+                        _synth_media_payload(int(m)) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = gen.mapInPandas(synth, "media_id long, payload binary")
+    resized = multimodal.resize_images(media, 16, 12)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.md5("payload").alias("payload_md5"),
+        "decoded",
+    )
+
+
 @query("s_stream_exact_dedup")
 def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming inside the correctness gate: the
@@ -2965,11 +3059,19 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     _os.makedirs(in_dir)
+    # single-pass staging (round 9): one scan, one part file per half
+    stage = f"{work}/stage"
+    (
+        docs.withColumn("half", (F.col("doc_id") % 2).cast("int"))
+        .repartition("half")
+        .write.partitionBy("half")
+        .parquet(stage)
+    )
     for i in range(2):
-        stage = f"{work}/stage{i}"
-        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
-        shutil.copy(part, f"{in_dir}/{i}.parquet")
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     measures = {
         "n_copies": ("count", None),
@@ -3046,14 +3148,17 @@ def s_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Append mode only emits a window once the watermark passes its end,
     and the watermark available to batch k derives from batch k-1's max
-    event time — so ONE far-future SENTINEL batch (filtered from the
-    result) advances the stored max event time past every real window,
-    and the final no-data micro-batch (pinned on via
+    event time — so ONE far-future SENTINEL row, riding in the FINAL
+    DATA BATCH (round-9 trim: the sentinel must be in some batch before
+    the flush, not in its own; round-8 had already dropped the second
+    sentinel batch), advances the stored max event time past every real
+    window, and the final no-data micro-batch (pinned on via
     _pinned_no_data_batches, never left to the config default) runs
-    with the advanced watermark and flushes the real windows (round-8
-    trim of the second sentinel batch; output verified row-identical
-    at sf0.01/sf0.001). File order is forced via mtimes (the file
-    source processes oldest-first). Per-call tempdir staging, same
+    with the advanced watermark and flushes the real windows — append
+    mode emits each finalized window exactly once, so the output SET is
+    invariant to which batch flushes it (verified row-identical at
+    sf0.01/sf0.001 vs the pre-trim shape). File order is forced via
+    mtimes (the file source processes oldest-first). Per-call tempdir staging, same
     lifetime rule as s_stream_exact_dedup."""
     import glob as _glob
     import os as _os
@@ -3077,7 +3182,6 @@ def s_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
     mid = (int(lo) + int(hi)) // 2
-    halves = [e.filter(F.col("ts_us") < mid), e.filter(F.col("ts_us") >= mid)]
     sent = e.sparkSession.range(1).select(
         (F.lit(-1) - F.col("id")).alias("event_id"),
         F.timestamp_micros(
@@ -3085,19 +3189,29 @@ def s_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts"),
         F.lit("__sentinel__").alias("event_type"),
         F.lit(0).cast("decimal(18,2)").alias("value"),
-        F.lit(0).cast("long").alias("ts_us"),
     )
-    stages = halves + [sent]
-    for i, frame in enumerate(stages):
-        stage = f"{work}/stage{i}"
-        frame.drop("ts_us").coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+    # Single-pass staging (round 9, same shape as s_stream_sessionize):
+    # one parallel events scan, repartition(half) + partitionBy(half) →
+    # exactly one part file per half.
+    staged = e.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        (F.col("ts_us") >= mid).cast("int").alias("half"),
+    ).unionByName(sent.withColumn("half", F.lit(1)))
+    stage = f"{work}/stage"
+    staged.repartition("half").write.partitionBy("half").parquet(stage)
+    for i in range(2):
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
         dst = f"{in_dir}/{i}.parquet"
         shutil.copy(part, dst)
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = (
-        spark.readStream.schema(stages[0].drop("ts_us").schema)
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value decimal(18,2)"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
@@ -3148,15 +3262,21 @@ def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind batch 1's watermark, so no late drops and no session is
     closed early: a session straddling the midpoint has end > mid−gap,
     while premature timeout would need end < mid−delay−gap — empty
-    intervals for any delay ≥ 0). ONE far-future sentinel batch
-    advances the stored max event time past every real session's
-    end+gap, and the final no-data micro-batch (pinned on via
+    intervals for any delay ≥ 0). ONE far-future sentinel row RIDES IN
+    THE FINAL DATA BATCH (round-9 trim of the separate sentinel batch —
+    the stored max event time a batch leaves behind is what the NEXT
+    batch's watermark derives from, so a sentinel needs to be in SOME
+    batch before the flush, not in its own): it advances the stored max
+    event time past every real session's end+gap, and the final no-data
+    micro-batch (pinned on via
     spark.sql.streaming.noDataMicroBatches.enabled, never left to the
     default) runs with that advanced watermark so EventTimeTimeout
-    closes and emits them all — round-8 trim of the second sentinel
-    batch, output verified row-identical at sf0.01/sf0.001 and stream
-    time halved (8.4 s → 4.1 s at sf0.01); the sentinel user's own
-    open session is filtered. The SQL twin is classic gaps-and-islands: break at
+    closes and emits them all. Emission timing shifts between batches;
+    the emitted SET is invariant (each session exactly once, on close) —
+    output verified row-identical at sf0.01/sf0.001 vs the pre-trim
+    shape, one whole micro-batch saved (round-8 had already dropped the
+    second sentinel batch: 8.4 s → 4.1 s at sf0.01). The sentinel
+    user's own open session is filtered. The SQL twin is classic gaps-and-islands: break at
     gap ≥ 6 h, prefix-sum session ids, per-session min/max/count —
     which is exactly the batch-split-invariant meaning of the stateful
     loop. Cross-batch state is genuinely exercised at the driver's sf:
@@ -3183,32 +3303,41 @@ def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
     mid = (int(lo) + int(hi)) // 2
-    halves = [e.filter(F.col("ts_us") < mid), e.filter(F.col("ts_us") >= mid)]
     sent = e.sparkSession.range(1).select(
         F.lit(-1).cast("long").alias("user_id"),
         F.timestamp_micros(
             F.lit(int(hi)) + (F.col("id") + 1) * F.lit(86_400_000_000)
         ).alias("ts"),
-        F.lit(0).cast("long").alias("ts_us"),
     )
-    stages = halves + [sent]
-    for i, frame in enumerate(stages):
-        stage = f"{work}/stage{i}"
-        frame.drop("ts_us").coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+    # Single-pass staging (round 9): one parallel events scan, half
+    # assigned per row, repartition(half) + partitionBy(half) → exactly
+    # one part file per half (the per-half coalesce(1) writes this
+    # replaces each ran the WHOLE scan in one task).
+    staged = e.select(
+        "user_id", "ts", (F.col("ts_us") >= mid).cast("int").alias("half")
+    ).unionByName(sent.select("user_id", "ts", F.lit(1).alias("half")))
+    stage = f"{work}/stage"
+    staged.repartition("half").write.partitionBy("half").parquet(stage)
+    for i in range(2):
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
         dst = f"{in_dir}/{i}.parquet"
         shutil.copy(part, dst)
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = (
-        spark.readStream.schema(stages[0].drop("ts_us").schema)
+        spark.readStream.schema("user_id long, ts timestamp")
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
     sessions = sessionize(
         stream, "user_id", "ts", gap="6 hours", watermark_delay="1 hours"
     )
-    with _scoped_shuffle_width(spark), _pinned_no_data_batches(spark):
+    # width 16, not the streaming default 8: applyInPandasWithState costs
+    # one PYTHON call per user per batch (unlike the JVM-stateful gates),
+    # so state-partition count is Python-worker parallelism here —
+    # measured medians at sf0.1: 5.16 s (w8) → 4.72 s (w16); the other
+    # five gates are neutral-to-worse at 16 (interval_join +2.7 s).
+    with _scoped_shuffle_width(spark, 16), _pinned_no_data_batches(spark):
         q = (
             sessions.writeStream.foreachBatch(
                 lambda batch_df, _bid: batch_df.write.mode("append").parquet(out_dir)
@@ -3258,10 +3387,16 @@ def s_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = f"{work}/in"
     _os.makedirs(in_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-pass staging (round 9): one scan, one part file per half
+    stage = f"{work}/stage"
+    (
+        docs.withColumn("half", (F.col("doc_id") % 2).cast("int"))
+        .repartition("half")
+        .write.partitionBy("half")
+        .parquet(stage)
+    )
     for i in range(2):
-        stage = f"{work}/stage{i}"
-        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
         dst = f"{in_dir}/{i}.parquet"
         shutil.copy(part, dst)
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -3322,14 +3457,16 @@ def s_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     lo, hi = vecs.agg(F.min("vec_id"), F.max("vec_id")).first()
     mid = (int(lo) + int(hi)) // 2
-    halves = [
-        vecs.filter(F.col("vec_id") < mid),
-        vecs.filter(F.col("vec_id") >= mid),
-    ]
-    for i, frame in enumerate(halves):
-        stage = f"{work}/stage{i}"
-        frame.coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+    # single-pass staging (round 9): one scan, one part file per half
+    stage = f"{work}/stage"
+    (
+        vecs.withColumn("half", (F.col("vec_id") >= mid).cast("int"))
+        .repartition("half")
+        .write.partitionBy("half")
+        .parquet(stage)
+    )
+    for i in range(2):
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
         dst = f"{in_dir}/{i}.parquet"
         shutil.copy(part, dst)
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -3394,37 +3531,45 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
     mid = (int(lo) + int(hi)) // 2
 
-    sides = {
-        "view": e.filter(F.col("event_type") == "view").select(
+    # Single-pass staging (round 9): one events scan writes all four
+    # input files via partitionBy((side, half)) — repartition on the
+    # same keys puts each group in exactly one task, so each partition
+    # dir holds exactly one part file; the per-(side, half) writes this
+    # replaces cost four scans (measured 1.15 s → ~0.5 s at sf0.1). The
+    # generic (user_id, event_id, ts) schema is renamed per side ON THE
+    # STREAM, which Catalyst folds into the file-source projection.
+    stage = f"{work}/stage"
+    (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
             "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").cast("timestamp").alias("view_ts"),
-            "ts_us",
-        ),
-        "purchase": e.filter(F.col("event_type") == "purchase").select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").cast("timestamp").alias("purchase_ts"),
-            "ts_us",
-        ),
-    }
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").alias("side"),
+            (F.col("ts_us") >= mid).cast("int").alias("half"),
+        )
+        .repartition("side", "half")
+        .write.partitionBy("side", "half")
+        .parquet(stage)
+    )
     streams = {}
-    for side, frame in sides.items():
+    for side in ("view", "purchase"):
         in_dir = f"{work}/{side}"
         _os.makedirs(in_dir)
-        for i, half in enumerate(
-            [frame.filter(F.col("ts_us") < mid), frame.filter(F.col("ts_us") >= mid)]
-        ):
-            stage = f"{work}/stage_{side}{i}"
-            half.drop("ts_us").coalesce(1).write.parquet(stage)
-            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        for i in range(2):
+            part = _glob.glob(f"{stage}/side={side}/half={i}/part-*.parquet")[0]
             dst = f"{in_dir}/{i}.parquet"
             shutil.copy(part, dst)
             _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         streams[side] = (
-            spark.readStream.schema(frame.drop("ts_us").schema)
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"{side}_id"),
+                F.col("ts").alias(f"{side}_ts"),
+            )
         )
 
     joined = interval_join_streams(
@@ -3438,7 +3583,12 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_watermark="48 hours",
     )
     out_dir = f"{work}/out"
-    with _scoped_shuffle_width(spark):
+    # No-data batches pinned OFF: an INNER stream-stream join emits every
+    # match when the later side ARRIVES (in a data batch); the final
+    # empty batch only evicts watermark-expired state, which availableNow
+    # discards at termination anyway — output-identical, ~1.0 s saved
+    # (verified row-identical at sf0.01/sf0.001 vs the pre-pin shape).
+    with _scoped_shuffle_width(spark), _pinned_no_data_batches(spark, False):
         q = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)
@@ -3947,18 +4097,24 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = f"{work}/ckpt"
     _os.makedirs(in_dir)
 
-    li = _t(spark, sf_dir, "lineitem")
+    # Only the four columns to_changes reads — staging the full lineitem
+    # width was pure write amplification (round 9; also single-pass
+    # staging: one scan, one part file per half).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
     # split on linenumber: batch 1 carries early ops (incl. deletes later
     # overridden in batch 2), batch 2 carries later ops (incl. deletes of
     # keys batch 1 upserted) — both cross-batch directions exercised
-    halves = [
-        li.filter(F.col("l_linenumber") <= 2),
-        li.filter(F.col("l_linenumber") > 2),
-    ]
-    for i, h in enumerate(halves):
-        stage = f"{work}/stage{i}"
-        h.coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+    stage = f"{work}/stage"
+    (
+        li.withColumn("half", (F.col("l_linenumber") > 2).cast("int"))
+        .repartition("half")
+        .write.partitionBy("half")
+        .parquet(stage)
+    )
+    for i in range(2):
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
         dst = f"{in_dir}/{i}.parquet"
         shutil.copy(part, dst)
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -4008,7 +4164,7 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
 
     stream = (
-        spark.readStream.schema(halves[0].schema)
+        spark.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )

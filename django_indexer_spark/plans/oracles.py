@@ -2550,6 +2550,25 @@ FROM documents
 GROUP BY 1, 2
 """
 
+# The codec gate's payloads are synthesized in-plan from the media_id
+# alone (plans/fixture_queries._synth_media_payload) and the whole
+# decode→resample→PNG-transcode pipeline is deterministic pure
+# numpy/stdlib, so the oracle is the precomputed literal fingerprints —
+# sf-invariant by design (verified identical at sf0.001 and sf0.01).
+# Any change to the codec's numerics shows up here as a hash mismatch.
+ORACLES["multimodal_resize_fingerprint"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), 'd872b28aa04a75512fda14deeed80218', TRUE),
+  (CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), 'bfd2286020ce28c1c3ea553b335dd4da', TRUE),
+  (CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '99c94fdb03e475f02e7a2e06e496667f', TRUE),
+  (CAST(3 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '78f6f78c2830ae856e386f987813b182', TRUE),
+  (CAST(4 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '3445a2d8365cb6cd5b474f95a2e92464', TRUE),
+  (CAST(5 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '6a92fd3e289918cb24e2c59c1b1fb145', TRUE),
+  (CAST(6 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), 'ba4687799ac2afd07b5fa51ce257e616', FALSE),
+  (CAST(7 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), 'd6a5be3b85b5467db2cffe0262f24339', FALSE)
+) AS t(media_id, width, height, payload_md5, decoded)
+"""
+
 # the streaming state is batch-split invariant, so the oracle is the
 # plain batch GROUP BY the two micro-batches must fold into
 ORACLES["s_stream_exact_dedup"] = """

@@ -259,7 +259,12 @@ def test_global_plan_hygiene_all_queries(spark):
     # fine — the audit iterates the same registry order.
     spark.catalog.clearCache()
 
-    py_ok = {"text_heavy_hitters"}  # mapInPandas Misra-Gries sketch
+    py_ok = {
+        "text_heavy_hitters",  # mapInPandas Misra-Gries sketch
+        # the JPEG codec gate: synth + decode→resample→transcode are
+        # genuinely Python (Arrow-batched mapInPandas, blobs never shuffle)
+        "multimodal_resize_fingerprint",
+    }
     offenders: list[tuple[str, str]] = []
     for name in QUERIES:
         plan = plan_of(spark, name)

@@ -849,6 +849,17 @@ def bpe_train_merges_local(
     exceeds the repeat cap, the first N merges of both paths are
     identical (asserted in tests).
 
+    SCALE BOUNDARY — ``max_vocab`` is REQUIRED at corpus scale: the
+    driver-side ``.collect()`` below is bounded only by the number of
+    DISTINCT words, and a 100 TB web corpus's distinct-[a-z]+-word set
+    (typos, concatenations, romanized text) is NOT tens of MB — it can
+    be billions of rows. ``max_vocab=None`` exists for tests and for
+    corpora whose vocabulary is known-bounded (it is the
+    oracle-comparison twin of the declarative path); production
+    training MUST pass a cap (10⁵–10⁶ is the published norm — truncated
+    tails contribute no competitive pair counts). A None cap warns
+    rather than raises so the verification twin stays usable.
+
     Returns (merge_round, left_tok, right_tok, pair_count) — same
     schema as bpe_train_merges."""
     words_df = (
@@ -859,7 +870,18 @@ def bpe_train_merges_local(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
-    if max_vocab is not None:
+    if max_vocab is None:
+        import warnings
+
+        warnings.warn(
+            "bpe_train_merges_local(max_vocab=None) collects the FULL "
+            "distinct-word table to the driver — unbounded on large "
+            "corpora. Pass max_vocab (e.g. 100_000) for production "
+            "training; None is intended for tests/verification only.",
+            ResourceWarning,
+            stacklevel=2,
+        )
+    else:
         words_df = words_df.orderBy(F.desc("wf"), F.asc("w")).limit(max_vocab)
     vocab: list[tuple[list[str], int]] = [
         (list(r["w"]), r["wf"]) for r in words_df.collect()

@@ -243,6 +243,31 @@ def test_bpe_repeat_cap_under_merge_vs_exact_local(spark):
     assert decl[1] != exact[1]
 
 
+def test_bpe_local_warns_without_max_vocab(spark):
+    """max_vocab=None collects the full distinct-word table — fine for
+    tests/verification, a footgun at corpus scale — so it must warn
+    (ResourceWarning), and a capped call must not."""
+    import warnings
+
+    from django_indexer_spark.operators.text import bpe_train_merges_local
+
+    def bpe_warnings(caught):
+        # match on message: pyspark itself emits unrelated ResourceWarnings
+        # (unclosed sockets) under simplefilter("always")
+        return [w for w in caught if "bpe_train_merges_local" in str(w.message)]
+
+    df = spark.createDataFrame([("aa bb aa",)], "text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_train_merges_local(df, "text", rounds=1)
+    assert bpe_warnings(caught)
+    assert all(issubclass(w.category, ResourceWarning) for w in bpe_warnings(caught))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_train_merges_local(df, "text", rounds=1, max_vocab=10)
+    assert not bpe_warnings(caught)
+
+
 def test_bpe_local_max_vocab_caps_the_collect(spark):
     """The documented driver-side-collect bound: max_vocab keeps only
     the most frequent words (ties by word ASC), so rare words stop

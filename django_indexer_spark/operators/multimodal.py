@@ -111,12 +111,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _decode_png(data: bytes) -> DecodedImage:
     """Pure-stdlib PNG decode: chunk walk, zlib inflate, filter undo
     (None/Sub/Up/Average/Paeth per the PNG spec §9). Supports the
-    non-interlaced 8-bit gray/LA/RGB/RGBA subset — enough for real
-    fixture/thumbnail pixels without any image library."""
+    non-interlaced 8-bit gray/LA/RGB/RGBA subset plus 8-bit PALETTE
+    images (colortype 3; PLTE lookup, tRNS → RGBA) — enough for real
+    fixture/thumbnail/icon pixels without any image library."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat = 8, bytearray()
     width = height = bitdepth = colortype = interlace = None
+    plte = trns = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -126,18 +128,25 @@ def _decode_png(data: bytes) -> DecodedImage:
             width, height, bitdepth, colortype, _c, _f, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"tRNS":
+            trns = chunk
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
             break
-    channels = _PNG_CHANNELS.get(colortype)
+    # palette images filter over 1-byte indices, then map through PLTE
+    channels = 1 if colortype == 3 else _PNG_CHANNELS.get(colortype)
     if width is None or not idat:
         raise ValueError("truncated PNG")
     if channels is None or bitdepth != 8 or interlace != 0:
         raise NotImplementedError(
-            "built-in decoder supports non-interlaced 8-bit gray/LA/RGB/RGBA; "
-            "install Pillow for full coverage"
+            "built-in decoder supports non-interlaced 8-bit gray/LA/RGB/RGBA/"
+            "palette; install Pillow for full coverage"
         )
+    if colortype == 3 and (plte is None or len(plte) % 3 or not plte):
+        raise ValueError("palette PNG without a valid PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (stride + 1):
@@ -168,6 +177,16 @@ def _decode_png(data: bytes) -> DecodedImage:
             raise ValueError(f"bad PNG filter byte {filt}")
         out += row
         prev = row
+    if colortype == 3:
+        npal = len(plte) // 3
+        if max(out) >= npal:
+            raise ValueError("PNG palette index out of range")
+        pal = [plte[3 * i : 3 * i + 3] for i in range(npal)]
+        if trns is not None:
+            alpha = bytes(trns) + b"\xff" * (npal - len(trns))
+            rgba = b"".join(pal[i] + alpha[i : i + 1] for i in out)
+            return DecodedImage(width, height, "RGBA", rgba)
+        return DecodedImage(width, height, "RGB", b"".join(pal[i] for i in out))
     return DecodedImage(width, height, _PNG_MODES[channels], bytes(out))
 
 
@@ -241,18 +260,23 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
 
 
 # --------------------------------------------------------------------------
-# Baseline JPEG codec (ITU-T T.81, public spec) — stdlib + numpy only.
+# JPEG codec (ITU-T T.81, public spec) — stdlib + numpy only.
 #
 # Round-7's stdlib SOF header walk (jpeg_dimensions) gave real DIMENSIONS
-# without a codec; this closes the remaining gap with real PIXELS: a full
+# without a codec; round 8 closed the gap with real PIXELS: a full
 # baseline-sequential decoder (DQT/DHT/SOF0/SOF1/SOS/DRI marker parse,
 # huffman entropy decode, dequant + dezigzag, batched numpy IDCT, chroma
 # upsampling for any h×v sampling incl. 4:2:0/4:2:2, JFIF YCbCr→RGB) and
-# a matching encoder (Annex K quant + huffman tables, 4:4:4 or 4:2:0)
-# used as the fixture generator so the round-trip is testable with no
-# image library in the container. Progressive (SOF2), arithmetic coding,
-# 12-bit, and CMYK remain honest NotImplementedErrors — Pillow stays the
-# fast path when importable (decode_image tries it first).
+# a matching encoder (Annex K quant + huffman tables) used as the fixture
+# generator so the round-trip is testable with no image library in the
+# container. Round 9 adds PROGRESSIVE (SOF2) decode — spectral selection
+# + successive approximation per T.81 G.2, scan-by-scan into the shared
+# coefficient arrays — plus encode_jpeg_progressive as its fixture
+# generator (EOB0-only, so the Annex K tables suffice); because every SA
+# bit is eventually sent, progressive decode is BIT-IDENTICAL to baseline
+# on the same pixels, which is the test oracle. Arithmetic coding,
+# hierarchical, 12-bit, and CMYK remain honest NotImplementedErrors —
+# Pillow stays the fast path when importable (decode_image tries first).
 #
 # Entropy coding is sequential Python (gate-scale correctness coverage,
 # not the 100 TB hot path); the DCT/color math is vectorized numpy.
@@ -438,12 +462,232 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_reconstruct(comps, qts, width, height, hmax, vmax):
+    """Shared coefficient→pixels tail (baseline AND progressive): dequant
+    in zigzag order, dezigzag, batched IDCT, nearest chroma upsample,
+    crop to frame dims, JFIF YCbCr→RGB. Each comp carries its MCU-padded
+    zigzag coefficient array in ``coef[bh, bw, 64]``."""
+    import numpy as np
+
+    for c in comps:
+        if c["tq"] not in qts:
+            raise ValueError("SOF references an undefined quantization table")
+        if vmax % c["v"] or hmax % c["h"]:
+            raise NotImplementedError(
+                "non-integer JPEG chroma sampling ratios are not supported"
+            )
+    a = _dct_matrix()
+    planes = []
+    for c in comps:
+        q = np.array(qts[c["tq"]], dtype=np.float64)
+        coef = c["coef"].astype(np.float64) * q  # dequant in zigzag order
+        zz = np.array(_ZIGZAG)
+        flat = np.zeros((c["bh"], c["bw"], 64))
+        flat[:, :, zz] = coef  # dezigzag
+        blocks = flat.reshape(c["bh"], c["bw"], 8, 8)
+        # batched idct2: A.T @ block @ A
+        spatial = np.einsum("ij,xyjk,kl->xyil", a.T, blocks, a) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        # nearest-neighbor chroma upsample to the full sampling grid
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        pix = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return DecodedImage(width, height, "L", pix.tobytes())
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    pix = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return DecodedImage(width, height, "RGB", pix.tobytes())
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    scan_pos: int,
+    scan_comps: list,
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode ONE progressive-JPEG scan (T.81 G.2) into the components'
+    zigzag coefficient arrays; returns the stream position right after
+    the scan's entropy data so the marker walk can continue.
+
+    - DC scans (ss == 0): interleaved MCU order when the scan lists
+      several components, raster order over the component's effective
+      (non-MCU-padded) block grid when it lists one. First pass
+      (ah == 0) codes diff-of-(DC >> al); refinement passes (ah > 0)
+      append one raw bit per block (two's-complement OR of bit << al —
+      exactly the floor-shift inverse for any sign).
+    - AC scans (ss > 0): a single component per T.81 B.2.3, raster order
+      over its effective block grid. First pass codes (run, size) with
+      EOBn end-of-band run lengths and ZRL; refinement passes place new
+      ±(1 << al) coefficients and read one correction bit per
+      already-nonzero coefficient passed over (including the tail of the
+      band under an EOB run).
+    - Restart markers reset the DC predictors AND the EOB run.
+    """
+    if ss > se or se > 63:
+        raise ValueError("invalid progressive spectral band")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must contain exactly one component")
+    for comp, td, ta in scan_comps:
+        if ss == 0 and ah == 0 and (0, td) not in huff:
+            raise ValueError("SOS references an undefined huffman table")
+        if ss > 0 and (1, ta) not in huff:
+            raise ValueError("SOS references an undefined huffman table")
+
+    reader = _BitReader(data, scan_pos)
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    preds = [0] * len(scan_comps)
+
+    def refine_ac(blk) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.read_symbol(ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise ValueError("invalid size in progressive AC refinement")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                            blk[k] = int(blk[k]) + (p1 if blk[k] > 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0 and reader.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] = int(blk[k]) + (p1 if blk[k] > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def first_ac(blk) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.read_bits(run)
+                break
+            if size > 10:  # T.81 F.1.2.2 (same bound as sequential)
+                raise ValueError("invalid JPEG AC size")
+            k += run
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            blk[k] = _extend(reader.read_bits(size), size) << al
+            k += 1
+
+    def dc_block(blk, ci: int, dc_tab: dict) -> None:
+        if ah == 0:
+            size = reader.read_symbol(dc_tab)
+            if size > 11:  # T.81 F.1.2.1
+                raise ValueError("invalid JPEG DC size")
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << al
+        elif reader.read_bit():
+            blk[0] = int(blk[0]) | p1
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_and_expect_rst()
+            eobrun = 0
+            for i in range(len(preds)):
+                preds[i] = 0
+
+    try:
+        if ss == 0 and len(scan_comps) > 1:  # interleaved DC scan
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart(unit)
+                    unit += 1
+                    for ci, (c, td, _ta) in enumerate(scan_comps):
+                        dc_tab = huff.get((0, td)) if ah == 0 else None
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    c["coef"][my * c["v"] + by, mx * c["h"] + bx],
+                                    ci,
+                                    dc_tab,
+                                )
+        else:  # single-component scan: effective (non-padded) block grid
+            c, td, ta = scan_comps[0]
+            ac_tab = huff.get((1, ta))
+            dc_tab = huff.get((0, td))
+            cw = -(-(width * c["h"]) // hmax)
+            ch = -(-(height * c["v"]) // vmax)
+            bw_ni = -(-cw // 8)
+            bh_ni = -(-ch // 8)
+            unit = 0
+            for by in range(bh_ni):
+                for bx in range(bw_ni):
+                    maybe_restart(unit)
+                    unit += 1
+                    blk = c["coef"][by, bx]
+                    if ss == 0:
+                        dc_block(blk, 0, dc_tab)
+                    elif ah == 0:
+                        first_ac(blk)
+                    else:
+                        refine_ac(blk)
+    except _AtMarker as m:
+        raise ValueError(
+            f"unexpected marker 0x{m.marker:02x} in progressive JPEG scan"
+        )
+    return reader.pos
+
+
 def _decode_jpeg(data: bytes) -> DecodedImage:
-    """Baseline-sequential JPEG decode, stdlib + numpy. Tables are read
-    from the file; supports gray and YCbCr with any h×v sampling factors
-    up to 4 (4:4:4 / 4:2:2 / 4:2:0 all exercised in tests via the
-    built-in encoder), 0xFF00 stuffing, and DRI/RSTn restarts. Raises
-    NotImplementedError for progressive/arithmetic/12-bit/CMYK."""
+    """JPEG decode (baseline-sequential AND progressive), stdlib + numpy.
+    Tables are read from the file; supports gray and YCbCr with any h×v
+    sampling factors up to 4 (4:4:4 / 4:2:2 / 4:2:0 all exercised in
+    tests via the built-in encoders), 0xFF00 stuffing, DRI/RSTn
+    restarts, and SOF2 progressive scans (spectral selection +
+    successive approximation, decoded scan-by-scan into the shared
+    coefficient arrays). Raises NotImplementedError for
+    arithmetic/hierarchical/12-bit/CMYK."""
     import numpy as np
 
     if data[:3] != _JPEG_SIG:
@@ -455,6 +699,9 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
     width = height = None
     restart_interval = 0
     scan_pos = None
+    progressive = False
+    n_scans = 0
+    hmax = vmax = mcus_x = mcus_y = None  # set at the first progressive scan
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -496,9 +743,10 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG is supported")
+            progressive = marker == 0xC2
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -512,10 +760,6 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
                 if not (1 <= h <= 4 and 1 <= v <= 4):  # T.81 B.2.2
                     raise ValueError("invalid JPEG sampling factors")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) is not supported without Pillow"
-            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "non-baseline JPEG frame type is not supported without Pillow"
@@ -524,14 +768,60 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
             if not seg or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS segment")
             ns = seg[0]
+            if not progressive:
+                for c in range(ns):
+                    cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                    for comp in comps:
+                        if comp["id"] == cid:
+                            comp["td"], comp["ta"] = tables >> 4, tables & 0x0F
+                scan_pos = pos + 2 + seglen
+                break
+            # progressive: decode THIS scan inline, then keep walking
+            # (tables may be redefined between scans)
+            if width is None:
+                raise ValueError("progressive JPEG scan before SOF")
+            if "coef" not in comps[0]:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                for c in comps:
+                    c["bw"] = mcus_x * c["h"]
+                    c["bh"] = mcus_y * c["v"]
+                    c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+            scan_comps = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                for comp in comps:
-                    if comp["id"] == cid:
-                        comp["td"], comp["ta"] = tables >> 4, tables & 0x0F
-            scan_pos = pos + 2 + seglen
-            break
+                match = [comp for comp in comps if comp["id"] == cid]
+                if not match:
+                    raise ValueError("SOS scan lists a component missing from SOF")
+                scan_comps.append((match[0], tables >> 4, tables & 0x0F))
+            band = seg[1 + 2 * ns : 4 + 2 * ns]
+            ss, se, ahal = band[0], band[1], band[2]
+            pos = _decode_progressive_scan(
+                data,
+                pos + 2 + seglen,
+                scan_comps,
+                huff,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0x0F,
+                restart_interval,
+                mcus_x,
+                mcus_y,
+                width,
+                height,
+                hmax,
+                vmax,
+            )
+            n_scans += 1
+            continue
         pos += 2 + seglen
+    if progressive:
+        if width is None or n_scans == 0:
+            raise ValueError("truncated JPEG (missing SOF or SOS)")
+        return _jpeg_reconstruct(comps, qts, width, height, hmax, vmax)
     if width is None or scan_pos is None:
         raise ValueError("truncated JPEG (missing SOF or SOS)")
 
@@ -605,35 +895,7 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
         if mcu_count != mcus_x * mcus_y:
             raise ValueError("truncated JPEG scan")
 
-    a = _dct_matrix()
-    planes = []
-    for c in comps:
-        q = np.array(qts[c["tq"]], dtype=np.float64)
-        coef = c["coef"].astype(np.float64) * q  # dequant in zigzag order
-        zz = np.array(_ZIGZAG)
-        flat = np.zeros((c["bh"], c["bw"], 64))
-        flat[:, :, zz] = coef  # dezigzag
-        blocks = flat.reshape(c["bh"], c["bw"], 8, 8)
-        # batched idct2: A.T @ block @ A
-        spatial = np.einsum("ij,xyjk,kl->xyil", a.T, blocks, a) + 128.0
-        plane = (
-            spatial.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
-        )
-        # nearest-neighbor chroma upsample to the full sampling grid
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
-        planes.append(plane[:height, :width])
-    if len(planes) == 1:
-        pix = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        return DecodedImage(width, height, "L", pix.tobytes())
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    pix = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return DecodedImage(width, height, "RGB", pix.tobytes())
+    return _jpeg_reconstruct(comps, qts, width, height, hmax, vmax)
 
 
 class _BitWriter:
@@ -715,20 +977,11 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    mode: str = "RGB",
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal baseline JPEG encoder (Annex K quant + huffman tables),
-    modes L and RGB, 4:4:4 / 4:2:2 / 4:2:0, optional DRI/RSTn restart markers
-    every ``restart_interval`` MCUs — the fixture generator that makes
-    the decoder round-trip testable (incl. its restart and chroma-
-    upsample paths) without any image library. Lossy by nature: tests
-    assert small max pixel error, not equality."""
+def _jpeg_prepare(width, height, pixels, mode, subsampling):
+    """Shared encoder front (baseline AND progressive): validate, RGB→
+    YCbCr, chroma downsample, blockify, DCT, quantize with the Annex K
+    tables. Returns (comp_specs, hsamp, vsamp, mcus_x, mcus_y, channels)
+    where comp_specs = [(qcoef_zz[bh, bw, 64] int32, h, v, tq), ...]."""
     import numpy as np
 
     channels = {"L": 1, "RGB": 3}.get(mode)
@@ -782,7 +1035,7 @@ def encode_jpeg(
         return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
 
     # per-plane quantized zigzag coefficients
-    comp_specs = []  # (quantized_zz[bh,bw,64], h, v, tq, td/ta id)
+    comp_specs = []  # (quantized_zz[bh,bw,64], h, v, tq)
     hsamp = [sub_h, 1, 1] if channels == 3 else [1]
     vsamp = [sub_v, 1, 1] if channels == 3 else [1]
     hmax, vmax = max(hsamp), max(vsamp)
@@ -796,6 +1049,54 @@ def encode_jpeg(
         flat = coef.reshape(bh, bw, 64)[:, :, zz]  # zigzag
         qcoef = np.round(flat / qt[tq]).astype(np.int32)
         comp_specs.append((qcoef, hsamp[ci], vsamp[ci], tq))
+    return comp_specs, hsamp, vsamp, mcus_x, mcus_y, channels
+
+
+def _jpeg_headers(width, height, channels, hsamp, vsamp, sof_marker):
+    """DQT + SOF + DHT header segments shared by both encoders."""
+
+    def seg(marker: bytes, payload: bytes) -> bytes:
+        return marker + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(b"\xff\xdb", bytes([0]) + bytes(_QT_LUMA))
+    if channels == 3:
+        out += seg(b"\xff\xdb", bytes([1]) + bytes(_QT_CHROMA))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, (hsamp[ci] << 4) | vsamp[ci], tq])
+    out += seg(sof_marker, sof)
+
+    def dht(tclass: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(
+            b"\xff\xc4", bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    out += dht(0, 0, _HT_DC_LUMA) + dht(1, 0, _HT_AC_LUMA)
+    if channels == 3:
+        out += dht(0, 1, _HT_DC_CHROMA) + dht(1, 1, _HT_AC_CHROMA)
+    return out, seg
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "RGB",
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG encoder (Annex K quant + huffman tables),
+    modes L and RGB, 4:4:4 / 4:2:2 / 4:2:0, optional DRI/RSTn restart markers
+    every ``restart_interval`` MCUs — the fixture generator that makes
+    the decoder round-trip testable (incl. its restart and chroma-
+    upsample paths) without any image library. Lossy by nature: tests
+    assert small max pixel error, not equality."""
+    comp_specs, hsamp, vsamp, mcus_x, mcus_y, channels = _jpeg_prepare(
+        width, height, pixels, mode, subsampling
+    )
 
     enc_dc = [_huff_encode_table(*_HT_DC_LUMA), _huff_encode_table(*_HT_DC_CHROMA)]
     enc_ac = [_huff_encode_table(*_HT_AC_LUMA), _huff_encode_table(*_HT_AC_CHROMA)]
@@ -823,28 +1124,7 @@ def encode_jpeg(
                         )
     scan = writer.flush()
 
-    def seg(marker: bytes, payload: bytes) -> bytes:
-        return marker + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(b"\xff\xdb", bytes([0]) + bytes(_QT_LUMA))
-    if channels == 3:
-        out += seg(b"\xff\xdb", bytes([1]) + bytes(_QT_CHROMA))
-    sof = struct.pack(">BHHB", 8, height, width, channels)
-    for ci in range(channels):
-        tq = 0 if ci == 0 else 1
-        sof += bytes([ci + 1, (hsamp[ci] << 4) | vsamp[ci], tq])
-    out += seg(b"\xff\xc0", sof)
-
-    def dht(tclass: int, tid: int, spec) -> bytes:
-        bits, vals = spec
-        return seg(
-            b"\xff\xc4", bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
-        )
-
-    out += dht(0, 0, _HT_DC_LUMA) + dht(1, 0, _HT_AC_LUMA)
-    if channels == 3:
-        out += dht(0, 1, _HT_DC_CHROMA) + dht(1, 1, _HT_AC_CHROMA)
+    out, seg = _jpeg_headers(width, height, channels, hsamp, vsamp, b"\xff\xc0")
     sos = bytes([channels])
     for ci in range(channels):
         t = 0 if ci == 0 else 1
@@ -856,14 +1136,211 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "RGB",
+    subsampling: str = "4:4:4",
+    dc_al: int = 1,
+    ac_al: int = 2,
+    split: int = 5,
+) -> bytes:
+    """Progressive JPEG encoder (SOF2, spectral selection + successive
+    approximation) — the fixture generator that makes the progressive
+    DECODER path testable without any image library, and a real writer.
+
+    Scan script (the classic spectral/SA ladder): one interleaved DC
+    first scan at point transform ``dc_al``; per component, AC first
+    scans for bands 1..``split`` and ``split``+1..63 at ``ac_al``; AC
+    refinement scans walking ``ac_al`` down to 0; interleaved DC
+    refinement scans walking ``dc_al`` down to 0. Because every
+    successive-approximation bit is eventually sent, the decoded
+    quantized coefficients are BIT-IDENTICAL to the baseline encoding of
+    the same pixels — tests assert exact pixel equality between the two
+    paths (same Annex K quantization). Only EOB0 end-of-band codes are
+    emitted, so the standard Annex K huffman tables suffice."""
+    comp_specs, hsamp, vsamp, mcus_x, mcus_y, channels = _jpeg_prepare(
+        width, height, pixels, mode, subsampling
+    )
+    if not (0 <= dc_al <= 11 and 0 <= ac_al <= 9 and 0 < split < 63):
+        raise ValueError("invalid progressive scan-script parameters")
+    hmax, vmax = max(hsamp), max(vsamp)
+    enc_dc = [_huff_encode_table(*_HT_DC_LUMA), _huff_encode_table(*_HT_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_HT_AC_LUMA), _huff_encode_table(*_HT_AC_CHROMA)]
+
+    def ni_blocks(ci):
+        """Effective (non-MCU-padded) block grid of one component —
+        progressive non-interleaved scans cover exactly these blocks."""
+        cw = -(-(width * hsamp[ci]) // hmax)
+        ch = -(-(height * vsamp[ci]) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def dc_first(writer, al):
+        preds = [0] * channels
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (qcoef, h, v, _tq) in enumerate(comp_specs):
+                    t = 0 if ci == 0 else 1
+                    for by in range(v):
+                        for bx in range(h):
+                            dc = int(qcoef[my * v + by, mx * h + bx, 0]) >> al
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            mag, size = abs(diff), 0
+                            while mag:
+                                mag >>= 1
+                                size += 1
+                            code, length = enc_dc[t][size]
+                            writer.write(code, length)
+                            if size:
+                                writer.write(
+                                    diff if diff > 0 else diff + (1 << size) - 1,
+                                    size,
+                                )
+
+    def dc_refine(writer, al):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (qcoef, h, v, _tq) in enumerate(comp_specs):
+                    for by in range(v):
+                        for bx in range(h):
+                            writer.write(
+                                (int(qcoef[my * v + by, mx * h + bx, 0]) >> al) & 1,
+                                1,
+                            )
+
+    def ac_first(writer, ci, ss, se, al):
+        qcoef, _h, _v, _tq = comp_specs[ci]
+        ac = enc_ac[0 if ci == 0 else 1]
+        bh_ni, bw_ni = ni_blocks(ci)
+        for by in range(bh_ni):
+            for bx in range(bw_ni):
+                # T.81 AC point transform: sign(v) * (|v| >> al)
+                band = []
+                for k in range(ss, se + 1):
+                    v = int(qcoef[by, bx, k])
+                    av = abs(v) >> al
+                    band.append(av if v >= 0 else -av)
+                last_nz = -1
+                for i in range(len(band) - 1, -1, -1):
+                    if band[i]:
+                        last_nz = i
+                        break
+                run = 0
+                for i in range(last_nz + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac[0xF0]  # ZRL
+                        writer.write(code, length)
+                        run -= 16
+                    mag, size = abs(v), 0
+                    while mag:
+                        mag >>= 1
+                        size += 1
+                    code, length = ac[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last_nz < len(band) - 1:
+                    code, length = ac[0x00]  # EOB0 (end-of-band run of 1)
+                    writer.write(code, length)
+
+    def ac_refine(writer, ci, ss, se, al):
+        """Mirror of the decoder's refinement walk: emit (run, 1) + sign
+        for each newly-significant ±1, interleaving one correction bit
+        per already-nonzero coefficient passed over; ZRL covers 16
+        zero-history skips; EOB0 then corrections for the band tail."""
+        ah = al + 1
+        qcoef, _h, _v, _tq = comp_specs[ci]
+        ac = enc_ac[0 if ci == 0 else 1]
+        bh_ni, bw_ni = ni_blocks(ci)
+        for by in range(bh_ni):
+            for bx in range(bw_ni):
+                vs = [int(qcoef[by, bx, k]) for k in range(ss, se + 1)]
+                hist = [(abs(v) >> ah) != 0 for v in vs]
+                newsig = [
+                    (abs(v) >> al) != 0 and not hist[i] for i, v in enumerate(vs)
+                ]
+                corr = [(abs(v) >> al) & 1 for v in vs]
+                k = 0
+                nband = len(vs)
+                while True:
+                    nxt = next((j for j in range(k, nband) if newsig[j]), None)
+                    if nxt is None:
+                        tail_hist = [j for j in range(k, nband) if hist[j]]
+                        if k < nband:
+                            code, length = ac[0x00]  # EOB0
+                            writer.write(code, length)
+                            for j in tail_hist:
+                                writer.write(corr[j], 1)
+                        break
+                    zrun = sum(1 for j in range(k, nxt) if not hist[j])
+                    cursor = k
+                    while zrun > 15:
+                        code, length = ac[0xF0]  # ZRL: 16 zero-history skips
+                        writer.write(code, length)
+                        seen = 0
+                        while seen < 16:
+                            if hist[cursor]:
+                                writer.write(corr[cursor], 1)
+                            else:
+                                seen += 1
+                            cursor += 1
+                        zrun -= 16
+                    code, length = ac[(zrun << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if vs[nxt] > 0 else 0, 1)
+                    for j in range(cursor, nxt):
+                        if hist[j]:
+                            writer.write(corr[j], 1)
+                    k = nxt + 1
+
+    out, seg = _jpeg_headers(width, height, channels, hsamp, vsamp, b"\xff\xc2")
+
+    def emit_scan(comp_ids, ss, se, ah, al, body):
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        writer = _BitWriter()
+        body(writer)
+        out.extend(seg(b"\xff\xda", sos) + writer.flush())
+
+    all_ids = list(range(channels))
+    emit_scan(all_ids, 0, 0, 0, dc_al, lambda w: dc_first(w, dc_al))
+    for ci in range(channels):
+        for lo, hi in ((1, split), (split + 1, 63)):
+            emit_scan(
+                [ci], lo, hi, 0, ac_al,
+                lambda w, ci=ci, lo=lo, hi=hi: ac_first(w, ci, lo, hi, ac_al),
+            )
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(channels):
+            for lo, hi in ((1, split), (split + 1, 63)):
+                emit_scan(
+                    [ci], lo, hi, al + 1, al,
+                    lambda w, ci=ci, lo=lo, hi=hi, al=al: ac_refine(w, ci, lo, hi, al),
+                )
+    for al in range(dc_al - 1, -1, -1):
+        emit_scan(all_ids, 0, 0, al + 1, al, lambda w, al=al: dc_refine(w, al))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> DecodedImage:
     """Real image decode. Prefers Pillow when installed (full format
     coverage, C-speed); falls back to the built-in stdlib decoders —
-    PNG (``_decode_png``) and baseline JPEG (``_decode_jpeg``); raises
-    NotImplementedError for what neither path covers (progressive JPEG,
-    exotic formats). Callers that only need dimensions use
-    ``jpeg_dimensions`` (header parse, no codec) before falling back to
-    ``fake_decode_meta`` (see ``extract_features``)."""
+    PNG incl. palette (``_decode_png``) and baseline + progressive JPEG
+    (``_decode_jpeg``); raises NotImplementedError for what neither path
+    covers (arithmetic/12-bit/CMYK JPEG, interlaced/16-bit PNG, exotic
+    formats). Callers that only need dimensions use ``jpeg_dimensions``
+    (header parse, no codec) before falling back to ``fake_decode_meta``
+    (see ``extract_features``)."""
     try:
         from io import BytesIO
 
@@ -886,7 +1363,7 @@ def decode_image(payload: bytes) -> DecodedImage:
         return _decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this payload format without Pillow "
-        "(built-in paths are PNG and baseline JPEG)"
+        "(built-in paths are PNG incl. palette and baseline+progressive JPEG)"
     )
 
 

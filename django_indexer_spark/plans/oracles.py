@@ -2565,7 +2565,9 @@ SELECT * FROM (VALUES
   (CAST(4 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '3445a2d8365cb6cd5b474f95a2e92464', TRUE),
   (CAST(5 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '6a92fd3e289918cb24e2c59c1b1fb145', TRUE),
   (CAST(6 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), 'ba4687799ac2afd07b5fa51ce257e616', FALSE),
-  (CAST(7 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), 'd6a5be3b85b5467db2cffe0262f24339', FALSE)
+  (CAST(7 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), 'd6a5be3b85b5467db2cffe0262f24339', FALSE),
+  (CAST(8 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '95122bae33f750a6e116758659f4da33', TRUE),
+  (CAST(9 AS BIGINT), CAST(16 AS BIGINT), CAST(12 AS BIGINT), '4a1b4e662d07cd5af028eaa2453a08ac', TRUE)
 ) AS t(media_id, width, height, payload_md5, decoded)
 """
 

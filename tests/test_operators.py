@@ -1772,17 +1772,23 @@ def test_jpeg_dimensions_header_parse():
 
 def test_decode_image_jpeg_without_pillow_decodes_baseline():
     """Round-8: baseline JPEG pixel-decodes WITHOUT Pillow via the
-    built-in T.81 decoder; malformed streams and progressive frames
-    still fail honestly (ValueError / NotImplementedError)."""
+    built-in T.81 decoder; malformed streams still fail honestly.
+    (Round 9: progressive SOF2 is now a SUPPORTED decode path — see
+    test_progressive_jpeg_* — so a truncated SOF2 stream is a
+    ValueError like any other truncation, no longer NotImplementedError;
+    arithmetic coding remains an honest NotImplementedError.)"""
     from django_indexer_spark.operators.multimodal import decode_image
 
     # _mini_jpeg has a spec-valid header but NO scan data — honest error
     with pytest.raises(ValueError, match="SOS"):
         decode_image(_mini_jpeg(8, 8))
-    # progressive (SOF2) is beyond the baseline decoder — honest error
     progressive = _mini_jpeg(8, 8).replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="[Pp]rogressive"):
+    with pytest.raises(ValueError, match="SOS"):
         decode_image(progressive)
+    # arithmetic-coded sequential (SOF9) stays unsupported
+    arithmetic = _mini_jpeg(8, 8).replace(b"\xff\xc0", b"\xff\xc9")
+    with pytest.raises(NotImplementedError):
+        decode_image(arithmetic)
 
 
 def _gradient_rgb(w: int, h: int):
@@ -2119,6 +2125,208 @@ def test_decode_image_pillow_normalizes_exotic_modes(monkeypatch):
     # and the normalized buffer survives the resize+encode path
     png = mm.encode_png(8, 4, mm.resize_nearest(img, 8, 4), img.mode)
     assert png[:8] == mm._PNG_SIG
+
+
+def test_progressive_jpeg_bit_identical_to_baseline():
+    """Progressive decode's oracle: the same pixels through
+    encode_jpeg_progressive (spectral selection + successive
+    approximation) and encode_jpeg (baseline) quantize identically, and
+    every SA bit is eventually sent — so the decoded pixels must be
+    BIT-IDENTICAL across every subsampling, odd dims, and scan-script
+    parameterization (incl. no-SA ladders)."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    cases = [
+        (24, 16, "RGB", "4:4:4", dict()),
+        (24, 16, "RGB", "4:2:0", dict()),
+        (17, 11, "RGB", "4:2:2", dict()),
+        (33, 9, "RGB", "4:2:0", dict(dc_al=0, ac_al=0)),  # no SA at all
+        (16, 16, "RGB", "4:4:4", dict(dc_al=2, ac_al=3, split=1)),
+        (8, 8, "RGB", "4:4:4", dict(split=62)),
+        (24, 16, "L", "4:4:4", dict()),
+        (7, 5, "L", "4:4:4", dict(dc_al=0, ac_al=1)),
+    ]
+    for w, h, mode, sub, kw in cases:
+        if mode == "L":
+            pix = _gradient_rgb(w, h)[:, :, 0].copy()
+        else:
+            pix = _gradient_rgb(w, h)
+        base = mm.decode_image(mm.encode_jpeg(w, h, pix.tobytes(), mode, sub))
+        prog = mm.decode_image(
+            mm.encode_jpeg_progressive(w, h, pix.tobytes(), mode, sub, **kw)
+        )
+        assert (prog.width, prog.height, prog.mode) == (w, h, base.mode), (w, h, kw)
+        assert prog.pixels == base.pixels, (w, h, mode, sub, kw)
+
+
+def test_progressive_jpeg_refinement_zrl_path():
+    """AC-refinement ZRL coverage, deliberately: a (7,7)-basis component
+    (zigzag k=63, quantized magnitude 3 — zero at al=2, newly significant
+    at al=1 after a >16 zero-history run) forces the refinement encoder/
+    decoder through the ZRL-skip branch; equality with baseline is the
+    proof both sides count the 16-position skips identically."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    a = mm._dct_matrix()
+    c = np.zeros((8, 8))
+    c[0, 0] = 40.0
+    c[0, 1] = 100.0  # zigzag k=1
+    c[7, 7] = 280.0  # zigzag k=63: q=99 -> quantized 3
+    spatial = a.T @ c @ a + 128.0
+    pix = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+    base = mm.decode_image(mm.encode_jpeg(8, 8, pix.tobytes(), "L"))
+    prog = mm.decode_image(
+        mm.encode_jpeg_progressive(8, 8, pix.tobytes(), "L", ac_al=2)
+    )
+    assert prog.pixels == base.pixels
+
+
+def test_progressive_jpeg_hand_assembled_spec_scans():
+    """Decoder vs the SPEC (not vs our own progressive encoder): an 8x8
+    grayscale progressive stream hand-assembled bit by bit with the
+    published Annex K code words — DC first scan at Al=1 sends
+    diff 2 ('011'+'10'), DC refinement sends the dropped bit 1, AC first
+    scan at Al=1 sends +1 at k=1 ('00'+'1'+EOB'1010'), AC refinement
+    sends EOB then correction bit 1 — reconstructing quantized DC=5,
+    AC1=3. The expected pixels are the decode of the equivalent BASELINE
+    stream hand-assembled with the same two coefficients."""
+    import struct as _struct
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    db, dv = mm._HT_DC_LUMA
+    ab, av = mm._HT_AC_LUMA
+    headers = [
+        (b"\xff\xdb", bytes([0]) + bytes(mm._QT_LUMA)),
+        (b"\xff\xc4", bytes([0x00]) + bytes(db) + bytes(dv)),
+        (b"\xff\xc4", bytes([0x10]) + bytes(ab) + bytes(av)),
+    ]
+
+    def sos(ss, se, ahal):
+        return (b"\xff\xda", bytes([1, 1, 0x00, ss, se, ahal]))
+
+    def seg(marker, payload):
+        return marker + _struct.pack(">H", len(payload) + 2) + payload
+
+    prog = b"\xff\xd8"
+    for m, p in headers:
+        prog += seg(m, p)
+    prog += seg(b"\xff\xc2", _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    prog += seg(*sos(0, 0, 0x01)) + bytes([0b01110111])  # DC first: '011'+'10'
+    prog += seg(*sos(1, 63, 0x01)) + bytes([0b00110101])  # AC first: '00'+'1'+EOB
+    prog += seg(*sos(1, 63, 0x10)) + bytes([0b10101111])  # AC ref: EOB+corr 1
+    prog += seg(*sos(0, 0, 0x10)) + b"\xff\x00"  # DC ref: bit 1 (stuffed pad)
+    prog += b"\xff\xd9"
+
+    base = b"\xff\xd8"
+    for m, p in headers:
+        base += seg(m, p)
+    base += seg(b"\xff\xc0", _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC size3 '100'+'101' (5); AC k=1 v=3: rs 0x02 '01'+'11'; EOB '1010'
+    base += seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    base += bytes([0b10010101, 0b11101011]) + b"\xff\xd9"
+
+    p_img = mm._decode_jpeg(prog)
+    b_img = mm._decode_jpeg(base)
+    assert (p_img.width, p_img.height, p_img.mode) == (8, 8, "L")
+    assert p_img.pixels == b_img.pixels
+
+
+def test_progressive_jpeg_never_hangs_on_corrupt_streams():
+    """Same fuzz contract as the baseline decoder: every deterministic
+    corruption of a valid progressive stream either decodes or raises a
+    clean error — never hangs or crashes the worker."""
+    import random
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    rgb = _gradient_rgb(24, 16)
+    good = bytearray(mm.encode_jpeg_progressive(24, 16, rgb.tobytes(), "RGB"))
+    rng = random.Random(9)
+    for _ in range(200):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            bad[rng.randrange(2, len(bad))] = rng.randrange(256)
+        try:
+            img = mm._decode_jpeg(bytes(bad))
+            assert len(img.pixels) == img.width * img.height * len(img.mode)
+        except (ValueError, NotImplementedError, KeyError, IndexError):
+            pass
+    for cut in (4, 20, len(good) // 2, len(good) - 3):
+        try:
+            mm._decode_jpeg(bytes(good[:cut]))
+        except (ValueError, NotImplementedError, KeyError, IndexError):
+            pass
+
+
+def test_resize_images_decodes_progressive(spark):
+    """A progressive JPEG in the media column takes the REAL decode path
+    in resize_images (decoded=true), matching the baseline payload's
+    output exactly (both decode to identical pixels)."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    rgb = _gradient_rgb(48, 32)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_jpeg(48, 32, rgb.tobytes(), "RGB"))),
+            (2, bytearray(mm.encode_jpeg_progressive(48, 32, rgb.tobytes(), "RGB"))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.resize_images(media, 16, 12).collect()}
+    assert out[1]["decoded"] is True and out[2]["decoded"] is True
+    assert bytes(out[1]["payload"]) == bytes(out[2]["payload"])
+
+
+def _palette_png(indices_rows, pal, trns=None):
+    import struct as _struct
+    import zlib as _zlib
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    def chunk(ctype, payload):
+        return (
+            _struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + _struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    h, w = len(indices_rows), len(indices_rows[0])
+    idat = _zlib.compress(b"".join(bytes([0]) + bytes(r) for r in indices_rows))
+    out = mm._PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+    out += chunk(b"PLTE", bytes(pal))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def test_palette_png_decode():
+    """8-bit palette PNGs (colortype 3): PLTE lookup to RGB, tRNS to
+    RGBA with per-entry alpha (entries past the tRNS length opaque);
+    out-of-range indices and missing PLTE raise clean ValueError."""
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    img = mm._decode_png(_palette_png([[0, 1, 2, 1], [2, 2, 0, 0]], pal))
+    assert (img.width, img.height, img.mode) == (4, 2, "RGB")
+    assert img.pixels == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0]
+        + [0, 0, 255, 0, 0, 255, 255, 0, 0, 255, 0, 0]
+    )
+    rgba = mm._decode_png(_palette_png([[0, 1], [2, 0]], pal, trns=[128]))
+    assert rgba.mode == "RGBA"
+    assert rgba.pixels[3] == 128 and rgba.pixels[7] == 255  # idx0 translucent
+    with pytest.raises(ValueError, match="palette index"):
+        mm._decode_png(_palette_png([[0, 3]], pal))
+    bad = _palette_png([[0, 1]], pal)
+    bad = bad.replace(b"PLTE" + bytes(pal), b"pLTe" + bytes(pal))  # drop PLTE
+    with pytest.raises(ValueError, match="PLTE"):
+        mm._decode_png(bad)
 
 
 def test_extract_features_jpeg_header_dims(spark):

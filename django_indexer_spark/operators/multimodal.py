@@ -108,12 +108,76 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+# valid bit depths per colortype (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw: bytes, pos: int, height: int, stride: int, bpp: int):
+    """Undo the per-scanline filters (None/Sub/Up/Average/Paeth, PNG spec
+    §9) over ``height`` rows of ``stride`` bytes starting at ``pos``;
+    ``bpp`` is the filter's byte-delta (bytes per complete pixel, min 1).
+    Returns (unfiltered bytes, new position)."""
+    if pos + height * (stride + 1) > len(raw):
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for _ in range(height):
+        filt = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if filt == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"bad PNG filter byte {filt}")
+        out += row
+        prev = row
+    return bytes(out), pos
+
+
+def _png_row_samples(rowbytes: bytes, w: int, depth: int, spp: int) -> list[int]:
+    """Raw sample values of one unfiltered scanline: 8-bit verbatim,
+    16-bit as the high byte (the standard 16→8 downconversion), 1/2/4-bit
+    unpacked MSB-first (spec §7.2; only 1-sample-per-pixel colortypes)."""
+    if depth == 8:
+        return list(rowbytes[: w * spp])
+    if depth == 16:
+        return list(rowbytes[0 : 2 * w * spp : 2])
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return [
+        (rowbytes[i // per] >> (8 - depth * (i % per + 1))) & mask for i in range(w)
+    ]
+
+
 def _decode_png(data: bytes) -> DecodedImage:
     """Pure-stdlib PNG decode: chunk walk, zlib inflate, filter undo
-    (None/Sub/Up/Average/Paeth per the PNG spec §9). Supports the
-    non-interlaced 8-bit gray/LA/RGB/RGBA subset plus 8-bit PALETTE
-    images (colortype 3; PLTE lookup, tRNS → RGBA) — enough for real
-    fixture/thumbnail/icon pixels without any image library."""
+    (None/Sub/Up/Average/Paeth per the PNG spec §9). Supports every
+    static-PNG combination the spec allows: gray/LA/RGB/RGBA at 8 and
+    16 bit (16-bit downconverted to 8 via the high byte), gray at
+    1/2/4 bit (scaled to 8), PALETTE at 1/2/4/8 bit (PLTE lookup,
+    tRNS → RGBA), and Adam7 INTERLACED streams (7 independently
+    filtered passes scattered onto the output grid). Per-pixel Python —
+    fixture/thumbnail correctness coverage, not the hot path (Pillow is
+    the fast path when importable)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat = 8, bytearray()
@@ -136,58 +200,66 @@ def _decode_png(data: bytes) -> DecodedImage:
             idat += chunk
         elif ctype == b"IEND":
             break
-    # palette images filter over 1-byte indices, then map through PLTE
-    channels = 1 if colortype == 3 else _PNG_CHANNELS.get(colortype)
-    if width is None or not idat:
+    if width is None or not idat or not width or not height:
         raise ValueError("truncated PNG")
-    if channels is None or bitdepth != 8 or interlace != 0:
-        raise NotImplementedError(
-            "built-in decoder supports non-interlaced 8-bit gray/LA/RGB/RGBA/"
-            "palette; install Pillow for full coverage"
-        )
+    if colortype not in _PNG_DEPTHS or bitdepth not in _PNG_DEPTHS[colortype]:
+        raise ValueError("invalid PNG colortype/bitdepth combination")
+    if interlace not in (0, 1):
+        raise ValueError("invalid PNG interlace method")
     if colortype == 3 and (plte is None or len(plte) % 3 or not plte):
         raise ValueError("palette PNG without a valid PLTE chunk")
+    spp = 1 if colortype == 3 else _PNG_CHANNELS[colortype]
+    bits_pp = bitdepth * spp
+    bpp = max(1, bits_pp // 8)  # filter byte-delta
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
-    pos = 0
-    for _ in range(height):
-        filt = raw[pos]
-        row = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if filt == 1:  # Sub
-            for i in range(channels, stride):
-                row[i] = (row[i] + row[i - channels]) & 0xFF
-        elif filt == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif filt == 3:  # Average
-            for i in range(stride):
-                left = row[i - channels] if i >= channels else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif filt == 4:  # Paeth
-            for i in range(stride):
-                left = row[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif filt != 0:
-            raise ValueError(f"bad PNG filter byte {filt}")
-        out += row
-        prev = row
+
+    # samples[y][x] = tuple of raw sample values for that pixel
+    samples: list[list] = [[None] * width for _ in range(height)]
+    passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
+    rpos = 0
+    for x0, y0, dx, dy in passes:
+        wp = -(-(width - x0) // dx) if width > x0 else 0
+        hp = -(-(height - y0) // dy) if height > y0 else 0
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = -(-(wp * bits_pp) // 8)
+        unfiltered, rpos = _png_unfilter(raw, rpos, hp, stride, bpp)
+        for r in range(hp):
+            row = _png_row_samples(
+                unfiltered[r * stride : (r + 1) * stride], wp, bitdepth, spp
+            )
+            y = y0 + r * dy
+            for cidx in range(wp):
+                samples[y][x0 + cidx * dx] = tuple(
+                    row[cidx * spp : (cidx + 1) * spp]
+                )
+
     if colortype == 3:
         npal = len(plte) // 3
-        if max(out) >= npal:
-            raise ValueError("PNG palette index out of range")
         pal = [plte[3 * i : 3 * i + 3] for i in range(npal)]
+        alpha = None
         if trns is not None:
-            alpha = bytes(trns) + b"\xff" * (npal - len(trns))
-            rgba = b"".join(pal[i] + alpha[i : i + 1] for i in out)
-            return DecodedImage(width, height, "RGBA", rgba)
-        return DecodedImage(width, height, "RGB", b"".join(pal[i] for i in out))
-    return DecodedImage(width, height, _PNG_MODES[channels], bytes(out))
+            alpha = bytes(trns) + b"\xff" * max(0, npal - len(trns))
+        out = bytearray()
+        for y in range(height):
+            for px in samples[y]:
+                i = px[0]
+                if i >= npal:
+                    raise ValueError("PNG palette index out of range")
+                out += pal[i]
+                if alpha is not None:
+                    out.append(alpha[i])
+        mode = "RGBA" if alpha is not None else "RGB"
+        return DecodedImage(width, height, mode, bytes(out))
+
+    if bitdepth < 8:  # gray 1/2/4 bit: scale to full 8-bit range
+        mx = (1 << bitdepth) - 1
+        out = bytearray(
+            (px[0] * 255) // mx for y in range(height) for px in samples[y]
+        )
+    else:  # 8-bit verbatim; 16-bit already reduced to the high byte
+        out = bytearray(v for y in range(height) for px in samples[y] for v in px)
+    return DecodedImage(width, height, _PNG_MODES[spp], bytes(out))
 
 
 def encode_png(width: int, height: int, pixels: bytes, mode: str = "RGB") -> bytes:
@@ -1335,12 +1407,13 @@ def encode_jpeg_progressive(
 def decode_image(payload: bytes) -> DecodedImage:
     """Real image decode. Prefers Pillow when installed (full format
     coverage, C-speed); falls back to the built-in stdlib decoders —
-    PNG incl. palette (``_decode_png``) and baseline + progressive JPEG
-    (``_decode_jpeg``); raises NotImplementedError for what neither path
-    covers (arithmetic/12-bit/CMYK JPEG, interlaced/16-bit PNG, exotic
-    formats). Callers that only need dimensions use ``jpeg_dimensions``
-    (header parse, no codec) before falling back to ``fake_decode_meta``
-    (see ``extract_features``)."""
+    full static PNG (``_decode_png``: every spec-legal depth/colortype
+    combination incl. palette, 16-bit, 1/2/4-bit, Adam7 interlace) and
+    baseline + progressive JPEG (``_decode_jpeg``); raises
+    NotImplementedError for what neither path covers (arithmetic/12-bit/
+    CMYK JPEG, exotic formats). Callers that only need dimensions use
+    ``jpeg_dimensions`` (header parse, no codec) before falling back to
+    ``fake_decode_meta`` (see ``extract_features``)."""
     try:
         from io import BytesIO
 
@@ -1363,7 +1436,7 @@ def decode_image(payload: bytes) -> DecodedImage:
         return _decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this payload format without Pillow "
-        "(built-in paths are PNG incl. palette and baseline+progressive JPEG)"
+        "(built-in paths are full static PNG and baseline+progressive JPEG)"
     )
 
 

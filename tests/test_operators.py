@@ -2329,6 +2329,153 @@ def test_palette_png_decode():
         mm._decode_png(bad)
 
 
+def _build_png(width, height, bitdepth, colortype, pixel_samples, plte=None,
+               trns=None, interlace=0):
+    """Test-side PNG writer, independent of the decoder: packs samples at
+    any legal bitdepth (MSB-first), optionally Adam7-interlaced (its own
+    scatter — agreeing outputs mean encoder and decoder implement the
+    same spec, not the same bug). ``pixel_samples[y][x]`` = tuple of raw
+    sample values. Filter 0 everywhere."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    spp = len(pixel_samples[0][0])
+
+    def chunk(ctype, payload):
+        return (
+            _struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + _struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    def pack_row(pixels):
+        if bitdepth == 8:
+            return bytes(v for px in pixels for v in px)
+        if bitdepth == 16:
+            return b"".join(
+                _struct.pack(">H", (v << 8) | 0x5A) for px in pixels for v in px
+            )
+        acc, nbits, out = 0, 0, bytearray()
+        for px in pixels:
+            acc = (acc << bitdepth) | px[0]
+            nbits += bitdepth
+            if nbits == 8:
+                out.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            out.append(acc << (8 - nbits))
+        return bytes(out)
+
+    passes = (
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        rows = [
+            [pixel_samples[y][x] for x in range(x0, width, dx)]
+            for y in range(y0, height, dy)
+        ]
+        rows = [r for r in rows if r]
+        for r in rows:
+            raw += bytes([0]) + pack_row(r)
+    out = mm._PNG_SIG + chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", width, height, bitdepth, colortype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_adam7_interlaced_matches_plain():
+    """Adam7: the same pixels written plain and interlaced (test-side
+    interlacer) must decode identically — odd dims exercise ragged and
+    EMPTY passes (3x2 has no pass-1..3 rows at all)."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    for w, h, spp, ct in [(9, 7, 3, 2), (8, 8, 1, 0), (3, 2, 4, 6), (16, 5, 2, 4)]:
+        rng = np.random.default_rng(w * 100 + h)
+        px = [
+            [tuple(int(v) for v in rng.integers(0, 256, spp)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        plain = mm._decode_png(_build_png(w, h, 8, ct, px, interlace=0))
+        inter = mm._decode_png(_build_png(w, h, 8, ct, px, interlace=1))
+        assert (inter.width, inter.height, inter.mode) == (w, h, plain.mode)
+        assert inter.pixels == plain.pixels, (w, h, ct)
+
+
+def test_png_16bit_downconverts_to_high_byte():
+    from django_indexer_spark.operators import multimodal as mm
+
+    px = [[(0,), (1,), (128,), (255,)], [(7,), (200,), (63,), (90,)]]
+    img = mm._decode_png(_build_png(4, 2, 16, 0, px))
+    assert img.mode == "L"
+    assert img.pixels == bytes([0, 1, 128, 255, 7, 200, 63, 90])
+    rgba = [[(10, 20, 30, 40), (50, 60, 70, 80)]]
+    img = mm._decode_png(_build_png(2, 1, 16, 6, rgba))
+    assert img.mode == "RGBA" and img.pixels == bytes([10, 20, 30, 40, 50, 60, 70, 80])
+
+
+def test_png_low_bitdepth_gray_and_palette():
+    """1/2/4-bit gray scales to the full 8-bit range (0,85,170,255 for
+    depth 2); low-depth palette indices pack MSB-first with row-aligned
+    padding; interlaced 4-bit palette exercises per-pass packing."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    g1 = [[(1,), (0,), (1,), (1,), (0,), (1,), (0,), (0,), (1,)]]  # 9px: pad bits
+    img = mm._decode_png(_build_png(9, 1, 1, 0, g1))
+    assert img.pixels == bytes([255, 0, 255, 255, 0, 255, 0, 0, 255])
+    g2 = [[(0,), (1,), (2,), (3,), (3,)]]
+    img = mm._decode_png(_build_png(5, 1, 2, 0, g2))
+    assert img.pixels == bytes([0, 85, 170, 255, 255])
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    p2 = [[(0,), (2,), (1,), (1,), (2,)], [(2,), (0,), (0,), (1,), (0,)]]
+    img = mm._decode_png(_build_png(5, 2, 2, 3, p2, plte=pal))
+    assert img.mode == "RGB"
+    assert img.pixels[:9] == bytes([255, 0, 0, 0, 0, 255, 0, 255, 0])
+    # interlaced low-depth palette: plain == interlaced
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    px = [[(int(rng.integers(0, 3)),) for _ in range(9)] for _ in range(6)]
+    plain = mm._decode_png(_build_png(9, 6, 4, 3, px, plte=pal, interlace=0))
+    inter = mm._decode_png(_build_png(9, 6, 4, 3, px, plte=pal, interlace=1))
+    assert inter.pixels == plain.pixels
+
+
+def test_png_invalid_combinations_fail_cleanly():
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    px = [[(0,), (1,)]]
+    good = _build_png(2, 1, 8, 0, px)
+    # 16-bit palette is spec-invalid (IHDR byte patched)
+    bad_depth = bytearray(_build_png(2, 1, 8, 3, px, plte=[0, 0, 0, 1, 1, 1]))
+    ihdr_at = bad_depth.find(b"IHDR") + 4
+    bad_depth[ihdr_at + 8] = 16
+    with pytest.raises(ValueError, match="colortype/bitdepth"):
+        mm._decode_png(bytes(bad_depth))
+    bad_ct = bytearray(good)
+    bad_ct[bad_ct.find(b"IHDR") + 4 + 9] = 7  # colortype 7 does not exist
+    with pytest.raises(ValueError, match="colortype/bitdepth"):
+        mm._decode_png(bytes(bad_ct))
+    bad_il = bytearray(good)
+    bad_il[bad_il.find(b"IHDR") + 4 + 12] = 2  # interlace 2 does not exist
+    with pytest.raises(ValueError, match="interlace"):
+        mm._decode_png(bytes(bad_il))
+
+
 def test_extract_features_jpeg_header_dims(spark):
     """JPEG payloads in a codec-less container: extract_features reports
     the REAL header dimensions with decoded=False (fake fallback only

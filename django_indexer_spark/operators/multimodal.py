@@ -2,22 +2,26 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side machinery — schema, partition-friendly batching,
-Arrow-batched UDF signatures — is real and tested, and ``decode_image``
-now actually decodes:
+Arrow-batched UDF signatures — is real and tested, and the decoders
+actually decode:
 
 - PIL/Pillow is used when importable (full format coverage, C-speed);
-- without PIL, built-in pure-stdlib/numpy decoders handle PNG (zlib
-  inflate + filter reconstruction, non-interlaced 8-bit gray/LA/RGB/
-  RGBA) AND baseline JPEG (full huffman + IDCT pipeline, any chroma
-  sampling, restart markers) — real pixels out of real bytes, no
-  dependencies;
-- progressive JPEG / other formats without PIL raise
-  NotImplementedError (honest gap);
+- without PIL, built-in pure-stdlib/numpy decoders handle FULL static
+  PNG (zlib inflate + filter reconstruction; every spec-legal
+  depth/colortype incl. palette+tRNS, 16-bit, 1/2/4-bit, Adam7
+  interlace) AND full T.81 JPEG — baseline and PROGRESSIVE (spectral
+  selection + successive approximation) — real pixels out of real
+  bytes, no dependencies;
+- WAV/RIFF audio parses and PCM-decodes with stdlib struct + numpy
+  (``wav_info`` / ``decode_wav`` / ``audio_features``);
+- arithmetic/12-bit/CMYK JPEG and non-PCM audio formats without PIL/
+  codec libs raise NotImplementedError (honest gaps);
 - ``fake_decode_meta`` stays as the deterministic stand-in for payloads
-  that aren't decodable images, keeping feature extraction total.
+  that aren't decodable, keeping feature extraction total.
 
-``encode_png`` (same stdlib toolbox) generates real fixture images so
-tests verify decoded dimensions and pixel bytes, not just plumbing.
+``encode_png`` / ``encode_jpeg`` / ``encode_jpeg_progressive`` (same
+stdlib toolbox) generate real fixture media so tests verify decoded
+dimensions and pixel/sample values, not just plumbing.
 
 Design for 100 TB of media:
 - binary payloads live in their own column so parquet column pruning skips
@@ -1678,4 +1682,185 @@ def strip_and_reassemble(
             F.col("__orig_md5").alias("payload_md5"),
             (F.col("__re_md5") == F.col("__orig_md5")).alias("roundtrip_ok"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Audio (WAV/RIFF, public Microsoft/IBM spec) — stdlib struct + numpy.
+#
+# Round 9: the audio leg of the multimodal story gets the same treatment
+# as images — a dependency-free header parser (wav_info), a real PCM
+# sample decoder (decode_wav: there is no entropy coding in PCM, the
+# samples ARE the bytes), and an Arrow-batched feature extractor
+# (audio_features) that is total over mixed media. Non-PCM compression
+# (MP3/AAC/Opus) genuinely needs a codec library and raises an honest
+# NotImplementedError; the METADATA of any well-formed RIFF container
+# still parses.
+# --------------------------------------------------------------------------
+
+_RIFF_PCM = 1
+_RIFF_FLOAT = 3
+_RIFF_EXTENSIBLE = 0xFFFE
+
+
+class WavInfo(NamedTuple):
+    audio_format: int
+    channels: int
+    sample_rate: int
+    bits: int
+    n_frames: int
+
+
+def wav_info(payload: bytes) -> WavInfo:
+    """Parse a RIFF/WAVE header (fmt + data chunks, little-endian,
+    word-aligned chunk walk) — metadata only, no sample decode, so it
+    works for ANY codec the container carries. Raises ValueError for
+    non-WAV or truncated/malformed streams."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            body = payload[pos + 8 : pos + 8 + csize]
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            audio_format, channels, rate = struct.unpack("<HHI", body[:8])
+            block_align, bits = struct.unpack("<HH", body[12:16])
+            if audio_format == _RIFF_EXTENSIBLE and len(body) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real format code leads the
+                # 16-byte SubFormat GUID at offset 24
+                (audio_format,) = struct.unpack("<H", body[24:26])
+            fmt = (audio_format, channels, rate, block_align, bits)
+        elif cid == b"data":
+            # tolerate the common malformed case of a data chunk whose
+            # declared size runs past the file (streaming writers)
+            data_size = min(csize, n - pos - 8)
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, rate, block_align, bits = fmt
+    if channels == 0 or rate == 0 or block_align == 0:
+        raise ValueError("invalid WAV fmt fields")
+    return WavInfo(audio_format, channels, rate, bits, data_size // block_align)
+
+
+def decode_wav(payload: bytes):
+    """Real PCM decode: (WavInfo, float64 array[n_frames, channels] in
+    [-1, 1]) for integer PCM (8-bit unsigned, 16/24/32-bit signed LE)
+    and IEEE float (32/64-bit). Compressed formats raise
+    NotImplementedError — metadata callers use ``wav_info`` instead."""
+    import numpy as np
+
+    info = wav_info(payload)
+    if info.audio_format not in (_RIFF_PCM, _RIFF_FLOAT):
+        raise NotImplementedError(
+            f"WAV audio format {info.audio_format} needs a codec library "
+            "(only PCM and IEEE float decode built-in)"
+        )
+    # locate the data chunk again (wav_info validated the walk)
+    pos, n = 12, len(payload)
+    raw = b""
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"data":
+            raw = payload[pos + 8 : pos + 8 + csize]
+            break
+        pos += 8 + csize + (csize & 1)
+    if info.audio_format == _RIFF_FLOAT:
+        if info.bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif info.bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError("IEEE-float WAV must be 32 or 64 bit")
+    elif info.bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif info.bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif info.bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif info.bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+    else:
+        raise ValueError(f"unsupported PCM bit depth {info.bits}")
+    frames = len(x) // info.channels
+    return info, x[: frames * info.channels].reshape(frames, info.channels)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        # True = PCM samples really decoded; False = header-only or not WAV
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction, total over mixed media:
+    WAV payloads get header metadata plus REAL signal features (RMS,
+    peak) from the PCM decode; parseable-but-compressed WAVs keep their
+    header metadata with decoded=false; non-audio payloads survive as
+    null-feature rows. Same 100 TB shape as extract_features: blobs stay
+    inside their task's Arrow batches, only narrow features come out."""
+    import math
+
+    def one(b):
+        if b is None:
+            return (None,) * 7 + (None,)
+        bb = bytes(b)
+        try:
+            info = wav_info(bb)
+        except ValueError:
+            return (None,) * 7 + (False,)
+        duration = info.n_frames / info.sample_rate
+        try:
+            _, x = decode_wav(bb)
+        except (NotImplementedError, ValueError):
+            return (
+                info.sample_rate, info.channels, info.bits,
+                info.n_frames, duration, None, None, False,
+            )
+        rms = float(math.sqrt((x * x).mean())) if x.size else 0.0
+        peak = float(abs(x).max()) if x.size else 0.0
+        return (
+            info.sample_rate, info.channels, info.bits,
+            info.n_frames, duration, rms, peak, True,
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "bits": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "n_frames": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "duration_s": pd.array([r[4] for r in rows], dtype="float64"),
+                    "rms": pd.array([r[5] for r in rows], dtype="float64"),
+                    "peak": pd.array([r[6] for r in rows], dtype="float64"),
+                    "decoded": pd.array([r[7] for r in rows], dtype="boolean"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, AUDIO_FEATURE_SCHEMA
     )

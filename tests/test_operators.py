@@ -2476,6 +2476,135 @@ def test_png_invalid_combinations_fail_cleanly():
         mm._decode_png(bytes(bad_il))
 
 
+def _wav_bytes(fmt_code, channels, rate, bits, data, extensible=False):
+    """Hand-built RIFF/WAVE container (independent of the parser)."""
+    import struct as _struct
+
+    if extensible:
+        # cbSize=22, wValidBitsPerSample, dwChannelMask=0, then the
+        # 16-byte SubFormat GUID whose leading 2 bytes are the format code
+        ext = (
+            _struct.pack("<HHI", 22, bits, 0)
+            + _struct.pack("<H", fmt_code)
+            + b"\x00" * 14
+        )
+        body = _struct.pack(
+            "<HHIIHH", 0xFFFE, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        ) + ext
+    else:
+        body = _struct.pack(
+            "<HHIIHH", fmt_code, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+    chunks = b"fmt " + _struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    chunks += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_parse_and_pcm_decode():
+    """wav_info/decode_wav vs the stdlib `wave` writer (independent
+    implementations of the same public spec): a PCM16 sine round-trips
+    to the right metadata and RMS ~ amplitude/sqrt(2); float32, 8-bit,
+    and 24-bit paths decode from hand-built containers; EXTENSIBLE
+    resolves the real format code; compressed formats parse metadata but
+    honestly refuse sample decode."""
+    import io
+    import math
+    import struct as _struct
+    import wave as _wave
+
+    import numpy as np
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    t = np.arange(8000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sine.tobytes())
+    payload = buf.getvalue()
+    info, x = mm.decode_wav(payload)
+    assert (info.channels, info.sample_rate, info.bits, info.n_frames) == (
+        1, 8000, 16, 8000,
+    )
+    assert abs(float(np.sqrt((x * x).mean())) - 0.5 / math.sqrt(2)) < 1e-3
+
+    f32 = np.array([0.0, 0.25, -0.5, 1.0], dtype="<f4")
+    info, x = mm.decode_wav(_wav_bytes(3, 1, 44100, 32, f32.tobytes()))
+    assert info.audio_format == 3 and np.allclose(x[:, 0], f32)
+
+    pcm8 = bytes([0, 128, 255])
+    info, x = mm.decode_wav(_wav_bytes(1, 1, 8000, 8, pcm8))
+    assert np.allclose(x[:, 0], [(0 - 128) / 128, 0.0, 127 / 128])
+
+    v24 = [-(1 << 23), 0, (1 << 23) - 1]
+    raw24 = b"".join(_struct.pack("<i", v)[:3] for v in v24)
+    info, x = mm.decode_wav(_wav_bytes(1, 1, 8000, 24, raw24))
+    assert np.allclose(x[:, 0], [-1.0, 0.0, ((1 << 23) - 1) / (1 << 23)])
+
+    ext = _wav_bytes(1, 2, 16000, 16, b"\x00" * 8, extensible=True)
+    info = mm.wav_info(ext)
+    assert (info.audio_format, info.channels, info.n_frames) == (1, 2, 2)
+
+    mp3ish = _wav_bytes(85, 2, 44100, 16, b"\x00" * 16)
+    assert mm.wav_info(mp3ish).audio_format == 85
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_wav(mp3ish)
+
+    with pytest.raises(ValueError):
+        mm.wav_info(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        mm.wav_info(b"not audio at all")
+
+
+def test_audio_features_total_over_mixed_media(spark):
+    """audio_features: PCM WAVs get real signal features (decoded=true),
+    compressed WAVs keep header metadata (decoded=false), non-audio
+    payloads survive as null-feature rows — one corrupt/foreign blob
+    never crashes the batch."""
+    import io
+    import math
+    import wave as _wave
+
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    t = np.arange(4000) / 8000.0
+    sine = (0.25 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sine.tobytes())
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(buf.getvalue())),
+            (2, bytearray(_wav_bytes(85, 2, 44100, 16, b"\x00" * 16))),
+            (3, bytearray(b"definitely not audio")),
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert out[1]["decoded"] is True
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_frames"] == 4000
+    assert abs(out[1]["duration_s"] - 0.5) < 1e-9
+    assert abs(out[1]["rms"] - 0.25 / math.sqrt(2)) < 1e-3
+    assert out[2]["decoded"] is False and out[2]["sample_rate"] == 44100
+    assert out[2]["rms"] is None
+    assert out[3]["decoded"] is False and out[3]["sample_rate"] is None
+    assert out[4]["decoded"] is None
+
+
 def test_extract_features_jpeg_header_dims(spark):
     """JPEG payloads in a codec-less container: extract_features reports
     the REAL header dimensions with decoded=False (fake fallback only

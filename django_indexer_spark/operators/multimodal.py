@@ -295,6 +295,59 @@ def encode_png(width: int, height: int, pixels: bytes, mode: str = "RGB") -> byt
 
 
 _JPEG_SIG = b"\xff\xd8\xff"
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def gif_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from a GIF's block structure — stdlib-
+    only walk, no LZW decode (metadata never needs pixels, the same
+    philosophy as ``jpeg_dimensions``): logical screen descriptor for
+    dims, then count image descriptors (0x2C), skipping color tables,
+    extension blocks (0x21), and LZW data sub-blocks by their declared
+    lengths. Raises ValueError for non-GIF or truncated streams."""
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    n = len(payload)
+    if n < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= n:
+                raise ValueError("truncated GIF data sub-blocks")
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    frames = 0
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos = skip_subblocks(pos + 1)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > n:
+                raise ValueError("truncated GIF image descriptor")
+            lflags = payload[pos + 8]
+            pos += 9
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos = skip_subblocks(pos + 1)  # LZW min-code byte + data
+            frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if frames == 0:
+        raise ValueError("GIF with no image frames")
+    return width, height, frames
 
 
 def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
@@ -1476,6 +1529,15 @@ def extract_features(media: DataFrame) -> DataFrame:
             # want JPEG pixels use decode_image/resize_images.
             try:
                 w, h, _ch = jpeg_dimensions(bb)
+                return w, h, False
+            except ValueError:
+                w, h = fake_decode_meta(b)
+                return w, h, False
+        if bb[:6] in _GIF_SIGS:
+            # same metadata philosophy for GIF: real dims from the block
+            # walk, no LZW decode (decoded stays False)
+            try:
+                w, h, _frames = gif_info(bb)
                 return w, h, False
             except ValueError:
                 w, h = fake_decode_meta(b)

@@ -2605,6 +2605,55 @@ def test_audio_features_total_over_mixed_media(spark):
     assert out[4]["decoded"] is None
 
 
+def _gif_bytes(width, height, n_frames, gct=True):
+    """Hand-built GIF89a container: logical screen descriptor, optional
+    2-entry global color table, a graphic-control extension per frame,
+    image descriptors with dummy LZW sub-blocks, trailer."""
+    import struct as _struct
+
+    out = b"GIF89a" + _struct.pack("<HH", width, height)
+    out += bytes([0x80 if gct else 0x00, 0, 0])
+    if gct:
+        out += bytes([0, 0, 0, 255, 255, 255])  # 2-entry table (N=0)
+    for _ in range(n_frames):
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # GCE + terminator
+        out += bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x00])  # no local color table
+        out += bytes([2])  # LZW min code size
+        out += bytes([3, 0x44, 0x55, 0x66, 0])  # one 3-byte sub-block + end
+    return out + bytes([0x3B])
+
+
+def test_gif_info_header_walk():
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    assert mm.gif_info(_gif_bytes(320, 200, 1)) == (320, 200, 1)
+    assert mm.gif_info(_gif_bytes(64, 48, 5)) == (64, 48, 5)
+    assert mm.gif_info(_gif_bytes(16, 16, 2, gct=False)) == (16, 16, 2)
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm.gif_info(b"PNG not gif")
+    with pytest.raises(ValueError):
+        mm.gif_info(_gif_bytes(320, 200, 2)[:-8])  # truncated mid-frame
+    with pytest.raises(ValueError, match="no image frames"):
+        mm.gif_info(b"GIF89a" + bytes([4, 0, 3, 0, 0, 0, 0, 0x3B]))
+
+
+def test_extract_features_gif_header_dims(spark):
+    """GIF payloads report REAL header dimensions via the block walk —
+    no LZW decode ran, so decoded stays False (the JPEG metadata-path
+    philosophy applied to GIF)."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_gif_bytes(128, 96, 3)))],
+        "media_id long, payload binary",
+    )
+    feats = mm.extract_features(media).collect()[0]
+    assert (feats["width"], feats["height"], feats["decoded"]) == (128, 96, False)
+
+
 def test_extract_features_jpeg_header_dims(spark):
     """JPEG payloads in a codec-less container: extract_features reports
     the REAL header dimensions with decoded=False (fake fallback only

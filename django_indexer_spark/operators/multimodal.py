@@ -13,7 +13,16 @@ actually decode:
   selection + successive approximation) — real pixels out of real
   bytes, no dependencies;
 - WAV/RIFF audio parses and PCM-decodes with stdlib struct + numpy
-  (``wav_info`` / ``decode_wav`` / ``audio_features``);
+  (``wav_info`` / ``decode_wav`` / ``audio_features``), with real
+  Welch-averaged rfft spectral features (``audio_spectral``);
+- MP4/ISO-BMFF video/audio containers parse via the box walk
+  (``mp4_info`` / ``video_features``: duration, tracks, dims, codec
+  fourccs — mdat is never read), and ``sample_frames`` stamps real
+  evenly-spaced presentation timestamps from the mvhd duration;
+- BMP / TIFF / WebP dims come from their header walks (``bmp_info`` /
+  ``tiff_info`` / ``webp_info``) and JPEG EXIF (orientation, camera,
+  capture timestamps) from the APP1 TIFF IFD walk (``jpeg_exif`` /
+  ``image_exif``) — metadata never pays for pixels;
 - arithmetic/12-bit/CMYK JPEG and non-PCM audio formats without PIL/
   codec libs raise NotImplementedError (honest gaps);
 - ``fake_decode_meta`` stays as the deterministic stand-in for payloads
@@ -1542,6 +1551,40 @@ def extract_features(media: DataFrame) -> DataFrame:
             except ValueError:
                 w, h = fake_decode_meta(b)
                 return w, h, False
+        if bb[4:8] == b"ftyp":
+            # ISO-BMFF video/audio: presentation dims from the moov box
+            # walk — mdat (the actual media) is never read, and no frame
+            # decode ran (decoded stays False). Audio-only containers
+            # honestly report null dims rather than a fake.
+            try:
+                i = mp4_info(bb)
+                return i.width, i.height, False
+            except ValueError:
+                w, h = fake_decode_meta(b)
+                return w, h, False
+        # BMP / TIFF / WebP: same metadata philosophy — real dims from
+        # the header walk, decoded stays False (no pixel decode ran)
+        if bb[:2] == b"BM":
+            try:
+                w, h, _bpp = bmp_info(bb)
+                return w, h, False
+            except ValueError:
+                w, h = fake_decode_meta(b)
+                return w, h, False
+        if bb[:2] in (b"II", b"MM") and len(bb) >= 4 and bb[2:4] in (b"*\x00", b"\x00*"):
+            try:
+                w, h = tiff_info(bb)
+                return w, h, False
+            except ValueError:
+                w, h = fake_decode_meta(b)
+                return w, h, False
+        if bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
+            try:
+                w, h, _variant = webp_info(bb)
+                return w, h, False
+            except ValueError:
+                w, h = fake_decode_meta(b)
+                return w, h, False
         try:
             img = decode_image(bb)
             return img.width, img.height, True
@@ -1586,6 +1629,9 @@ FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
+        # real presentation timestamp (evenly spaced over the container's
+        # mvhd duration) when the payload parses as ISO-BMFF; null otherwise
+        T.StructField("ts_s", T.DoubleType()),
         T.StructField("frame_payload", T.BinaryType()),
     ]
 )
@@ -1652,9 +1698,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """mapInPandas 1→N frame sampling — the video-explode shape (output
-    cardinality differs from input, which plain pandas_udf can't do). The
-    stub slices the payload into n_frames chunks standing in for decoded
-    frames; a real implementation seeks keyframes via the video codec.
+    cardinality differs from input, which plain pandas_udf can't do).
+    For ISO-BMFF payloads the frame TIMESTAMPS are real — evenly spaced
+    over the container's mvhd duration from the ``mp4_info`` box walk —
+    which is what a keyframe sampler seeks to; the frame PIXELS need a
+    video codec library, so the payload column carries the deterministic
+    byte-slice stand-in (and non-video payloads slice the same way with
+    null timestamps).
 
     Scale note: frames inherit the input's partitioning — no shuffle; a
     60-frame-per-video sample only multiplies rows inside each task."""
@@ -1663,16 +1713,33 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids: list[int] = []
             idxs: list[int] = []
+            tss: list[float | None] = []
             frames: list[bytes | None] = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
-                step = max(1, len(payload) // n_frames)
-                for i in range(min(n_frames, len(payload))):
+                bb = bytes(payload)
+                duration = None
+                if bb[4:8] == b"ftyp":
+                    try:
+                        duration = mp4_info(bb).duration_s
+                    except ValueError:
+                        duration = None
+                k = min(n_frames, len(bb))
+                step = max(1, len(bb) // n_frames)
+                for i in range(k):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(bytes(payload[i * step : i * step + step]))
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
+                    tss.append(None if duration is None else duration * i / k)
+                    frames.append(bb[i * step : i * step + step])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_s": pd.array(tss, dtype="float64"),
+                    "frame_payload": frames,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
 
@@ -1925,4 +1992,667 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         extract, AUDIO_FEATURE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Audio spectral features (numpy rfft — no codec or DSP library)
+# --------------------------------------------------------------------------
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_bandwidth_hz", T.DoubleType()),
+        T.StructField("rolloff85_hz", T.DoubleType()),
+        T.StructField("spectral_flatness", T.DoubleType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("zero_crossing_rate_hz", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _spectral_features(x, sample_rate: int, frame_len: int = 1024):
+    """Welch-averaged power-spectrum features over a decoded signal.
+
+    ``x`` is the float64 [n_frames, channels] array ``decode_wav``
+    returns; channels are mono-mixed, the signal is cut into
+    non-overlapping Hann-windowed frames of ``frame_len`` samples
+    (zero-padded to one frame when shorter), and the per-frame power
+    spectra are averaged before the summary statistics — the standard
+    periodogram-averaging estimator, so features are stable for long
+    signals instead of tracking one noisy FFT. DC is excluded from
+    every statistic (a constant offset is not 'spectrum').
+
+    Returns (centroid_hz, bandwidth_hz, rolloff85_hz, flatness,
+    dominant_hz, zcr_hz). Pure numpy, deterministic.
+    """
+    import numpy as np
+
+    mono = x.mean(axis=1) if x.ndim == 2 else np.asarray(x, dtype=np.float64)
+    n = mono.shape[0]
+    if n == 0 or sample_rate <= 0:
+        return (None,) * 6
+    if n < frame_len:
+        frames = np.zeros((1, frame_len))
+        frames[0, :n] = mono
+    else:
+        nf = n // frame_len
+        frames = mono[: nf * frame_len].reshape(nf, frame_len)
+    win = np.hanning(frame_len)
+    psd = (np.abs(np.fft.rfft(frames * win, axis=1)) ** 2).mean(axis=0)
+    freqs = np.fft.rfftfreq(frame_len, 1.0 / sample_rate)
+    p, f = psd[1:], freqs[1:]  # drop DC
+    total = float(p.sum())
+    if total <= 0.0:  # digital silence: spectral stats are undefined
+        zcr = 0.0
+        return None, None, None, None, None, zcr
+    centroid = float((f * p).sum() / total)
+    bandwidth = float(np.sqrt(((f - centroid) ** 2 * p).sum() / total))
+    rolloff = float(f[int(np.searchsorted(np.cumsum(p), 0.85 * total))])
+    eps = 1e-30
+    flatness = float(np.exp(np.log(p + eps).mean()) / (p.mean() + eps))
+    dominant = float(f[int(np.argmax(p))])
+    signs = np.signbit(mono)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1]) * sample_rate / max(n - 1, 1))
+    return centroid, bandwidth, rolloff, flatness, dominant, zcr
+
+
+def audio_spectral(media: DataFrame, frame_len: int = 1024) -> DataFrame:
+    """mapInPandas spectral feature extraction over WAV payloads: real
+    PCM decode → Welch-averaged rfft power spectrum → centroid /
+    bandwidth / 85% rolloff / flatness / dominant bin / zero-crossing
+    rate. Total over mixed media like ``audio_features``: compressed or
+    non-audio payloads survive as null-feature rows (decoded=false).
+
+    Scale shape: identical to ``extract_features`` — blobs never leave
+    their task's Arrow batch; per-payload cost is O(n log frame_len)
+    numpy; only ~9 narrow doubles come out per blob."""
+
+    def one(b):
+        if b is None:
+            return (None,) * 8 + (None,)
+        try:
+            info, x = decode_wav(bytes(b))
+        except (NotImplementedError, ValueError):
+            return (None,) * 8 + (False,)
+        duration = info.n_frames / info.sample_rate
+        feats = _spectral_features(x, info.sample_rate, frame_len)
+        return (info.sample_rate, duration, *feats, True)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "duration_s": pd.array([r[1] for r in rows], dtype="float64"),
+                    "spectral_centroid_hz": pd.array([r[2] for r in rows], dtype="float64"),
+                    "spectral_bandwidth_hz": pd.array([r[3] for r in rows], dtype="float64"),
+                    "rolloff85_hz": pd.array([r[4] for r in rows], dtype="float64"),
+                    "spectral_flatness": pd.array([r[5] for r in rows], dtype="float64"),
+                    "dominant_hz": pd.array([r[6] for r in rows], dtype="float64"),
+                    "zero_crossing_rate_hz": pd.array([r[7] for r in rows], dtype="float64"),
+                    "decoded": pd.array([r[8] for r in rows], dtype="boolean"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, AUDIO_SPECTRAL_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF video metadata (box walk — no pixel or sample decode)
+# --------------------------------------------------------------------------
+
+# container boxes whose bodies are themselves box sequences
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+class Mp4Info(NamedTuple):
+    brand: str
+    timescale: int
+    duration_s: float
+    n_tracks: int
+    width: int | None
+    height: int | None
+    video_codec: str | None
+    audio_codec: str | None
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO-BMFF box in
+    data[pos:end]; handles 64-bit largesize (size==1) and to-EOF
+    (size==0) boxes, raising ValueError for truncated/overrunning
+    headers instead of slicing silently."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize header")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("MP4 box size out of bounds")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, pos: int, end: int, btype: bytes):
+    for t, b, e in _mp4_boxes(data, pos, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def mp4_info(payload: bytes) -> Mp4Info:
+    """Parse ISO-BMFF (MP4/MOV/M4A) metadata via the box walk — movie
+    duration from ``mvhd``, per-track handler (vide/soun) from ``hdlr``,
+    presentation dims from the video ``tkhd`` (16.16 fixed point), and
+    the codec fourcc from the first ``stsd`` sample entry. Metadata
+    only: mdat is never touched, so cost is O(header bytes) no matter
+    how large the media is. Raises ValueError for non-MP4 or malformed
+    box structure."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    brand = payload[8:12].decode("latin-1").strip()
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("MP4 missing mvhd box")
+    mb = payload[mvhd[0] : mvhd[1]]
+    if mb[0] == 1:  # FullBox version 1: 64-bit times
+        (timescale,) = struct.unpack(">I", mb[20:24])
+        (duration,) = struct.unpack(">Q", mb[24:32])
+    else:
+        (timescale,) = struct.unpack(">I", mb[12:16])
+        (duration,) = struct.unpack(">I", mb[16:20])
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale is zero")
+    n_tracks = 0
+    width = height = None
+    video_codec = audio_codec = None
+    for t, b, e in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        handler = codec = None
+        tw = th = None
+        tkhd = _mp4_find(payload, b, e, b"tkhd")
+        if tkhd is not None:
+            tb = payload[tkhd[0] : tkhd[1]]
+            off = 88 if tb[0] == 1 else 76  # v1 has 64-bit create/modify/duration
+            if len(tb) >= off + 8:
+                (wfix,) = struct.unpack(">I", tb[off : off + 4])
+                (hfix,) = struct.unpack(">I", tb[off + 4 : off + 8])
+                tw, th = wfix >> 16, hfix >> 16
+        mdia = _mp4_find(payload, b, e, b"mdia")
+        if mdia is not None:
+            hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+            if hdlr is not None:
+                handler = payload[hdlr[0] + 8 : hdlr[0] + 12]
+            minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+            if minf is not None:
+                stbl = _mp4_find(payload, minf[0], minf[1], b"stbl")
+                if stbl is not None:
+                    stsd = _mp4_find(payload, stbl[0], stbl[1], b"stsd")
+                    if stsd is not None and stsd[1] - stsd[0] >= 16:
+                        codec = (
+                            payload[stsd[0] + 12 : stsd[0] + 16]
+                            .decode("latin-1")
+                            .strip()
+                        )
+        if handler == b"vide":
+            if video_codec is None:
+                video_codec = codec
+            if width is None and tw:
+                width, height = tw, th
+        elif handler == b"soun" and audio_codec is None:
+            audio_codec = codec
+    return Mp4Info(
+        brand,
+        timescale,
+        duration / timescale,
+        n_tracks,
+        width,
+        height,
+        video_codec,
+        audio_codec,
+    )
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+        # True = container metadata parsed (no frame decode exists here);
+        # False = not an ISO-BMFF payload; null = null payload
+        T.StructField("parsed", T.BooleanType()),
+    ]
+)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """mapInPandas video-container feature extraction: ISO-BMFF payloads
+    get real duration / track / dims / codec metadata from the box walk
+    (mdat is never read — same metadata philosophy as the JPEG header
+    walk); non-MP4 payloads survive as null-feature rows. Frame pixel
+    decode would need a video codec library — ``sample_frames`` keeps
+    that boundary explicit."""
+
+    def one(b):
+        if b is None:
+            return (None,) * 7 + (None,)
+        try:
+            i = mp4_info(bytes(b))
+        except ValueError:
+            return (None,) * 7 + (False,)
+        return (
+            i.brand, i.duration_s, i.n_tracks, i.width, i.height,
+            i.video_codec, i.audio_codec, True,
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "brand": [r[0] for r in rows],
+                    "duration_s": pd.array([r[1] for r in rows], dtype="float64"),
+                    "n_tracks": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "width": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[4] for r in rows], dtype="Int32"),
+                    "video_codec": [r[5] for r in rows],
+                    "audio_codec": [r[6] for r in rows],
+                    "parsed": pd.array([r[7] for r in rows], dtype="boolean"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, VIDEO_FEATURE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# BMP / TIFF / WebP dimensions + JPEG EXIF (header walks — no pixel decode)
+# --------------------------------------------------------------------------
+
+
+def bmp_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, bits-per-pixel) from a BMP header — both the
+    40-byte BITMAPINFOHEADER (signed height: negative = top-down rows)
+    and the ancient 12-byte BITMAPCOREHEADER. Raises ValueError for
+    non-BMP or truncated headers."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size >= 40 and len(payload) >= 30:
+        w, h = struct.unpack("<ii", payload[18:26])
+        (bpp,) = struct.unpack("<H", payload[28:30])
+        return abs(w), abs(h), bpp
+    if hdr_size == 12:
+        w, h, _planes, bpp = struct.unpack("<HHHH", payload[18:26])
+        return w, h, bpp
+    raise ValueError(f"unsupported BMP header size {hdr_size}")
+
+
+# TIFF field types → byte widths (the ones EXIF actually uses)
+_TIFF_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _tiff_ifd(data: bytes, endian: str, pos: int) -> dict[int, object]:
+    """Decode one TIFF IFD at ``pos`` into {tag: value}. ASCII values
+    are NUL-stripped strings; count-1 SHORT/LONG are ints; RATIONALs
+    are (num, den) tuples; everything else keeps its tuple. Values
+    wider than 4 bytes are followed through their offset (bounds
+    checked)."""
+    if pos + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    (count,) = struct.unpack(endian + "H", data[pos : pos + 2])
+    out: dict[int, object] = {}
+    for i in range(count):
+        e = pos + 2 + 12 * i
+        if e + 12 > len(data):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, ftype, n = struct.unpack(endian + "HHI", data[e : e + 8])
+        width = _TIFF_SIZES.get(ftype)
+        if width is None:
+            continue  # unknown type: skip, per spec readers must tolerate
+        nbytes = width * n
+        if nbytes <= 4:
+            raw = data[e + 8 : e + 8 + nbytes]
+        else:
+            (off,) = struct.unpack(endian + "I", data[e + 8 : e + 12])
+            if off + nbytes > len(data):
+                raise ValueError("TIFF value offset out of bounds")
+            raw = data[off : off + nbytes]
+        if ftype == 2:
+            out[tag] = raw.split(b"\x00", 1)[0].decode("latin-1")
+        elif ftype in (3, 4):
+            fmt = "H" if ftype == 3 else "I"
+            vals = struct.unpack(endian + fmt * n, raw)
+            out[tag] = vals[0] if n == 1 else vals
+        elif ftype in (5, 10):
+            fmt = "II" if ftype == 5 else "ii"
+            vals = struct.unpack(endian + fmt * n, raw)
+            pairs = tuple(zip(vals[::2], vals[1::2]))
+            out[tag] = pairs[0] if n == 1 else pairs
+        else:
+            out[tag] = raw
+    return out
+
+
+def _tiff_parse(data: bytes) -> tuple[dict[int, object], dict[int, object]]:
+    """Parse a TIFF block (standalone file or the EXIF APP1 body after
+    the Exif\\0\\0 prefix): returns (IFD0 tags, Exif-sub-IFD tags) —
+    the sub-IFD followed through tag 34665 when present."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF block")
+    endian = "<" if data[:2] == b"II" else ">"
+    magic, ifd0_off = struct.unpack(endian + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    ifd0 = _tiff_ifd(data, endian, ifd0_off)
+    exif: dict[int, object] = {}
+    sub = ifd0.get(34665)
+    if isinstance(sub, int) and sub < len(data):
+        exif = _tiff_ifd(data, endian, sub)
+    return ifd0, exif
+
+
+def tiff_info(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a standalone TIFF file's IFD0 (tags 256/257
+    — SHORT or LONG). Raises ValueError when absent or not TIFF."""
+    ifd0, _ = _tiff_parse(payload)
+    w, h = ifd0.get(256), ifd0.get(257)
+    if not isinstance(w, int) or not isinstance(h, int):
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    return w, h
+
+
+def webp_info(payload: bytes) -> tuple[int, int, str]:
+    """(width, height, variant) from a WebP container — lossy VP8
+    (14-bit dims after the 0x9d012a start code), lossless VP8L (14-bit
+    minus-one bitpack), or extended VP8X (24-bit minus-one). Raises
+    ValueError for non-WebP or malformed chunks."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 start code")
+            (w,) = struct.unpack("<H", body[6:8])
+            (h,) = struct.unpack("<H", body[8:10])
+            return w & 0x3FFF, h & 0x3FFF, "vp8"
+        if cid == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            (bits,) = struct.unpack("<I", body[1:5])
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "vp8l"
+        if cid == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h, "vp8x"
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("WebP missing VP8/VP8L/VP8X chunk")
+
+
+def jpeg_exif(payload: bytes) -> tuple[dict[int, object], dict[int, object]]:
+    """EXIF metadata from a JPEG's APP1 segment: marker walk to
+    0xFFE1 + ``Exif\\0\\0``, then the embedded TIFF block → (IFD0,
+    Exif sub-IFD) tag dicts. Raises ValueError when no EXIF APP1
+    exists (plain JFIF files) or the TIFF block is malformed."""
+    if payload[:3] != _JPEG_SIG:
+        raise ValueError("not a JPEG payload")
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return _tiff_parse(payload[pos + 10 : pos + 2 + seglen])
+        if marker == 0xDA:  # entropy-coded data starts: no EXIF coming
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG has no EXIF APP1 segment")
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("pixel_x", T.IntegerType()),
+        T.StructField("pixel_y", T.IntegerType()),
+        T.StructField("parsed", T.BooleanType()),
+    ]
+)
+
+
+def image_exif(media: DataFrame) -> DataFrame:
+    """mapInPandas EXIF extraction over JPEG payloads: orientation,
+    camera make/model, capture timestamps, and the Exif pixel dims —
+    via the APP1 TIFF walk, never a pixel decode. Total over mixed
+    media: non-JPEG / EXIF-less payloads survive as null rows
+    (parsed=false). Capture timestamps stay the spec's literal
+    'YYYY:MM:DD HH:MM:SS' strings — timezone-naive by design in EXIF,
+    so casting them to timestamps is the caller's policy decision."""
+
+    def one(b):
+        if b is None:
+            return (None,) * 7 + (None,)
+        try:
+            ifd0, exif = jpeg_exif(bytes(b))
+        except ValueError:
+            return (None,) * 7 + (False,)
+
+        def s(d, tag):
+            v = d.get(tag)
+            return v if isinstance(v, str) else None
+
+        def i(d, tag):
+            v = d.get(tag)
+            return v if isinstance(v, int) else None
+
+        return (
+            i(ifd0, 274), s(ifd0, 271), s(ifd0, 272), s(ifd0, 306),
+            s(exif, 36867), i(exif, 40962), i(exif, 40963), True,
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orientation": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "make": [r[1] for r in rows],
+                    "model": [r[2] for r in rows],
+                    "datetime": [r[3] for r in rows],
+                    "datetime_original": [r[4] for r in rows],
+                    "pixel_x": pd.array([r[5] for r in rows], dtype="Int32"),
+                    "pixel_y": pd.array([r[6] for r in rows], dtype="Int32"),
+                    "parsed": pd.array([r[7] for r in rows], dtype="boolean"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, EXIF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (pHash) + banded Hamming near-dup join
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix_n(n: int):
+    """Orthonormal n×n DCT-II basis (the 8×8 ``_dct_matrix`` generalized
+    for pHash's 32×32 transform): dct2(b) = A @ b @ A.T."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((n, n))
+    for k in range(n):
+        c = math.sqrt(1.0 / n) if k == 0 else math.sqrt(2.0 / n)
+        for x in range(n):
+            a[k, x] = c * math.cos((2 * x + 1) * k * math.pi / (2 * n))
+    return a
+
+
+def phash64(img: DecodedImage) -> int:
+    """64-bit perceptual hash of a decoded image — the classic pHash
+    construction: luma (BT.601 weights) → 32×32 nearest resample →
+    2-D DCT-II → keep the 8×8 low-frequency block → each bit is
+    coefficient > median of the 63 AC coefficients (the DC bit is
+    forced 0 so overall brightness never votes). Near-duplicate images
+    (re-encodes, small edits, brightness shifts) land within a few bits
+    of Hamming distance; unrelated images average ~32. Deterministic
+    pure numpy."""
+    import numpy as np
+
+    ch = len(img.mode)
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, ch
+    ).astype(np.float64)
+    if img.mode in ("RGB", "RGBA"):
+        luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    else:  # L / LA: first channel is already luma
+        luma = arr[:, :, 0]
+    ys = np.minimum(np.arange(32) * img.height // 32, img.height - 1)
+    xs = np.minimum(np.arange(32) * img.width // 32, img.width - 1)
+    small = luma[ys][:, xs]
+    a = _dct_matrix_n(32)
+    low = (a @ small @ a.T)[:8, :8].flatten()
+    med = np.median(low[1:])
+    h = 0
+    for i in range(1, 64):
+        if low[i] > med:
+            h |= 1 << i
+    return h
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual hashing: every payload goes through the
+    real decode (Pillow or the built-in PNG/JPEG codecs) and ``phash64``;
+    undecodable payloads keep an honest null hash (decoded=false) —
+    total over mixed media, blobs never leave their Arrow batch, one
+    narrow long comes out per image."""
+
+    def one(b):
+        if b is None:
+            return None, None
+        try:
+            img = decode_image(bytes(b))
+        except (NotImplementedError, ValueError, KeyError, IndexError):
+            return None, False
+        h = phash64(img)
+        # two's-complement into a signed Spark LongType
+        return h - (1 << 64) if h >= 1 << 63 else h, True
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array([r[0] for r in rows], dtype="Int64"),
+                    "decoded": pd.array([r[1] for r in rows], dtype="boolean"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs by banded Hamming join — the simhash LSH
+    shape (operators/dedup.py:simhash_table consumers) applied to
+    pHash: split the 64-bit hash into ``bands`` equal chunks, join on
+    (band, chunk) so only images sharing an exact sub-hash ever meet,
+    verify candidates JVM-side with bit_count(xor) <= max_hamming.
+
+    Pigeonhole guarantee: a pair within Hamming distance d differs in
+    at most d bands, so with bands >= d + 1 it MUST agree on some band
+    — the default (4 bands, d=3) is lossless; larger d with the same
+    bands is recall-approximate exactly like minhash banding. Never
+    all-pairs: cost is per-bucket, and 16-bit chunks over real corpora
+    spread fine (identical-chunk skew = actual near-dup clusters).
+    """
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

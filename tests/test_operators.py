@@ -4333,3 +4333,467 @@ def test_ols_two_features_recovers_exact_plane(spark):
     assert out["g"]["beta1"] == 3.0
     assert out["g"]["beta2"] == -1.0
     assert out["s"]["beta1"] is None and out["s"]["beta2"] is None
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF metadata + audio spectral features
+# --------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    import struct as _struct
+
+    if largesize:
+        return _struct.pack(">I", 1) + btype + _struct.pack(">Q", len(body) + 16) + body
+    return _struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _mp4_bytes(
+    duration_units=30000,
+    timescale=600,
+    width=640,
+    height=360,
+    vcodec=b"avc1",
+    acodec=b"mp4a",
+    v1=False,
+    largesize_moov=False,
+):
+    """Hand-built ISO-BMFF container (independent of the parser):
+    ftyp + moov(mvhd, video trak, audio trak) + a dummy mdat."""
+    import struct as _struct
+
+    def full(version, rest):
+        return bytes([version, 0, 0, 0]) + rest
+
+    if v1:
+        mvhd = full(1, b"\x00" * 16 + _struct.pack(">IQ", timescale, duration_units) + b"\x00" * 80)
+    else:
+        mvhd = full(0, b"\x00" * 8 + _struct.pack(">II", timescale, duration_units) + b"\x00" * 80)
+
+    def tkhd(w, h, version=0):
+        # v0: create(4) modify(4) track(4) rsvd(4) duration(4) = 20;
+        # v1: create(8) modify(8) track(4) rsvd(4) duration(8) = 32;
+        # then rsvd(8) layer(2) alt(2) volume(2) rsvd(2) matrix(36) = 52
+        body = full(version, b"\x00" * (32 if version else 20))
+        body += b"\x00" * 52
+        body += _struct.pack(">II", w << 16, h << 16)
+        return body
+
+    def hdlr(handler):
+        return full(0, b"\x00" * 4 + handler + b"\x00" * 12)
+
+    def stsd(fourcc):
+        entry = _struct.pack(">I", 16) + fourcc + b"\x00" * 8
+        return full(0, _struct.pack(">I", 1) + entry)
+
+    def trak(handler, fourcc, w=0, h=0):
+        stbl = _mp4_box(b"stsd", stsd(fourcc))
+        minf = _mp4_box(b"stbl", stbl)
+        mdia = _mp4_box(b"hdlr", hdlr(handler)) + _mp4_box(b"minf", minf)
+        return _mp4_box(
+            b"trak",
+            _mp4_box(b"tkhd", tkhd(w, h, 1 if v1 else 0)) + _mp4_box(b"mdia", mdia),
+        )
+
+    moov_body = (
+        _mp4_box(b"mvhd", mvhd)
+        + trak(b"vide", vcodec, width, height)
+        + trak(b"soun", acodec)
+    )
+    return (
+        _mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomiso2")
+        + _mp4_box(b"moov", moov_body, largesize=largesize_moov)
+        + _mp4_box(b"mdat", b"\xab" * 32)
+    )
+
+
+def test_mp4_info_box_walk():
+    """mp4_info against hand-built containers: v0 and v1 FullBoxes,
+    64-bit largesize moov, video+audio tracks, and honest errors for
+    non-MP4 / missing-moov / overrunning boxes."""
+    import struct as _struct
+
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    i = mm.mp4_info(_mp4_bytes())
+    assert i.brand == "isom"
+    assert i.timescale == 600 and abs(i.duration_s - 50.0) < 1e-9
+    assert (i.n_tracks, i.width, i.height) == (2, 640, 360)
+    assert (i.video_codec, i.audio_codec) == ("avc1", "mp4a")
+
+    i = mm.mp4_info(_mp4_bytes(v1=True, duration_units=90000, timescale=90000))
+    assert abs(i.duration_s - 1.0) < 1e-9
+    assert (i.width, i.height) == (640, 360)
+
+    i = mm.mp4_info(_mp4_bytes(largesize_moov=True, width=1920, height=1080, vcodec=b"hvc1"))
+    assert (i.width, i.height, i.video_codec) == (1920, 1080, "hvc1")
+
+    with pytest.raises(ValueError, match="ftyp"):
+        mm.mp4_info(b"not a video at all")
+    with pytest.raises(ValueError, match="moov"):
+        mm.mp4_info(_mp4_box(b"ftyp", b"isom" + b"\x00" * 4) + _mp4_box(b"mdat", b"x"))
+    # a box whose declared size runs past the buffer must not slice silently
+    bad = _mp4_box(b"ftyp", b"isom" + b"\x00" * 4) + _struct.pack(">I", 9999) + b"moov"
+    with pytest.raises(ValueError, match="out of bounds"):
+        mm.mp4_info(bad)
+
+
+def test_video_features_and_extract_features_mp4(spark):
+    """video_features parses real container metadata for ISO-BMFF rows
+    and keeps non-video rows as null-feature rows; extract_features
+    reports the video tkhd dims via the same walk (decoded=False — mdat
+    is never read)."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_mp4_bytes(width=1280, height=720))),
+            (2, bytearray(b"definitely not a video")),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.video_features(media).collect()}
+    assert out[1]["parsed"] is True and out[1]["brand"] == "isom"
+    assert (out[1]["width"], out[1]["height"]) == (1280, 720)
+    assert (out[1]["video_codec"], out[1]["audio_codec"]) == ("avc1", "mp4a")
+    assert out[1]["n_tracks"] == 2 and abs(out[1]["duration_s"] - 50.0) < 1e-9
+    assert out[2]["parsed"] is False and out[2]["width"] is None
+    assert out[3]["parsed"] is None
+
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["decoded"]) == (1280, 720, False)
+
+
+def test_sample_frames_mp4_timestamps(spark):
+    """sample_frames: ISO-BMFF payloads carry REAL evenly-spaced
+    presentation timestamps from the mvhd duration; non-video payloads
+    keep null ts_s (the pixel stand-in slices either way)."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_mp4_bytes())), (2, bytearray(b"0123456789abcdef"))],
+        "media_id long, payload binary",
+    )
+    frames = mm.sample_frames(media, n_frames=4).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    v = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [round(r["ts_s"], 6) for r in v] == [0.0, 12.5, 25.0, 37.5]  # 50 s / 4
+    t = sorted(by_id[2], key=lambda r: r["frame_idx"])
+    assert all(r["ts_s"] is None for r in t)
+    assert bytes(t[0]["frame_payload"]) == b"0123"
+
+
+def test_audio_spectral_sine_vs_noise():
+    """_spectral_features ground truth: a pure 1 kHz sine at 8 kHz lands
+    its dominant bin EXACTLY on 1000 Hz (1024-point frames → 7.8125 Hz
+    bins, 1000 = bin 128), centroid/rolloff hug the tone, ZCR = 2f, and
+    flatness is near zero; deterministic white noise is near-flat."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    sr, n = 8000, 8192
+    t = np.arange(n) / sr
+    sine = (0.5 * np.sin(2 * np.pi * 1000 * t) * 32767).astype("<i2")
+    _, x = mm.decode_wav(_wav_bytes(1, 1, sr, 16, sine.tobytes()))
+    c, bw, roll, flat, dom, zcr = mm._spectral_features(x, sr)
+    assert dom == 1000.0
+    assert abs(c - 1000.0) < 5.0
+    assert bw < 20.0
+    assert abs(roll - 1000.0) < 8.0
+    assert flat < 0.05
+    assert abs(zcr - 2000.0) < 40.0
+
+    rng = np.random.default_rng(12345)
+    noise = rng.uniform(-0.5, 0.5, n).astype("<f4")
+    _, x = mm.decode_wav(_wav_bytes(3, 1, sr, 32, noise.tobytes()))
+    c2, bw2, roll2, flat2, dom2, zcr2 = mm._spectral_features(x, sr)
+    assert flat2 > 0.5  # 8-frame Welch average of white noise ≈ 0.9
+    assert flat2 > flat * 10
+    assert 1500.0 < c2 < 2500.0  # white noise centroid ≈ sr/4 = 2000
+
+    # digital silence: spectral stats undefined, ZCR zero
+    zeros = np.zeros(2048, dtype="<i2")
+    _, x = mm.decode_wav(_wav_bytes(1, 1, sr, 16, zeros.tobytes()))
+    feats = mm._spectral_features(x, sr)
+    assert feats[:5] == (None,) * 5 and feats[5] == 0.0
+
+
+def test_audio_spectral_operator_total(spark):
+    """audio_spectral over mixed media: PCM rows get real spectral
+    features, non-audio rows survive as null rows (decoded=false),
+    null payloads stay null."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    sr, n = 8000, 4096
+    t = np.arange(n) / sr
+    sine = (0.5 * np.sin(2 * np.pi * 500 * t) * 32767).astype("<i2")
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(1, 1, sr, 16, sine.tobytes()))),
+            (2, bytearray(b"not audio")),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.audio_spectral(media).collect()}
+    assert out[1]["decoded"] is True
+    assert out[1]["dominant_hz"] == 500.0
+    assert abs(out[1]["zero_crossing_rate_hz"] - 1000.0) < 25.0
+    assert abs(out[1]["duration_s"] - n / sr) < 1e-9
+    assert out[2]["decoded"] is False and out[2]["dominant_hz"] is None
+    assert out[3]["decoded"] is None
+
+
+def _tiff_block(ifd0_entries, exif_entries=None, endian="<"):
+    """Hand-built TIFF block (independent of the parser): header + IFD0
+    (+ optional Exif sub-IFD via tag 34665) + out-of-line data area.
+    Entries are (tag, ftype, count, raw_value_bytes)."""
+    import struct as _struct
+
+    ifd0 = list(ifd0_entries)
+    exif = list(exif_entries) if exif_entries else []
+    n0 = len(ifd0) + (1 if exif else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n0 + 4
+    data_off = exif_off + (2 + 12 * len(exif) + 4 if exif else 0)
+    if exif:
+        ifd0.append((34665, 4, 1, _struct.pack(endian + "I", exif_off)))
+
+    data = b""
+
+    def entry(tag, ftype, count, raw):
+        nonlocal data
+        if len(raw) <= 4:
+            return _struct.pack(endian + "HHI", tag, ftype, count) + raw.ljust(4, b"\x00")
+        off = data_off + len(data)
+        data += raw + (b"\x00" if len(raw) & 1 else b"")
+        return _struct.pack(endian + "HHII", tag, ftype, count, off)
+
+    def ifd(entries):
+        body = _struct.pack(endian + "H", len(entries))
+        for e in sorted(entries):
+            body += entry(*e)
+        return body + _struct.pack(endian + "I", 0)
+
+    out = (b"II" if endian == "<" else b"MM") + _struct.pack(endian + "HI", 42, ifd0_off)
+    out += ifd(ifd0)
+    if exif:
+        out += ifd(exif)
+    return out + data
+
+
+def test_bmp_tiff_webp_dims():
+    """bmp_info/tiff_info/webp_info against hand-built containers: BMP
+    info+core headers (negative = top-down height), TIFF II/MM IFD0,
+    WebP lossy/lossless/extended bitpacks, honest errors."""
+    import struct as _struct
+
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    bmp = b"BM" + b"\x00" * 12 + _struct.pack("<IiiHH", 40, 640, -480, 1, 24) + b"\x00" * 24
+    assert mm.bmp_info(bmp) == (640, 480, 24)
+    core = b"BM" + b"\x00" * 12 + _struct.pack("<IHHHH", 12, 100, 80, 1, 8)
+    assert mm.bmp_info(core) == (100, 80, 8)
+    with pytest.raises(ValueError):
+        mm.bmp_info(b"not a bitmap......whatever....")
+
+    t = _tiff_block([(256, 3, 1, _struct.pack("<H", 320)), (257, 4, 1, _struct.pack("<I", 240))])
+    assert mm.tiff_info(t) == (320, 240)
+    tm = _tiff_block([(256, 3, 1, _struct.pack(">H", 64)), (257, 3, 1, _struct.pack(">H", 32))], endian=">")
+    assert mm.tiff_info(tm) == (64, 32)
+    with pytest.raises(ValueError, match="ImageWidth"):
+        mm.tiff_info(_tiff_block([(274, 3, 1, _struct.pack("<H", 1))]))
+
+    def riff(chunk_id, body):
+        chunk = chunk_id + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" + _struct.pack("<HH", 800, 600))
+    assert mm.webp_info(vp8) == (800, 600, "vp8")
+    bits = (799) | (599 << 14)
+    vp8l = riff(b"VP8L", bytes([0x2F]) + _struct.pack("<I", bits))
+    assert mm.webp_info(vp8l) == (800, 600, "vp8l")
+    vp8x = riff(b"VP8X", b"\x00" * 4 + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little"))
+    assert mm.webp_info(vp8x) == (1024, 768, "vp8x")
+    with pytest.raises(ValueError):
+        mm.webp_info(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not WebP
+
+
+def _exif_jpeg(make=b"Acme\x00", orientation=6):
+    """Minimal JPEG carrying an EXIF APP1: SOI + APP1(TIFF block) + EOI."""
+    import struct as _struct
+
+    tiff = _tiff_block(
+        [
+            (271, 2, len(make), make),
+            (272, 2, 8, b"Cam9000\x00"),
+            (274, 3, 1, _struct.pack("<H", orientation)),
+            (306, 2, 20, b"2026:08:16 10:00:00\x00"),
+        ],
+        exif_entries=[
+            (36867, 2, 20, b"2026:08:15 09:30:00\x00"),
+            (40962, 4, 1, _struct.pack("<I", 1024)),
+            (40963, 4, 1, _struct.pack("<I", 768)),
+        ],
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return b"\xff\xd8" + b"\xff\xe1" + _struct.pack(">H", len(app1) + 2) + app1 + b"\xff\xd9"
+
+
+def test_jpeg_exif_walk_and_operator(spark):
+    """jpeg_exif pulls orientation/make/model/timestamps/pixel dims out
+    of the APP1 TIFF block (both IFD0 and the Exif sub-IFD); image_exif
+    stays total over mixed media."""
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    ifd0, exif = mm.jpeg_exif(_exif_jpeg())
+    assert ifd0[274] == 6 and ifd0[271] == "Acme" and ifd0[272] == "Cam9000"
+    assert ifd0[306] == "2026:08:16 10:00:00"
+    assert exif[36867] == "2026:08:15 09:30:00"
+    assert (exif[40962], exif[40963]) == (1024, 768)
+
+    with pytest.raises(ValueError, match="no EXIF"):
+        mm.jpeg_exif(_mini_jpeg(8, 8, 3))  # plain JFIF, no APP1
+    with pytest.raises(ValueError, match="not a JPEG"):
+        mm.jpeg_exif(b"GIF89a not jpeg")
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_exif_jpeg())),
+            (2, bytearray(_mini_jpeg(8, 8, 3))),
+            (3, bytearray(b"not an image")),
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.image_exif(media).collect()}
+    assert out[1]["parsed"] is True and out[1]["orientation"] == 6
+    assert out[1]["make"] == "Acme" and out[1]["datetime_original"] == "2026:08:15 09:30:00"
+    assert (out[1]["pixel_x"], out[1]["pixel_y"]) == (1024, 768)
+    assert out[2]["parsed"] is False and out[2]["orientation"] is None
+    assert out[3]["parsed"] is False
+    assert out[4]["parsed"] is None
+
+
+def test_extract_features_bmp_tiff_webp_dims(spark):
+    """extract_features reports real header dims for BMP/TIFF/WebP with
+    decoded=False — the metadata walk covers every major container."""
+    import struct as _struct
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    bmp = b"BM" + b"\x00" * 12 + _struct.pack("<IiiHH", 40, 33, 44, 1, 24) + b"\x00" * 24
+    tiff = _tiff_block([(256, 3, 1, _struct.pack("<H", 55)), (257, 3, 1, _struct.pack("<H", 66))])
+    bits = (76) | (87 << 14)
+    webp = (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + 5 + 1) + b"WEBP"
+        + b"VP8L" + _struct.pack("<I", 5) + bytes([0x2F]) + _struct.pack("<I", bits) + b"\x00"
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(tiff)), (3, bytearray(webp))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["decoded"]) == (33, 44, False)
+    assert (out[2]["width"], out[2]["height"], out[2]["decoded"]) == (55, 66, False)
+    assert (out[3]["width"], out[3]["height"], out[3]["decoded"]) == (77, 88, False)
+
+
+def _smooth_rgb(w, h, seed):
+    """Random low-frequency sinusoid-mix RGB image (the JPEG property
+    test's generator, shared shape)."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = []
+    for _ in range(3):
+        fy, fx = rng.uniform(0, 0.2, size=2)
+        phase, amp, base = rng.uniform(0, 2 * math.pi), rng.uniform(20, 60), rng.uniform(80, 160)
+        planes.append(base + amp * np.sin(fy * yy + fx * xx + phase))
+    return np.clip(np.stack(planes, axis=-1), 0, 255).astype(np.uint8)
+
+
+def test_phash64_invariances():
+    """pHash ground truth: identical pixels hash identically; a lossy
+    JPEG re-encode and a global brightness shift stay within a few bits
+    (the DC bit is excluded, so brightness barely votes); unrelated
+    images land far apart."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    a = _smooth_rgb(64, 48, 7)
+    img_a = mm.DecodedImage(64, 48, "RGB", a.tobytes())
+    h_a = mm.phash64(img_a)
+    assert h_a == mm.phash64(img_a)
+    assert h_a & 1 == 0  # DC bit forced 0
+
+    jpg = mm._decode_jpeg(mm.encode_jpeg(64, 48, a.tobytes(), "RGB"))
+    assert bin(h_a ^ mm.phash64(jpg)).count("1") <= 6
+
+    bright = np.clip(a.astype(int) + 15, 0, 255).astype(np.uint8)
+    h_bright = mm.phash64(mm.DecodedImage(64, 48, "RGB", bright.tobytes()))
+    assert bin(h_a ^ h_bright).count("1") <= 4
+
+    dists = []
+    for seed in (11, 23, 31):
+        b = _smooth_rgb(64, 48, seed)
+        h_b = mm.phash64(mm.DecodedImage(64, 48, "RGB", b.tobytes()))
+        dists.append(bin(h_a ^ h_b).count("1"))
+    assert min(dists) > 12  # unrelated images average ~32 bits apart
+
+
+def test_image_phash_near_dup_pairs(spark):
+    """image_phash + phash_near_dup_pairs end-to-end: a PNG and its
+    brightness-shifted edit pair up within the Hamming budget through
+    the banded join (8 bands ⊇ d+1 = lossless at d=6); an unrelated
+    image pairs with neither; undecodable payloads keep a null hash.
+    (The JPEG-re-encode distance is covered by the invariance test
+    above — it is image-dependent, so the Spark fixture uses the
+    deterministic brightness edit.)"""
+    import numpy as np
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    a = _smooth_rgb(48, 32, 3)
+    a_edit = np.clip(a.astype(int) + 12, 0, 255).astype(np.uint8)
+    b = _smooth_rgb(48, 32, 77)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_png(48, 32, a.tobytes(), "RGB"))),
+            (2, bytearray(mm.encode_png(48, 32, a_edit.tobytes(), "RGB"))),
+            (3, bytearray(mm.encode_png(48, 32, b.tobytes(), "RGB"))),
+            (4, bytearray(b"not an image")),
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = mm.image_phash(media)
+    rows = {r["media_id"]: r for r in hashes.collect()}
+    assert rows[1]["decoded"] and rows[2]["decoded"] and rows[3]["decoded"]
+    assert rows[4]["phash"] is None and rows[4]["decoded"] is False
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_near_dup_pairs(hashes, max_hamming=6, bands=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    with pytest.raises(ValueError, match="divide"):
+        mm.phash_near_dup_pairs(hashes, bands=5)

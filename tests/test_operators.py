@@ -4797,3 +4797,86 @@ def test_image_phash_near_dup_pairs(spark):
 
     with pytest.raises(ValueError, match="divide"):
         mm.phash_near_dup_pairs(hashes, bands=5)
+
+
+def test_audio_segments_vad(spark):
+    """audio_segments: a tone split by a 1-window dip merges into one
+    segment (gap < min_gap_windows), a 10-window silence splits into
+    two; silent and non-audio payloads emit no rows."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+
+    one_dip = np.zeros(sr)
+    one_dip[int(0.2 * sr) : int(0.5 * sr)] = tone[int(0.2 * sr) : int(0.5 * sr)]
+    one_dip[int(0.52 * sr) : int(0.7 * sr)] = tone[int(0.52 * sr) : int(0.7 * sr)]
+
+    two_seg = np.zeros(sr)
+    two_seg[int(0.1 * sr) : int(0.3 * sr)] = tone[int(0.1 * sr) : int(0.3 * sr)]
+    two_seg[int(0.5 * sr) : int(0.6 * sr)] = tone[int(0.5 * sr) : int(0.6 * sr)]
+
+    def wav(x):
+        return bytearray(_wav_bytes(1, 1, sr, 16, (x * 32767).astype("<i2").tobytes()))
+
+    media = spark.createDataFrame(
+        [
+            (1, wav(one_dip)),
+            (2, wav(two_seg)),
+            (3, wav(np.zeros(sr))),
+            (4, bytearray(b"not audio")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = mm.audio_segments(media).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+
+    segs1 = sorted(by_id[1], key=lambda r: r["segment_idx"])
+    assert len(segs1) == 1
+    assert abs(segs1[0]["start_s"] - 0.2) < 1e-9
+    assert abs(segs1[0]["end_s"] - 0.7) < 1e-9
+    assert segs1[0]["rms"] > 0.2
+
+    segs2 = sorted(by_id[2], key=lambda r: r["segment_idx"])
+    assert len(segs2) == 2
+    assert abs(segs2[0]["start_s"] - 0.1) < 1e-9 and abs(segs2[0]["end_s"] - 0.3) < 1e-9
+    assert abs(segs2[1]["start_s"] - 0.5) < 1e-9 and abs(segs2[1]["end_s"] - 0.6) < 1e-9
+
+    assert 3 not in by_id and 4 not in by_id
+
+
+def test_image_stats_quality_signals(spark):
+    """image_stats: a solid fill scores zero entropy/std/sharpness, a
+    textured image scores above it on all three; undecodable payloads
+    survive with nulls."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    solid = np.full((16, 16, 3), 128, dtype=np.uint8)
+    textured = _smooth_rgb(32, 24, 5)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_png(16, 16, solid.tobytes(), "RGB"))),
+            (2, bytearray(mm.encode_png(32, 24, textured.tobytes(), "RGB"))),
+            (3, bytearray(b"not an image")),
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.image_stats(media).collect()}
+    s = out[1]
+    assert (s["width"], s["height"], s["mode"], s["decoded"]) == (16, 16, "RGB", True)
+    assert s["channel_mean"] == [128.0, 128.0, 128.0]
+    assert s["channel_std"] == [0.0, 0.0, 0.0]
+    assert s["luma_entropy_bits"] == 0.0 and s["sharpness"] == 0.0
+    x = out[2]
+    assert x["luma_entropy_bits"] > 1.0 and x["sharpness"] > 0.0
+    assert all(sd > 0 for sd in x["channel_std"])
+    assert out[3]["decoded"] is False and out[3]["channel_mean"] is None
+    assert out[4]["decoded"] is None

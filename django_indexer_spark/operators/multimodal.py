@@ -1957,7 +1957,28 @@ def audio_features(media: DataFrame) -> DataFrame:
         try:
             info = wav_info(bb)
         except ValueError:
-            return (None,) * 7 + (False,)
+            # FLAC / MP3 / Ogg: real header metadata, no sample decode
+            # exists for these codecs here (decoded stays False)
+            try:
+                fi = flac_info(bb)
+                return (
+                    fi.sample_rate, fi.channels, fi.bits, fi.n_frames,
+                    fi.n_frames / fi.sample_rate, None, None, False,
+                )
+            except ValueError:
+                pass
+            try:
+                rate, ch, _frames, duration = mp3_info(bb)
+                # n_frames column is PCM sample frames (the WAV meaning),
+                # not MP3 1152-sample frames
+                return (rate, ch, None, round(duration * rate), duration, None, None, False)
+            except ValueError:
+                pass
+            try:
+                _codec, rate, ch, duration = ogg_info(bb)
+                return (rate, ch, None, round(duration * rate), duration, None, None, False)
+            except ValueError:
+                return (None,) * 7 + (False,)
         duration = info.n_frames / info.sample_rate
         try:
             _, x = decode_wav(bb)
@@ -2836,3 +2857,132 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         extract, IMAGE_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# FLAC / MP3 / OGG audio metadata (header walks — no sample decode)
+# --------------------------------------------------------------------------
+
+
+def flac_info(payload: bytes) -> WavInfo:
+    """Audio metadata from a FLAC STREAMINFO block (the mandatory first
+    metadata block after the ``fLaC`` marker): sample rate (20 bits),
+    channels (3), bits-per-sample (5), total samples (36) — bit-packed
+    big-endian per the public FLAC format spec. No frame decode."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos, n = 4, len(payload)
+    while pos + 4 <= n:
+        btype = payload[pos] & 0x7F
+        last = payload[pos] & 0x80
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            if len(body) < 18:
+                raise ValueError("truncated FLAC STREAMINFO")
+            b = body
+            rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+            channels = ((b[12] >> 1) & 0x07) + 1
+            bits = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+            total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+            if rate == 0:
+                raise ValueError("FLAC sample rate is zero")
+            return WavInfo(0, channels, rate, bits, total)
+        if last:
+            break
+        pos += 4 + blen
+    raise ValueError("FLAC missing STREAMINFO block")
+
+
+# MPEG audio frame header tables (Layer III), kbit/s and Hz
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_info(payload: bytes) -> tuple[int, int, int, float]:
+    """(sample_rate, channels, n_frames_estimate, duration_s) from an
+    MPEG Layer III stream: skip any ID3v2 tag (syncsafe size), sync to
+    the first frame header, decode version/bitrate/samplerate/mode from
+    the public header tables; duration prefers the Xing/Info VBR frame
+    count when present, else the CBR byte-rate estimate. No audio
+    decode. Raises ValueError for non-MP3 or non-Layer-III streams."""
+    pos, n = 0, len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for byte in payload[6:10]:
+            size = (size << 7) | (byte & 0x7F)
+        pos = 10 + size
+    # sync: 11 set bits
+    while pos + 4 <= n and not (payload[pos] == 0xFF and payload[pos + 1] & 0xE0 == 0xE0):
+        pos += 1
+    if pos + 4 > n:
+        raise ValueError("no MPEG audio frame sync found")
+    h1, h2, h3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    version = (h1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h1 >> 1) & 0x03  # 1 = Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("not an MPEG Layer III frame")
+    br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("free-form or invalid MP3 bitrate/samplerate")
+    bitrate = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    mode = (h3 >> 6) & 0x03
+    channels = 1 if mode == 3 else 2
+    spf = 1152 if version == 3 else 576  # samples per Layer III frame
+    # Xing/Info VBR header: fixed side-info offset from the frame header
+    side = (21 if channels == 2 else 13) if version != 3 else (36 if channels == 2 else 21)
+    tag = payload[pos + 4 + side - 4 : pos + 4 + side]
+    if tag in (b"Xing", b"Info"):
+        off = pos + 4 + side
+        (flags,) = struct.unpack(">I", payload[off : off + 4])
+        if flags & 1:
+            (frames,) = struct.unpack(">I", payload[off + 4 : off + 8])
+            return rate, channels, frames, frames * spf / rate
+    audio_bytes = n - pos
+    frame_len = max(1, spf * bitrate // (8 * rate))  # unpadded CBR frame bytes
+    return rate, channels, max(1, audio_bytes // frame_len), audio_bytes * 8.0 / bitrate
+
+
+def ogg_info(payload: bytes) -> tuple[str, int, int, float]:
+    """(codec, sample_rate, channels, duration_s) from an Ogg container:
+    first-page codec id header (OpusHead / \\x01vorbis) for rate and
+    channels, last page's granule position for duration (Opus granules
+    always tick at 48 kHz, minus pre-skip; Vorbis at the stream rate).
+    Page walk only — no audio decode, CRCs not verified."""
+    if len(payload) < 28 or payload[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    pos, n = 0, len(payload)
+    codec = rate = channels = None
+    pre_skip = 0
+    last_granule = 0
+    first = True
+    while pos + 27 <= n and payload[pos : pos + 4] == b"OggS":
+        (granule,) = struct.unpack("<q", payload[pos + 6 : pos + 14])
+        nsegs = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            raise ValueError("truncated Ogg page")
+        body_len = sum(seg_table)
+        body = payload[pos + 27 + nsegs : pos + 27 + nsegs + body_len]
+        if first:
+            if body[:8] == b"OpusHead" and len(body) >= 14:
+                codec = "opus"
+                channels = body[9]
+                (pre_skip,) = struct.unpack("<H", body[10:12])
+                rate = 48000  # Opus output granules always tick at 48 kHz
+            elif body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                (rate,) = struct.unpack("<I", body[12:16])
+            else:
+                raise ValueError("unsupported Ogg codec header")
+            first = False
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        pos += 27 + nsegs + body_len
+    if codec is None or not rate:
+        raise ValueError("Ogg missing codec header")
+    samples = max(0, last_granule - (pre_skip if codec == "opus" else 0))
+    return codec, rate, channels, samples / rate

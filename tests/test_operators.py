@@ -4880,3 +4880,118 @@ def test_image_stats_quality_signals(spark):
     assert all(sd > 0 for sd in x["channel_std"])
     assert out[3]["decoded"] is False and out[3]["channel_mean"] is None
     assert out[4]["decoded"] is None
+
+
+def _flac_bytes(rate=44100, channels=2, bits=16, total=88200):
+    """Hand-built fLaC marker + STREAMINFO (independent bit-packing)."""
+    b = bytearray(34)
+    # min/max blocksize + min/max framesize: zeros are fine for the parser
+    b[10] = (rate >> 12) & 0xFF
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = ((rate & 0x0F) << 4) | (((channels - 1) & 0x07) << 1) | (((bits - 1) >> 4) & 1)
+    b[13] = (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)
+    b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + len(b).to_bytes(3, "big") + bytes(b)
+
+
+def _mp3_bytes(n_data=4176, xing_frames=None, id3=False):
+    """MPEG1 Layer III 128 kbit/s 44.1 kHz stereo header + filler; with
+    xing_frames, a Xing VBR tag at the spec side-info offset."""
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # V1 L3, 128k, 44100, stereo
+    body = bytearray(n_data)
+    if xing_frames is not None:
+        import struct as _struct
+
+        body[32:36] = b"Xing"
+        body[36:40] = _struct.pack(">I", 1)  # frames flag
+        body[40:44] = _struct.pack(">I", xing_frames)
+    out = hdr + bytes(body)
+    if id3:
+        tag_body = b"\x00" * 100
+        out = b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + tag_body + out
+    return out
+
+
+def _ogg_bytes(codec=b"vorbis", rate=8000, channels=1, last_granule=16000):
+    """Two-page Ogg stream: codec id header page + a final data page
+    carrying the granule position."""
+    import struct as _struct
+
+    def page(body, granule, seq, header_type=0):
+        segs = []
+        rem = len(body)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        return (
+            b"OggS" + bytes([0, header_type]) + _struct.pack("<q", granule)
+            + _struct.pack("<II", 1, seq) + b"\x00" * 4
+            + bytes([len(segs)]) + bytes(segs) + body
+        )
+
+    if codec == b"vorbis":
+        head = b"\x01vorbis" + _struct.pack("<I", 0) + bytes([channels]) + _struct.pack("<I", rate) + b"\x00" * 16
+    else:
+        head = b"OpusHead" + bytes([1, channels]) + _struct.pack("<H", 312) + _struct.pack("<I", rate) + b"\x00" * 3
+    return page(head, 0, 0, header_type=2) + page(b"\x00" * 20, last_granule, 1, header_type=4)
+
+
+def test_flac_mp3_ogg_metadata():
+    """flac_info/mp3_info/ogg_info against hand-built containers: FLAC
+    STREAMINFO bit-unpack, MP3 header tables + Xing frame count + ID3v2
+    skip + CBR estimate, Ogg vorbis/opus granule duration."""
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    fi = mm.flac_info(_flac_bytes(96000, 2, 24, 480000))
+    assert (fi.sample_rate, fi.channels, fi.bits, fi.n_frames) == (96000, 2, 24, 480000)
+    with pytest.raises(ValueError, match="not a FLAC"):
+        mm.flac_info(b"fLaX nope....")
+
+    # Xing: 100 frames * 1152 / 44100 ≈ 2.612 s
+    rate, ch, frames, dur = mm.mp3_info(_mp3_bytes(xing_frames=100))
+    assert (rate, ch, frames) == (44100, 2, 100)
+    assert abs(dur - 100 * 1152 / 44100) < 1e-9
+    # CBR estimate: (4 + 4176) bytes at 128 kbit/s ≈ 0.261 s; ID3 skipped
+    rate, ch, frames, dur = mm.mp3_info(_mp3_bytes(id3=True))
+    assert (rate, ch) == (44100, 2)
+    assert abs(dur - 4180 * 8 / 128000) < 1e-6
+    with pytest.raises(ValueError, match="sync"):
+        mm.mp3_info(b"\x00" * 64)
+
+    codec, rate, ch, dur = mm.ogg_info(_ogg_bytes())
+    assert (codec, rate, ch) == ("vorbis", 8000, 1)
+    assert abs(dur - 2.0) < 1e-9
+    codec, rate, ch, dur = mm.ogg_info(_ogg_bytes(codec=b"opus", rate=16000, last_granule=48312))
+    assert (codec, rate, ch) == ("opus", 48000, 1)  # opus granules tick at 48k
+    assert abs(dur - 1.0) < 1e-9  # 48312 - 312 pre-skip
+    with pytest.raises(ValueError):
+        mm.ogg_info(b"OggS" + b"\x00" * 30)  # no codec header
+
+
+def test_audio_features_flac_mp3_ogg_rows(spark):
+    """audio_features reports real header metadata for FLAC/MP3/Ogg
+    payloads with decoded=false — the WAV metadata philosophy extended
+    to every major audio container."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_flac_bytes(48000, 1, 16, 96000))),
+            (2, bytearray(_mp3_bytes(xing_frames=50))),
+            (3, bytearray(_ogg_bytes(rate=8000, last_granule=4000))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    f = out[1]
+    assert (f["sample_rate"], f["channels"], f["bits"], f["n_frames"]) == (48000, 1, 16, 96000)
+    assert abs(f["duration_s"] - 2.0) < 1e-9 and f["decoded"] is False and f["rms"] is None
+    m = out[2]
+    assert m["sample_rate"] == 44100 and m["n_frames"] == 50 * 1152
+    assert m["bits"] is None and m["decoded"] is False
+    o = out[3]
+    assert o["sample_rate"] == 8000 and abs(o["duration_s"] - 0.5) < 1e-9
+    assert o["decoded"] is False

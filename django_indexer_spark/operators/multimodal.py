@@ -2624,6 +2624,43 @@ def image_phash(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, PHASH_SCHEMA)
 
 
+def phash_chunks(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    bands: int = 4,
+) -> DataFrame:
+    """Band rows for Hamming LSH: split each 64-bit pHash into ``bands``
+    equal chunks → (id, h, band, chunk). Shared by the batch near-dup
+    join and the streaming incremental index (streaming/phash_index.py)
+    so both sides provably bucket identically."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return (
+        hashes.filter(F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col(hash_col), b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "h", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    )
+
+
 def phash_near_dup_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
@@ -2644,27 +2681,7 @@ def phash_near_dup_pairs(
     all-pairs: cost is per-bucket, and 16-bit chunks over real corpora
     spread fine (identical-chunk skew = actual near-dup clusters).
     """
-    if 64 % bands:
-        raise ValueError("bands must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    chunks = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col(hash_col), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    chunks = phash_chunks(hashes, id_col, hash_col, bands)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, ["band", "chunk"])

@@ -331,3 +331,78 @@ def test_jpeg_roundtrip_property_smooth_images(w, h, seed, subsampling):
     # produces mean errors an order of magnitude larger
     assert err.max() <= 80, (w, h, subsampling, err.max())
     assert err.mean() <= 12.0, (w, h, subsampling, err.mean())
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=4000),
+    h=st.integers(min_value=1, max_value=4000),
+    timescale=st.integers(min_value=1, max_value=1_000_000),
+    duration=st.integers(min_value=0, max_value=2**40),
+    v1=st.booleans(),
+    largesize=st.booleans(),
+)
+def test_mp4_builder_parser_roundtrip_property(w, h, timescale, duration, v1, largesize):
+    """MP4 box-walk property (no Spark): a hand-assembled container with
+    random dims/timescale/duration (incl. 64-bit v1 durations past 2^32
+    and largesize moov boxes) parses back to exactly the written values —
+    the builder and parser are independent encodings of the ISO-BMFF
+    spec, so agreement pins both."""
+    import struct as _struct
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    def box(btype, body, large=False):
+        if large:
+            return _struct.pack(">I", 1) + btype + _struct.pack(">Q", len(body) + 16) + body
+        return _struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(version, rest):
+        return bytes([version, 0, 0, 0]) + rest
+
+    if v1:
+        mvhd = full(1, b"\x00" * 16 + _struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    else:
+        duration &= 0xFFFFFFFF
+        mvhd = full(0, b"\x00" * 8 + _struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    tkhd = full(1 if v1 else 0, b"\x00" * (32 if v1 else 20)) + b"\x00" * 52
+    tkhd += _struct.pack(">II", w << 16, h << 16)
+    stsd = full(0, _struct.pack(">I", 1) + _struct.pack(">I", 16) + b"av01" + b"\x00" * 8)
+    mdia = box(b"hdlr", full(0, b"\x00" * 4 + b"vide" + b"\x00" * 12)) + box(
+        b"minf", box(b"stbl", box(b"stsd", stsd))
+    )
+    moov = box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", mdia))
+    payload = box(b"ftyp", b"iso5" + b"\x00" * 4) + box(b"moov", moov, large=largesize)
+
+    i = mm.mp4_info(payload)
+    assert i.brand == "iso5"
+    assert i.timescale == timescale
+    assert abs(i.duration_s - duration / timescale) < 1e-9
+    assert (i.n_tracks, i.width, i.height, i.video_codec) == (1, w, h, "av01")
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bin_idx=st.integers(min_value=5, max_value=480),
+    amp=st.floats(min_value=0.05, max_value=0.9),
+    n_frames_sig=st.integers(min_value=2, max_value=6),
+)
+def test_spectral_dominant_bin_property(bin_idx, amp, n_frames_sig):
+    """Spectral property (no Spark): a pure tone placed EXACTLY on rfft
+    bin k of a 1024-sample frame at 8 kHz (f = k·7.8125 Hz) must come
+    back as the dominant frequency regardless of amplitude or signal
+    length, with near-zero flatness — the estimator never mistakes a
+    tone for noise."""
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    sr = 8000
+    f = bin_idx * sr / 1024.0
+    n = 1024 * n_frames_sig
+    t = np.arange(n) / sr
+    x = (amp * np.sin(2 * np.pi * f * t)).reshape(-1, 1)
+    centroid, _bw, _roll, flat, dom, _zcr = mm._spectral_features(x, sr)
+    assert abs(dom - f) < 1e-9
+    assert abs(centroid - f) < sr / 1024.0  # leakage stays within one bin
+    assert flat < 0.02

@@ -1549,3 +1549,36 @@ def trigram_substring_search(
         .alias("n_occurrences"),
     )
     return verified.filter(F.col("n_occurrences") > 0)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """HTML → visible text as ONE whole-stage-codegen Column expression
+    (no UDF — the step between sources/warc.py's record explode and
+    every text operator in this module, kept JVM-side because at 100 TB
+    it runs once per crawled page):
+
+    1. drop <script>/<style> elements wholesale (their content is code,
+       not text; (?is) = dotall + case-insensitive, backreference keeps
+       the pair matched),
+    2. drop comments and all remaining tags (each becomes a space so
+       ``<p>a</p><p>b</p>`` doesn't weld words together),
+    3. decode the named entities real pages actually use (``&amp;``
+       LAST, the standard order that keeps ``&amp;lt;`` honest —
+       exotic numeric references stay literal rather than half-decoded),
+    4. collapse whitespace runs and trim.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for entity, repl in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(entity), F.lit(repl))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -1,0 +1,177 @@
+"""WARC (Web ARChive) record parsing — the Common Crawl ingest shape.
+
+Web-scale text corpora ship as WARC files: a concatenation of records,
+each a ``WARC/1.x`` header block (named fields, ``Content-Length``) plus
+a content block, usually gzip-compressed PER RECORD (multi-member gzip,
+so a reader can split work without decompressing the whole file). The
+reference ingests chain blocks from an indexer lake
+(indexer_app/handler.py:33-60 — pull container, split records, normalize
+each); this module is that loop for the public WARC format, as a 1→N
+``mapInPandas`` over binary payload columns:
+
+- ``parse_warc`` — pure-Python record splitter (header parse,
+  Content-Length-bounded block reads, multi-member gunzip when the
+  payload is compressed);
+- ``warc_records`` — the Spark operator: one input row per WARC chunk,
+  one output row per record with the fields a text pipeline filters on
+  (type, target URI, content type, HTTP status) and the HTTP body for
+  response records (headers stripped) — downstream goes straight to
+  ``text.html_to_text``.
+
+Scale shape: WARC chunks arrive as binary columns (the multimodal
+blob rule — parquet column pruning skips them unless touched); records
+explode INSIDE each task's Arrow batches, so the big payloads never
+shuffle, and the narrow metadata columns are what downstream queries
+aggregate on. At 100 TB, one ~1 GB WARC per row is the natural unit —
+the same per-file parallelism Common Crawl's own layout assumes.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the per-record compression
+    WARC uses) into one byte stream."""
+    out = []
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        out.append(d.decompress(data[pos:]))
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt gzip member in WARC payload")
+        pos += consumed
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Case-insensitive named fields of one header block (WARC or HTTP);
+    keys are lowered, continuation lines folded per RFC 822."""
+    headers: dict[str, str] = {}
+    last = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        last = k.strip().decode("latin-1").lower()
+        headers[last] = v.strip().decode("latin-1")
+    return headers
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Split one WARC payload (raw or multi-member gzip) into records:
+    each a dict with ``warc_type``, ``target_uri``, ``content_type``,
+    ``http_status`` (response records), and ``body`` (the HTTP body for
+    responses, the raw content block otherwise). Raises ValueError for
+    non-WARC payloads; tolerates a truncated final record by dropping it
+    (streaming writers)."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    if not payload.startswith(b"WARC/"):
+        raise ValueError("not a WARC payload")
+    records = []
+    pos, n = 0, len(payload)
+    while pos < n and payload[pos : pos + 5] == b"WARC/":
+        head_end = payload.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break  # truncated header: drop the tail
+        headers = _parse_headers(payload[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError as exc:
+            raise ValueError("WARC record missing Content-Length") from exc
+        block_start = head_end + 4
+        block_end = block_start + length
+        if block_end > n:
+            break  # truncated block: drop it
+        block = payload[block_start:block_end]
+        rec = {
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "body": block,
+        }
+        if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+            split = block.find(b"\r\n\r\n")
+            if split >= 0:
+                status_line = block[: block.find(b"\r\n")].decode("latin-1", "replace")
+                parts = status_line.split(None, 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    rec["http_status"] = int(parts[1])
+                http_headers = _parse_headers(block[:split])
+                rec["content_type"] = http_headers.get("content-type", rec["content_type"])
+                rec["body"] = block[split + 4 :]
+        records.append(rec)
+        # records are separated by two CRLFs after the block
+        pos = block_end
+        while payload[pos : pos + 2] == b"\r\n":
+            pos += 2
+    return records
+
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_id", T.LongType()),
+        T.StructField("record_idx", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+
+def warc_records(df: DataFrame, id_col: str = "warc_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas 1→N record explode over WARC payload columns (raw or
+    per-record-gzip): one output row per record with the filterable
+    metadata plus the HTTP body. Non-WARC payloads emit no rows — the
+    operator stays total over mixed inputs, like every multimodal
+    extractor."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, types, uris, ctypes, statuses, bodies = [], [], [], [], [], [], []
+            for wid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    recs = parse_warc(bytes(payload))
+                except ValueError:
+                    continue
+                for i, r in enumerate(recs):
+                    ids.append(wid)
+                    idxs.append(i)
+                    types.append(r["warc_type"])
+                    uris.append(r["target_uri"])
+                    ctypes.append(r["content_type"])
+                    statuses.append(r["http_status"])
+                    bodies.append(r["body"])
+            yield pd.DataFrame(
+                {
+                    "warc_id": ids,
+                    "record_idx": pd.array(idxs, dtype="int32"),
+                    "warc_type": types,
+                    "target_uri": uris,
+                    "content_type": ctypes,
+                    "http_status": pd.array(statuses, dtype="Int32"),
+                    "body": bodies,
+                }
+            )
+
+    return df.select(
+        df[id_col].alias(id_col), df[payload_col].alias(payload_col)
+    ).mapInPandas(extract, WARC_RECORD_SCHEMA)

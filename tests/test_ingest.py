@@ -917,3 +917,113 @@ def test_lake_quarantine_splits_corrupt_blocks(spark, tmp_path):
     assert len(quarantined) == 1
     assert "broken json" in quarantined[0]["_corrupt_record"]
     assert quarantined[0]["source_file"].endswith("000000008.json")
+
+
+# --------------------------------------------------------------------------
+# WARC record parsing + HTML→text (sources/warc.py, text.html_to_text)
+# --------------------------------------------------------------------------
+
+
+def _warc_record(wtype, uri, block, content_type="application/http; msgtype=response"):
+    hdr = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Type: {content_type}\r\n"
+        + f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return hdr + block + b"\r\n\r\n"
+
+
+def _http_block(status, body, ctype="text/html; charset=utf-8"):
+    return (
+        f"HTTP/1.1 {status} WHATEVER\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+_HTML = (
+    b"<html><head><style>p{color:red}</style>"
+    b"<script>var x = '<p>not text</p>';</script></head>"
+    b"<body><!-- comment --><p>Hello &amp; welcome</p>"
+    b"<p>a&lt;b &nbsp;ok</p></body></html>"
+)
+
+
+def _warc_bytes():
+    return (
+        _warc_record("warcinfo", None, b"software: test\r\n", "application/warc-fields")
+        + _warc_record("response", "http://example.com/a", _http_block(200, _HTML))
+        + _warc_record("response", "http://example.com/b", _http_block(404, b"gone"))
+    )
+
+
+def test_parse_warc_records():
+    """parse_warc: record split by Content-Length, HTTP body/status
+    extraction, multi-member gzip, truncated-tail drop, honest errors."""
+    import gzip
+
+    import pytest
+
+    from django_indexer_spark.sources import warc
+
+    recs = warc.parse_warc(_warc_bytes())
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[1]["target_uri"] == "http://example.com/a"
+    assert recs[1]["http_status"] == 200
+    assert recs[1]["content_type"].startswith("text/html")
+    assert recs[1]["body"] == _HTML
+    assert recs[2]["http_status"] == 404 and recs[2]["body"] == b"gone"
+
+    # per-record gzip members (the Common Crawl layout)
+    gz = b"".join(
+        gzip.compress(m)
+        for m in (
+            _warc_record("warcinfo", None, b"x\r\n", "application/warc-fields"),
+            _warc_record("response", "http://e.com", _http_block(200, b"hi")),
+        )
+    )
+    recs = warc.parse_warc(gz)
+    assert len(recs) == 2 and recs[1]["body"] == b"hi"
+
+    # truncated final record: the complete prefix still parses
+    whole = _warc_bytes()
+    recs = warc.parse_warc(whole[: len(whole) - 40])
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+
+    with pytest.raises(ValueError, match="not a WARC"):
+        warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_warc_records_operator_and_html_to_text(spark):
+    """warc_records explodes real records inside Arrow batches (non-WARC
+    rows emit nothing) and html_to_text strips script/style/comments/
+    tags and decodes entities as one JVM-side expression."""
+    from pyspark.sql import functions as F
+
+    from django_indexer_spark.operators import text
+    from django_indexer_spark.sources import warc
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_warc_bytes())), (2, bytearray(b"not a warc"))],
+        "warc_id long, payload binary",
+    )
+    recs = warc.warc_records(df)
+    rows = recs.collect()
+    assert {r["warc_id"] for r in rows} == {1}
+    assert len(rows) == 3
+
+    pages = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        )
+        .select(
+            "target_uri",
+            text.html_to_text(F.col("body").cast("string")).alias("clean"),
+        )
+        .collect()
+    )
+    assert len(pages) == 1
+    assert pages[0]["clean"] == "Hello & welcome a<b ok"

@@ -4995,3 +4995,94 @@ def test_audio_features_flac_mp3_ogg_rows(spark):
     o = out[3]
     assert o["sample_rate"] == 8000 and abs(o["duration_s"] - 0.5) < 1e-9
     assert o["decoded"] is False
+
+
+_SRT = (
+    "1\n00:00:01,000 --> 00:00:04,000\nHello there\n\n"
+    "2\n00:00:04,500 --> 00:00:06,000\nSecond cue\nsplit over lines\n\n"
+    "3\n01:02:03,250 --> 01:02:04,750\nLate cue\n"
+)
+
+_VTT = (
+    "WEBVTT\n\nNOTE a comment block\n\n"
+    "intro\n00:01.000 --> 00:03.500 align:start\nNo hours here\n\n"
+    "00:00:05.000 --> 00:00:06.000\nWith hours\n"
+)
+
+
+def test_caption_cues_srt_and_vtt(spark):
+    """caption_cues parses both dialects with pure Column expressions:
+    SRT comma-millis + multi-line text, VTT headers/NOTE blocks dropped,
+    optional hours, cue settings after the arrow ignored."""
+    from django_indexer_spark.operators import captions
+
+    df = spark.createDataFrame(
+        [(1, _SRT), (2, _VTT)], "media_id long, captions string"
+    )
+    rows = captions.caption_cues(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], []).append(r)
+    srt = sorted(by[1], key=lambda r: r["cue_idx"])
+    assert [r["cue_idx"] for r in srt] == [0, 1, 2]
+    assert (srt[0]["start_s"], srt[0]["end_s"], srt[0]["text"]) == (1.0, 4.0, "Hello there")
+    assert srt[1]["text"] == "Second cue split over lines"
+    assert abs(srt[2]["start_s"] - 3723.25) < 1e-9
+    vtt = sorted(by[2], key=lambda r: r["cue_idx"])
+    assert len(vtt) == 2  # WEBVTT header and NOTE block extract nothing
+    assert (vtt[0]["start_s"], vtt[0]["end_s"], vtt[0]["text"]) == (1.0, 3.5, "No hours here")
+    assert (vtt[1]["start_s"], vtt[1]["end_s"]) == (5.0, 6.0)
+
+
+def test_align_frames_to_captions(spark):
+    """Frames land in their covering cue by timestamp; uncovered frames
+    keep a null caption (left join)."""
+    from django_indexer_spark.operators import captions
+
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 1.5, bytearray(b"f0")),
+            (1, 1, 4.7, bytearray(b"f1")),
+            (1, 2, 30.0, bytearray(b"f2")),  # no cue covers 30 s
+            (2, 0, 2.0, bytearray(b"g0")),  # other media: VTT cue 1-3.5
+        ],
+        "media_id long, frame_idx int, ts_s double, frame_payload binary",
+    )
+    cues = captions.caption_cues(
+        spark.createDataFrame([(1, _SRT), (2, _VTT)], "media_id long, captions string")
+    )
+    out = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in captions.align_frames_to_captions(frames, cues).collect()
+    }
+    assert out[(1, 0)]["caption"] == "Hello there"
+    assert out[(1, 1)]["caption"] == "Second cue split over lines"
+    assert out[(1, 2)]["caption"] is None
+    assert out[(2, 0)]["caption"] == "No hours here"
+    assert len(out) == 4
+
+
+def test_url_features_codegen(spark):
+    """url_features: protocol/host/registered-domain/tld/path-depth/
+    query-count from parse_url expressions — incl. the generic-2LD
+    ccTLD rule and null-host relative URLs."""
+    from django_indexer_spark.functions import urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Sub.Example.COM/a/b/c?x=1&y=2"),
+            (2, "http://news.bbc.co.uk/politics"),
+            (3, "https://example.org"),
+            (4, "ftp://files.example.net/pub/"),
+        ],
+        "id long, url string",
+    )
+    out = {r["id"]: r for r in urls.url_features(df).collect()}
+    r = out[1]
+    assert (r["protocol"], r["host"], r["is_secure"]) == ("https", "sub.example.com", True)
+    assert r["registered_domain"] == "example.com" and r["tld"] == "com"
+    assert (r["path_depth"], r["n_query_params"]) == (3, 2)
+    assert out[2]["registered_domain"] == "bbc.co.uk"
+    assert out[2]["is_secure"] is False
+    assert (out[3]["path_depth"], out[3]["n_query_params"]) == (0, 0)
+    assert out[4]["protocol"] == "ftp" and out[4]["registered_domain"] == "example.net"

@@ -175,3 +175,100 @@ def warc_records(df: DataFrame, id_col: str = "warc_id", payload_col: str = "pay
     return df.select(
         df[id_col].alias(id_col), df[payload_col].alias(payload_col)
     ).mapInPandas(extract, WARC_RECORD_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WebDataset tar shards (the standard multimodal training-corpus packaging)
+# --------------------------------------------------------------------------
+
+# parts as PARALLEL ARRAYS, not MapType/list<struct>: Spark's
+# Python→Arrow serializer converts object columns through numpy, whose
+# converter implements plain lists but not nested map/struct values —
+# JVM callers rebuild the map with
+# F.map_from_entries(F.arrays_zip("exts", "datas"))
+WDS_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("sample_key", T.StringType()),
+        T.StructField("exts", T.ArrayType(T.StringType())),
+        T.StructField("datas", T.ArrayType(T.BinaryType())),
+        T.StructField("n_parts", T.IntegerType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
+
+def webdataset_samples(
+    df: DataFrame, id_col: str = "shard_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode WebDataset tar shards into training samples — the public
+    convention: a shard is a (possibly gzipped) tar whose members group
+    into samples by basename-before-the-first-dot, each sample holding
+    one file per modality (``0001.jpg`` + ``0001.txt`` + ``0001.json``
+    → key ``0001``, parts {jpg, txt, json}). One output row per sample
+    with parallel ext/bytes arrays (rebuild the map JVM-side with
+    ``map_from_entries(arrays_zip(exts, datas))``); members of a sample
+    are ADJACENT in the tar by convention, so grouping happens inside
+    the task during the sequential walk — the blobs never shuffle,
+    exactly the WARC rule.
+
+    stdlib ``tarfile`` over an in-memory buffer (``r:*`` sniffs plain vs
+    gzip); non-tar payloads emit no rows (total over mixed inputs);
+    directories and PAX/metadata members are skipped."""
+    import io
+    import tarfile
+
+    def samples_of(payload: bytes):
+        try:
+            tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
+        except tarfile.TarError:
+            return
+        key, parts = None, {}
+        with tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                base = m.name.rsplit("/", 1)[-1]
+                if "." in base:
+                    k, ext = base.split(".", 1)
+                else:
+                    k, ext = base, ""
+                if key is not None and k != key:
+                    yield key, parts
+                    parts = {}
+                key = k
+                fobj = tf.extractfile(m)
+                parts[ext] = fobj.read() if fobj is not None else b""
+        if key is not None:
+            yield key, parts
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, keys, exts, datas, counts, sizes = [], [], [], [], [], []
+            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for k, parts in samples_of(bytes(payload)):
+                    ids.append(sid)
+                    keys.append(k)
+                    exts.append(list(parts.keys()))
+                    datas.append(list(parts.values()))
+                    counts.append(len(parts))
+                    sizes.append(sum(len(v) for v in parts.values()))
+            yield pd.DataFrame(
+                {
+                    "shard_id": ids,
+                    "sample_key": keys,
+                    # dtype=object: an EMPTY batch would otherwise infer
+                    # float64 columns, which Arrow can't convert to
+                    # list types (NumPyConverter has no float→list path)
+                    "exts": pd.Series(exts, dtype="object"),
+                    "datas": pd.Series(datas, dtype="object"),
+                    "n_parts": pd.array(counts, dtype="int32"),
+                    "total_bytes": pd.array(sizes, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        df[id_col].alias(id_col), df[payload_col].alias(payload_col)
+    ).mapInPandas(extract, WDS_SAMPLE_SCHEMA)

@@ -1027,3 +1027,80 @@ def test_warc_records_operator_and_html_to_text(spark):
     )
     assert len(pages) == 1
     assert pages[0]["clean"] == "Hello & welcome a<b ok"
+
+
+def _wds_tar(gz=False):
+    """Hand-built WebDataset shard: two samples, one with a nested dir
+    prefix and a two-dot extension."""
+    import gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [
+            ("0001.jpg", b"\xff\xd8fakejpeg"),
+            ("0001.txt", b"a caption"),
+            ("shard0/0002.png", b"\x89PNGfake"),
+            ("shard0/0002.json", b'{"k": 2}'),
+            ("shard0/0002.seg.png", b"maskbytes"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    return gzip.compress(raw) if gz else raw
+
+
+def test_webdataset_samples(spark):
+    """webdataset_samples: adjacent members group into one row per
+    sample keyed by basename-before-first-dot (dir prefixes and
+    multi-dot extensions handled); gzip shards sniffed; non-tar rows
+    emit nothing."""
+    from django_indexer_spark.sources import warc
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wds_tar())),
+            (2, bytearray(_wds_tar(gz=True))),
+            (3, bytearray(b"definitely not a tar shard")),
+        ],
+        "shard_id long, payload binary",
+    )
+    from pyspark.sql import functions as F
+
+    samples = warc.webdataset_samples(df)
+    rows = samples.collect()
+    by = {(r["shard_id"], r["sample_key"]): r for r in rows}
+    assert len(rows) == 4 and {k[0] for k in by} == {1, 2}
+
+    def parts(r):
+        return {e: bytes(d) for e, d in zip(r["exts"], r["datas"])}
+
+    s1 = by[(1, "0001")]
+    assert s1["n_parts"] == 2
+    assert parts(s1) == {"jpg": b"\xff\xd8fakejpeg", "txt": b"a caption"}
+
+    s2 = by[(1, "0002")]
+    assert s2["n_parts"] == 3
+    assert set(parts(s2)) == {"png", "json", "seg.png"}
+    assert s2["total_bytes"] == len(b"\x89PNGfake") + len(b'{"k": 2}') + len(b"maskbytes")
+
+    # the gzipped shard yields the same samples
+    assert by[(2, "0001")]["n_parts"] == 2 and by[(2, "0002")]["n_parts"] == 3
+
+    # JVM-side map access: the documented map_from_entries path, e.g.
+    # pulling one modality out of every sample
+    cap = (
+        samples.select(
+            "shard_id",
+            "sample_key",
+            F.map_from_entries(F.arrays_zip("exts", "datas"))
+            .getItem("txt")
+            .cast("string")
+            .alias("caption"),
+        )
+        .filter(F.col("caption").isNotNull())
+        .collect()
+    )
+    assert {(r["shard_id"], r["caption"]) for r in cap} == {(1, "a caption"), (2, "a caption")}

@@ -33,6 +33,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -272,3 +273,41 @@ def webdataset_samples(
     return df.select(
         df[id_col].alias(id_col), df[payload_col].alias(payload_col)
     ).mapInPandas(extract, WDS_SAMPLE_SCHEMA)
+
+
+def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col: str = "payload") -> DataFrame:
+    """The assembled crawl-ingest pipeline — WARC shards in, a
+    ``documents``-shaped table out, every step from this round composed:
+
+        warc_records (1→N explode, blobs in-task)
+          → keep 200-OK text/html responses
+          → html_to_text (codegen strip/decode)
+          → drop empties, derive doc_id = xxhash64(uri), score with
+            text.lang_id + text.quality_score (codegen heuristics)
+
+    Output: (doc_id, source_uri, text, lang, quality) — the schema the
+    dedup / sampling / decontamination operators take from here. One
+    Python stage total (the record split); everything downstream is
+    whole-stage codegen, so the per-page cost at 100 TB is the one
+    Arrow pass plus JVM expressions."""
+    from ..operators import text as text_ops
+
+    recs = warc_records(warc_df, id_col, payload_col)
+    pages = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select(
+        "target_uri",
+        text_ops.html_to_text(F.col("body").cast("string")).alias("text"),
+    )
+    return (
+        pages.filter(F.length("text") > 0)
+        .select(
+            F.xxhash64("target_uri").alias("doc_id"),
+            F.col("target_uri").alias("source_uri"),
+            "text",
+            text_ops.lang_id("text").alias("lang"),
+            text_ops.quality_score("text").alias("quality"),
+        )
+    )

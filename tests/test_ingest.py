@@ -1104,3 +1104,22 @@ def test_webdataset_samples(spark):
         .collect()
     )
     assert {(r["shard_id"], r["caption"]) for r in cap} == {(1, "a caption"), (2, "a caption")}
+
+
+def test_crawl_to_documents_pipeline(spark):
+    """The assembled crawl pipeline: WARC shards → 200-OK HTML pages →
+    clean scored documents; 404s, warcinfo, and non-WARC rows drop out,
+    and the surviving text is the entity-decoded visible content."""
+    from django_indexer_spark.sources import warc
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_warc_bytes())), (2, bytearray(b"junk payload"))],
+        "warc_id long, payload binary",
+    )
+    docs = warc.crawl_to_documents(df).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["source_uri"] == "http://example.com/a"
+    assert d["text"] == "Hello & welcome a<b ok"
+    assert d["lang"] is not None and 0.0 <= d["quality"] <= 1.0
+    assert d["doc_id"] is not None

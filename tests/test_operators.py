@@ -5086,3 +5086,51 @@ def test_url_features_codegen(spark):
     assert out[2]["is_secure"] is False
     assert (out[3]["path_depth"], out[3]["n_query_params"]) == (0, 0)
     assert out[4]["protocol"] == "ftp" and out[4]["registered_domain"] == "example.net"
+
+
+def test_sniff_mime_magic_bytes(spark):
+    """sniff_mime routes every signature this module parses — JPEG, PNG,
+    GIF, WAV-vs-WebP RIFF split, TIFF, BMP, FLAC, Ogg, MP3 (ID3 and bare
+    sync), MP4 at offset 5, WARC, tar at offset 258, HTML — and leaves
+    unknowns null."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    tar = bytearray(512)
+    tar[257:262] = b"ustar"
+    cases = [
+        (b"\xff\xd8\xff\xe0rest", "image/jpeg"),
+        (b"\x89PNG\r\n\x1a\nrest", "image/png"),
+        (b"GIF89a..", "image/gif"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/x-wav"),
+        (b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"II*\x00ifd", "image/tiff"),
+        (b"MM\x00*ifd", "image/tiff"),
+        (b"BM....", "image/bmp"),
+        (b"fLaC\x80", "audio/flac"),
+        (b"OggS\x00", "audio/ogg"),
+        (b"ID3\x04\x00", "audio/mpeg"),
+        (b"\xff\xfb\x90\x00", "audio/mpeg"),
+        (b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        (b"WARC/1.0\r\n", "application/warc"),
+        (b"%PDF-1.7", "application/pdf"),
+        (b"PK\x03\x04zip", "application/zip"),
+        (b"\x1f\x8b\x08gz", "application/gzip"),
+        (bytes(tar), "application/x-tar"),
+        (b"<!DOCTYPE html><html>", "text/html"),
+        (b"<HTML><body>", "text/html"),
+        (b"plain words only", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (p, _) in enumerate(cases)],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: r["mime"]
+        for r in df.select("id", mm.sniff_mime("payload").alias("mime")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

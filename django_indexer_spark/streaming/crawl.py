@@ -1,0 +1,80 @@
+"""Continuous crawl ingest — WARC shards in, deduped documents out.
+
+The composition the whole round builds toward, wired end-to-end as ONE
+micro-batch loop (the reference's incremental-indexer shape,
+indexer_app/handler.py:33-60 — pull new containers, normalize, upsert —
+applied to web crawl data):
+
+per trigger, for the batch of newly-arrived WARC shards:
+  1. ``warc.crawl_to_documents`` — record explode → 200-OK HTML →
+     html_to_text → scored ``documents`` rows (one Python stage, rest
+     codegen);
+  2. append the documents to a distributed parquet log (the bronze→
+     silver landing the batch operators read);
+  3. probe the persistent minhash band index for near-dup collisions
+     against everything ALREADY INGESTED (colliding buckets only —
+     cost ∝ batch, not corpus) and append found pairs to the pairs log;
+  4. merge the batch's band rows into the index (touched buckets only,
+     idempotent per batch_id — crash/replay re-finds the same pairs).
+
+Same checkpoint/foreachBatch contract as streaming/dedup_index.py (the
+probe/update steps ARE that module's); the only new code is the glue,
+which is the point — every stage is an already-tested operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import warc as warc_src
+from . import dedup_index
+
+
+def stream_crawl_ingest(
+    spark: SparkSession,
+    warc_stream: DataFrame,
+    docs_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n_buckets: int = dedup_index.DEFAULT_N_BUCKETS,
+):
+    """Start the crawl-ingest stream over a WARC shard source
+    (``warc_id``, ``payload`` schema). Documents land in ``docs_dir``
+    (append log with batch_id), near-dup pairs in ``pairs_dir``, and
+    the band index advances under ``index_dir``."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = warc_src.crawl_to_documents(batch_df).persist()
+        try:
+            (
+                docs.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("append")
+                .parquet(docs_dir)
+            )
+            new_bands = dedup_index.index_bands(
+                docs, "text", "doc_id", num_hashes, bands
+            ).persist()
+            try:
+                pairs = dedup_index.probe(spark, index_dir, new_bands, n_buckets)
+                (
+                    pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                    .write.mode("append")
+                    .parquet(pairs_dir)
+                )
+                dedup_index.update(spark, index_dir, new_bands, batch_id, n_buckets)
+            finally:
+                new_bands.unpersist()
+        finally:
+            docs.unpersist()
+
+    writer = warc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

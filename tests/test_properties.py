@@ -406,3 +406,45 @@ def test_spectral_dominant_bin_property(bin_idx, amp, n_frames_sig):
     assert abs(dom - f) < 1e-9
     assert abs(centroid - f) < sr / 1024.0  # leakage stays within one bin
     assert flat < 0.02
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=6),
+    statuses=st.lists(st.sampled_from([200, 301, 404, 500]), min_size=6, max_size=6),
+    gzipped=st.booleans(),
+)
+def test_warc_roundtrip_property(bodies, statuses, gzipped):
+    """WARC property (no Spark): records built independently of the
+    parser — arbitrary binary HTTP bodies (including empty and
+    CRLF-containing ones, the splitter's adversarial case), mixed
+    statuses, optional per-record gzip — round-trip to exactly the
+    written URIs, statuses, and bodies in order."""
+    import gzip
+
+    from django_indexer_spark.sources import warc
+
+    records = []
+    for i, body in enumerate(bodies):
+        block = (
+            f"HTTP/1.1 {statuses[i]} X\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: http://e.com/{i}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        records.append(hdr + block + b"\r\n\r\n")
+    payload = (
+        b"".join(gzip.compress(r) for r in records)
+        if gzipped
+        else b"".join(records)
+    )
+    got = warc.parse_warc(payload)
+    assert len(got) == len(bodies)
+    for i, r in enumerate(got):
+        assert r["target_uri"] == f"http://e.com/{i}"
+        assert r["http_status"] == statuses[i]
+        assert r["body"] == bodies[i]

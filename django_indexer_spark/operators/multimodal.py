@@ -2193,6 +2193,8 @@ def mp4_info(payload: bytes) -> Mp4Info:
     if mvhd is None:
         raise ValueError("MP4 missing mvhd box")
     mb = payload[mvhd[0] : mvhd[1]]
+    if len(mb) < 20 or (mb[0] == 1 and len(mb) < 32):
+        raise ValueError("truncated MP4 mvhd box")
     if mb[0] == 1:  # FullBox version 1: 64-bit times
         (timescale,) = struct.unpack(">I", mb[20:24])
         (duration,) = struct.unpack(">Q", mb[24:32])
@@ -2211,7 +2213,7 @@ def mp4_info(payload: bytes) -> Mp4Info:
         handler = codec = None
         tw = th = None
         tkhd = _mp4_find(payload, b, e, b"tkhd")
-        if tkhd is not None:
+        if tkhd is not None and tkhd[1] > tkhd[0]:
             tb = payload[tkhd[0] : tkhd[1]]
             off = 88 if tb[0] == 1 else 76  # v1 has 64-bit create/modify/duration
             if len(tb) >= off + 8:
@@ -2951,7 +2953,7 @@ def mp3_info(payload: bytes) -> tuple[int, int, int, float]:
     # Xing/Info VBR header: fixed side-info offset from the frame header
     side = (21 if channels == 2 else 13) if version != 3 else (36 if channels == 2 else 21)
     tag = payload[pos + 4 + side - 4 : pos + 4 + side]
-    if tag in (b"Xing", b"Info"):
+    if tag in (b"Xing", b"Info") and pos + 4 + side + 8 <= n:
         off = pos + 4 + side
         (flags,) = struct.unpack(">I", payload[off : off + 4])
         if flags & 1:

@@ -311,3 +311,67 @@ def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col:
             text_ops.quality_score("text").alias("quality"),
         )
     )
+
+
+WDS_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_idx", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
+
+def webdataset_pack(
+    samples: DataFrame,
+    n_shards: int,
+    key_col: str = "sample_key",
+    exts_col: str = "exts",
+    datas_col: str = "datas",
+) -> DataFrame:
+    """The egress twin of ``webdataset_samples``: pack sample rows back
+    into WebDataset tar shards — one output row per shard with the
+    assembled tar payload. Samples route to shards by
+    ``xxhash64(key) % n_shards`` (deterministic; ONE shuffle, the
+    unavoidable one — packing means co-locating a shard's blobs), then
+    each shard's tar is assembled INSIDE its task via applyInPandas,
+    members sorted by key so the same input always produces
+    byte-identical shards (headers are written with zeroed mtime/uid
+    for reproducibility — a re-run must re-produce the same corpus).
+
+    Memory bound: one shard's tar materializes in its task, so size
+    shards to executors (total_bytes / n_shards well under task
+    memory) — the standard WebDataset shard-sizing rule (~1 GB shards),
+    not a scale limit."""
+    import io
+    import tarfile
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_idx = int(pdf["__shard"].iloc[0])
+        buf = io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            order = pdf.sort_values(key_col)
+            for key, exts, datas in zip(order[key_col], order[exts_col], order[datas_col]):
+                n += 1
+                for ext, data in sorted(zip(exts, datas)):
+                    b = bytes(data)
+                    info = tarfile.TarInfo(f"{key}.{ext}" if ext else str(key))
+                    info.size = len(b)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(b))
+        payload = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard_idx": pd.array([shard_idx], dtype="int32"),
+                "payload": [payload],
+                "n_samples": pd.array([n], dtype="int64"),
+                "total_bytes": pd.array([len(payload)], dtype="int64"),
+            }
+        )
+
+    routed = samples.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+    return routed.groupBy("__shard").applyInPandas(build, WDS_SHARD_SCHEMA)

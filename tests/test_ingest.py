@@ -1123,3 +1123,42 @@ def test_crawl_to_documents_pipeline(spark):
     assert d["text"] == "Hello & welcome a<b ok"
     assert d["lang"] is not None and 0.0 <= d["quality"] <= 1.0
     assert d["doc_id"] is not None
+
+
+def test_webdataset_pack_roundtrip_and_determinism(spark):
+    """webdataset_pack is the inverse of webdataset_samples: samples →
+    shards → samples reproduces every key and part, and two packs of the
+    same input are byte-identical (zeroed mtimes, key-sorted members)."""
+    from django_indexer_spark.sources import warc
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wds_tar())), (2, bytearray(_wds_tar(gz=True)))],
+        "shard_id long, payload binary",
+    )
+    samples = warc.webdataset_samples(df).withColumn(
+        "sample_key",  # disambiguate the two shards' identical keys
+        F.concat_ws("-", "shard_id", "sample_key"),
+    )
+    shards = warc.webdataset_pack(samples, n_shards=2)
+    rows = shards.collect()
+    assert sum(r["n_samples"] for r in rows) == 4
+    assert all(r["total_bytes"] == len(r["payload"]) for r in rows)
+
+    # round-trip: re-explode the packed shards
+    back = warc.webdataset_samples(
+        shards.select(F.col("shard_idx").cast("long").alias("shard_id"), "payload")
+    )
+    orig = {
+        r["sample_key"]: {e: bytes(d) for e, d in zip(r["exts"], r["datas"])}
+        for r in samples.collect()
+    }
+    got = {
+        r["sample_key"]: {e: bytes(d) for e, d in zip(r["exts"], r["datas"])}
+        for r in back.collect()
+    }
+    assert got == orig
+
+    # determinism: same input → byte-identical shards
+    again = {r["shard_idx"]: bytes(r["payload"]) for r in warc.webdataset_pack(samples, n_shards=2).collect()}
+    first = {r["shard_idx"]: bytes(r["payload"]) for r in rows}
+    assert again == first

@@ -5134,3 +5134,36 @@ def test_sniff_mime_magic_bytes(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_mp4_mp3_truncated_metadata_raise_valueerror():
+    """Crafted corrupt containers the random fuzz can't reach: an MP4
+    with an undersized mvhd body and an MP3 whose Xing tag sits at the
+    end of the buffer must raise ValueError (the operators' catch), not
+    struct.error/IndexError (task death)."""
+    import struct as _struct
+
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    tiny_mvhd = _mp4_box(b"ftyp", b"isom" + b"\x00" * 4) + _mp4_box(
+        b"moov", _mp4_box(b"mvhd", b"\x00\x00\x00\x00")  # 4-byte body
+    )
+    with pytest.raises(ValueError, match="truncated MP4 mvhd"):
+        mm.mp4_info(tiny_mvhd)
+
+    # empty tkhd body must not IndexError; dims just stay null
+    empty_tkhd = _mp4_box(b"ftyp", b"isom" + b"\x00" * 4) + _mp4_box(
+        b"moov",
+        _mp4_box(b"mvhd", bytes(4) + b"\x00" * 8 + _struct.pack(">II", 600, 600) + b"\x00" * 80)
+        + _mp4_box(b"trak", _mp4_box(b"tkhd", b"")),
+    )
+    i = mm.mp4_info(empty_tkhd)
+    assert (i.n_tracks, i.width) == (1, None)
+
+    # MPEG1 stereo header + "Xing" ending exactly at the buffer edge
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    cut = hdr + b"\x00" * 32 + b"Xing"  # flags/frames truncated away
+    rate, ch, frames, dur = mm.mp3_info(cut)  # falls back to CBR estimate
+    assert rate == 44100 and frames >= 1

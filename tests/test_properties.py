@@ -448,3 +448,46 @@ def test_warc_roundtrip_property(bodies, statuses, gzipped):
         assert r["target_uri"] == f"http://e.com/{i}"
         assert r["http_status"] == statuses[i]
         assert r["body"] == bodies[i]
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.binary(min_size=0, max_size=300), cut=st.integers(min_value=0, max_value=300))
+def test_metadata_walks_total_over_garbage(data, cut):
+    """Totality fuzz (no Spark): every round-9 header walk must reject
+    arbitrary bytes AND truncated prefixes of valid containers with
+    ValueError/NotImplementedError only — never KeyError/IndexError/
+    struct.error/ZeroDivisionError — because one corrupt blob inside an
+    Arrow batch must hit the operators' narrow except clauses, not kill
+    the task."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+    from django_indexer_spark.sources import warc
+
+    # valid containers to take adversarial prefixes of
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(64, dtype="<i2").tobytes())
+    wav = buf.getvalue()
+    gif = b"GIF89a" + _struct.pack("<HH", 4, 4) + bytes([0, 0, 0, 0x2C]) + b"\x00" * 9 + bytes([2, 1, 0x44, 0, 0x3B])
+    seeds = [data, wav[: cut % (len(wav) + 1)], gif[: cut % (len(gif) + 1)]]
+
+    allowed = (ValueError, NotImplementedError)
+    for payload in seeds:
+        for parser in (
+            mm.wav_info, mm.decode_wav, mm.flac_info, mm.mp3_info, mm.ogg_info,
+            mm.mp4_info, mm.gif_info, mm.bmp_info, mm.tiff_info, mm.webp_info,
+            mm.jpeg_exif, mm.jpeg_dimensions, warc.parse_warc,
+        ):
+            try:
+                parser(payload)
+            except allowed:
+                pass  # honest rejection
+            # anything else (KeyError, struct.error, ...) propagates = FAIL

@@ -3050,3 +3050,161 @@ def sniff_mime(col: Column | str) -> Column:
         )
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+# --------------------------------------------------------------------------
+# Image transforms (augmentation) + audio resampling (standardization)
+# --------------------------------------------------------------------------
+
+_IMAGE_OPS = ("flip_h", "flip_v", "rot90", "rot180", "rot270", "center_crop", "gray")
+
+
+def _apply_image_op(arr, op: str):
+    """One augmentation step on an HxWxC uint8 array (pure numpy views/
+    slices — no per-pixel Python)."""
+    import numpy as np
+
+    if op == "flip_h":
+        return arr[:, ::-1]
+    if op == "flip_v":
+        return arr[::-1]
+    if op == "rot90":  # 90° counter-clockwise, like np.rot90
+        return np.rot90(arr)
+    if op == "rot180":
+        return np.rot90(arr, 2)
+    if op == "rot270":
+        return np.rot90(arr, 3)
+    if op == "center_crop":  # square crop to min(h, w)
+        h, w = arr.shape[:2]
+        s = min(h, w)
+        top, left = (h - s) // 2, (w - s) // 2
+        return arr[top : top + s, left : left + s]
+    if op == "gray":  # BT.601 luma, keeps 3 channels for shape stability
+        luma = (
+            0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            if arr.shape[2] >= 3
+            else arr[:, :, 0]
+        )
+        return np.repeat(
+            np.clip(luma, 0, 255).astype(arr.dtype)[:, :, None], arr.shape[2], axis=2
+        )
+    raise ValueError(f"unknown image op {op!r} (supported: {_IMAGE_OPS})")
+
+
+def transform_images(media: DataFrame, ops: list[str]) -> DataFrame:
+    """mapInPandas augmentation: decode → apply ``ops`` in order (flips,
+    quarter rotations, center crop, grayscale) → re-encode PNG
+    (lossless + deterministic). Same totality contract as
+    ``resize_images``: undecodable payloads keep the md5 stand-in with
+    decoded=false; blobs never leave their Arrow batch. Unknown op
+    names fail FAST at plan-build time, not inside executors."""
+    import hashlib
+
+    import numpy as np
+
+    for op in ops:
+        if op not in _IMAGE_OPS:
+            raise ValueError(f"unknown image op {op!r} (supported: {_IMAGE_OPS})")
+
+    def one(b):
+        if b is None:
+            return None, None, None, None
+        try:
+            img = decode_image(bytes(b))
+        except (NotImplementedError, ValueError, KeyError, IndexError):
+            return None, None, hashlib.md5(b).digest(), False
+        ch = len(img.mode)
+        arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+            img.height, img.width, ch
+        )
+        for op in ops:
+            arr = _apply_image_op(arr, op)
+        h, w = arr.shape[:2]
+        return w, h, encode_png(w, h, np.ascontiguousarray(arr).tobytes(), img.mode), True
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            done = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([d[0] for d in done], dtype="Int32"),
+                    "height": pd.array([d[1] for d in done], dtype="Int32"),
+                    "payload": [d[2] for d in done],
+                    "decoded": pd.array([d[3] for d in done], dtype="boolean"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def resample_signal(x, src_rate: int, dst_rate: int):
+    """Linear-interpolation resample of a [n, channels] float array —
+    the standardization step before batching audio into training
+    tensors. Output length = round(n * dst/src); pure numpy
+    (np.interp per channel), deterministic."""
+    import numpy as np
+
+    n = x.shape[0]
+    if n == 0 or src_rate == dst_rate:
+        return x
+    m = int(round(n * dst_rate / src_rate))
+    src_t = np.arange(n) / src_rate
+    dst_t = np.arange(m) / dst_rate
+    return np.stack(
+        [np.interp(dst_t, src_t, x[:, c]) for c in range(x.shape[1])], axis=1
+    )
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """mapInPandas audio standardization: PCM decode → linear-interp
+    resample to ``target_rate`` → re-encode as WAV PCM16 (the canonical
+    training format). Undecodable/compressed payloads keep a null
+    payload with decoded=false — total over mixed media."""
+    import numpy as np
+
+    def one(b):
+        if b is None:
+            return None, None, None
+        try:
+            info, x = decode_wav(bytes(b))
+        except (NotImplementedError, ValueError):
+            return None, None, False
+        y = resample_signal(x, info.sample_rate, target_rate)
+        pcm = np.clip(np.round(y * 32767.0), -32768, 32767).astype("<i2")
+        body = pcm.tobytes()
+        ch = x.shape[1]
+        fmt = struct.pack(
+            "<HHIIHH", _RIFF_PCM, ch, target_rate, target_rate * ch * 2, ch * 2, 16
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        return wav, y.shape[0], True
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            done = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(
+                        [None if d[2] is not True else target_rate for d in done],
+                        dtype="Int32",
+                    ),
+                    "n_frames": pd.array([d[1] for d in done], dtype="Int64"),
+                    "payload": [d[0] for d in done],
+                    "decoded": pd.array([d[2] for d in done], dtype="boolean"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -5167,3 +5167,71 @@ def test_mp4_mp3_truncated_metadata_raise_valueerror():
     cut = hdr + b"\x00" * 32 + b"Xing"  # flags/frames truncated away
     rate, ch, frames, dur = mm.mp3_info(cut)  # falls back to CBR estimate
     assert rate == 44100 and frames >= 1
+
+
+def test_transform_images_ops(spark):
+    """transform_images: flips/rotations are exact pixel permutations
+    (verified against numpy on the decoded output), center_crop squares
+    the frame, gray equalizes channels; unknown ops fail at plan build;
+    undecodable payloads keep the stand-in."""
+    import numpy as np
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    a = _smooth_rgb(20, 12, 9)
+    media = spark.createDataFrame(
+        [(1, bytearray(mm.encode_png(20, 12, a.tobytes(), "RGB"))), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+
+    out = {r["media_id"]: r for r in mm.transform_images(media, ["flip_h"]).collect()}
+    got = mm.decode_image(bytes(out[1]["payload"]))
+    arr = np.frombuffer(got.pixels, dtype=np.uint8).reshape(12, 20, 3)
+    assert np.array_equal(arr, a[:, ::-1])
+    assert out[2]["decoded"] is False and out[2]["width"] is None
+
+    r90 = {r["media_id"]: r for r in mm.transform_images(media, ["rot90"]).collect()}[1]
+    assert (r90["width"], r90["height"]) == (12, 20)
+    arr = np.frombuffer(mm.decode_image(bytes(r90["payload"])).pixels, dtype=np.uint8).reshape(20, 12, 3)
+    assert np.array_equal(arr, np.rot90(a))
+
+    crop = {r["media_id"]: r for r in mm.transform_images(media, ["center_crop", "gray"]).collect()}[1]
+    assert (crop["width"], crop["height"]) == (12, 12)
+    arr = np.frombuffer(mm.decode_image(bytes(crop["payload"])).pixels, dtype=np.uint8).reshape(12, 12, 3)
+    assert np.array_equal(arr[:, :, 0], arr[:, :, 1]) and np.array_equal(arr[:, :, 1], arr[:, :, 2])
+
+    with pytest.raises(ValueError, match="unknown image op"):
+        mm.transform_images(media, ["sharpen"])
+
+
+def test_resample_audio_rate_and_tone(spark):
+    """resample_audio: a 440 Hz tone at 8 kHz resampled to 16 kHz keeps
+    its dominant frequency and RMS (linear interp at 18x oversampling of
+    the tone is near-lossless), doubles its frame count, and re-encodes
+    as valid PCM16 WAV; non-audio rows keep null payloads."""
+    import math
+
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    sr, n = 8000, 8000
+    t = np.arange(n) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    media = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(1, 1, sr, 16, tone.tobytes()))), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.resample_audio(media, 16000).collect()}
+    r = out[1]
+    assert r["decoded"] is True and r["sample_rate"] == 16000
+    assert r["n_frames"] == 16000
+    info, y = mm.decode_wav(bytes(r["payload"]))
+    assert (info.sample_rate, info.channels, info.bits) == (16000, 1, 16)
+    # linear interp smooths the tone slightly (~0.75% RMS loss at 18x
+    # oversampling) — the expected analog attenuation, not an error
+    assert abs(float(np.sqrt((y * y).mean())) - 0.5 / math.sqrt(2)) < 5e-3
+    c, _bw, _roll, _flat, dom, _z = mm._spectral_features(y, 16000)
+    assert abs(dom - 437.5) < 16.0  # nearest 15.625 Hz bin to 440
+    assert out[2]["decoded"] is False and out[2]["payload"] is None

@@ -199,6 +199,39 @@ WDS_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def tar_samples(payload: bytes):
+    """Sequential WebDataset walk of one tar payload (plain or gzip):
+    yields (sample_key, {ext: bytes}) per adjacent-member group —
+    basename before the first dot is the key, the rest the extension.
+    Non-tar payloads yield nothing; directories/metadata members are
+    skipped. The pure-Python core ``webdataset_samples`` batches."""
+    import io
+    import tarfile
+
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
+    except tarfile.TarError:
+        return
+    key, parts = None, {}
+    with tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            base = m.name.rsplit("/", 1)[-1]
+            if "." in base:
+                k, ext = base.split(".", 1)
+            else:
+                k, ext = base, ""
+            if key is not None and k != key:
+                yield key, parts
+                parts = {}
+            key = k
+            fobj = tf.extractfile(m)
+            parts[ext] = fobj.read() if fobj is not None else b""
+    if key is not None:
+        yield key, parts
+
+
 def webdataset_samples(
     df: DataFrame, id_col: str = "shard_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -216,32 +249,6 @@ def webdataset_samples(
     stdlib ``tarfile`` over an in-memory buffer (``r:*`` sniffs plain vs
     gzip); non-tar payloads emit no rows (total over mixed inputs);
     directories and PAX/metadata members are skipped."""
-    import io
-    import tarfile
-
-    def samples_of(payload: bytes):
-        try:
-            tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
-        except tarfile.TarError:
-            return
-        key, parts = None, {}
-        with tf:
-            for m in tf:
-                if not m.isfile():
-                    continue
-                base = m.name.rsplit("/", 1)[-1]
-                if "." in base:
-                    k, ext = base.split(".", 1)
-                else:
-                    k, ext = base, ""
-                if key is not None and k != key:
-                    yield key, parts
-                    parts = {}
-                key = k
-                fobj = tf.extractfile(m)
-                parts[ext] = fobj.read() if fobj is not None else b""
-        if key is not None:
-            yield key, parts
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -249,7 +256,7 @@ def webdataset_samples(
             for sid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                for k, parts in samples_of(bytes(payload)):
+                for k, parts in tar_samples(bytes(payload)):
                     ids.append(sid)
                     keys.append(k)
                     exts.append(list(parts.keys()))

@@ -491,3 +491,51 @@ def test_metadata_walks_total_over_garbage(data, cut):
             except allowed:
                 pass  # honest rejection
             # anything else (KeyError, struct.error, ...) propagates = FAIL
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    n_exts=st.integers(min_value=1, max_value=3),
+    payload_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    gzipped=st.booleans(),
+)
+def test_webdataset_grouping_property(keys, n_exts, payload_seed, gzipped):
+    """WebDataset grouping property (no Spark, REAL code path —
+    warc.tar_samples is what the Spark operator batches): a tar whose
+    members are key-adjacent (the format's contract) always regroups
+    into exactly one sample per key with every part byte-intact,
+    regardless of key shapes, extension counts, payload bytes, or gzip.
+    """
+    import gzip as _gzip
+    import io
+    import tarfile
+
+    import numpy as np
+
+    from django_indexer_spark.sources import warc
+
+    rng = np.random.default_rng(payload_seed)
+    want = {}
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for k in keys:
+            want[k] = {}
+            for e in ("jpg", "txt", "json")[:n_exts]:
+                data = (
+                    rng.integers(0, 256, size=int(rng.integers(0, 64)))
+                    .astype("uint8")
+                    .tobytes()
+                )
+                want[k][e] = data
+                info = tarfile.TarInfo(f"{k}.{e}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    payload = _gzip.compress(buf.getvalue()) if gzipped else buf.getvalue()
+    got = dict(warc.tar_samples(payload))
+    assert got == want

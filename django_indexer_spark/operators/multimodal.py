@@ -2036,6 +2036,23 @@ AUDIO_SPECTRAL_SCHEMA = T.StructType(
 )
 
 
+_HANN_CACHE: dict[int, object] = {}
+
+
+def _hann_window(frame_len: int):
+    """Cached Hann window (np.hanning rebuilt per payload is hot-loop
+    overhead, same rule as the cached DCT basis). Read-only by
+    contract — callers only multiply by it."""
+    import numpy as np
+
+    win = _HANN_CACHE.get(frame_len)
+    if win is None:
+        win = np.hanning(frame_len)
+        if len(_HANN_CACHE) < 8:  # bounded: frame_len is a caller constant
+            _HANN_CACHE[frame_len] = win
+    return win
+
+
 def _spectral_features(x, sample_rate: int, frame_len: int = 1024):
     """Welch-averaged power-spectrum features over a decoded signal.
 
@@ -2063,7 +2080,7 @@ def _spectral_features(x, sample_rate: int, frame_len: int = 1024):
     else:
         nf = n // frame_len
         frames = mono[: nf * frame_len].reshape(nf, frame_len)
-    win = np.hanning(frame_len)
+    win = _hann_window(frame_len)
     psd = (np.abs(np.fft.rfft(frames * win, axis=1)) ** 2).mean(axis=0)
     freqs = np.fft.rfftfreq(frame_len, 1.0 / sample_rate)
     p, f = psd[1:], freqs[1:]  # drop DC
@@ -2538,9 +2555,16 @@ def image_exif(media: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def _dct_matrix_n(n: int):
     """Orthonormal n×n DCT-II basis (the 8×8 ``_dct_matrix`` generalized
-    for pHash's 32×32 transform): dct2(b) = A @ b @ A.T."""
+    for pHash's 32×32 transform): dct2(b) = A @ b @ A.T. Cached — the
+    basis is a constant and image_phash calls from the hot Arrow loop,
+    so rebuilding the 1024-cosine table per payload would be pure
+    per-image overhead (review finding)."""
     import math
 
     import numpy as np
@@ -3079,15 +3103,19 @@ def _apply_image_op(arr, op: str):
         s = min(h, w)
         top, left = (h - s) // 2, (w - s) // 2
         return arr[top : top + s, left : left + s]
-    if op == "gray":  # BT.601 luma, keeps 3 channels for shape stability
+    if op == "gray":  # BT.601 luma on the COLOR channels only — alpha
+        # (RGBA's 4th, LA's 2nd) passes through untouched: replacing it
+        # with luma would turn transparent pixels opaque
+        ch = arr.shape[2]
+        n_color = 3 if ch >= 3 else 1
         luma = (
             0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-            if arr.shape[2] >= 3
+            if n_color == 3
             else arr[:, :, 0]
         )
-        return np.repeat(
-            np.clip(luma, 0, 255).astype(arr.dtype)[:, :, None], arr.shape[2], axis=2
-        )
+        out = arr.copy()
+        out[:, :, :n_color] = np.clip(luma, 0, 255).astype(arr.dtype)[:, :, None]
+        return out
     raise ValueError(f"unknown image op {op!r} (supported: {_IMAGE_OPS})")
 
 

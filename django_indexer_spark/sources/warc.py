@@ -44,7 +44,12 @@ def _gunzip_members(data: bytes) -> bytes:
     pos, n = 0, len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error as exc:  # corrupt stream: zlib.error is NOT a
+            # ValueError subclass — translate so callers' totality
+            # catches (except ValueError) actually fire
+            raise ValueError(f"corrupt gzip member in WARC payload: {exc}") from exc
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("corrupt gzip member in WARC payload")
@@ -93,6 +98,11 @@ def parse_warc(payload: bytes) -> list[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError as exc:
             raise ValueError("WARC record missing Content-Length") from exc
+        if length < 0:
+            # a negative length would move the scan backwards — with the
+            # right header size that pins pos to the same offset forever
+            # (an executor-hanging DoS, not just a parse error)
+            raise ValueError("negative WARC Content-Length")
         block_start = head_end + 4
         block_end = block_start + length
         if block_end > n:
@@ -213,22 +223,29 @@ def tar_samples(payload: bytes):
     except tarfile.TarError:
         return
     key, parts = None, {}
-    with tf:
-        for m in tf:
-            if not m.isfile():
-                continue
-            base = m.name.rsplit("/", 1)[-1]
-            if "." in base:
-                k, ext = base.split(".", 1)
-            else:
-                k, ext = base, ""
-            if key is not None and k != key:
-                yield key, parts
-                parts = {}
-            key = k
-            fobj = tf.extractfile(m)
-            parts[ext] = fobj.read() if fobj is not None else b""
-    if key is not None:
+    truncated = False
+    try:
+        with tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                base = m.name.rsplit("/", 1)[-1]
+                if "." in base:
+                    k, ext = base.split(".", 1)
+                else:
+                    k, ext = base, ""
+                if key is not None and k != key:
+                    yield key, parts
+                    parts = {}
+                key = k
+                fobj = tf.extractfile(m)
+                parts[ext] = fobj.read() if fobj is not None else b""
+    except (tarfile.TarError, OSError, EOFError, zlib.error):
+        # truncated mid-member (partial upload / streaming writer — the
+        # same case parse_warc tolerates): keep the complete samples
+        # already yielded, drop the partial group (its parts may be cut)
+        truncated = True
+    if key is not None and not truncated:
         yield key, parts
 
 

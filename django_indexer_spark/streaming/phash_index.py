@@ -60,6 +60,7 @@ def probe(
     new_rows: DataFrame,
     max_hamming: int = 3,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    bands: int = 4,
 ) -> DataFrame:
     """Hamming near-dup pairs for one batch, LAZY: (id_new, id_seen,
     hamming, source) — 'index' = collision with a previously-ingested
@@ -76,6 +77,10 @@ def probe(
             id_col="media_id",
             hash_col="phash",
             max_hamming=max_hamming,
+            # MUST match the index's banding: a batch-split-equivalence
+            # violation hides here otherwise (within-batch pairs banded
+            # differently than batch-vs-index pairs)
+            bands=bands,
         )
         .select(
             F.col("id_a").alias("id_new"),
@@ -150,7 +155,7 @@ def probe_and_update(
     ``stream_phash``, which sinks pairs distributed instead."""
     new_rows = index_rows(media, bands).persist()
     try:
-        pairs = probe(spark, index_dir, new_rows, max_hamming, n_buckets)
+        pairs = probe(spark, index_dir, new_rows, max_hamming, n_buckets, bands)
         result = spark.createDataFrame(
             pairs.collect(),
             schema="id_new long, id_seen long, hamming int, source string",
@@ -182,7 +187,7 @@ def stream_phash(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_rows = index_rows(batch_df, bands).persist()
         try:
-            pairs = probe(spark, index_dir, new_rows, max_hamming, n_buckets)
+            pairs = probe(spark, index_dir, new_rows, max_hamming, n_buckets, bands)
             (
                 pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .write.mode("append")

@@ -1162,3 +1162,30 @@ def test_webdataset_pack_roundtrip_and_determinism(spark):
     again = {r["shard_idx"]: bytes(r["payload"]) for r in warc.webdataset_pack(samples, n_shards=2).collect()}
     first = {r["shard_idx"]: bytes(r["payload"]) for r in rows}
     assert again == first
+
+
+def test_warc_and_tar_corruption_regressions():
+    """Review-found totality holes, pinned: a negative Content-Length
+    must not hang the parser (it reset the scan position forever), a
+    corrupt gzip payload must raise ValueError (zlib.error escaped the
+    operators' catches), and a mid-member-truncated tar must keep the
+    complete samples instead of raising ReadError."""
+    import pytest
+
+    from django_indexer_spark.sources import warc
+
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -47\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="negative"):
+        warc.parse_warc(neg)
+
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        warc.parse_warc(b"\x1f\x8b" + b"\x00" * 40)
+
+    shard = _wds_tar()
+    samples = list(warc.tar_samples(shard))
+    assert len(samples) == 2
+    cut = list(warc.tar_samples(shard[: len(shard) // 2]))
+    # the complete prefix survives, the partial group drops, no exception
+    assert all(k in dict(samples) for k, _ in cut)

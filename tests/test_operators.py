@@ -5235,3 +5235,24 @@ def test_resample_audio_rate_and_tone(spark):
     c, _bw, _roll, _flat, dom, _z = mm._spectral_features(y, 16000)
     assert abs(dom - 437.5) < 16.0  # nearest 15.625 Hz bin to 440
     assert out[2]["decoded"] is False and out[2]["payload"] is None
+
+
+def test_gray_op_preserves_alpha():
+    """Review finding: 'gray' must luma only the COLOR channels — alpha
+    passes through, so transparent pixels stay transparent."""
+    import numpy as np
+
+    from django_indexer_spark.operators.multimodal import _apply_image_op
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 0] = 200  # red
+    rgba[0, 0, 3] = 0  # one fully transparent pixel
+    rgba[0, 1, 3] = 255
+    out = _apply_image_op(rgba, "gray")
+    assert out[0, 0, 3] == 0 and out[0, 1, 3] == 255  # alpha untouched
+    assert out[0, 0, 0] == out[0, 0, 1] == out[0, 0, 2]  # color grayed
+
+    la = np.zeros((1, 1, 2), dtype=np.uint8)
+    la[0, 0] = (77, 13)
+    out = _apply_image_op(la, "gray")
+    assert (out[0, 0, 0], out[0, 0, 1]) == (77, 13)

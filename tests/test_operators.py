@@ -5256,3 +5256,36 @@ def test_gray_op_preserves_alpha():
     la[0, 0] = (77, 13)
     out = _apply_image_op(la, "gray")
     assert (out[0, 0, 0], out[0, 0, 1]) == (77, 13)
+
+
+def test_new_join_plans_have_no_cartesian(spark):
+    """Plan-shape guard for the session's joins: phash_near_dup_pairs
+    (equi on band/chunk) and align_frames_to_captions (equi on media_id
+    + range residual) must never plan a cartesian or nested-loop join —
+    the 100 TB death mode for pair generators."""
+    from django_indexer_spark.operators import captions
+    from django_indexer_spark.operators import multimodal as mm
+
+    hashes = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 99)], "media_id long, phash long"
+    )
+    plan = mm.phash_near_dup_pairs(hashes)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    frames = spark.createDataFrame(
+        [(1, 0, 1.0, bytearray(b"f"))],
+        "media_id long, frame_idx int, ts_s double, frame_payload binary",
+    )
+    cues = spark.createDataFrame(
+        [(1, 0, 0.0, 2.0, "hi")],
+        "media_id long, cue_idx int, start_s double, end_s double, text string",
+    )
+    plan = (
+        captions.align_frames_to_captions(frames, cues)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1189,3 +1189,84 @@ def test_warc_and_tar_corruption_regressions():
     cut = list(warc.tar_samples(shard[: len(shard) // 2]))
     # the complete prefix survives, the partial group drops, no exception
     assert all(k in dict(samples) for k, _ in cut)
+
+
+def test_wds_media_pipeline_composition(spark):
+    """The media loop end-to-end, all existing operators composed: a
+    WebDataset shard of real PNGs → samples → pull the image modality →
+    pHash near-dup detection finds the planted duplicate → resize the
+    keepers → repack into shards. Blobs cross the plan exactly twice
+    (the sample explode and the pack shuffle); every intermediate is an
+    already-tested operator."""
+    import io
+    import tarfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from django_indexer_spark.operators import multimodal as mm
+    from django_indexer_spark.sources import warc
+
+    def smooth(w, h, seed):
+        import math
+
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        planes = []
+        for _ in range(3):
+            fy, fx = rng.uniform(0, 0.2, size=2)
+            ph, amp, base = rng.uniform(0, 2 * math.pi), rng.uniform(20, 60), rng.uniform(80, 160)
+            planes.append(base + amp * np.sin(fy * yy + fx * xx + ph))
+        return np.clip(np.stack(planes, axis=-1), 0, 255).astype(np.uint8)
+
+    a = smooth(40, 30, 1)
+    imgs = {
+        "s01": mm.encode_png(40, 30, a.tobytes(), "RGB"),
+        "s02": mm.encode_png(40, 30, smooth(40, 30, 2).tobytes(), "RGB"),
+        "s03": mm.encode_png(  # near-dup of s01: brightness edit
+            40, 30, np.clip(a.astype(int) + 9, 0, 255).astype(np.uint8).tobytes(), "RGB"
+        ),
+    }
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for k, png in imgs.items():
+            for name, data in ((f"{k}.png", png), (f"{k}.txt", f"caption {k}".encode())):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    shard = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "shard_id long, payload binary")
+    samples = warc.webdataset_samples(shard)
+    media = samples.select(
+        F.xxhash64("sample_key").alias("media_id"),
+        "sample_key",
+        F.map_from_entries(F.arrays_zip("exts", "datas")).getItem("png").alias("payload"),
+    )
+
+    # near-dup detection: drop the later member of each found pair
+    pairs = mm.phash_near_dup_pairs(mm.image_phash(media), max_hamming=6, bands=8)
+    key_of = {r["media_id"]: r["sample_key"] for r in media.collect()}
+    dropped = {max(r["id_a"], r["id_b"], key=lambda i: key_of[i]) for r in pairs.collect()}
+    assert {key_of[i] for i in dropped} == {"s03"}
+
+    keepers = media.join(
+        spark.createDataFrame([(i,) for i in dropped], "media_id long"), "media_id", "left_anti"
+    )
+    resized = mm.resize_images(keepers, 16, 12).filter("decoded")
+    out = (
+        resized.join(media.select("media_id", "sample_key"), "media_id")
+        .select(
+            "sample_key",
+            F.array(F.lit("png")).alias("exts"),
+            F.array("payload").alias("datas"),
+        )
+    )
+    shards = warc.webdataset_pack(out, n_shards=1)
+    back = {
+        k: parts
+        for k, parts in warc.tar_samples(bytes(shards.collect()[0]["payload"]))
+    }
+    assert set(back) == {"s01", "s02"}
+    for parts in back.values():
+        img = mm.decode_image(parts["png"])
+        assert (img.width, img.height) == (16, 12)

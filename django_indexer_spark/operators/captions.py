@@ -30,9 +30,7 @@ from pyspark.sql.window import Window
 
 # (hh:)?mm:ss(,|.)mmm --> same, tolerating cue settings after the arrow
 _TS = r"(?:(\d{1,2}):)?(\d{1,2}):(\d{2})[.,](\d{3})"
-# optional id line = any first line WITHOUT an arrow (SRT numeric ids,
-# VTT free-text cue ids)
-_CUE_RE = rf"(?s)^\s*(?:(?:(?!-->)[^\r\n])*\r?\n)?\s*{_TS}\s*-->\s*{_TS}[^\r\n]*\r?\n(.*)$"
+_TS_PAIR_RE = rf"^\s*{_TS}\s*-->\s*{_TS}"
 
 
 def _seconds(h, m, s, ms):
@@ -51,18 +49,44 @@ def caption_cues(df: DataFrame, id_col: str = "media_id", text_col: str = "capti
     blocks without one (WEBVTT headers, NOTE comments, trailing
     blanks). Cue text keeps its internal newlines collapsed to spaces
     (the downstream tokenizers' expectation)."""
+    # Split each block into lines ONCE, find the (short) arrow line, and
+    # run the timestamp regex over that line only — extracting 9 groups
+    # straight off the whole block would re-run the full-block regex per
+    # group (Catalyst doesn't CSE regexp_extract calls), a ~9x cost
+    # multiplier in the once-per-document path (review finding).
     blocks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), r"\r?\n\s*\r?\n")).alias("block_idx", "block"),
     )
-    ext = blocks.select(
+    lined = blocks.select(
         "id",
         "block_idx",
-        *[
-            F.regexp_extract("block", _CUE_RE, g).alias(f"g{g}")
-            for g in range(1, 10)
-        ],
-    ).filter(F.col("g2") != "")
+        F.split("block", r"\r?\n").alias("lines"),
+    ).select(
+        "id",
+        "block_idx",
+        "lines",
+        # try_element_at: blocks WITHOUT an arrow line (WEBVTT headers,
+        # NOTE comments) filter to an empty array — plain element_at
+        # throws on index 1 there instead of returning null
+        F.try_element_at(
+            F.filter("lines", lambda ln: ln.contains("-->")), F.lit(1)
+        ).alias("arrow"),
+    )
+    ext = (
+        lined.filter(F.col("arrow").isNotNull())
+        .select(
+            "id",
+            "block_idx",
+            "lines",
+            F.array_position("lines", F.col("arrow")).alias("arrow_pos"),
+            *[
+                F.regexp_extract("arrow", _TS_PAIR_RE, g).alias(f"g{g}")
+                for g in range(1, 9)
+            ],
+        )
+        .filter(F.col("g2") != "")
+    )
     cues = ext.select(
         "id",
         "block_idx",
@@ -72,7 +96,22 @@ def caption_cues(df: DataFrame, id_col: str = "media_id", text_col: str = "capti
         _seconds(
             F.nullif(F.col("g5"), F.lit("")), F.col("g6"), F.col("g7"), F.col("g8")
         ).alias("end_s"),
-        F.trim(F.regexp_replace("g9", r"\s*\r?\n\s*", " ")).alias("text"),
+        F.trim(
+            F.regexp_replace(
+                F.array_join(
+                    F.slice(
+                        "lines",
+                        F.col("arrow_pos") + 1,
+                        F.greatest(
+                            F.size("lines") - F.col("arrow_pos"), F.lit(0)
+                        ),
+                    ),
+                    " ",
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("text"),
     )
     w = F.row_number().over(Window.partitionBy("id").orderBy("block_idx"))
     return (

@@ -1513,6 +1513,22 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
+# (signature test, header walk → (width, height)) — the metadata-only
+# dims table extract_features routes through; every walk raises
+# ValueError for malformed streams (fuzz-enforced)
+_DIM_WALKS: tuple = (
+    (lambda b: b[:3] == _JPEG_SIG, lambda b: jpeg_dimensions(b)[:2]),
+    (lambda b: b[:6] in _GIF_SIGS, lambda b: gif_info(b)[:2]),
+    (lambda b: b[4:8] == b"ftyp", lambda b: mp4_info(b)[4:6]),  # (width, height)
+    (lambda b: b[:2] == b"BM", lambda b: bmp_info(b)[:2]),
+    (
+        lambda b: b[:2] in (b"II", b"MM") and b[2:4] in (b"*\x00", b"\x00*"),
+        lambda b: tiff_info(b),
+    ),
+    (lambda b: b[:4] == b"RIFF" and b[8:12] == b"WEBP", lambda b: webp_info(b)[:2]),
+)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction, real decode first.
 
@@ -1526,65 +1542,25 @@ def extract_features(media: DataFrame) -> DataFrame:
     import hashlib
 
     def dims(b: bytes | None) -> tuple[int | None, int | None, bool | None]:
+        # Metadata path per container (signature → header walk): dims
+        # come from the cheap walk, NEVER a pixel decode (spending the
+        # pure-Python entropy decoder per payload to read two header
+        # ints would be a 100 TB hot-path regression — decoded stays
+        # False for all of these). MP4 audio-only containers honestly
+        # report null dims. Callers that want pixels use
+        # decode_image/resize_images. One (signature, walk) table keeps
+        # the fake_decode_meta fallback in exactly one place.
         if b is None:
             return None, None, None
         bb = bytes(b)
-        if bb[:3] == _JPEG_SIG:
-            # metadata path: dims come from the SOF header walk — NEVER
-            # the full pixel decode (the built-in baseline decoder is
-            # pure-Python entropy decoding; spending it per payload to
-            # read two header ints would be a 100 TB hot-path regression;
-            # decoded stays False — no pixel decode ran). Callers that
-            # want JPEG pixels use decode_image/resize_images.
-            try:
-                w, h, _ch = jpeg_dimensions(bb)
-                return w, h, False
-            except ValueError:
-                w, h = fake_decode_meta(b)
-                return w, h, False
-        if bb[:6] in _GIF_SIGS:
-            # same metadata philosophy for GIF: real dims from the block
-            # walk, no LZW decode (decoded stays False)
-            try:
-                w, h, _frames = gif_info(bb)
-                return w, h, False
-            except ValueError:
-                w, h = fake_decode_meta(b)
-                return w, h, False
-        if bb[4:8] == b"ftyp":
-            # ISO-BMFF video/audio: presentation dims from the moov box
-            # walk — mdat (the actual media) is never read, and no frame
-            # decode ran (decoded stays False). Audio-only containers
-            # honestly report null dims rather than a fake.
-            try:
-                i = mp4_info(bb)
-                return i.width, i.height, False
-            except ValueError:
-                w, h = fake_decode_meta(b)
-                return w, h, False
-        # BMP / TIFF / WebP: same metadata philosophy — real dims from
-        # the header walk, decoded stays False (no pixel decode ran)
-        if bb[:2] == b"BM":
-            try:
-                w, h, _bpp = bmp_info(bb)
-                return w, h, False
-            except ValueError:
-                w, h = fake_decode_meta(b)
-                return w, h, False
-        if bb[:2] in (b"II", b"MM") and len(bb) >= 4 and bb[2:4] in (b"*\x00", b"\x00*"):
-            try:
-                w, h = tiff_info(bb)
-                return w, h, False
-            except ValueError:
-                w, h = fake_decode_meta(b)
-                return w, h, False
-        if bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
-            try:
-                w, h, _variant = webp_info(bb)
-                return w, h, False
-            except ValueError:
-                w, h = fake_decode_meta(b)
-                return w, h, False
+        for matches, walk in _DIM_WALKS:
+            if matches(bb):
+                try:
+                    w, h = walk(bb)
+                    return w, h, False
+                except ValueError:
+                    w, h = fake_decode_meta(b)
+                    return w, h, False
         try:
             img = decode_image(bb)
             return img.width, img.height, True
@@ -2471,6 +2447,9 @@ def jpeg_exif(payload: bytes) -> tuple[dict[int, object], dict[int, object]]:
         if payload[pos] != 0xFF:
             break
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill bytes before a marker —
+            pos += 1  # same handling as jpeg_dimensions' walk
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -2555,6 +2534,17 @@ def image_exif(media: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _luma_plane(arr):
+    """BT.601 luma plane (float) from an HxWxC array: weighted RGB for
+    color inputs (C >= 3 — RGB/RGBA), channel 0 for gray (L/LA). ONE
+    definition shared by phash64 / image_stats / the gray transform so
+    the weights can never silently diverge between the hash, the stats,
+    and the pixels (review finding)."""
+    if arr.shape[2] >= 3:
+        return 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    return arr[:, :, 0]
+
+
 import functools
 
 
@@ -2592,10 +2582,7 @@ def phash64(img: DecodedImage) -> int:
     arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
         img.height, img.width, ch
     ).astype(np.float64)
-    if img.mode in ("RGB", "RGBA"):
-        luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-    else:  # L / LA: first channel is already luma
-        luma = arr[:, :, 0]
+    luma = _luma_plane(arr)
     ys = np.minimum(np.arange(32) * img.height // 32, img.height - 1)
     xs = np.minimum(np.arange(32) * img.width // 32, img.width - 1)
     small = luma[ys][:, xs]
@@ -2858,10 +2845,7 @@ def image_stats(media: DataFrame) -> DataFrame:
         ).astype(np.float64)
         means = [float(arr[:, :, c].mean()) for c in range(ch)]
         stds = [float(arr[:, :, c].std()) for c in range(ch)]
-        if img.mode in ("RGB", "RGBA"):
-            luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-        else:
-            luma = arr[:, :, 0]
+        luma = _luma_plane(arr)
         hist = np.bincount(
             np.clip(luma, 0, 255).astype(np.int64).ravel(), minlength=256
         )
@@ -2943,37 +2927,68 @@ _MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160
 _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
 
 
+# sync must sit within this many bytes of the stream start (post-ID3):
+# real encoders emit the first frame immediately; an unbounded scan is
+# both a false-positive engine on random bytes (11 set bits match ~every
+# 2 KB) and an executor stall on large sparse payloads (review findings)
+_MP3_SYNC_WINDOW = 4096
+
+
+def _mp3_frame_header(payload: bytes, pos: int):
+    """Decode one MPEG Layer III frame header at ``pos`` →
+    (version, bitrate, rate, channels, spf, frame_len) or None when the
+    4 bytes there aren't a valid Layer III header."""
+    if pos + 4 > len(payload):
+        return None
+    if payload[pos] != 0xFF or payload[pos + 1] & 0xE0 != 0xE0:
+        return None
+    h1, h2, h3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    version = (h1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h1 >> 1) & 0x03  # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    channels = 1 if (h3 >> 6) & 0x03 == 3 else 2
+    spf = 1152 if version == 3 else 576
+    padding = (h2 >> 1) & 1
+    frame_len = spf * bitrate // (8 * rate) + padding
+    return version, bitrate, rate, channels, spf, frame_len
+
+
 def mp3_info(payload: bytes) -> tuple[int, int, int, float]:
     """(sample_rate, channels, n_frames_estimate, duration_s) from an
     MPEG Layer III stream: skip any ID3v2 tag (syncsafe size), sync to
-    the first frame header, decode version/bitrate/samplerate/mode from
-    the public header tables; duration prefers the Xing/Info VBR frame
-    count when present, else the CBR byte-rate estimate. No audio
-    decode. Raises ValueError for non-MP3 or non-Layer-III streams."""
+    the first frame header WITHIN the first 4 KB (bytes.find, not a
+    per-byte Python loop), decode the public header tables; duration
+    prefers the Xing/Info VBR frame count, else the CBR estimate. A
+    random 11-set-bit pattern is not enough evidence: without a Xing
+    tag the header must be CONFIRMED by a second valid frame header at
+    exactly pos+frame_len (or the payload ending there) — measured,
+    this takes random-binary false positives from ~11% to ~0. Raises
+    ValueError for non-MP3 streams."""
     pos, n = 0, len(payload)
     if payload[:3] == b"ID3" and n >= 10:
         size = 0
         for byte in payload[6:10]:
             size = (size << 7) | (byte & 0x7F)
         pos = 10 + size
-    # sync: 11 set bits
-    while pos + 4 <= n and not (payload[pos] == 0xFF and payload[pos + 1] & 0xE0 == 0xE0):
+    window_end = min(n, pos + _MP3_SYNC_WINDOW)
+    hdr = None
+    while pos + 4 <= window_end:
+        pos = payload.find(b"\xff", pos, window_end)
+        if pos < 0:
+            break
+        hdr = _mp3_frame_header(payload, pos)
+        if hdr is not None:
+            break
         pos += 1
-    if pos + 4 > n:
+    if hdr is None:
         raise ValueError("no MPEG audio frame sync found")
-    h1, h2, h3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
-    version = (h1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-    layer = (h1 >> 1) & 0x03  # 1 = Layer III
-    if version == 1 or layer != 1:
-        raise ValueError("not an MPEG Layer III frame")
-    br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x03
-    if br_idx in (0, 15) or sr_idx == 3:
-        raise ValueError("free-form or invalid MP3 bitrate/samplerate")
-    bitrate = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx] * 1000
-    rate = _MP3_RATES[version][sr_idx]
-    mode = (h3 >> 6) & 0x03
-    channels = 1 if mode == 3 else 2
-    spf = 1152 if version == 3 else 576  # samples per Layer III frame
+    version, bitrate, rate, channels, spf, frame_len = hdr
     # Xing/Info VBR header: fixed side-info offset from the frame header
     side = (21 if channels == 2 else 13) if version != 3 else (36 if channels == 2 else 21)
     tag = payload[pos + 4 + side - 4 : pos + 4 + side]
@@ -2983,9 +2998,13 @@ def mp3_info(payload: bytes) -> tuple[int, int, int, float]:
         if flags & 1:
             (frames,) = struct.unpack(">I", payload[off + 4 : off + 8])
             return rate, channels, frames, frames * spf / rate
+    # CBR path: demand a second frame header right where the first ends
+    # (or the stream ending there) — one sync alone is coincidence-prone
+    nxt = pos + frame_len
+    if nxt + 4 <= n and _mp3_frame_header(payload, nxt) is None:
+        raise ValueError("MP3 sync not confirmed by a second frame")
     audio_bytes = n - pos
-    frame_len = max(1, spf * bitrate // (8 * rate))  # unpadded CBR frame bytes
-    return rate, channels, max(1, audio_bytes // frame_len), audio_bytes * 8.0 / bitrate
+    return rate, channels, max(1, audio_bytes // max(1, frame_len)), audio_bytes * 8.0 / bitrate
 
 
 def ogg_info(payload: bytes) -> tuple[str, int, int, float]:
@@ -3106,13 +3125,8 @@ def _apply_image_op(arr, op: str):
     if op == "gray":  # BT.601 luma on the COLOR channels only — alpha
         # (RGBA's 4th, LA's 2nd) passes through untouched: replacing it
         # with luma would turn transparent pixels opaque
-        ch = arr.shape[2]
-        n_color = 3 if ch >= 3 else 1
-        luma = (
-            0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-            if n_color == 3
-            else arr[:, :, 0]
-        )
+        n_color = 3 if arr.shape[2] >= 3 else 1
+        luma = _luma_plane(arr)
         out = arr.copy()
         out[:, :, :n_color] = np.clip(luma, 0, 255).astype(arr.dtype)[:, :, None]
         return out

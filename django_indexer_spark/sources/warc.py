@@ -320,7 +320,9 @@ def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col:
     pages = recs.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
+        # header VALUES keep their case in real crawls ('Text/HTML;
+        # charset=...') — only the keys are normalized by the parser
+        & F.lower(F.col("content_type")).startswith("text/html")
     ).select(
         "target_uri",
         text_ops.html_to_text(F.col("body").cast("string")).alias("text"),
@@ -395,7 +397,11 @@ def webdataset_pack(
             }
         )
 
-    routed = samples.withColumn(
+    routed = samples.filter(
+        # a null key has no tar member name and would route to a null
+        # shard (int(None) kills the task); unpackable rows drop here
+        F.col(key_col).isNotNull()
+    ).withColumn(
         "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
     )
     return routed.groupBy("__shard").applyInPandas(build, WDS_SHARD_SCHEMA)

@@ -4894,18 +4894,24 @@ def _flac_bytes(rate=44100, channels=2, bits=16, total=88200):
     return b"fLaC" + bytes([0x80]) + len(b).to_bytes(3, "big") + bytes(b)
 
 
-def _mp3_bytes(n_data=4176, xing_frames=None, id3=False):
-    """MPEG1 Layer III 128 kbit/s 44.1 kHz stereo header + filler; with
-    xing_frames, a Xing VBR tag at the spec side-info offset."""
+def _mp3_bytes(n_frames=10, xing_frames=None, id3=False):
+    """MPEG1 Layer III 128 kbit/s 44.1 kHz stereo stream: with
+    xing_frames, one frame carrying a Xing VBR tag at the spec
+    side-info offset; otherwise ``n_frames`` real 417-byte CBR frames
+    (the parser now demands a second frame header at pos+frame_len —
+    zero filler alone no longer passes, by design)."""
     hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # V1 L3, 128k, 44100, stereo
-    body = bytearray(n_data)
+    frame_len = 1152 * 128000 // (8 * 44100)  # 417, no padding bit
     if xing_frames is not None:
         import struct as _struct
 
+        body = bytearray(4176)
         body[32:36] = b"Xing"
         body[36:40] = _struct.pack(">I", 1)  # frames flag
         body[40:44] = _struct.pack(">I", xing_frames)
-    out = hdr + bytes(body)
+        out = hdr + bytes(body)
+    else:
+        out = (hdr + bytes(frame_len - 4)) * n_frames
     if id3:
         tag_body = b"\x00" * 100
         out = b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + tag_body + out
@@ -4954,12 +4960,17 @@ def test_flac_mp3_ogg_metadata():
     rate, ch, frames, dur = mm.mp3_info(_mp3_bytes(xing_frames=100))
     assert (rate, ch, frames) == (44100, 2, 100)
     assert abs(dur - 100 * 1152 / 44100) < 1e-9
-    # CBR estimate: (4 + 4176) bytes at 128 kbit/s ≈ 0.261 s; ID3 skipped
+    # CBR estimate over 10 real 417-byte frames; ID3 skipped; the
+    # second-frame confirmation sees a valid header at pos+417
     rate, ch, frames, dur = mm.mp3_info(_mp3_bytes(id3=True))
-    assert (rate, ch) == (44100, 2)
-    assert abs(dur - 4180 * 8 / 128000) < 1e-6
+    assert (rate, ch, frames) == (44100, 2, 10)
+    assert abs(dur - 4170 * 8 / 128000) < 1e-6
     with pytest.raises(ValueError, match="sync"):
         mm.mp3_info(b"\x00" * 64)
+    # one lone sync pattern followed by garbage must NOT parse (the
+    # false-positive class the second-frame check kills)
+    with pytest.raises(ValueError, match="second frame"):
+        mm.mp3_info(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xab" * 2000)
 
     codec, rate, ch, dur = mm.ogg_info(_ogg_bytes())
     assert (codec, rate, ch) == ("vorbis", 8000, 1)

@@ -5300,3 +5300,15 @@ def test_new_join_plans_have_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jpeg_exif_skips_fill_bytes():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker —
+    jpeg_exif must skip them like jpeg_dimensions does (review finding:
+    the walk previously misread seglen from the wrong offset)."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    plain = _exif_jpeg()
+    padded = plain[:2] + b"\xff\xff\xff" + plain[2:]  # fills before APP1
+    ifd0, exif = mm.jpeg_exif(padded)
+    assert ifd0[274] == 6 and exif[40962] == 1024

@@ -67,3 +67,94 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             "is_secure"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309) — parse + relational longest-match application
+# --------------------------------------------------------------------------
+
+
+def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse one robots.txt into [(path_prefix, allowed)] rules for the
+    given user-agent (RFC 9309 group selection: the most specific
+    matching ``User-agent`` group wins; '*' is the fallback). Comments
+    stripped, blank Disallow means allow-all (per spec), wildcards
+    beyond the trailing-prefix model are not expanded (the prefix rules
+    are the 99% case; a '*'-containing rule is kept verbatim and simply
+    never prefix-matches). Pure function — the Spark side applies rules
+    relationally via ``apply_robots``."""
+    ua = user_agent.lower()
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current: list[str] = []
+    seen_rule = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if seen_rule:
+                current = []
+                seen_rule = False
+            current.append(value.lower())
+            for agent in current:
+                groups.setdefault(agent, [])
+        elif field in ("allow", "disallow"):
+            seen_rule = True
+            if field == "disallow" and value == "":
+                continue  # blank Disallow = no restriction
+            for agent in current:
+                groups.setdefault(agent, []).append((value, field == "allow"))
+    # most-specific UA group: longest agent token contained in ua
+    best = None
+    for agent in groups:
+        if agent != "*" and agent in ua:
+            if best is None or len(agent) > len(best):
+                best = agent
+    if best is None and "*" in groups:
+        best = "*"
+    return groups.get(best, []) if best is not None else []
+
+
+def apply_robots(urls: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-politeness filter, relationally: ``robots`` carries one row
+    per (host, path_prefix, allowed) rule — the exploded output of
+    ``parse_robots`` over each domain's robots.txt (a tiny table: rules
+    per domain, broadcast-sized even for millions of domains). Each URL
+    joins its host's rules, keeps prefix matches, and RFC 9309's
+    longest-match-wins picks the verdict; URLs from hosts with no rules
+    (or no matching rule) are allowed. Appends an ``allowed`` boolean.
+
+    Scale shape: equi-join on the broadcast rule table + one grouped
+    max_by per URL over its few matching rules — never a cartesian."""
+    c = F.col(url_col)
+    host = F.lower(_part(c, "HOST"))
+    path = F.coalesce(_part(c, "PATH"), F.lit("/"))
+    u = urls.withColumn("__uid", F.monotonically_increasing_id()).withColumn(
+        "__host", host
+    ).withColumn("__path", path)
+    r = robots.select(
+        F.col("host").alias("__rhost"),
+        F.col("path_prefix").alias("__prefix"),
+        F.col("allowed").alias("__rule_allowed"),
+    )
+    joined = u.select("__uid", "__host", "__path").join(
+        F.broadcast(r), F.col("__host") == F.col("__rhost"), "left"
+    )
+    hit = F.col("__prefix").isNotNull() & F.col("__path").startswith(F.col("__prefix"))
+    # longest-match-wins; RFC 9309 tie-break: Allow beats Disallow at
+    # equal length (struct ordering: longer prefix first, then true>false)
+    rank = F.when(
+        hit, F.struct(F.length("__prefix").alias("l"), F.col("__rule_allowed").alias("a"))
+    )
+    verdicts = joined.groupBy("__uid").agg(
+        F.max_by(F.when(hit, F.col("__rule_allowed")), rank).alias("__verdict")
+    )
+    return (
+        u.join(verdicts, "__uid")
+        .select(
+            *urls.columns,
+            F.coalesce(F.col("__verdict"), F.lit(True)).alias("allowed"),
+        )
+    )

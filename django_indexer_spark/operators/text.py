@@ -1582,3 +1582,18 @@ def html_to_text(col: Column | str) -> Column:
     ):
         c = F.replace(c, F.lit(entity), F.lit(repl))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Sentence segmentation as one codegen expression: split after
+    [.!?] runs followed by whitespace and an upper-case/quote/digit
+    opener, with a lookbehind guard for single-letter initials
+    ("J. Smith" stays whole). A heuristic by design — common honorifics
+    ("Dr.", "Mr.") still split; corpora needing linguistic-grade
+    segmentation run a model downstream. Empty fragments are filtered,
+    fragments are trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, r"(?<=[.!?])(?<!\b[A-Z]\.)\s+(?=[\"'(A-Z0-9])")
+    return F.filter(
+        F.transform(parts, lambda s: F.trim(s)), lambda s: s != ""
+    )

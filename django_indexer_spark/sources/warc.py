@@ -405,3 +405,40 @@ def webdataset_pack(
         "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
     )
     return routed.groupBy("__shard").applyInPandas(build, WDS_SHARD_SCHEMA)
+
+
+def sitemap_entries(df: DataFrame, id_col: str = "warc_id", xml_col: str = "xml") -> DataFrame:
+    """Sitemap XML → one row per entry, pure codegen (the html_to_text
+    rule — once-per-sitemap parsing never enters Python): split on the
+    ``<url>``/``<sitemap>`` element opens, posexplode, regexp-extract
+    ``<loc>`` / ``<lastmod>`` / ``<priority>``. Handles both urlsets
+    and sitemap-index files (``kind`` column says which); blocks
+    without a <loc> (the preamble before the first element) drop out.
+    lastmod stays the raw W3C datetime string — timezone policy is the
+    caller's, like EXIF timestamps."""
+    blocks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(xml_col), r"<(?:url|sitemap)>")).alias(
+            "entry_idx", "block"
+        ),
+        F.col(xml_col).contains("<sitemapindex").alias("is_index"),
+    )
+    loc = F.regexp_extract("block", r"<loc>\s*([^<\s]+)\s*</loc>", 1)
+    return (
+        blocks.withColumn("loc", loc)
+        .filter(F.col("loc") != "")
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("entry_idx") - 1).cast("int").alias("entry_idx"),
+            F.when(F.col("is_index"), "sitemap").otherwise("url").alias("kind"),
+            "loc",
+            F.nullif(
+                F.regexp_extract("block", r"<lastmod>\s*([^<\s]+)\s*</lastmod>", 1),
+                F.lit(""),
+            ).alias("lastmod"),
+            F.nullif(
+                F.regexp_extract("block", r"<priority>\s*([^<\s]+)\s*</priority>", 1),
+                F.lit(""),
+            ).cast("double").alias("priority"),
+        )
+    )

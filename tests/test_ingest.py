@@ -1270,3 +1270,32 @@ def test_wds_media_pipeline_composition(spark):
     for parts in back.values():
         img = mm.decode_image(parts["png"])
         assert (img.width, img.height) == (16, 12)
+
+
+def test_sitemap_entries_urlset_and_index(spark):
+    """sitemap_entries: urlset entries with loc/lastmod/priority, a
+    sitemap-index file flags kind='sitemap', preamble blocks drop."""
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://e.com/a</loc><lastmod>2026-08-01</lastmod><priority>0.8</priority></url>\n"
+        "<url><loc>https://e.com/b</loc></url>\n</urlset>"
+    )
+    index = (
+        "<sitemapindex>\n<sitemap><loc>https://e.com/s1.xml</loc>"
+        "<lastmod>2026-07-01T00:00:00Z</lastmod></sitemap>\n</sitemapindex>"
+    )
+    from django_indexer_spark.sources import warc
+
+    df = spark.createDataFrame([(1, urlset), (2, index)], "warc_id long, xml string")
+    rows = {(r["warc_id"], r["entry_idx"]): r for r in warc.sitemap_entries(df).collect()}
+    assert len(rows) == 3
+    a = rows[(1, 0)]
+    assert (a["kind"], a["loc"], a["lastmod"], a["priority"]) == (
+        "url", "https://e.com/a", "2026-08-01", 0.8,
+    )
+    b = rows[(1, 1)]
+    assert b["loc"] == "https://e.com/b" and b["lastmod"] is None and b["priority"] is None
+    s = rows[(2, 0)]
+    assert (s["kind"], s["loc"], s["lastmod"]) == (
+        "sitemap", "https://e.com/s1.xml", "2026-07-01T00:00:00Z",
+    )

@@ -5312,3 +5312,86 @@ def test_jpeg_exif_skips_fill_bytes():
     padded = plain[:2] + b"\xff\xff\xff" + plain[2:]  # fills before APP1
     ifd0, exif = mm.jpeg_exif(padded)
     assert ifd0[274] == 6 and exif[40962] == 1024
+
+
+def test_parse_robots_groups_and_rules():
+    """RFC 9309 parsing: UA group selection (most specific wins, '*'
+    fallback), stacked user-agents sharing a group, blank Disallow =
+    no restriction, comments stripped."""
+    from django_indexer_spark.functions import urls
+
+    txt = """
+# crawl policy
+User-agent: megabot
+Disallow: /private
+Allow: /private/public
+
+User-agent: a
+User-agent: b
+Disallow: /only-ab
+
+User-agent: *
+Disallow:
+Disallow: /tmp
+"""
+    assert urls.parse_robots(txt, "MegaBot/1.0") == [
+        ("/private", False),
+        ("/private/public", True),
+    ]
+    assert urls.parse_robots(txt, "a") == [("/only-ab", False)]
+    assert urls.parse_robots(txt, "b") == [("/only-ab", False)]
+    assert urls.parse_robots(txt, "unknown") == [("/tmp", False)]
+    assert urls.parse_robots("User-agent: x\nDisallow: /", "other") == []
+
+
+def test_apply_robots_longest_match(spark):
+    """apply_robots: longest prefix wins (allow-under-disallow), no
+    matching rule or no rules at all = allowed, Allow beats Disallow at
+    equal length."""
+    from django_indexer_spark.functions import urls
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/private", False),
+            ("a.com", "/private/public", True),
+            ("a.com", "/x", False),
+            ("a.com", "/x", True),  # equal-length tie: Allow wins
+        ],
+        "host string, path_prefix string, allowed boolean",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/secret.html"),
+            (2, "https://a.com/private/public/page"),
+            (3, "https://a.com/open/page"),
+            (4, "https://b.com/anything"),
+            (5, "https://a.com/x/y"),
+        ],
+        "id long, url string",
+    )
+    out = {r["id"]: r["allowed"] for r in urls.apply_robots(df, rules).collect()}
+    assert out == {1: False, 2: True, 3: True, 4: True, 5: True}
+    assert sorted(r["id"] for r in urls.apply_robots(df, rules).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_split_sentences_heuristic(spark):
+    """split_sentences: terminal-punctuation splits with the initials
+    guard; empty fragments filtered; all codegen."""
+    from pyspark.sql import functions as F
+
+    from django_indexer_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second here! Is this third? Yes."),
+            (2, "Written by J. Smith. Next sentence."),
+            (3, "No terminal punctuation at all"),
+            (4, "Trailing spaces.   "),
+        ],
+        "id long, body string",
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", text.split_sentences("body").alias("s")).collect()}
+    assert out[1] == ["First one.", "Second here!", "Is this third?", "Yes."]
+    assert out[2] == ["Written by J. Smith.", "Next sentence."]
+    assert out[3] == ["No terminal punctuation at all"]
+    assert out[4] == ["Trailing spaces."]

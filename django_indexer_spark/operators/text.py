@@ -1597,3 +1597,42 @@ def split_sentences(col: Column | str) -> Column:
     return F.filter(
         F.transform(parts, lambda s: F.trim(s)), lambda s: s != ""
     )
+
+
+def html_meta(col: Column | str) -> Column:
+    """Head metadata out of raw HTML as one codegen struct — the fields
+    a crawl pipeline indexes before (or instead of) full text: <title>,
+    meta description, og:title / og:image, canonical link, and the
+    <html lang> attribute. Case-insensitive regex per field, attribute
+    order tolerated for the name/content pair, empty matches become
+    nulls. Heuristic extraction by design (no HTML parser on the
+    once-per-page path); pages with exotic attribute quoting fall back
+    to null, never error."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def rx(pattern: str) -> Column:
+        return F.nullif(F.regexp_extract(c, pattern, 1), F.lit(""))
+
+    def meta_content(name_attr: str, name_val: str) -> Column:
+        # name/content in either attribute order
+        return F.coalesce(
+            rx(
+                rf"(?is)<meta\s[^>]*{name_attr}\s*=\s*[\"']{name_val}[\"'][^>]*"
+                rf"content\s*=\s*[\"']([^\"']*)[\"']"
+            ),
+            rx(
+                rf"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']*)[\"'][^>]*"
+                rf"{name_attr}\s*=\s*[\"']{name_val}[\"']"
+            ),
+        )
+
+    return F.struct(
+        F.trim(rx(r"(?is)<title[^>]*>\s*(.*?)\s*</title>")).alias("title"),
+        meta_content("name", "description").alias("description"),
+        meta_content("property", "og:title").alias("og_title"),
+        meta_content("property", "og:image").alias("og_image"),
+        rx(r"(?is)<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*href\s*=\s*[\"']([^\"']*)[\"']").alias(
+            "canonical"
+        ),
+        rx(r"(?is)<html\s[^>]*\blang\s*=\s*[\"']([^\"']*)[\"']").alias("lang_attr"),
+    )

@@ -317,6 +317,55 @@ def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col:
     from ..operators import text as text_ops
 
     recs = warc_records(warc_df, id_col, payload_col)
+    # windows-1252 == ISO-8859-1 except the 0x80-0x9F block (smart
+    # quotes, dashes, €, ™ — the chars that make mojibake famous);
+    # Spark's decode has no cp1252 charset, so decode latin-1 and
+    # translate those 27 code points (undefined slots pass through)
+    cp1252_from, cp1252_to = "", ""
+    for byte in range(0x80, 0xA0):
+        try:
+            cp1252_to += bytes([byte]).decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        cp1252_from += chr(byte)
+    # charset-aware body decode: a bare binary→string cast assumes
+    # UTF-8 and mangles the latin-1/windows-1252 pages real crawls are
+    # full of. The declared charset (Content-Type header first, <meta
+    # charset> probe second) routes to the right F.decode literal;
+    # unknown/absent charsets default to UTF-8 with replacement chars.
+    declared = F.lower(
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col("content_type"), r"(?i)charset=\"?([A-Za-z0-9_-]+)", 1),
+                F.lit(""),
+            ),
+            F.nullif(
+                F.regexp_extract(
+                    # probe only the head for the meta declaration —
+                    # spec says it must appear in the first 1024 bytes
+                    F.decode(F.expr("substr(body, 1, 1024)"), "ISO-8859-1"),
+                    r"(?i)charset\s*=\s*[\"']?([A-Za-z0-9_-]+)",
+                    1,
+                ),
+                F.lit(""),
+            ),
+        )
+    )
+    body_text = (
+        F.when(
+            declared.isin("iso-8859-1", "latin-1", "latin1"),
+            F.decode(F.col("body"), "ISO-8859-1"),
+        )
+        .when(
+            declared.isin("windows-1252", "cp1252"),
+            F.translate(F.decode(F.col("body"), "ISO-8859-1"), cp1252_from, cp1252_to),
+        )
+        # default/UTF-8: plain cast, NOT F.decode — Spark 4's decode
+        # RAISES on malformed sequences (one mis-labeled page would kill
+        # the task), while the cast substitutes replacement chars; the
+        # two single-byte charsets above are total for any input
+        .otherwise(F.col("body").cast("string"))
+    )
     pages = recs.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
@@ -325,7 +374,7 @@ def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col:
         & F.lower(F.col("content_type")).startswith("text/html")
     ).select(
         "target_uri",
-        text_ops.html_to_text(F.col("body").cast("string")).alias("text"),
+        text_ops.html_to_text(body_text).alias("text"),
     )
     return (
         pages.filter(F.length("text") > 0)

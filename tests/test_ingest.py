@@ -1299,3 +1299,40 @@ def test_sitemap_entries_urlset_and_index(spark):
     assert (s["kind"], s["loc"], s["lastmod"]) == (
         "sitemap", "https://e.com/s1.xml", "2026-07-01T00:00:00Z",
     )
+
+
+def test_crawl_charset_aware_decode(spark):
+    """crawl_to_documents decodes bodies by their DECLARED charset: a
+    latin-1 page with 0xE9 ('é') survives (a bare UTF-8 cast would
+    mangle it), via either the Content-Type header or the <meta>
+    probe; UTF-8 stays the default."""
+    from django_indexer_spark.sources import warc
+
+    latin_body = "<html><p>café crème</p></html>".encode("latin-1")
+    hdr_declared = _warc_record(
+        "response",
+        "http://l1.example/a",
+        (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n"
+            f"Content-Length: {len(latin_body)}\r\n\r\n"
+        ).encode() + latin_body,
+    )
+    meta_body = (
+        '<html><head><meta charset="windows-1252"></head>'
+        "<p>naïve — dash</p></html>"
+    ).encode("windows-1252")
+    meta_declared = _warc_record(
+        "response",
+        "http://l2.example/b",
+        _http_block(200, meta_body, ctype="text/html"),  # no header charset
+    )
+    utf8 = _warc_record("response", "http://u.example/c", _http_block(200, "<p>ünïcode</p>".encode()))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr_declared + meta_declared + utf8))],
+        "warc_id long, payload binary",
+    )
+    docs = {r["source_uri"]: r["text"] for r in warc.crawl_to_documents(df).collect()}
+    assert docs["http://l1.example/a"] == "café crème"
+    assert docs["http://l2.example/b"] == "naïve — dash"
+    assert docs["http://u.example/c"] == "ünïcode"

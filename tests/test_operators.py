@@ -5395,3 +5395,28 @@ def test_split_sentences_heuristic(spark):
     assert out[2] == ["Written by J. Smith.", "Next sentence."]
     assert out[3] == ["No terminal punctuation at all"]
     assert out[4] == ["Trailing spaces."]
+
+
+def test_html_meta_extraction(spark):
+    """html_meta: title, description/og tags in either attribute order,
+    canonical link, html lang; absent fields null."""
+    from django_indexer_spark.operators import text
+
+    page = (
+        '<html lang="en-US"><head><title> My Page </title>'
+        '<meta name="description" content="A test page">'
+        '<meta content="OG Title" property="og:title">'
+        '<meta property="og:image" content="https://e.com/i.png">'
+        '<link rel="canonical" href="https://e.com/page">'
+        "</head><body>x</body></html>"
+    )
+    df = spark.createDataFrame([(1, page), (2, "<html><body>bare</body></html>")], "id long, html string")
+    out = {r["id"]: r["m"] for r in df.select("id", text.html_meta("html").alias("m")).collect()}
+    m = out[1]
+    assert m["title"] == "My Page"
+    assert m["description"] == "A test page"
+    assert m["og_title"] == "OG Title"  # reversed attribute order
+    assert m["og_image"] == "https://e.com/i.png"
+    assert m["canonical"] == "https://e.com/page"
+    assert m["lang_attr"] == "en-US"
+    assert all(out[2][f] is None for f in ("title", "description", "og_title", "canonical", "lang_attr"))

@@ -97,24 +97,24 @@ def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
             if seen_rule:
                 current = []
                 seen_rule = False
-            current.append(value.lower())
-            for agent in current:
-                groups.setdefault(agent, [])
+            if value:  # a malformed empty agent line must not form a group
+                current.append(value.lower())
+                groups.setdefault(value.lower(), [])
         elif field in ("allow", "disallow"):
             seen_rule = True
             if field == "disallow" and value == "":
                 continue  # blank Disallow = no restriction
             for agent in current:
                 groups.setdefault(agent, []).append((value, field == "allow"))
-    # most-specific UA group: longest agent token contained in ua
-    best = None
-    for agent in groups:
-        if agent != "*" and agent in ua:
-            if best is None or len(agent) > len(best):
-                best = agent
-    if best is None and "*" in groups:
-        best = "*"
-    return groups.get(best, []) if best is not None else []
+    # RFC 9309 §2.2.1: groups are selected by EXACT (case-insensitive)
+    # match against the crawler's product token — the part before '/'.
+    # Substring matching would let a short or empty agent token hijack
+    # selection away from '*' (e.g. group 'a' capturing 'banana-crawler'
+    # and skipping a site-wide Disallow — a politeness violation).
+    token = ua.split("/", 1)[0].strip()
+    if token and token in groups:
+        return groups[token]
+    return groups.get("*", [])
 
 
 def apply_robots(urls: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
@@ -127,7 +127,13 @@ def apply_robots(urls: DataFrame, robots: DataFrame, url_col: str = "url") -> Da
     (or no matching rule) are allowed. Appends an ``allowed`` boolean.
 
     Scale shape: equi-join on the broadcast rule table + one grouped
-    max_by per URL over its few matching rules — never a cartesian."""
+    max_by per URL over its few matching rules — never a cartesian.
+    ONE linear plan: the row id is consumed only downstream of its
+    single assignment (joining a nondeterministic id back against a
+    second evaluation of the same subtree can pair rows with the wrong
+    verdict after shuffles/retries — review finding), and every url
+    column rides through the aggregate via first() (identical within a
+    group by construction)."""
     c = F.col(url_col)
     host = F.lower(_part(c, "HOST"))
     path = F.coalesce(_part(c, "PATH"), F.lit("/"))
@@ -139,20 +145,19 @@ def apply_robots(urls: DataFrame, robots: DataFrame, url_col: str = "url") -> Da
         F.col("path_prefix").alias("__prefix"),
         F.col("allowed").alias("__rule_allowed"),
     )
-    joined = u.select("__uid", "__host", "__path").join(
-        F.broadcast(r), F.col("__host") == F.col("__rhost"), "left"
-    )
+    joined = u.join(F.broadcast(r), F.col("__host") == F.col("__rhost"), "left")
     hit = F.col("__prefix").isNotNull() & F.col("__path").startswith(F.col("__prefix"))
     # longest-match-wins; RFC 9309 tie-break: Allow beats Disallow at
     # equal length (struct ordering: longer prefix first, then true>false)
     rank = F.when(
         hit, F.struct(F.length("__prefix").alias("l"), F.col("__rule_allowed").alias("a"))
     )
-    verdicts = joined.groupBy("__uid").agg(
-        F.max_by(F.when(hit, F.col("__rule_allowed")), rank).alias("__verdict")
-    )
     return (
-        u.join(verdicts, "__uid")
+        joined.groupBy("__uid")
+        .agg(
+            *[F.first(col).alias(col) for col in urls.columns],
+            F.max_by(F.when(hit, F.col("__rule_allowed")), rank).alias("__verdict"),
+        )
         .select(
             *urls.columns,
             F.coalesce(F.col("__verdict"), F.lit(True)).alias("allowed"),

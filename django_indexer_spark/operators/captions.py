@@ -47,8 +47,10 @@ def caption_cues(df: DataFrame, id_col: str = "media_id", text_col: str = "capti
     (id, cue_idx, start_s, end_s, text). Pure Column expressions —
     split on blank lines, posexplode, extract the timestamp pair, drop
     blocks without one (WEBVTT headers, NOTE comments, trailing
-    blanks). Cue text keeps its internal newlines collapsed to spaces
-    (the downstream tokenizers' expectation)."""
+    blanks). Cue text keeps its internal newlines collapsed to single
+    spaces while whitespace runs WITHIN a line survive verbatim (they
+    are cue formatting, not noise); a timestamp line with no text lines
+    after it emits an empty-text cue — the timestamps are data."""
     # Split each block into lines ONCE, find the (short) arrow line, and
     # run the timestamp regex over that line only — extracting 9 groups
     # straight off the whole block would re-run the full-block regex per
@@ -96,9 +98,14 @@ def caption_cues(df: DataFrame, id_col: str = "media_id", text_col: str = "capti
         _seconds(
             F.nullif(F.col("g5"), F.lit("")), F.col("g6"), F.col("g7"), F.col("g8")
         ).alias("end_s"),
-        F.trim(
-            F.regexp_replace(
-                F.array_join(
+        # per-line trim + single-space join: collapses whitespace AROUND
+        # the original newlines only — runs of spaces WITHIN a line
+        # (karaoke/alignment formatting) are cue content and must
+        # survive verbatim (review finding); empty interior lines can't
+        # occur (blocks split on blank lines)
+        F.array_join(
+            F.filter(
+                F.transform(
                     F.slice(
                         "lines",
                         F.col("arrow_pos") + 1,
@@ -106,11 +113,11 @@ def caption_cues(df: DataFrame, id_col: str = "media_id", text_col: str = "capti
                             F.size("lines") - F.col("arrow_pos"), F.lit(0)
                         ),
                     ),
-                    " ",
+                    lambda ln: F.trim(ln),
                 ),
-                r"\s+",
-                " ",
-            )
+                lambda ln: ln != "",
+            ),
+            " ",
         ).alias("text"),
     )
     w = F.row_number().over(Window.partitionBy("id").orderBy("block_idx"))

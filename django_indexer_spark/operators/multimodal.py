@@ -2998,10 +2998,14 @@ def mp3_info(payload: bytes) -> tuple[int, int, int, float]:
         if flags & 1:
             (frames,) = struct.unpack(">I", payload[off + 4 : off + 8])
             return rate, channels, frames, frames * spf / rate
-    # CBR path: demand a second frame header right where the first ends
-    # (or the stream ending there) — one sync alone is coincidence-prone
+    # CBR path: demand a second frame header right where the first ends —
+    # one sync alone is coincidence-prone. Accept instead a stream that
+    # ENDS there, or a trailing metadata tag (ID3v1 'TAG' / APE) where
+    # the next frame would start: single-frame files with trailers are
+    # real audio every player accepts (review finding).
     nxt = pos + frame_len
-    if nxt + 4 <= n and _mp3_frame_header(payload, nxt) is None:
+    trailer = payload[nxt : nxt + 8] == b"APETAGEX" or payload[nxt : nxt + 3] == b"TAG"
+    if nxt + 4 <= n and not trailer and _mp3_frame_header(payload, nxt) is None:
         raise ValueError("MP3 sync not confirmed by a second frame")
     audio_bytes = n - pos
     return rate, channels, max(1, audio_bytes // max(1, frame_len)), audio_bytes * 8.0 / bitrate

@@ -1613,17 +1613,21 @@ def html_meta(col: Column | str) -> Column:
     def rx(pattern: str) -> Column:
         return F.nullif(F.regexp_extract(c, pattern, 1), F.lit(""))
 
+    def attr_val(prefix: str) -> Column:
+        # quote-aware value capture: [\"']([^\"']*)[\"'] would let the
+        # OTHER quote char terminate the value, truncating e.g.
+        # content="Dave's page" at the apostrophe (review finding) —
+        # match each quoting style with its own closing quote
+        return F.coalesce(
+            rx(rf"(?is){prefix}\s*=\s*\"([^\"]*)\""),
+            rx(rf"(?is){prefix}\s*=\s*'([^']*)'"),
+        )
+
     def meta_content(name_attr: str, name_val: str) -> Column:
         # name/content in either attribute order
         return F.coalesce(
-            rx(
-                rf"(?is)<meta\s[^>]*{name_attr}\s*=\s*[\"']{name_val}[\"'][^>]*"
-                rf"content\s*=\s*[\"']([^\"']*)[\"']"
-            ),
-            rx(
-                rf"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']*)[\"'][^>]*"
-                rf"{name_attr}\s*=\s*[\"']{name_val}[\"']"
-            ),
+            attr_val(rf"<meta\s[^>]*{name_attr}\s*=\s*[\"']{name_val}[\"'][^>]*?content"),
+            attr_val(rf"<meta\s(?=[^>]*{name_attr}\s*=\s*[\"']{name_val}[\"'])[^>]*?content"),
         )
 
     return F.struct(
@@ -1631,8 +1635,6 @@ def html_meta(col: Column | str) -> Column:
         meta_content("name", "description").alias("description"),
         meta_content("property", "og:title").alias("og_title"),
         meta_content("property", "og:image").alias("og_image"),
-        rx(r"(?is)<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*href\s*=\s*[\"']([^\"']*)[\"']").alias(
-            "canonical"
-        ),
-        rx(r"(?is)<html\s[^>]*\blang\s*=\s*[\"']([^\"']*)[\"']").alias("lang_attr"),
+        attr_val(r"<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*?href").alias("canonical"),
+        attr_val(r"<html\s[^>]*?\blang").alias("lang_attr"),
     )

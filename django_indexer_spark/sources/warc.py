@@ -342,9 +342,11 @@ def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col:
             F.nullif(
                 F.regexp_extract(
                     # probe only the head for the meta declaration —
-                    # spec says it must appear in the first 1024 bytes
+                    # spec says it must appear in the first 1024 bytes;
+                    # anchored to <meta so a stray 'charset=' in an href
+                    # or code sample can't misroute the decode
                     F.decode(F.expr("substr(body, 1, 1024)"), "ISO-8859-1"),
-                    r"(?i)charset\s*=\s*[\"']?([A-Za-z0-9_-]+)",
+                    r"(?i)<meta[^>]{0,200}charset\s*=\s*[\"']?([A-Za-z0-9_-]+)",
                     1,
                 ),
                 F.lit(""),

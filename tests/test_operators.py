@@ -5420,3 +5420,50 @@ def test_html_meta_extraction(spark):
     assert m["canonical"] == "https://e.com/page"
     assert m["lang_attr"] == "en-US"
     assert all(out[2][f] is None for f in ("title", "description", "og_title", "canonical", "lang_attr"))
+
+
+def test_third_review_regressions(spark):
+    """Review round 3, pinned: (a) RFC-exact robots UA selection — a
+    short group token must NOT hijack an unrelated crawler away from
+    '*', and an empty User-agent line forms no group; (b) html_meta
+    keeps apostrophes inside double-quoted values; (c) a single-frame
+    MP3 with an ID3v1 trailer is real audio; (d) cue text preserves
+    intra-line whitespace runs; (e) robots verdicts ride ONE plan
+    (grouped first/max_by), still correct after an upstream shuffle."""
+    import numpy as np
+
+    from django_indexer_spark.functions import urls
+    from django_indexer_spark.operators import multimodal as mm
+    from django_indexer_spark.operators import text
+    from django_indexer_spark.operators import captions
+
+    txt = "User-agent: a\nDisallow: /only-ab\n\nUser-agent: *\nDisallow: /\n"
+    assert urls.parse_robots(txt, "banana-crawler/2.0") == [("/", False)]
+    assert urls.parse_robots(txt, "A/1.0") == [("/only-ab", False)]
+    assert urls.parse_robots("User-agent:\nDisallow: /x\n", "anything") == []
+
+    page = '<html><head><meta name="description" content="Dave\'s home page"></head></html>'
+    df = spark.createDataFrame([(1, page)], "id long, html string")
+    m = df.select(text.html_meta("html").alias("m")).collect()[0]["m"]
+    assert m["description"] == "Dave's home page"
+
+    one_frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413) + b"TAG" + bytes(125)
+    rate, ch, frames, _dur = mm.mp3_info(one_frame)
+    assert (rate, ch, frames) == (44100, 2, 1)
+
+    srt = "1\n00:00:01,000 --> 00:00:02,000\nhello   world\nsecond  line\n"
+    cdf = spark.createDataFrame([(1, srt)], "media_id long, captions string")
+    got = captions.caption_cues(cdf).collect()[0]["text"]
+    assert got == "hello   world second  line"
+
+    # verdicts survive an upstream shuffle (the one-plan contract)
+    rules = spark.createDataFrame(
+        [("a.com", "/private", False)], "host string, path_prefix string, allowed boolean"
+    )
+    many = spark.createDataFrame(
+        [(i, f"https://a.com/{'private' if i % 3 == 0 else 'open'}/p{i}") for i in range(60)],
+        "id long, url string",
+    ).repartition(7, "id")  # force a shuffle upstream of apply_robots
+    out = {r["id"]: r["allowed"] for r in urls.apply_robots(many, rules).collect()}
+    assert len(out) == 60
+    assert all(out[i] == (i % 3 != 0) for i in range(60))

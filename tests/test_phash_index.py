@@ -141,3 +141,30 @@ def test_stream_phash_end_to_end(spark, tmp_path):
     got = _pair_set(spark.read.parquet(f"{work}/pairs").collect())
     whole = mm.phash_near_dup_pairs(mm.image_phash(df), max_hamming=3).collect()
     assert got == {tuple(sorted((r["id_a"], r["id_b"]))) for r in whole}
+
+
+def test_incremental_equals_batch_nondefault_bands(spark, tmp_path):
+    """Review regression: with bands=8/max_hamming=6 (lossless by
+    pigeonhole, unlike the 4-band default at that distance), the
+    incremental path must STILL equal the one-shot operator — the
+    within-batch probe once silently re-banded at the default and
+    could miss same-batch pairs at Hamming 4-6."""
+    idx = str(tmp_path / "phash_index8")
+    rows = _media_rows()
+    # ids 1,3,5 all mutually near-dup; 1+3+5 arrive in ONE batch so the
+    # within-batch path is what's exercised at d>3
+    batches = [[rows[0], rows[2], rows[4]], [rows[1], rows[3], rows[5], rows[6]]]
+    found = set()
+    for i, batch in enumerate(batches, start=1):
+        pairs = phash_index.probe_and_update(
+            spark, idx, _media_df(spark, batch), batch_id=i,
+            max_hamming=6, bands=8, n_buckets=8,
+        )
+        found |= _pair_set(pairs.collect())
+
+    whole = mm.phash_near_dup_pairs(
+        mm.image_phash(_media_df(spark, rows)), max_hamming=6, bands=8
+    ).collect()
+    expected = {tuple(sorted((r["id_a"], r["id_b"]))) for r in whole}
+    assert found == expected
+    assert {(1, 3), (1, 5), (3, 5)} <= found  # the same-batch near-dups

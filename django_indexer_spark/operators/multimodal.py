@@ -3254,3 +3254,119 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
         ]
     )
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
+# ID3v2 text frames (the audio EXIF) + animation frame counts
+# --------------------------------------------------------------------------
+
+# ID3v2 frame id → friendly key (the fields a corpus pipeline indexes)
+_ID3_FRAMES = {
+    "TIT2": "title",
+    "TPE1": "artist",
+    "TALB": "album",
+    "TDRC": "date",  # v2.4
+    "TYER": "date",  # v2.3
+    "TCON": "genre",
+    "TRCK": "track",
+}
+
+
+def _id3_text(raw: bytes) -> str | None:
+    """Decode one ID3v2 text frame body: leading encoding byte selects
+    latin-1 / UTF-16(+BOM) / UTF-16BE / UTF-8 per the spec; NULs and
+    BOM residue stripped."""
+    if not raw:
+        return None
+    enc, body = raw[0], raw[1:]
+    try:
+        if enc == 0:
+            s = body.decode("latin-1")
+        elif enc == 1:
+            s = body.decode("utf-16")  # BOM-led
+        elif enc == 2:
+            s = body.decode("utf-16-be")
+        elif enc == 3:
+            s = body.decode("utf-8")
+        else:
+            return None
+    except UnicodeDecodeError:
+        return None
+    s = s.strip("\x00").strip()
+    return s or None
+
+
+def id3_tags(payload: bytes) -> dict[str, str]:
+    """Text metadata from an ID3v2.3/2.4 tag (title/artist/album/date/
+    genre/track — the audio analogue of ``jpeg_exif``): syncsafe tag
+    size, 10-byte frame headers (v2.4 syncsafe frame sizes, v2.3
+    plain), text-encoding-aware body decode. Frames this table doesn't
+    index are skipped by declared length; raises ValueError for
+    payloads without an ID3v2 tag."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        raise ValueError("no ID3v2 tag")
+    ver = payload[3]
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    end = min(10 + size, len(payload))
+    pos = 10
+    if payload[5] & 0x40:  # extended header present: skip by its size
+        if pos + 4 > end:
+            raise ValueError("truncated ID3v2 extended header")
+        (ehsize,) = struct.unpack(">I", payload[pos : pos + 4])
+        pos += ehsize if ver >= 4 else 4 + ehsize
+    out: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if ver >= 4:  # v2.4: syncsafe frame size
+            fsize = 0
+            for b in payload[pos + 4 : pos + 8]:
+                fsize = (fsize << 7) | (b & 0x7F)
+        else:
+            (fsize,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body_start = pos + 10
+        if fsize < 0 or body_start + fsize > end:
+            break  # truncated frame: keep what parsed
+        key = _ID3_FRAMES.get(fid.decode("latin-1", "replace"))
+        if key and key not in out:
+            val = _id3_text(payload[body_start : body_start + fsize])
+            if val:
+                out[key] = val
+        pos = body_start + fsize
+    return out
+
+
+def animation_frames(payload: bytes) -> tuple[str, int]:
+    """(format, frame_count) for animated containers: GIF (image
+    descriptors), animated WebP (ANMF chunks; VP8X-without-ANMF = 1),
+    APNG (acTL's declared num_frames; plain PNG = 1). The block/chunk
+    walks only — no pixel decode. Raises ValueError for other
+    payloads."""
+    if payload[:6] in _GIF_SIGS:
+        w, h, frames = gif_info(payload)
+        return "gif", frames
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        pos, n, frames = 12, len(payload), 0
+        while pos + 8 <= n:
+            cid = payload[pos : pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if cid == b"ANMF":
+                frames += 1
+            pos += 8 + csize + (csize & 1)
+        return "webp", max(frames, 1)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        pos, n = 8, len(payload)
+        while pos + 8 <= n:
+            (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            if ctype == b"acTL" and clen >= 4:
+                (frames,) = struct.unpack(">I", payload[pos + 8 : pos + 12])
+                return "apng", frames
+            if ctype == b"IDAT":
+                break  # acTL must precede IDAT; none seen = static
+            pos += 12 + clen  # len + type + crc
+        return "png", 1
+    raise ValueError("not an animatable container (GIF/WebP/PNG)")

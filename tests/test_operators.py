@@ -5467,3 +5467,75 @@ def test_third_review_regressions(spark):
     out = {r["id"]: r["allowed"] for r in urls.apply_robots(many, rules).collect()}
     assert len(out) == 60
     assert all(out[i] == (i % 3 != 0) for i in range(60))
+
+
+def test_id3_tags_and_animation_frames():
+    """id3_tags: v2.3 (plain sizes, TYER) and v2.4 (syncsafe, TDRC)
+    frames across all four text encodings; animation_frames: GIF counts
+    descriptors, WebP counts ANMF, APNG reads acTL, static PNG = 1."""
+    import struct as _struct
+
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    def frame(fid, text, enc=3, v4=True):
+        if enc == 0:
+            body = bytes([0]) + text.encode("latin-1")
+        elif enc == 1:
+            body = bytes([1]) + text.encode("utf-16")
+        else:
+            body = bytes([3]) + text.encode("utf-8")
+        if v4:
+            sz = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        else:
+            sz = _struct.pack(">I", len(body))
+        return fid + sz + b"\x00\x00" + body
+
+    def tag(frames, ver=4):
+        body = b"".join(frames) + b"\x00" * 16  # padding
+        sz = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        return b"ID3" + bytes([ver, 0, 0]) + sz + body
+
+    t4 = tag(
+        [
+            frame(b"TIT2", "Né So"),           # utf-8
+            frame(b"TPE1", "Ûnïcode Band", 1),  # utf-16 BOM
+            frame(b"TALB", "Plain Album", 0),   # latin-1
+            frame(b"TDRC", "2026"),
+        ]
+    )
+    got = mm.id3_tags(t4)
+    assert got == {
+        "title": "Né So", "artist": "Ûnïcode Band",
+        "album": "Plain Album", "date": "2026",
+    }
+
+    t3 = tag([frame(b"TIT2", "Old School", 0, v4=False), frame(b"TYER", "1999", 0, v4=False)], ver=3)
+    got = mm.id3_tags(t3)
+    assert got["title"] == "Old School" and got["date"] == "1999"
+
+    with pytest.raises(ValueError, match="ID3"):
+        mm.id3_tags(b"RIFFnope")
+
+    assert mm.animation_frames(_gif_bytes(8, 8, 5)) == ("gif", 5)
+
+    def riff(chunks):
+        body = b"WEBP" + b"".join(
+            cid + _struct.pack("<I", len(d)) + d + (b"\x00" if len(d) & 1 else b"")
+            for cid, d in chunks
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    anim = riff([(b"VP8X", b"\x00" * 10), (b"ANMF", b"\x00" * 16), (b"ANMF", b"\x00" * 16)])
+    assert mm.animation_frames(anim) == ("webp", 2)
+    still = riff([(b"VP8L", bytes([0x2F]) + _struct.pack("<I", 0))])
+    assert mm.animation_frames(still) == ("webp", 1)
+
+    png = mm.encode_png(4, 4, bytes(48), "RGB")
+    assert mm.animation_frames(png) == ("png", 1)
+    # splice an acTL ahead of IDAT: IHDR is 8+25 bytes into the stream
+    ihdr_end = 8 + 25
+    actl = _struct.pack(">I", 8) + b"acTL" + _struct.pack(">II", 12, 0) + b"\x00" * 4
+    apng = png[:ihdr_end] + actl + png[ihdr_end:]
+    assert mm.animation_frames(apng) == ("apng", 12)

@@ -1618,10 +1618,7 @@ def resize_nearest(img: DecodedImage, width: int, height: int) -> bytes:
     maps, no per-pixel Python)."""
     import numpy as np
 
-    ch = len(img.mode)
-    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
-        img.height, img.width, ch
-    )
+    arr = _pixels_array(img)
     ys = np.minimum(np.arange(height) * img.height // height, img.height - 1)
     xs = np.minimum(np.arange(width) * img.width // width, img.width - 1)
     return arr[ys][:, xs].tobytes()
@@ -2216,7 +2213,9 @@ def mp4_info(payload: bytes) -> Mp4Info:
         mdia = _mp4_find(payload, b, e, b"mdia")
         if mdia is not None:
             hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
-            if hdlr is not None:
+            if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
+                # body-length check: a short hdlr must not let the slice
+                # read into the next sibling box's bytes
                 handler = payload[hdlr[0] + 8 : hdlr[0] + 12]
             minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
             if minf is not None:
@@ -2534,6 +2533,19 @@ def image_exif(media: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _pixels_array(img: DecodedImage):
+    """HxWxC uint8 view of a DecodedImage buffer — the ONE place the
+    pixel-layout contract (len(mode) interleaved channels, row-major)
+    is encoded; shared by resize/phash/stats/transform so a layout
+    change can never silently diverge between them (the _luma_plane
+    rule applied to the buffer itself)."""
+    import numpy as np
+
+    return np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, len(img.mode)
+    )
+
+
 def _luma_plane(arr):
     """BT.601 luma plane (float) from an HxWxC array: weighted RGB for
     color inputs (C >= 3 — RGB/RGBA), channel 0 for gray (L/LA). ONE
@@ -2578,10 +2590,7 @@ def phash64(img: DecodedImage) -> int:
     pure numpy."""
     import numpy as np
 
-    ch = len(img.mode)
-    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
-        img.height, img.width, ch
-    ).astype(np.float64)
+    arr = _pixels_array(img).astype(np.float64)
     luma = _luma_plane(arr)
     ys = np.minimum(np.arange(32) * img.height // 32, img.height - 1)
     xs = np.minimum(np.arange(32) * img.width // 32, img.width - 1)
@@ -2647,7 +2656,7 @@ def phash_chunks(
     equal chunks → (id, h, band, chunk). Shared by the batch near-dup
     join and the streaming incremental index (streaming/phash_index.py)
     so both sides provably bucket identically."""
-    if 64 % bands:
+    if bands <= 0 or 64 % bands:
         raise ValueError("bands must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
@@ -2840,9 +2849,7 @@ def image_stats(media: DataFrame) -> DataFrame:
         except (NotImplementedError, ValueError, KeyError, IndexError):
             return (None,) * 7 + (False,)
         ch = len(img.mode)
-        arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
-            img.height, img.width, ch
-        ).astype(np.float64)
+        arr = _pixels_array(img).astype(np.float64)
         means = [float(arr[:, :, c].mean()) for c in range(ch)]
         stds = [float(arr[:, :, c].std()) for c in range(ch)]
         luma = _luma_plane(arr)
@@ -3080,8 +3087,9 @@ def sniff_mime(col: Column | str) -> Column:
         .when(pre(4, b"OggS"), "audio/ogg")
         .when(
             pre(3, b"ID3")
-            | pre(2, b"\xff\xfb") | pre(2, b"\xff\xfa")
-            | pre(2, b"\xff\xf3") | pre(2, b"\xff\xf2"),
+            | pre(2, b"\xff\xfb") | pre(2, b"\xff\xfa")  # MPEG1 L3
+            | pre(2, b"\xff\xf3") | pre(2, b"\xff\xf2")  # MPEG2 L3
+            | pre(2, b"\xff\xe3") | pre(2, b"\xff\xe2"),  # MPEG2.5 L3
             "audio/mpeg",
         )
         .when(pre(4, b"ftyp", off=5), "video/mp4")
@@ -3091,8 +3099,11 @@ def sniff_mime(col: Column | str) -> Column:
         .when(pre(2, b"\x1f\x8b"), "application/gzip")
         .when(pre(5, b"ustar", off=258), "application/x-tar")
         .when(
-            F.lower(F.substring(c.cast("string"), 1, 15)).startswith("<!doctype html")
-            | F.lower(F.substring(c.cast("string"), 1, 5)).startswith("<html"),
+            # substring the BINARY first, cast 15 bytes — casting the
+            # whole payload would decode megabytes per row to inspect
+            # a prefix (hot-path router; review finding)
+            F.lower(F.substring(c, 1, 15).cast("string")).startswith("<!doctype html")
+            | F.lower(F.substring(c, 1, 5).cast("string")).startswith("<html"),
             "text/html",
         )
         .otherwise(F.lit(None).cast("string"))
@@ -3159,10 +3170,7 @@ def transform_images(media: DataFrame, ops: list[str]) -> DataFrame:
             img = decode_image(bytes(b))
         except (NotImplementedError, ValueError, KeyError, IndexError):
             return None, None, hashlib.md5(b).digest(), False
-        ch = len(img.mode)
-        arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
-            img.height, img.width, ch
-        )
+        arr = _pixels_array(img)
         for op in ops:
             arr = _apply_image_op(arr, op)
         h, w = arr.shape[:2]
@@ -3208,6 +3216,12 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
     training format). Undecodable/compressed payloads keep a null
     payload with decoded=false — total over mixed media."""
     import numpy as np
+
+    if target_rate <= 0:
+        # fail at plan build, like transform_images' op validation — a
+        # rate-0 fmt header would mean a corpus of corrupt WAVs marked
+        # decoded=true
+        raise ValueError("target_rate must be positive")
 
     def one(b):
         if b is None:
@@ -3314,8 +3328,14 @@ def id3_tags(payload: bytes) -> dict[str, str]:
     if payload[5] & 0x40:  # extended header present: skip by its size
         if pos + 4 > end:
             raise ValueError("truncated ID3v2 extended header")
-        (ehsize,) = struct.unpack(">I", payload[pos : pos + 4])
-        pos += ehsize if ver >= 4 else 4 + ehsize
+        if ver >= 4:  # v2.4: SYNCSAFE size that includes its own 4 bytes
+            ehsize = 0
+            for b in payload[pos : pos + 4]:
+                ehsize = (ehsize << 7) | (b & 0x7F)
+            pos += ehsize
+        else:  # v2.3: plain size excluding the 4 size bytes
+            (ehsize,) = struct.unpack(">I", payload[pos : pos + 4])
+            pos += 4 + ehsize
     out: dict[str, str] = {}
     while pos + 10 <= end:
         fid = payload[pos : pos + 4]
@@ -3363,6 +3383,8 @@ def animation_frames(payload: bytes) -> tuple[str, int]:
             (clen,) = struct.unpack(">I", payload[pos : pos + 4])
             ctype = payload[pos + 4 : pos + 8]
             if ctype == b"acTL" and clen >= 4:
+                if pos + 12 > n:
+                    raise ValueError("truncated APNG acTL chunk")
                 (frames,) = struct.unpack(">I", payload[pos + 8 : pos + 12])
                 return "apng", frames
             if ctype == b"IDAT":

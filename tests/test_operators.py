@@ -5539,3 +5539,33 @@ def test_id3_tags_and_animation_frames():
     actl = _struct.pack(">I", 8) + b"acTL" + _struct.pack(">II", 12, 0) + b"\x00" * 4
     apng = png[:ihdr_end] + actl + png[ihdr_end:]
     assert mm.animation_frames(apng) == ("apng", 12)
+
+
+def test_fourth_review_regressions():
+    """Review round 4, pinned: truncated acTL raises ValueError (not
+    struct.error); a v2.4 extended header uses SYNCSAFE size (plain
+    read over-skipped and dropped every frame at >=128 bytes);
+    phash_chunks(bands=0) raises the guard's ValueError; resample_audio
+    rejects a non-positive rate at plan build."""
+    import struct as _struct
+
+    import pytest
+
+    from django_indexer_spark.operators import multimodal as mm
+
+    bad_apng = mm._PNG_SIG + b"\x00\x00\x00\x04acTL" + b"\x00\x00"
+    with pytest.raises(ValueError, match="truncated APNG"):
+        mm.animation_frames(bad_apng)
+
+    # v2.4 ext header, 128 bytes: syncsafe size bytes 00 00 01 00
+    ext = bytes([0, 0, 1, 0]) + b"\x00" * 124
+    frame = b"TIT2" + bytes([0, 0, 0, 3]) + b"\x00\x00" + b"\x03Hi"
+    payload = ext + frame
+    sz = bytes((len(payload) >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = b"ID3" + bytes([4, 0, 0x40]) + sz + payload
+    assert mm.id3_tags(tag) == {"title": "Hi"}
+
+    with pytest.raises(ValueError, match="divide"):
+        mm.phash_chunks(None, bands=0)
+    with pytest.raises(ValueError, match="positive"):
+        mm.resample_audio(None, 0)

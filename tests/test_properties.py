@@ -484,7 +484,8 @@ def test_metadata_walks_total_over_garbage(data, cut):
         for parser in (
             mm.wav_info, mm.decode_wav, mm.flac_info, mm.mp3_info, mm.ogg_info,
             mm.mp4_info, mm.gif_info, mm.bmp_info, mm.tiff_info, mm.webp_info,
-            mm.jpeg_exif, mm.jpeg_dimensions, warc.parse_warc,
+            mm.jpeg_exif, mm.jpeg_dimensions, mm.id3_tags, mm.animation_frames,
+            warc.parse_warc,
         ):
             try:
                 parser(payload)

@@ -5569,3 +5569,81 @@ def test_fourth_review_regressions():
         mm.phash_chunks(None, bands=0)
     with pytest.raises(ValueError, match="positive"):
         mm.resample_audio(None, 0)
+
+
+def test_sniff_mime_routes_to_accepting_parser(spark):
+    """Router/parser consistency — the review-found regression class
+    (sniff_mime rejected MPEG-2.5 streams mp3_info accepts): every
+    hand-built container in this suite must be routed by sniff_mime to
+    a MIME whose parser actually accepts the payload."""
+    import gzip
+    import io
+    import struct as _struct
+    import tarfile
+
+    import numpy as np
+
+    from django_indexer_spark.operators import multimodal as mm
+    from django_indexer_spark.sources import warc
+
+    tar_buf = io.BytesIO()
+    with tarfile.open(fileobj=tar_buf, mode="w") as tf:
+        info = tarfile.TarInfo("0001.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"hi"))
+
+    parsers = {
+        "audio/x-wav": mm.wav_info,
+        "audio/flac": mm.flac_info,
+        "audio/ogg": mm.ogg_info,
+        "audio/mpeg": mm.mp3_info,
+        "image/gif": mm.gif_info,
+        "image/png": lambda b: mm.decode_image(b),
+        "image/jpeg": mm.jpeg_dimensions,
+        "image/bmp": mm.bmp_info,
+        "image/tiff": mm.tiff_info,
+        "image/webp": mm.webp_info,
+        "video/mp4": mm.mp4_info,
+        "application/warc": warc.parse_warc,
+        "application/x-tar": lambda b: list(warc.tar_samples(b)) or (_ for _ in ()).throw(ValueError()),
+        "application/gzip": lambda b: gzip.decompress(b),
+    }
+    mpeg25 = bytes([0xFF, 0xE3, 0x90, 0x00]) + bytes(200)  # 2.5 L3, ends before 2nd frame
+    payloads = [
+        _wav_bytes(1, 1, 8000, 16, b"\x00\x00"),
+        _flac_bytes(),
+        _ogg_bytes(),
+        _mp3_bytes(n_frames=2),
+        mpeg25,
+        _gif_bytes(4, 4, 1),
+        mm.encode_png(2, 2, bytes(12), "RGB"),
+        mm.encode_jpeg(8, 8, bytes(192), "RGB"),
+        b"BM" + b"\x00" * 12 + _struct.pack("<IiiHH", 40, 2, 2, 1, 24) + b"\x00" * 24,
+        _tiff_block([(256, 3, 1, _struct.pack("<H", 2)), (257, 3, 1, _struct.pack("<H", 2))]),
+        _mp4_bytes(),
+        _warc_bytes_op(),
+        tar_buf.getvalue(),
+        gzip.compress(b"payload"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "id long, payload binary"
+    )
+    verdicts = {
+        r["id"]: r["mime"]
+        for r in df.select("id", mm.sniff_mime("payload").alias("mime")).collect()
+    }
+    for i, p in enumerate(payloads):
+        mime = verdicts[i]
+        assert mime in parsers, (i, mime)
+        parsers[mime](bytes(p))  # must not raise
+
+
+def _warc_bytes_op():
+    body = b"hello"
+    block = (
+        f"HTTP/1.1 200 OK\r\nContent-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    return (
+        "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://e.com\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode() + block + b"\r\n\r\n"

@@ -28,8 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# (hh:)?mm:ss(,|.)mmm --> same, tolerating cue settings after the arrow
-_TS = r"(?:(\d{1,2}):)?(\d{1,2}):(\d{2})[.,](\d{3})"
+# (hh:)?mm:ss(,|.)mmm --> same, tolerating cue settings after the arrow;
+# WebVTT permits 2+ digit hours (100h+ livestream archives — round-10
+# ADVICE), so the hours group takes up to 4 digits; the arrow-line
+# anchor keeps the wider group unambiguous
+_TS = r"(?:(\d{1,4}):)?(\d{1,2}):(\d{2})[.,](\d{3})"
 _TS_PAIR_RE = rf"^\s*{_TS}\s*-->\s*{_TS}"
 
 

@@ -3014,7 +3014,20 @@ def mp3_info(payload: bytes) -> tuple[int, int, int, float]:
     trailer = payload[nxt : nxt + 8] == b"APETAGEX" or payload[nxt : nxt + 3] == b"TAG"
     if nxt + 4 <= n and not trailer and _mp3_frame_header(payload, nxt) is None:
         raise ValueError("MP3 sync not confirmed by a second frame")
-    audio_bytes = n - pos
+    # metadata trailers are not audio: an ID3v1 'TAG' (fixed 128 bytes)
+    # or APE tag at the end would otherwise inflate both n_frames and
+    # duration_s (round-10 ADVICE — 0.034s vs actual 0.026s on a
+    # one-frame file with a v1 tag)
+    audio_end = n
+    if audio_end - pos >= 128 and payload[audio_end - 128 : audio_end - 125] == b"TAG":
+        audio_end -= 128
+    foot = audio_end - 32
+    if foot >= pos and payload[foot : foot + 8] == b"APETAGEX":
+        (ape_size,) = struct.unpack("<I", payload[foot + 12 : foot + 16])
+        (ape_flags,) = struct.unpack("<I", payload[foot + 20 : foot + 24])
+        # size covers items + footer; bit 31 says a 32-byte header exists
+        audio_end = max(pos, audio_end - ape_size - (32 if ape_flags & 0x80000000 else 0))
+    audio_bytes = audio_end - pos
     return rate, channels, max(1, audio_bytes // max(1, frame_len)), audio_bytes * 8.0 / bitrate
 
 
@@ -3285,6 +3298,18 @@ _ID3_FRAMES = {
     "TRCK": "track",
 }
 
+# ID3v2.2 uses 3-char frame ids with 6-byte headers (3-byte id +
+# 3-byte plain size, no flags) — a v2.2 tag parsed with the 10-byte
+# v2.3 layout misaligns into garbage (round-10 ADVICE)
+_ID3V22_FRAMES = {
+    "TT2": "title",
+    "TP1": "artist",
+    "TAL": "album",
+    "TYE": "date",
+    "TCO": "genre",
+    "TRK": "track",
+}
+
 
 def _id3_text(raw: bytes) -> str | None:
     """Decode one ID3v2 text frame body: leading encoding byte selects
@@ -3311,12 +3336,15 @@ def _id3_text(raw: bytes) -> str | None:
 
 
 def id3_tags(payload: bytes) -> dict[str, str]:
-    """Text metadata from an ID3v2.3/2.4 tag (title/artist/album/date/
-    genre/track — the audio analogue of ``jpeg_exif``): syncsafe tag
-    size, 10-byte frame headers (v2.4 syncsafe frame sizes, v2.3
-    plain), text-encoding-aware body decode. Frames this table doesn't
+    """Text metadata from an ID3v2.2/2.3/2.4 tag (title/artist/album/
+    date/genre/track — the audio analogue of ``jpeg_exif``): syncsafe
+    tag size, per-version frame headers (v2.2 6-byte with 3-char ids
+    and plain 24-bit sizes; v2.3/2.4 10-byte, v2.4 syncsafe frame
+    sizes), text-encoding-aware body decode. Frames the id tables don't
     index are skipped by declared length; raises ValueError for
-    payloads without an ID3v2 tag."""
+    payloads without an ID3v2 tag (or a v2.2 tag flagged compressed —
+    the v2.2 spec says an unrecognized compression scheme means skip
+    the whole tag)."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         raise ValueError("no ID3v2 tag")
     ver = payload[3]
@@ -3325,6 +3353,25 @@ def id3_tags(payload: bytes) -> dict[str, str]:
         size = (size << 7) | (b & 0x7F)
     end = min(10 + size, len(payload))
     pos = 10
+    if ver < 3:
+        if payload[5] & 0x40:  # v2.2 'compression' bit, not ext header
+            raise ValueError("compressed ID3v2.2 tag")
+        out: dict[str, str] = {}
+        while pos + 6 <= end:
+            fid = payload[pos : pos + 3]
+            if fid == b"\x00\x00\x00":
+                break  # padding
+            fsize = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+            body_start = pos + 6
+            if body_start + fsize > end:
+                break  # truncated frame: keep what parsed
+            key = _ID3V22_FRAMES.get(fid.decode("latin-1", "replace"))
+            if key and key not in out:
+                val = _id3_text(payload[body_start : body_start + fsize])
+                if val:
+                    out[key] = val
+            pos = body_start + fsize
+        return out
     if payload[5] & 0x40:  # extended header present: skip by its size
         if pos + 4 > end:
             raise ValueError("truncated ID3v2 extended header")

@@ -9,8 +9,11 @@ per trigger, for the batch of newly-arrived WARC shards:
   1. ``warc.crawl_to_documents`` — record explode → 200-OK HTML →
      html_to_text → scored ``documents`` rows (one Python stage, rest
      codegen);
-  2. append the documents to a distributed parquet log (the bronze→
-     silver landing the batch operators read);
+  2. land the documents in a distributed parquet log partitioned by
+     batch_id with dynamic-partition overwrite — a replayed batch
+     rewrites exactly its own partition, so the log is exactly-once
+     under Structured Streaming's replay contract (the bronze→silver
+     landing the batch operators read);
   3. probe the persistent minhash band index for near-dup collisions
      against everything ALREADY INGESTED (colliding buckets only —
      cost ∝ batch, not corpus) and append found pairs to the pairs log;
@@ -51,19 +54,30 @@ def stream_crawl_ingest(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs = warc_src.crawl_to_documents(batch_df).persist()
         try:
+            # logs are PARTITIONED BY batch_id and written with dynamic
+            # partition overwrite: a replayed micro-batch rewrites only
+            # its own batch_id partition, so crash/replay never leaves
+            # duplicate doc/pair rows in the logs (round-10 ADVICE —
+            # blind append only kept the band-index merge idempotent)
             (
                 docs.withColumn("batch_id", F.lit(batch_id).cast("long"))
-                .write.mode("append")
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("batch_id")
                 .parquet(docs_dir)
             )
             new_bands = dedup_index.index_bands(
                 docs, "text", "doc_id", num_hashes, bands
             ).persist()
             try:
-                pairs = dedup_index.probe(spark, index_dir, new_bands, n_buckets)
+                pairs = dedup_index.probe(
+                    spark, index_dir, new_bands, n_buckets, before_version=batch_id
+                )
                 (
                     pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
-                    .write.mode("append")
+                    .write.option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .partitionBy("batch_id")
                     .parquet(pairs_dir)
                 )
                 dedup_index.update(spark, index_dir, new_bands, batch_id, n_buckets)

@@ -69,6 +69,7 @@ def probe(
     index_dir: str,
     new_bands: DataFrame,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    before_version: int | None = None,
 ) -> DataFrame:
     """Candidate pairs for one batch of band rows, LAZY: ``(id_new,
     id_seen, source)`` — 'index' = collision with a previously-ingested
@@ -79,12 +80,21 @@ def probe(
     Consume the result BEFORE merging the same batch into the index (the
     plan reads index state lazily); ``probe_and_update``/``stream_dedup``
     sequence this correctly.
+
+    ``before_version``: pass the current batch_id to make a REPLAYED
+    batch probe exactly the state the original run saw — index rows
+    merged at version >= batch_id (the crashed attempt's own partial
+    merge) are excluded, so the found pairs are replay-deterministic
+    (round-10 ADVICE: exactly-once pairs logs need this plus a
+    batch_id-partitioned overwrite sink).
     """
     bucket_of = silver.bucket_expr(["band", "band_key"], n_buckets)
     probe_buckets = sorted(
         r[0] for r in new_bands.select(bucket_of.alias("b")).distinct().collect()
     )
     existing = silver.read_table(spark, index_dir, buckets=probe_buckets)
+    if existing is not None and before_version is not None:
+        existing = existing.filter(F.col("version") < F.lit(int(before_version)))
     within = dedup.minhash_candidate_pairs(
         new_bands.select("doc_id", "band", "band_key"), "doc_id"
     ).select(

@@ -5374,6 +5374,44 @@ def test_apply_robots_longest_match(spark):
     assert sorted(r["id"] for r in urls.apply_robots(df, rules).collect()) == [1, 2, 3, 4, 5]
 
 
+def test_apply_robots_wildcards_and_plan_shape(spark):
+    """RFC 9309 §2.2.3 (round-10 ADVICE): '*' matches any run, trailing
+    '$' anchors the path end, non-trailing '$' is literal, specificity
+    counts PATTERN octets; and the scale shape — no synthetic row id, no
+    URL-side groupBy, the only aggregate keyed on the rules host."""
+    from django_indexer_spark.functions import urls
+
+    rules = spark.createDataFrame(
+        [
+            ("w.com", "/*.pdf$", False),
+            ("w.com", "/private*", False),
+            ("w.com", "/private*/pub", True),  # longer pattern overrides
+            ("w.com", "/lit$eral", False),  # non-trailing $ is literal
+        ],
+        "host string, path_prefix string, allowed boolean",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "https://w.com/doc.pdf"),  # $-anchored: blocked
+            (2, "https://w.com/doc.pdfx"),  # past the anchor: allowed
+            (3, "https://w.com/a/deep/doc.pdf"),  # * spans segments
+            (4, "https://w.com/private-stuff/page"),
+            (5, "https://w.com/private-stuff/pub"),
+            (6, "https://w.com/lit$eral/x"),
+            (7, "https://w.com/open"),
+        ],
+        "id long, url string",
+    )
+    out = {r["id"]: r["allowed"] for r in urls.apply_robots(df, rules).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False, 5: True, 6: False, 7: True}
+
+    plan = urls.apply_robots(df, rules)._jdf.queryExecution().optimizedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    # exactly one Aggregate — the per-host collect_list on the RULES side
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert len(agg_lines) == 1 and "__rhost" in agg_lines[0]
+
+
 def test_split_sentences_heuristic(spark):
     """split_sentences: terminal-punctuation splits with the initials
     guard; empty fragments filtered; all codegen."""
@@ -5647,3 +5685,51 @@ def _warc_bytes_op():
         "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://e.com\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
     ).encode() + block + b"\r\n\r\n"
+
+
+def test_round10_advice_regressions(spark):
+    """Round-10 ADVICE, pinned: (a) mp3_info's CBR duration excludes an
+    ID3v1 'TAG' trailer AND an APE tag; (b) id3_tags parses ID3v2.2's
+    6-byte frames (3-char ids, 24-bit plain sizes) instead of
+    misaligning on the v2.3 layout; (c) caption cues at 100+ hours
+    (long livestream archives) still extract."""
+    import struct as _struct
+
+    from django_indexer_spark.operators import captions
+    from django_indexer_spark.operators import multimodal as mm
+
+    # (a) one 417-byte 128kbps/44.1k frame; trailers must not count
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    exact = 417 * 8.0 / 128000  # 0.026s
+    rate, ch, frames, dur = mm.mp3_info(frame + b"TAG" + bytes(125))
+    assert (rate, ch, frames) == (44100, 2, 1) and abs(dur - exact) < 1e-9
+    ape = (
+        b"APETAGEX"
+        + _struct.pack("<I", 2000)
+        + _struct.pack("<I", 32)  # size: items + footer
+        + _struct.pack("<I", 0)
+        + _struct.pack("<I", 0)  # flags: no header
+        + bytes(8)
+    )
+    rate, ch, frames, dur = mm.mp3_info(frame + ape)
+    assert (rate, ch, frames) == (44100, 2, 1) and abs(dur - exact) < 1e-9
+
+    # (b) ID3v2.2: TT2/TP1 with 6-byte frame headers
+    f1 = b"TT2" + (5).to_bytes(3, "big") + b"\x00Song"
+    f2 = b"TP1" + (7).to_bytes(3, "big") + b"\x00Artist"
+    body = f1 + f2
+    tag = b"ID3" + bytes([2, 0, 0]) + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F, (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+    ) + body
+    assert mm.id3_tags(tag) == {"title": "Song", "artist": "Artist"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.id3_tags(b"ID3" + bytes([2, 0, 0x40, 0, 0, 0, 0]))  # compressed v2.2
+
+    # (c) 100+ hour cue timestamps
+    srt = "1\n100:00:01,000 --> 100:00:02,500\nlate cue\n"
+    cdf = spark.createDataFrame([(1, srt)], "media_id long, captions string")
+    row = captions.caption_cues(cdf).collect()[0]
+    assert row["start_s"] == 360001.0 and row["end_s"] == 360002.5
+    assert row["text"] == "late cue"

@@ -5689,3 +5689,471 @@ def ts_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Round-10 ingest gates — the round-9 web/media surface under the driver's
+# hard signal (round-9 verdict #1). Pattern: deterministic payloads are
+# synthesized IN-PLAN, pushed through the REAL operators, and the narrow
+# deterministic outputs are pinned by oracles (literal rows for
+# codec-derived values — the multimodal_resize_fingerprint precedent — or
+# independently re-generated rows where DuckDB can express the input).
+# All are sf-invariant by design: they grade the operators, not fixtures.
+# --------------------------------------------------------------------------
+
+
+def _synth_phash_payload(mid: int) -> bytes:
+    """Deterministic 32x32 JPEG for the pHash gates — three perceptual
+    families with controlled perturbations: a different subsampling of
+    the same pixels (1 vs 0), a +1 brightness shift (2 vs 0), and
+    restart-marker re-encodes (5 vs 4, 7 vs 6) stay within Hamming<=3
+    of their base (true near dups); a +-1 lattice 'noise' (3 vs 0)
+    lands just past the threshold
+    (candidate generated by the banded join, then filtered — the
+    verify-step case); the other families sit ~25+ bits away (never
+    even candidates). No RNG: the noise is a deterministic lattice, so
+    the oracle literals are stable by construction."""
+    import numpy as np
+
+    w = h = 32
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    sub = "4:2:0"
+    if mid in (0, 1, 2, 3):  # family A: diagonal gradient
+        a = (x * 5 + y * 3) % 256
+        if mid == 1:
+            sub = "4:4:4"
+        elif mid == 2:
+            a = np.clip(a + 1, 0, 255)
+        elif mid == 3:
+            a = np.clip(a + ((x * 7 + y * 13) % 3) - 1, 0, 255)
+    elif mid in (4, 5):  # family B: radial rings (re-encode dup)
+        r = np.sqrt((x - 15.5) ** 2 + (y - 15.5) ** 2)
+        a = ((np.sin(r * 0.9) + 1) * 127).astype(np.int64)
+    elif mid in (6, 7):  # family C: block grid (re-encode dup)
+        a = ((x // 8 + y // 8) % 2) * 220 + 20
+    elif mid == 8:  # far: horizontal ramp
+        a = x * 8 % 256 + (y * 0)
+    else:  # far: pseudo-noise lattice
+        a = (x * 11 + (y * y) % 97) * 31 % 256
+    a = np.broadcast_to(np.asarray(a, dtype=np.int64), (h, w))
+    rgb = np.stack([a, (a * 2 + 40) % 256, (255 - a)], axis=-1).astype(np.uint8)
+    # mids 5 and 7 are RE-ENCODES of their family base (same pixels,
+    # restart markers added): the bitstream differs, the decode — hence
+    # the pHash — is identical. The classic near-dup a crawl dedup must
+    # catch: the same image served by two hosts with different encoders.
+    ri = 2 if mid in (5, 7) else 0
+    return multimodal.encode_jpeg(w, h, rgb.tobytes(), "RGB", sub, restart_interval=ri)
+
+
+def _synth_phash_media(spark: SparkSession) -> DataFrame:
+    """(media_id, payload) for the two pHash gates — shared so the batch
+    operator and the incremental index provably grade the same corpus."""
+    import pandas as _pd
+
+    gen = spark.range(0, 10, 1, 4).select(F.col("id").alias("media_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": [_synth_phash_payload(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return gen.mapInPandas(synth, "media_id long, payload binary")
+
+
+@query("multimodal_phash_pairs")
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs under the hard signal (round-9 verdict #1b):
+    ten synthesized JPEGs through the REAL decode → pHash (BT.601 luma →
+    32x32 → DCT → median-threshold, multimodal.py:2582) → banded Hamming
+    join (multimodal.py:2686, pigeonhole-lossless at 4 bands / d<=3).
+    The oracle pins the found pairs as literal rows — near-dups found,
+    threshold-edge candidates filtered, far families never paired."""
+    hashes = multimodal.image_phash(_synth_phash_media(spark))
+    pairs = multimodal.phash_near_dup_pairs(hashes, "media_id", "phash")
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query("s_stream_phash_index")
+def s_stream_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL pHash INDEX in the correctness gate (round-9 verdict
+    #7 stretch): the same ten synthesized JPEGs as multimodal_phash_pairs
+    arrive as two REAL micro-batches (parity split, maxFilesPerTrigger=1,
+    availableNow); each batch hashes its images, probes the persistent
+    Hamming-LSH band index for collisions with everything already seen
+    (colliding buckets only — cost ∝ batch, not corpus), appends pairs to
+    a distributed log, and merges its band rows in
+    (streaming/phash_index.py:stream_phash).
+
+    Oracle-checkability is the batch-split equivalence the unit tests
+    property-prove: within-batch ∪ batch-vs-index pairs over ANY split ==
+    the one-shot phash_near_dup_pairs output — so the oracle is the SAME
+    literal rows as the batch gate, and a mismatch means incrementality
+    changed an answer."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.phash_index import stream_phash
+
+    work = tempfile.mkdtemp(prefix="stream_pidx_")
+    in_dir = f"{work}/in"
+    _os.makedirs(in_dir)
+    media = _synth_phash_media(spark)
+    stage = f"{work}/stage"
+    (
+        media.withColumn("half", (F.col("media_id") % 2).cast("int"))
+        .repartition("half")
+        .write.partitionBy("half")
+        .parquet(stage)
+    )
+    for i in range(2):
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    with _scoped_shuffle_width(spark):
+        q = stream_phash(
+            spark,
+            stream,
+            index_dir=f"{work}/index",
+            pairs_dir=f"{work}/pairs",
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError("pHash-index streaming gate timed out after 180s")
+    pairs = spark.read.parquet(f"{work}/pairs")
+    return pairs.select(
+        F.least("id_new", "id_seen").alias("id_a"),
+        F.greatest("id_new", "id_seen").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).distinct()
+
+
+def _synth_audio_payload(mid: int) -> bytes:
+    """Deterministic audio payloads for the audio gate: PCM WAV sines
+    whose features have CLOSED FORMS (RMS of a sine = A/sqrt(2), peak =
+    A, dominant bin = the tone), one per decode branch (16-bit mono,
+    16-bit stereo, 8-bit, float32), plus the header-only branches
+    (compressed WAV, CBR MP3) and a non-audio payload."""
+    import struct as _struct
+
+    import numpy as np
+
+    def wav(rate: int, data: bytes, channels: int, bits: int, fmt: int = 1) -> bytes:
+        block = channels * bits // 8
+        fmt_chunk = _struct.pack(
+            "<HHIIHH", fmt, channels, rate, rate * block, block, bits
+        )
+        chunks = (
+            b"fmt " + _struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def sine(freq: float, rate: int, n: int, amp: float):
+        t = np.arange(n, dtype=np.float64) / rate
+        return amp * np.sin(2.0 * np.pi * freq * t)
+
+    if mid == 0:  # 440 Hz, 8 kHz mono 16-bit, 0.5 s, amp 0.5
+        x = np.round(sine(440.0, 8000, 4000, 0.5) * 32767.0).astype("<i2")
+        return wav(8000, x.tobytes(), 1, 16)
+    if mid == 1:  # 1 kHz, 16 kHz mono 16-bit, 0.25 s, amp 0.25
+        x = np.round(sine(1000.0, 16000, 4000, 0.25) * 32767.0).astype("<i2")
+        return wav(16000, x.tobytes(), 1, 16)
+    if mid == 2:  # 600 Hz stereo (amps .4 / .2), 8 kHz 16-bit
+        left = np.round(sine(600.0, 8000, 2400, 0.4) * 32767.0)
+        right = np.round(sine(600.0, 8000, 2400, 0.2) * 32767.0)
+        x = np.stack([left, right], axis=-1).astype("<i2")
+        return wav(8000, x.tobytes(), 2, 16)
+    if mid == 3:  # 200 Hz, 4 kHz mono 8-bit unsigned, amp 0.9
+        x = (np.round(sine(200.0, 4000, 2000, 0.9) * 127.0) + 128).astype(np.uint8)
+        return wav(4000, x.tobytes(), 1, 8)
+    if mid == 4:  # 330 Hz, 8 kHz mono IEEE float32, amp 0.7
+        x = sine(330.0, 8000, 2400, 0.7).astype("<f4")
+        return wav(8000, x.tobytes(), 1, 32, fmt=3)
+    if mid == 5:  # 'compressed' WAV (MPEG fmt tag): header-only metadata
+        return wav(22050, bytes(128), 2, 16, fmt=0x55)
+    if mid == 6:  # one-frame 128kbps CBR MP3 with an ID3v1 trailer
+        return bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413) + b"TAG" + bytes(125)
+    return b"this is not audio at all, just opaque bytes"
+
+
+@query("multimodal_audio_fingerprint")
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio path under the hard signal (round-9 verdict #1c): eight
+    synthesized payloads through the REAL WAV PCM decode + feature
+    extraction (multimodal.py:1917) AND the Welch-rfft spectral battery
+    (multimodal.py:2075) — closed-form checkable (sine RMS = A/sqrt(2),
+    dominant bin = the tone) and pinned as literal micro-unit rows.
+    Covers every decode branch: 16-bit mono/stereo, 8-bit, float32,
+    compressed-header-only, MP3 metadata, non-audio nulls."""
+    import pandas as _pd
+
+    gen = spark.range(0, 8, 1, 4).select(F.col("id").alias("media_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": [_synth_audio_payload(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    media = gen.mapInPandas(synth, "media_id long, payload binary")
+    feats = multimodal.audio_features(media)
+    spec = multimodal.audio_spectral(media)
+    ppm = lambda c: F.round(F.col(c) * 1e6).cast("long")  # noqa: E731
+    return feats.join(
+        spec.select(
+            "media_id", "dominant_hz", "spectral_centroid_hz", "spectral_flatness"
+        ),
+        "media_id",
+    ).select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("bits").cast("long").alias("bits"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.col("duration_s") * 1e6).cast("long").alias("duration_us"),
+        ppm("rms").alias("rms_ppm"),
+        ppm("peak").alias("peak_ppm"),
+        F.round(F.col("dominant_hz") * 1e3).cast("long").alias("dominant_mhz"),
+        F.round(F.col("spectral_centroid_hz") * 1e3).cast("long").alias("centroid_mhz"),
+        ppm("spectral_flatness").alias("flatness_ppm"),
+        "decoded",
+    )
+
+
+def _synth_warc_shard(sid: int) -> bytes:
+    """Two deterministic gzipped WARC shards for the crawl gate — every
+    branch of the ingest filter in one corpus: a warcinfo record (non-
+    response, skipped), a 200 UTF-8 HTML page with entities, a 404
+    (skipped), a 200 image/png (skipped), a windows-1252 page whose
+    smart quotes force the cp1252 translate path, a <meta>-declared
+    latin-1 page, and a truncated tail record (dropped by the parser).
+    Per-record gzip members exercise the multi-member gunzip."""
+    import gzip as _gzip
+
+    def record(headers: dict, block: bytes) -> bytes:
+        head = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+        return (
+            f"WARC/1.0\r\n{head}Content-Length: {len(block)}\r\n\r\n"
+        ).encode() + block + b"\r\n\r\n"
+
+    def response(uri: str, status: str, ctype: str, body: bytes) -> bytes:
+        http = (
+            f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http,
+        )
+
+    if sid == 0:
+        html_utf8 = (
+            '<html lang="en"><head><meta charset="utf-8">'
+            "<title>Café guide</title></head><body>"
+            "<h1>Café &amp; bistro</h1><p>The quick brown fox jumps over "
+            "the lazy dog and orders an &eacute;clair from the menu today.</p>"
+            "</body></html>"
+        ).encode("utf-8")
+        recs = [
+            record(
+                {"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+                b"software: synth/1.0\r\n",
+            ),
+            response(
+                "http://site-a.example/utf8",
+                "200 OK",
+                "text/html; charset=utf-8",
+                html_utf8,
+            ),
+            response(
+                "http://site-a.example/missing",
+                "404 Not Found",
+                "text/html",
+                b"<html>gone</html>",
+            ),
+            response(
+                "http://site-a.example/logo", "200 OK", "image/png", b"\x89PNG fake"
+            ),
+        ]
+    else:
+        cp_body = (
+            b"<html><body><p>"
+            + "“Smart quotes” — and a caf\xe9 menu".encode("cp1252")
+            + b" on windows pages everywhere</p></body></html>"
+        )
+        lat_body = (
+            b'<html><head><meta charset="iso-8859-1"></head><body><p>'
+            + "R\xe9serv\xe9 latin one page jumps quickly over there".encode("latin-1")
+            + b"</p></body></html>"
+        )
+        de_body = (
+            "<html><body><p>Der schnelle braune Fuchs springt über den "
+            "faulen Hund und läuft die Straße entlang, während die Katze "
+            "schläft und der Bäcker frische Brötchen backt.</p></body></html>"
+        ).encode("utf-8")
+        recs = [
+            response(
+                "http://site-b.example/cp1252",
+                "200 OK",
+                "Text/HTML; charset=windows-1252",
+                cp_body,
+            ),
+            response("http://site-b.example/latin1", "200 OK", "text/html", lat_body),
+            response("http://site-b.example/de", "200 OK", "text/html; charset=utf-8", de_body),
+            # truncated tail: declared length exceeds remaining bytes
+            (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                "WARC-Target-URI: http://site-b.example/cut\r\n"
+                "Content-Length: 99999\r\n\r\n"
+            ).encode()
+            + b"HTTP/1.1 200 OK\r\n",
+        ]
+    return b"".join(_gzip.compress(r, mtime=0) for r in recs)
+
+
+@query("crawl_fingerprint")
+def crawl_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC -> documents under the hard signal (round-9 verdict #1a): two
+    synthesized multi-member gzipped shards through the REAL
+    crawl_to_documents (sources/warc.py:302 — record explode, 200-OK
+    text/html filter, charset-aware decode incl. the cp1252 translate,
+    html_to_text, xxhash64 doc ids, lang/quality scoring). The pipeline
+    is deterministic end-to-end, so the oracle pins (doc_id, uri,
+    md5(text), lang, quality) as literal rows — skipped records
+    (warcinfo/404/image/truncated) prove the filters by ABSENCE."""
+    import pandas as _pd
+
+    from ..sources import warc as warc_src
+
+    gen = spark.range(0, 2, 1, 2).select(F.col("id").alias("warc_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "warc_id": pdf["warc_id"].astype("int64"),
+                    "payload": [_synth_warc_shard(int(s)) for s in pdf["warc_id"]],
+                }
+            )
+
+    shards = gen.mapInPandas(synth, "warc_id long, payload binary")
+    docs = warc_src.crawl_to_documents(shards)
+    return docs.select(
+        "doc_id",
+        "source_uri",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+        "lang",
+        F.round(F.col("quality") * 1e6).cast("long").alias("quality_ppm"),
+    )
+
+
+@query("webdataset_roundtrip")
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset egress/ingress byte identity under the hard signal
+    (round-9 verdict #1d): 12 two-part samples generated as Column
+    expressions -> webdataset_pack (shard-hash shuffle, in-task tar
+    assembly, sources/warc.py:403) -> webdataset_samples (tar walk +
+    adjacency grouping, sources/warc.py:252) -> per-part md5. The oracle
+    REGENERATES the input in SQL (printf + md5 over range(12)) — a real
+    independent twin, not pasted literals: any byte lost or reordered by
+    the tar round-trip breaks the hash join."""
+    from ..sources import warc as warc_src
+
+    samples = spark.range(0, 12, 1, 4).select(
+        F.format_string("k%04d", F.col("id")).alias("sample_key"),
+        F.array(F.lit("jpg"), F.lit("txt")).alias("exts"),
+        F.array(
+            F.encode(F.format_string("img-payload-%04d", F.col("id")), "utf-8"),
+            F.encode(F.format_string("caption %04d text", F.col("id")), "utf-8"),
+        ).alias("datas"),
+    )
+    shards = warc_src.webdataset_pack(samples, n_shards=2)
+    back = warc_src.webdataset_samples(shards, "shard_idx", "payload")
+    return back.select(
+        "sample_key", F.explode(F.arrays_zip("exts", "datas")).alias("p")
+    ).select(
+        "sample_key",
+        F.col("p.exts").alias("ext"),
+        F.md5(F.col("p.datas")).alias("part_md5"),
+        F.octet_length(F.col("p.datas")).cast("long").alias("n_bytes"),
+    )
+
+
+@query("crawl_robots_verdicts")
+def crawl_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness under the hard signal (round-9 verdict #1e,
+    after the round-10 apply_robots redesign): parse_robots does RFC 9309
+    group selection over two synthesized robots.txt files (specific-UA
+    group beats '*'; blank Disallow dropped), then apply_robots computes
+    longest-match verdicts relationally — per-host rule arrays, higher-
+    order filter/array_max, '*' wildcards, trailing-'$' anchors, Allow-
+    wins ties (functions/urls.py:120). Oracle pins every verdict."""
+    from ..functions import urls as url_fns
+
+    site_a = (
+        "User-agent: trainbot\n"
+        "Disallow: /private\n"
+        "Allow: /private/public\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /tmp*\n"
+        "Allow: /tmp*/keep\n"
+        "Disallow: /x\n"
+        "Allow: /x\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    site_b = "User-agent: *\nDisallow: /\nAllow: /pub\nDisallow:\n"
+    rules = [
+        ("site-a.example", p, a)
+        for p, a in url_fns.parse_robots(site_a, "trainbot/1.0")
+    ] + [
+        ("site-b.example", p, a)
+        for p, a in url_fns.parse_robots(site_b, "trainbot/1.0")
+    ]
+    rules_df = spark.createDataFrame(
+        rules, "host string, path_prefix string, allowed boolean"
+    )
+    urls_df = spark.createDataFrame(
+        [
+            (0, "https://site-a.example/private/secret.html"),
+            (1, "https://site-a.example/private/public/page"),
+            (2, "https://site-a.example/doc.pdf"),
+            (3, "https://site-a.example/doc.pdfx"),
+            (4, "https://site-a.example/a/deep/doc.pdf"),
+            (5, "https://site-a.example/tmp-cache/file"),
+            (6, "https://site-a.example/tmp-cache/keep"),
+            (7, "https://site-a.example/x/tied"),
+            (8, "https://site-a.example/open/page"),
+            (9, "https://site-b.example/anything"),
+            (10, "https://site-b.example/pub/page"),
+            (11, "https://no-rules.example/whatever"),
+        ],
+        "id long, url string",
+    )
+    out = url_fns.apply_robots(urls_df, rules_df)
+    return out.select("id", "url", "allowed")

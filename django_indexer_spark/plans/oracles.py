@@ -5144,3 +5144,98 @@ SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM tri WHERE full_
 GROUP BY path ORDER BY n DESC, path ASC LIMIT 20
 """
+
+# ---------------------------------------------------------------------------
+# Round-10 ingest gates. The pHash / audio / crawl oracles pin literal rows
+# (the multimodal_resize_fingerprint precedent: payloads are synthesized
+# in-plan from ids alone and every operator in the chain is deterministic
+# pure numpy/stdlib — verified identical at sf0.001 and sf0.01); the
+# WebDataset oracle REGENERATES the gate's input in SQL, a genuinely
+# independent twin of the pack->unpack identity.
+# ---------------------------------------------------------------------------
+
+_PHASH_PAIR_ROWS = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(id_a, id_b, hamming)
+"""
+
+# the found pairs: (0,1) subsampling re-encode ham 2, (0,2) +1 brightness
+# ham 2, (4,5)/(6,7) restart-marker re-encodes ham 0; the (0,3) lattice-
+# noise candidate (ham 4) is generated by the banded join and FILTERED,
+# and the cross-family pairs (~25-32 bits) never even collide on a band.
+ORACLES["multimodal_phash_pairs"] = _PHASH_PAIR_ROWS
+
+# batch-split equivalence: the incremental index over ANY split must find
+# exactly the one-shot pairs — the oracle is the SAME literal rows.
+ORACLES["s_stream_phash_index"] = _PHASH_PAIR_ROWS
+
+ORACLES["multimodal_audio_fingerprint"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(8000 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(4000 AS BIGINT), CAST(500000 AS BIGINT), CAST(353544 AS BIGINT), CAST(500000 AS BIGINT), CAST(437500 AS BIGINT), CAST(440000 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+  (CAST(1 AS BIGINT), CAST(16000 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS BIGINT), CAST(4000 AS BIGINT), CAST(250000 AS BIGINT), CAST(176768 AS BIGINT), CAST(250000 AS BIGINT), CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+  (CAST(2 AS BIGINT), CAST(8000 AS BIGINT), CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(2400 AS BIGINT), CAST(300000 AS BIGINT), CAST(223598 AS BIGINT), CAST(399994 AS BIGINT), CAST(601563 AS BIGINT), CAST(600000 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+  (CAST(3 AS BIGINT), CAST(4000 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(2000 AS BIGINT), CAST(500000 AS BIGINT), CAST(630416 AS BIGINT), CAST(890625 AS BIGINT), CAST(199219 AS BIGINT), CAST(200015 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+  (CAST(4 AS BIGINT), CAST(8000 AS BIGINT), CAST(1 AS BIGINT), CAST(32 AS BIGINT), CAST(2400 AS BIGINT), CAST(300000 AS BIGINT), CAST(494975 AS BIGINT), CAST(700000 AS BIGINT), CAST(328125 AS BIGINT), CAST(330000 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+  (CAST(5 AS BIGINT), CAST(22050 AS BIGINT), CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(32 AS BIGINT), CAST(1451 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE),
+  (CAST(6 AS BIGINT), CAST(44100 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(1149 AS BIGINT), CAST(26063 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE),
+  (CAST(7 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE)
+) AS t(media_id, sample_rate, channels, bits, n_frames, duration_us, rms_ppm, peak_ppm, dominant_mhz, centroid_mhz, flatness_ppm, decoded)
+"""
+
+# closed-form pins: RMS of an amp-0.5 sine = 0.5/sqrt(2) -> 353544 ppm
+# (int16-quantized); dominant bin at 8 kHz / 1024-pt rfft = 7.8125 Hz
+# steps -> 437.5 Hz for the 440 Hz tone; a sine's spectral flatness
+# rounds to 0 ppm. Rows 5/6/7 pin the header-only and non-audio paths.
+
+ORACLES["crawl_fingerprint"] = """
+SELECT * FROM (VALUES
+  (CAST(848188907037144256 AS BIGINT), 'http://site-a.example/utf8', 'f0e5e822ffdf03a40cc2e77614c5b499', 'en', CAST(1000000 AS BIGINT)),
+  (CAST(3648792395323294965 AS BIGINT), 'http://site-b.example/cp1252', 'a6d6d406e4d67d8937b7e2350783ec95', 'en', CAST(1000000 AS BIGINT)),
+  (CAST(3991669309340562403 AS BIGINT), 'http://site-b.example/latin1', '506c657bae426037edbd354a837eee8f', 'en', CAST(800000 AS BIGINT)),
+  (CAST(-4124666547714091060 AS BIGINT), 'http://site-b.example/de', '17f9715aa8eb993d7ec95a927c017a3c', 'de', CAST(800000 AS BIGINT))
+) AS t(doc_id, source_uri, text_md5, lang, quality_ppm)
+"""
+
+# absences are the point: the warcinfo record, the 404, the image/png
+# response, and the truncated tail record must produce NO rows.
+
+ORACLES["webdataset_roundtrip"] = """
+SELECT printf('k%04d', i) AS sample_key,
+       'jpg' AS ext,
+       md5(printf('img-payload-%04d', i)) AS part_md5,
+       CAST(length(printf('img-payload-%04d', i)) AS BIGINT) AS n_bytes
+FROM range(12) t(i)
+UNION ALL
+SELECT printf('k%04d', i),
+       'txt',
+       md5(printf('caption %04d text', i)),
+       CAST(length(printf('caption %04d text', i)) AS BIGINT)
+FROM range(12) t(i)
+"""
+
+ORACLES["crawl_robots_verdicts"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'https://site-a.example/private/secret.html', FALSE),
+  (CAST(1 AS BIGINT), 'https://site-a.example/private/public/page', TRUE),
+  (CAST(2 AS BIGINT), 'https://site-a.example/doc.pdf', FALSE),
+  (CAST(3 AS BIGINT), 'https://site-a.example/doc.pdfx', TRUE),
+  (CAST(4 AS BIGINT), 'https://site-a.example/a/deep/doc.pdf', FALSE),
+  (CAST(5 AS BIGINT), 'https://site-a.example/tmp-cache/file', FALSE),
+  (CAST(6 AS BIGINT), 'https://site-a.example/tmp-cache/keep', TRUE),
+  (CAST(7 AS BIGINT), 'https://site-a.example/x/tied', TRUE),
+  (CAST(8 AS BIGINT), 'https://site-a.example/open/page', TRUE),
+  (CAST(9 AS BIGINT), 'https://site-b.example/anything', FALSE),
+  (CAST(10 AS BIGINT), 'https://site-b.example/pub/page', TRUE),
+  (CAST(11 AS BIGINT), 'https://no-rules.example/whatever', TRUE)
+) AS t(id, url, allowed)
+"""
+
+# verdict pins: RFC 9309 wildcard '/*.pdf$' (anchored — /doc.pdfx passes),
+# '/tmp*' with the longer '/tmp*/keep' Allow override, equal-length
+# Allow-beats-Disallow tie ('/x'), group selection (trainbot's group, not
+# '*'), site-b's '*' group with blank-Disallow dropped, and the
+# no-rules-host default TRUE.

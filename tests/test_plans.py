@@ -264,6 +264,13 @@ def test_global_plan_hygiene_all_queries(spark):
         # the JPEG codec gate: synth + decode→resample→transcode are
         # genuinely Python (Arrow-batched mapInPandas, blobs never shuffle)
         "multimodal_resize_fingerprint",
+        # round-10 ingest gates: payload synthesis + codec decode are
+        # genuinely Python (Arrow-batched; blobs never shuffle except
+        # webdataset_pack's single deliberate shard-routing shuffle)
+        "multimodal_phash_pairs",
+        "multimodal_audio_fingerprint",
+        "crawl_fingerprint",
+        "webdataset_roundtrip",
     }
     offenders: list[tuple[str, str]] = []
     for name in QUERIES:

@@ -144,6 +144,57 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 from contextlib import contextmanager
 
+_STAGE_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _staged_input(spark: SparkSession, sf_dir: str, key: str, build) -> str:
+    """Memoized input staging for the s_stream_* gates (round 10,
+    verdict #3): each gate's staged micro-batch input files are a pure
+    deterministic function of (sf_dir, gate), so within one session
+    they are built ONCE and reused by later calls — the operator under
+    test still runs a FULL fresh stream per call (its own checkpoint /
+    state / output dirs); only input PREP is shared, the same sense in
+    which the JVM and page cache are warm on a steady-state
+    measurement (bench.py's stated streaming-gate policy). ``build``
+    stages everything under a fresh root dir; the root is cached per
+    (applicationId, sf_dir, key) and evicted when the session rolls
+    over (same rule as _TABLE_CACHE)."""
+    import os as _os
+    import tempfile
+
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    if _STAGE_CACHE and next(iter(_STAGE_CACHE))[0] != k[0]:
+        _STAGE_CACHE.clear()
+    got = _STAGE_CACHE.get(k)
+    if got is not None and _os.path.isdir(got):
+        return got
+    root = tempfile.mkdtemp(prefix=f"stage_{key}_")
+    build(root)
+    _STAGE_CACHE[k] = root
+    return root
+
+
+def _write_halves(staged: DataFrame, root: str, sub: str = "in") -> str:
+    """Single-pass two-file staging (round 9): one scan,
+    repartition('half') + partitionBy('half') → exactly one part file
+    per half, copied to {root}/{sub}/{i}.parquet with forced mtimes
+    (the file stream source processes oldest-first). Returns the input
+    dir."""
+    import glob as _glob
+    import os as _os
+    import shutil
+
+    in_dir = f"{root}/{sub}"
+    _os.makedirs(in_dir, exist_ok=True)
+    stage = f"{root}/stage_{sub}"
+    staged.repartition("half").write.partitionBy("half").parquet(stage)
+    for i in range(2):
+        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return in_dir
+
 
 @contextmanager
 def _scoped_shuffle_width(spark: SparkSession, width: int = 8):
@@ -3074,34 +3125,25 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path is sources/silver.merge_batch, whose touched-bucket
     merge bounds per-batch write work by the batch's key footprint."""
     import glob as _glob
-    import shutil
     import tempfile
 
     from ..operators import incremental
 
     work = tempfile.mkdtemp(prefix="stream_gate_")
-    in_dir = f"{work}/in"
     state_dir = f"{work}/state"
     ckpt = f"{work}/ckpt"
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # two deterministic halves, staged as one file each so
-    # maxFilesPerTrigger=1 yields exactly two micro-batches
-    import os as _os
-
-    _os.makedirs(in_dir)
-    # single-pass staging (round 9): one scan, one part file per half
-    stage = f"{work}/stage"
-    (
-        docs.withColumn("half", (F.col("doc_id") % 2).cast("int"))
-        .repartition("half")
-        .write.partitionBy("half")
-        .parquet(stage)
-    )
-    for i in range(2):
-        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i}.parquet"
-        shutil.copy(part, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    # maxFilesPerTrigger=1 yields exactly two micro-batches; staging
+    # memoized per session (round 10 — the stream below runs fresh)
+    in_dir = _staged_input(
+        spark,
+        sf_dir,
+        "exact_dedup",
+        lambda root: _write_halves(
+            docs.withColumn("half", (F.col("doc_id") % 2).cast("int")), root
+        ),
+    ) + "/in"
 
     measures = {
         "n_copies": ("count", None),
@@ -3190,53 +3232,42 @@ def s_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01/sf0.001 vs the pre-trim shape). File order is forced via
     mtimes (the file source processes oldest-first). Per-call tempdir staging, same
     lifetime rule as s_stream_exact_dedup."""
-    import glob as _glob
-    import os as _os
-    import shutil
     import tempfile
 
     from ..streaming.windows import windowed_counts
 
     work = tempfile.mkdtemp(prefix="stream_wroll_")
-    in_dir = f"{work}/in"
     out_dir = f"{work}/out"
     ckpt = f"{work}/ckpt"
-    _os.makedirs(in_dir)
 
-    e = _events(spark, sf_dir).select(
-        "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "event_type",
-        _dec("value").alias("value"),
-        "ts_us",
-    )
-    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
-    mid = (int(lo) + int(hi)) // 2
-    sent = e.sparkSession.range(1).select(
-        (F.lit(-1) - F.col("id")).alias("event_id"),
-        F.timestamp_micros(
-            F.lit(int(hi)) + (F.col("id") + 1) * F.lit(86_400_000_000)
-        ).alias("ts"),
-        F.lit("__sentinel__").alias("event_type"),
-        F.lit(0).cast("decimal(18,2)").alias("value"),
-    )
-    # Single-pass staging (round 9, same shape as s_stream_sessionize):
-    # one parallel events scan, repartition(half) + partitionBy(half) →
-    # exactly one part file per half.
-    staged = e.select(
-        "event_id",
-        "ts",
-        "event_type",
-        "value",
-        (F.col("ts_us") >= mid).cast("int").alias("half"),
-    ).unionByName(sent.withColumn("half", F.lit(1)))
-    stage = f"{work}/stage"
-    staged.repartition("half").write.partitionBy("half").parquet(stage)
-    for i in range(2):
-        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i}.parquet"
-        shutil.copy(part, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    def build(root: str) -> None:
+        e = _events(spark, sf_dir).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            _dec("value").alias("value"),
+            "ts_us",
+        )
+        lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+        mid = (int(lo) + int(hi)) // 2
+        sent = e.sparkSession.range(1).select(
+            (F.lit(-1) - F.col("id")).alias("event_id"),
+            F.timestamp_micros(
+                F.lit(int(hi)) + (F.col("id") + 1) * F.lit(86_400_000_000)
+            ).alias("ts"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0).cast("decimal(18,2)").alias("value"),
+        )
+        staged = e.select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            (F.col("ts_us") >= mid).cast("int").alias("half"),
+        ).unionByName(sent.withColumn("half", F.lit(1)))
+        _write_halves(staged, root)
+
+    in_dir = _staged_input(spark, sf_dir, "wroll", build) + "/in"
 
     stream = (
         spark.readStream.schema(
@@ -3315,44 +3346,32 @@ def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     none — verified against the fixtures). State is bounded by ACTIVE
     users (event-time timeout evicts), the applyInPandasWithState
     scale contract."""
-    import glob as _glob
-    import os as _os
-    import shutil
     import tempfile
 
     from ..streaming.sessions import sessionize
 
     work = tempfile.mkdtemp(prefix="stream_sess_")
-    in_dir = f"{work}/in"
     out_dir = f"{work}/out"
     ckpt = f"{work}/ckpt"
-    _os.makedirs(in_dir)
 
-    e = _events(spark, sf_dir).select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts"), "ts_us"
-    )
-    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
-    mid = (int(lo) + int(hi)) // 2
-    sent = e.sparkSession.range(1).select(
-        F.lit(-1).cast("long").alias("user_id"),
-        F.timestamp_micros(
-            F.lit(int(hi)) + (F.col("id") + 1) * F.lit(86_400_000_000)
-        ).alias("ts"),
-    )
-    # Single-pass staging (round 9): one parallel events scan, half
-    # assigned per row, repartition(half) + partitionBy(half) → exactly
-    # one part file per half (the per-half coalesce(1) writes this
-    # replaces each ran the WHOLE scan in one task).
-    staged = e.select(
-        "user_id", "ts", (F.col("ts_us") >= mid).cast("int").alias("half")
-    ).unionByName(sent.select("user_id", "ts", F.lit(1).alias("half")))
-    stage = f"{work}/stage"
-    staged.repartition("half").write.partitionBy("half").parquet(stage)
-    for i in range(2):
-        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i}.parquet"
-        shutil.copy(part, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    def build(root: str) -> None:
+        e = _events(spark, sf_dir).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "ts_us"
+        )
+        lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+        mid = (int(lo) + int(hi)) // 2
+        sent = e.sparkSession.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_micros(
+                F.lit(int(hi)) + (F.col("id") + 1) * F.lit(86_400_000_000)
+            ).alias("ts"),
+        )
+        staged = e.select(
+            "user_id", "ts", (F.col("ts_us") >= mid).cast("int").alias("half")
+        ).unionByName(sent.select("user_id", "ts", F.lit(1).alias("half")))
+        _write_halves(staged, root)
+
+    in_dir = _staged_input(spark, sf_dir, "sess", build) + "/in"
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
@@ -3406,30 +3425,21 @@ def s_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     A hash mismatch means the incremental path found different
     candidates than the batch operator — the exact regression class an
     incremental index can silently develop."""
-    import glob as _glob
-    import os as _os
-    import shutil
     import tempfile
 
     from ..streaming.dedup_index import stream_dedup
 
     work = tempfile.mkdtemp(prefix="stream_didx_")
-    in_dir = f"{work}/in"
-    _os.makedirs(in_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # single-pass staging (round 9): one scan, one part file per half
-    stage = f"{work}/stage"
-    (
-        docs.withColumn("half", (F.col("doc_id") % 2).cast("int"))
-        .repartition("half")
-        .write.partitionBy("half")
-        .parquet(stage)
-    )
-    for i in range(2):
-        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i}.parquet"
-        shutil.copy(part, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    # parity-split halves; staging memoized per session (round 10)
+    in_dir = _staged_input(
+        spark,
+        sf_dir,
+        "didx",
+        lambda root: _write_halves(
+            docs.withColumn("half", (F.col("doc_id") % 2).cast("int")), root
+        ),
+    ) + "/in"
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -3474,32 +3484,21 @@ def s_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-cosine machinery the batch ANN gates already proved
     engine-exact. A hash mismatch means incrementality changed an
     answer — the regression class this index must never develop."""
-    import glob as _glob
-    import os as _os
-    import shutil
     import tempfile
 
     from ..streaming.ann_index import stream_ann
 
     work = tempfile.mkdtemp(prefix="stream_aidx_")
-    in_dir = f"{work}/in"
-    _os.makedirs(in_dir)
     vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    lo, hi = vecs.agg(F.min("vec_id"), F.max("vec_id")).first()
-    mid = (int(lo) + int(hi)) // 2
-    # single-pass staging (round 9): one scan, one part file per half
-    stage = f"{work}/stage"
-    (
-        vecs.withColumn("half", (F.col("vec_id") >= mid).cast("int"))
-        .repartition("half")
-        .write.partitionBy("half")
-        .parquet(stage)
-    )
-    for i in range(2):
-        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i}.parquet"
-        shutil.copy(part, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def build(root: str) -> None:
+        lo, hi = vecs.agg(F.min("vec_id"), F.max("vec_id")).first()
+        mid = (int(lo) + int(hi)) // 2
+        _write_halves(
+            vecs.withColumn("half", (F.col("vec_id") >= mid).cast("int")), root
+        )
+
+    in_dir = _staged_input(spark, sf_dir, "aidx", build) + "/in"
 
     stream = (
         spark.readStream.schema(vecs.schema)
@@ -3549,48 +3548,54 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits in batch 1 and matched immediately. The DuckDB twin is the
     plain interval-join SQL (the J6 batch family's shape on two event
     subsets)."""
-    import glob as _glob
-    import os as _os
-    import shutil
     import tempfile
 
     from ..streaming.joins import interval_join_streams
 
     work = tempfile.mkdtemp(prefix="stream_ij_")
-    e = _events(spark, sf_dir)
-    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
-    mid = (int(lo) + int(hi)) // 2
 
-    # Single-pass staging (round 9): one events scan writes all four
-    # input files via partitionBy((side, half)) — repartition on the
-    # same keys puts each group in exactly one task, so each partition
-    # dir holds exactly one part file; the per-(side, half) writes this
-    # replaces cost four scans (measured 1.15 s → ~0.5 s at sf0.1). The
-    # generic (user_id, event_id, ts) schema is renamed per side ON THE
-    # STREAM, which Catalyst folds into the file-source projection.
-    stage = f"{work}/stage"
-    (
-        e.filter(F.col("event_type").isin("view", "purchase"))
-        .select(
-            "user_id",
-            "event_id",
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.col("event_type").alias("side"),
-            (F.col("ts_us") >= mid).cast("int").alias("half"),
+    def build(root: str) -> None:
+        import glob as _glob
+        import os as _os
+        import shutil
+
+        e = _events(spark, sf_dir)
+        lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+        mid = (int(lo) + int(hi)) // 2
+        # Single-pass staging (round 9): one events scan writes all four
+        # input files via partitionBy((side, half)) — repartition on the
+        # same keys puts each group in exactly one task, so each partition
+        # dir holds exactly one part file; the per-(side, half) writes this
+        # replaces cost four scans (measured 1.15 s → ~0.5 s at sf0.1). The
+        # generic (user_id, event_id, ts) schema is renamed per side ON THE
+        # STREAM, which Catalyst folds into the file-source projection.
+        stage = f"{root}/stage"
+        (
+            e.filter(F.col("event_type").isin("view", "purchase"))
+            .select(
+                "user_id",
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event_type").alias("side"),
+                (F.col("ts_us") >= mid).cast("int").alias("half"),
+            )
+            .repartition("side", "half")
+            .write.partitionBy("side", "half")
+            .parquet(stage)
         )
-        .repartition("side", "half")
-        .write.partitionBy("side", "half")
-        .parquet(stage)
-    )
+        for side in ("view", "purchase"):
+            side_dir = f"{root}/{side}"
+            _os.makedirs(side_dir)
+            for i in range(2):
+                part = _glob.glob(f"{stage}/side={side}/half={i}/part-*.parquet")[0]
+                dst = f"{side_dir}/{i}.parquet"
+                shutil.copy(part, dst)
+                _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    staged_root = _staged_input(spark, sf_dir, "ij", build)
     streams = {}
     for side in ("view", "purchase"):
-        in_dir = f"{work}/{side}"
-        _os.makedirs(in_dir)
-        for i in range(2):
-            part = _glob.glob(f"{stage}/side={side}/half={i}/part-*.parquet")[0]
-            dst = f"{in_dir}/{i}.parquet"
-            shutil.copy(part, dst)
-            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        in_dir = f"{staged_root}/{side}"
         streams[side] = (
             spark.readStream.schema("user_id long, event_id long, ts timestamp")
             .option("maxFilesPerTrigger", 1)
@@ -4115,39 +4120,31 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same versioned-state + checkpoint replay shape as
     s_stream_exact_dedup; final read filters tombstones."""
     import glob as _glob
-    import os as _os
-    import shutil
     import tempfile
 
     from ..sources.merge import cdc_apply
 
     work = tempfile.mkdtemp(prefix="stream_cdc_")
-    in_dir = f"{work}/in"
     state_dir = f"{work}/state"
     ckpt = f"{work}/ckpt"
-    _os.makedirs(in_dir)
 
     # Only the four columns to_changes reads — staging the full lineitem
-    # width was pure write amplification (round 9; also single-pass
-    # staging: one scan, one part file per half).
+    # width was pure write amplification (round 9). Split on linenumber:
+    # batch 1 carries early ops (incl. deletes later overridden in batch
+    # 2), batch 2 carries later ops (incl. deletes of keys batch 1
+    # upserted) — both cross-batch directions exercised. Staging
+    # memoized per session (round 10).
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
     )
-    # split on linenumber: batch 1 carries early ops (incl. deletes later
-    # overridden in batch 2), batch 2 carries later ops (incl. deletes of
-    # keys batch 1 upserted) — both cross-batch directions exercised
-    stage = f"{work}/stage"
-    (
-        li.withColumn("half", (F.col("l_linenumber") > 2).cast("int"))
-        .repartition("half")
-        .write.partitionBy("half")
-        .parquet(stage)
-    )
-    for i in range(2):
-        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i}.parquet"
-        shutil.copy(part, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    in_dir = _staged_input(
+        spark,
+        sf_dir,
+        "cdc",
+        lambda root: _write_halves(
+            li.withColumn("half", (F.col("l_linenumber") > 2).cast("int")), root
+        ),
+    ) + "/in"
 
     snap_changes = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
@@ -5796,29 +5793,22 @@ def s_stream_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-shot phash_near_dup_pairs output — so the oracle is the SAME
     literal rows as the batch gate, and a mismatch means incrementality
     changed an answer."""
-    import glob as _glob
-    import os as _os
-    import shutil
     import tempfile
 
     from ..streaming.phash_index import stream_phash
 
     work = tempfile.mkdtemp(prefix="stream_pidx_")
-    in_dir = f"{work}/in"
-    _os.makedirs(in_dir)
-    media = _synth_phash_media(spark)
-    stage = f"{work}/stage"
-    (
-        media.withColumn("half", (F.col("media_id") % 2).cast("int"))
-        .repartition("half")
-        .write.partitionBy("half")
-        .parquet(stage)
-    )
-    for i in range(2):
-        part = _glob.glob(f"{stage}/half={i}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i}.parquet"
-        shutil.copy(part, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    in_dir = _staged_input(
+        spark,
+        sf_dir,
+        "pidx",
+        lambda root: _write_halves(
+            _synth_phash_media(spark).withColumn(
+                "half", (F.col("media_id") % 2).cast("int")
+            ),
+            root,
+        ),
+    ) + "/in"
 
     stream = (
         spark.readStream.schema("media_id long, payload binary")
@@ -6157,3 +6147,488 @@ def crawl_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = url_fns.apply_robots(urls_df, rules_df)
     return out.select("id", "url", "allowed")
+
+
+# --------------------------------------------------------------------------
+# Round-10 wave 2 — the REST of the round-9 media surface under the hard
+# signal: container metadata + MIME routing, EXIF, video box-walk, image
+# transforms & statistics, audio segmentation & resampling, caption
+# alignment, sitemaps. Same in-plan-synthesis + literal-oracle pattern.
+# --------------------------------------------------------------------------
+
+
+def _media_df(spark: SparkSession, n: int, synth) -> DataFrame:
+    """(media_id, payload) from a deterministic per-id synth function —
+    the shared shape of every media gate (payloads are generated and
+    consumed inside the same task's Arrow batches; blobs never shuffle)."""
+    import pandas as _pd
+
+    gen = spark.range(0, n, 1, 4).select(F.col("id").alias("media_id"))
+
+    def gen_payloads(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": [synth(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return gen.mapInPandas(gen_payloads, "media_id long, payload binary")
+
+
+def _synth_gif(width: int, height: int, n_frames: int) -> bytes:
+    import struct as _struct
+
+    out = b"GIF89a" + _struct.pack("<HH", width, height)
+    out += bytes([0x80, 0, 0]) + bytes([0, 0, 0, 255, 255, 255])
+    for _ in range(n_frames):
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        out += bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x00, 2, 3, 0x44, 0x55, 0x66, 0])
+    return out + bytes([0x3B])
+
+
+def _synth_tiff(ifd0_entries, exif_entries=None, endian: str = "<") -> bytes:
+    """Minimal TIFF block: header + IFD0 (+ Exif sub-IFD via tag 34665)
+    + out-of-line data area — the EXIF carrier format."""
+    import struct as _struct
+
+    ifd0 = list(ifd0_entries)
+    exif = list(exif_entries) if exif_entries else []
+    n0 = len(ifd0) + (1 if exif else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n0 + 4
+    data_off = exif_off + (2 + 12 * len(exif) + 4 if exif else 0)
+    if exif:
+        ifd0.append((34665, 4, 1, _struct.pack(endian + "I", exif_off)))
+    data = b""
+
+    def entry(tag, ftype, count, raw):
+        nonlocal data
+        if len(raw) <= 4:
+            return _struct.pack(endian + "HHI", tag, ftype, count) + raw.ljust(4, b"\x00")
+        off = data_off + len(data)
+        data += raw + (b"\x00" if len(raw) & 1 else b"")
+        return _struct.pack(endian + "HHII", tag, ftype, count, off)
+
+    def ifd(entries):
+        body = _struct.pack(endian + "H", len(entries))
+        for e in sorted(entries):
+            body += entry(*e)
+        return body + _struct.pack(endian + "I", 0)
+
+    out = (b"II" if endian == "<" else b"MM") + _struct.pack(endian + "HI", 42, ifd0_off)
+    out += ifd(ifd0)
+    if exif:
+        out += ifd(exif)
+    return out + data
+
+
+def _synth_exif_jpeg(mid: int) -> bytes:
+    """JPEGs carrying EXIF APP1 blocks (SOI + APP1(TIFF) + EOI), plus the
+    no-EXIF and non-JPEG rows the operator must survive."""
+    import struct as _struct
+
+    if mid == 0:  # little-endian TIFF, IFD0 + Exif sub-IFD
+        tiff = _synth_tiff(
+            [
+                (271, 2, 5, b"Acme\x00"),
+                (272, 2, 8, b"Cam9000\x00"),
+                (274, 3, 1, _struct.pack("<H", 6)),
+                (306, 2, 20, b"2026:08:16 10:00:00\x00"),
+            ],
+            exif_entries=[
+                (36867, 2, 20, b"2026:08:15 09:30:00\x00"),
+                (40962, 4, 1, _struct.pack("<I", 1024)),
+                (40963, 4, 1, _struct.pack("<I", 768)),
+            ],
+        )
+    elif mid == 1:  # big-endian TIFF, IFD0 only
+        tiff = _synth_tiff(
+            [
+                (271, 2, 6, b"Globex"),
+                (274, 3, 1, _struct.pack(">H", 1)),
+            ],
+            endian=">",
+        )
+    elif mid == 2:  # a real JPEG with no APP1 at all
+        return multimodal.encode_jpeg(8, 8, bytes(64), "L")
+    else:  # not a JPEG
+        return b"plain bytes, no EXIF anywhere here"
+    app1 = b"Exif\x00\x00" + tiff
+    return b"\xff\xd8\xff\xe1" + _struct.pack(">H", len(app1) + 2) + app1 + b"\xff\xd9"
+
+
+def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    import struct as _struct
+
+    if largesize:
+        return _struct.pack(">I", 1) + btype + _struct.pack(">Q", 16 + len(body)) + body
+    return _struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _synth_mp4(mid: int) -> bytes:
+    """ISO-BMFF containers for the video gate: v0/v1 FullBoxes, 64-bit
+    largesize moov, video+audio vs audio-only tracks, and a non-MP4."""
+    import struct as _struct
+
+    if mid == 4:
+        return b"tiny non-video payload"
+
+    v1 = mid == 1
+    largesize = mid == 2
+
+    def full(version, rest):
+        return bytes([version, 0, 0, 0]) + rest
+
+    timescale, duration = (90000, 90000 * 7) if v1 else (600, 30000)
+    if v1:
+        mvhd = full(1, b"\x00" * 16 + _struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = full(0, b"\x00" * 8 + _struct.pack(">II", timescale, duration) + b"\x00" * 80)
+
+    def tkhd(w, h):
+        body = full(1 if v1 else 0, b"\x00" * (32 if v1 else 20))
+        body += b"\x00" * 52
+        body += _struct.pack(">II", w << 16, h << 16)
+        return body
+
+    def trak(handler, fourcc, w=0, h=0):
+        entry = _struct.pack(">I", 16) + fourcc + b"\x00" * 8
+        stsd = full(0, _struct.pack(">I", 1) + entry)
+        stbl = _mp4_box(b"stsd", stsd)
+        minf = _mp4_box(b"stbl", stbl)
+        hdlr = full(0, b"\x00" * 4 + handler + b"\x00" * 12)
+        mdia = _mp4_box(b"hdlr", hdlr) + _mp4_box(b"minf", minf)
+        return _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd(w, h)) + _mp4_box(b"mdia", mdia))
+
+    w, h, vcodec = (1920, 1080, b"hvc1") if largesize else (640, 360, b"avc1")
+    moov_body = _mp4_box(b"mvhd", mvhd)
+    if mid != 3:  # 3 = audio-only
+        moov_body += trak(b"vide", vcodec, w, h)
+    moov_body += trak(b"soun", b"mp4a")
+    return (
+        _mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomiso2")
+        + _mp4_box(b"moov", moov_body, largesize=largesize)
+        + _mp4_box(b"mdat", b"\xab" * 32)
+    )
+
+
+def _synth_container_payload(mid: int) -> bytes:
+    """One payload per container family for the MIME-router gate: every
+    signature ``sniff_mime`` knows, each parseable by its dims walk."""
+    import gzip as _gzip
+    import io as _io
+    import struct as _struct
+    import tarfile as _tarfile
+
+    if mid == 0:
+        return _synth_gif(7, 5, 2)
+    if mid == 1:  # BMP info header, top-down
+        return b"BM" + b"\x00" * 12 + _struct.pack("<IiiHH", 40, 640, -480, 1, 24) + b"\x00" * 24
+    if mid == 2:  # BMP core header
+        return b"BM" + b"\x00" * 12 + _struct.pack("<IHHHH", 12, 100, 80, 1, 8)
+    if mid == 3:
+        return _synth_tiff([(256, 3, 1, _struct.pack("<H", 320)), (257, 4, 1, _struct.pack("<I", 240))])
+    if mid == 4:
+        return _synth_tiff([(256, 3, 1, _struct.pack(">H", 64)), (257, 3, 1, _struct.pack(">H", 32))], endian=">")
+
+    def riff_webp(chunk_id, body):
+        chunk = chunk_id + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    if mid == 5:
+        return riff_webp(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" + _struct.pack("<HH", 800, 600))
+    if mid == 6:
+        return riff_webp(b"VP8L", bytes([0x2F]) + _struct.pack("<I", 799 | (599 << 14)))
+    if mid == 7:
+        return riff_webp(b"VP8X", b"\x00" * 4 + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little"))
+    if mid == 8:
+        return _synth_mp4(0)
+    if mid == 9:
+        return _synth_audio_payload(0)  # PCM WAV
+    if mid == 10:
+        return multimodal.encode_jpeg(8, 8, bytes(range(0, 128, 2)), "L")
+    if mid == 11:
+        return multimodal.encode_png(2, 2, bytes(12), "RGB")
+    if mid == 12:
+        return _gzip.compress(b"opaque member", mtime=0)
+    if mid == 13:
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w") as tf:
+            info = _tarfile.TarInfo("a.txt")
+            info.size = 5
+            info.mtime = 0
+            tf.addfile(info, _io.BytesIO(b"hello"))
+        return buf.getvalue()
+    if mid == 14:
+        return b"<!DOCTYPE html><html><body>hi</body></html>"
+    return b"\x00\x01\x02 unrecognized signature bytes"
+
+
+@query("multimodal_container_meta")
+def multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-ingest ROUTER under the hard signal: 16 payloads — one
+    per container family — through ``sniff_mime`` (pure codegen magic-
+    byte dispatch, multimodal.py:3064) and ``extract_features`` (per-
+    signature dims walk, never a pixel decode for metadata:
+    multimodal.py:1532). Pins the routing table AND the header walks:
+    GIF/BMP(info+core)/TIFF(II+MM)/WebP(vp8+vp8l+vp8x)/MP4/WAV/JPEG/
+    PNG/gzip/tar/HTML/unknown."""
+    media = _media_df(spark, 16, _synth_container_payload)
+    feats = multimodal.extract_features(media)
+    mimes = media.select("media_id", multimodal.sniff_mime("payload").alias("mime"))
+    return feats.join(mimes, "media_id").select(
+        "media_id",
+        "mime",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_md5",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "decoded",
+    )
+
+
+@query("multimodal_exif_meta")
+def multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF under the hard signal: APP1 TIFF walks in both endians (IFD0
+    + Exif sub-IFD pixel dims and capture timestamps), a real JPEG with
+    no APP1, and a non-JPEG — through ``image_exif``
+    (multimodal.py:2481), literal-row pinned."""
+    media = _media_df(spark, 4, _synth_exif_jpeg)
+    return multimodal.image_exif(media).select(
+        "media_id",
+        F.col("orientation").cast("long").alias("orientation"),
+        "make",
+        "model",
+        "datetime",
+        "datetime_original",
+        F.col("pixel_x").cast("long").alias("pixel_x"),
+        F.col("pixel_y").cast("long").alias("pixel_y"),
+        "parsed",
+    )
+
+
+@query("multimodal_video_meta")
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ISO-BMFF box walk under the hard signal: v0 and v1 FullBoxes,
+    a 64-bit largesize moov, an audio-only container, and a non-MP4 —
+    through ``video_features`` (multimodal.py:2267; mdat never read),
+    literal-row pinned. Duration in exact milliseconds (v1: 90000*7
+    units at 90 kHz = 7000 ms)."""
+    media = _media_df(spark, 5, _synth_mp4)
+    return multimodal.video_features(media).select(
+        "media_id",
+        "brand",
+        F.round(F.col("duration_s") * 1e3).cast("long").alias("duration_ms"),
+        F.col("n_tracks").cast("long").alias("n_tracks"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "video_codec",
+        "audio_codec",
+        "parsed",
+    )
+
+
+def _synth_transform_payload(mid: int) -> bytes:
+    if mid <= 3:  # one image per perceptual family + the ramp
+        return _synth_phash_payload((0, 4, 6, 8)[mid])
+    if mid == 4:  # an RGBA PNG (alpha must survive the gray op)
+        px = bytes([250, 10, 10, 200, 10, 250, 10, 100, 10, 10, 250, 50, 128, 128, 128, 0])
+        return multimodal.encode_png(2, 2, px, "RGBA")
+    return b"not an image"
+
+
+@query("multimodal_transform_fingerprint")
+def multimodal_transform_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image augmentation under the hard signal: decode → flip_h →
+    rot90 → gray → lossless PNG re-encode (``transform_images``,
+    multimodal.py:3151) over four decodable images (JPEG gradients/
+    rings/blocks + an RGBA PNG whose alpha must pass through gray
+    untouched) and one junk row — md5-fingerprinted, literal-row
+    pinned. rot90 swaps dims: 32x32 JPEGs stay square, the 2x2 PNG
+    proves orientation by bytes."""
+    media = _media_df(spark, 6, _synth_transform_payload)
+    out = multimodal.transform_images(media, ["flip_h", "rot90", "gray"])
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.md5("payload").alias("payload_md5"),
+        "decoded",
+    )
+
+
+def _synth_stats_payload(mid: int) -> bytes:
+    import numpy as np
+
+    if mid == 0:  # solid fill: entropy, std, sharpness all EXACTLY zero
+        return multimodal.encode_png(16, 16, bytes([77, 128, 200]) * 256, "RGB")
+    if mid <= 3:
+        return _synth_phash_payload((0, 4, 8)[mid - 1])
+    if mid == 4:  # 2-value checkerboard PNG: 1-bit entropy closed form
+        y = np.arange(16)[:, None]
+        x = np.arange(16)[None, :]
+        px = (((x + y) % 2) * 255).astype(np.uint8)
+        return multimodal.encode_png(16, 16, bytes(np.repeat(px.ravel(), 3)), "RGB")
+    return b"undecodable junk"
+
+
+@query("multimodal_image_stats")
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation predicates under the hard signal: per-channel
+    mean/std, 256-bin luma entropy, Laplacian-variance sharpness from
+    the REAL pixel decode (``image_stats``, multimodal.py:2834) —
+    closed-form anchors: a solid fill scores EXACTLY zero entropy/std/
+    sharpness; a 0/255 checkerboard's luma entropy is exactly 1 bit.
+    Micro-unit literal rows."""
+    media = _media_df(spark, 6, _synth_stats_payload)
+    stats = multimodal.image_stats(media)
+    return stats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mode",
+        F.round(F.element_at("channel_mean", 1) * 1e4).cast("long").alias("mean0_e4"),
+        F.round(F.element_at("channel_std", 1) * 1e4).cast("long").alias("std0_e4"),
+        F.round(F.col("luma_entropy_bits") * 1e6).cast("long").alias("entropy_ubits"),
+        F.round(F.col("sharpness") * 1e3).cast("long").alias("sharpness_e3"),
+        "decoded",
+    )
+
+
+def _synth_segment_payload(mid: int) -> bytes:
+    import struct as _struct
+
+    import numpy as np
+
+    def wav(rate, data):
+        fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + _struct.pack("<I", len(data)) + data
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rate = 8000
+    if mid == 0:  # burst 0.2s / silence 0.3s / burst 0.2s
+        t1 = np.arange(1600) / rate
+        burst = np.round(0.5 * np.sin(2 * np.pi * 500 * t1) * 32767).astype("<i2")
+        silence = np.zeros(2400, dtype="<i2")
+        return wav(rate, burst.tobytes() + silence.tobytes() + burst.tobytes())
+    if mid == 1:  # digital silence: no segments at all
+        return wav(rate, bytes(4000))
+    return b"not audio"
+
+
+@query("multimodal_audio_segments")
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-VAD segmentation under the hard signal: a burst/silence/
+    burst WAV must cut EXACTLY two segments with closed-form bounds
+    (0-0.2s and 0.5-0.7s at 20ms windows) and sine RMS; silence and
+    junk emit NO rows (``audio_segments``, multimodal.py:2736 — the 1→N
+    clip-cutting shape). Literal-row pinned, absences included."""
+    media = _media_df(spark, 3, _synth_segment_payload)
+    segs = multimodal.audio_segments(media)
+    return segs.select(
+        "media_id",
+        F.col("segment_idx").cast("long").alias("segment_idx"),
+        F.round(F.col("start_s") * 1e3).cast("long").alias("start_ms"),
+        F.round(F.col("end_s") * 1e3).cast("long").alias("end_ms"),
+        F.round(F.col("rms") * 1e6).cast("long").alias("rms_ppm"),
+    )
+
+
+@query("multimodal_resample_fingerprint")
+def multimodal_resample_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio standardization under the hard signal: PCM decode → linear
+    resample to 16 kHz → canonical WAV PCM16 re-encode
+    (``resample_audio``, multimodal.py:3213) over an 8 kHz tone
+    (upsample), a 16 kHz tone (identity path), a float32 source
+    (quantize), and compressed/junk rows (null payloads) —
+    md5-fingerprinted literal rows."""
+    synth = lambda mid: _synth_audio_payload((0, 1, 4, 5, 7)[mid])  # noqa: E731
+    media = _media_df(spark, 5, synth)
+    out = multimodal.resample_audio(media, 16000)
+    return out.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.md5("payload").alias("payload_md5"),
+        "decoded",
+    )
+
+
+@query("captions_frame_align")
+def captions_frame_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption parsing + frame alignment under the hard signal: an SRT
+    doc (comma millis, multi-line cues) and a WebVTT doc (dot millis,
+    header, NOTE block, cue settings, 100+ hour timestamps) through
+    ``caption_cues`` (pure codegen — operators/captions.py:45), then
+    literal sampled frames interval-join their covering cue
+    (``align_frames_to_captions``, :135; uncovered frames survive with
+    null cue). Literal-row pinned."""
+    from ..operators import captions as cap
+
+    srt = (
+        "1\n00:00:01,000 --> 00:00:03,500\nfirst cue\nsecond line\n"
+        "\n2\n00:00:04,000 --> 00:00:06,000\nsecond cue\n"
+    )
+    vtt = (
+        "WEBVTT\n\nNOTE this block is not a cue\n\n"
+        "intro\n00:01.250 --> 00:03.000 align:start\nvtt cue one\n\n"
+        "100:00:01.000 --> 100:00:02.000\nvery late cue\n"
+    )
+    docs = spark.createDataFrame(
+        [(1, srt), (2, vtt)], "media_id long, captions string"
+    )
+    cues = cap.caption_cues(docs)
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 1.5, bytearray(b"f0")),
+            (1, 1, 3.9, bytearray(b"f1")),  # in the 3.5-4.0 gap: no cue
+            (1, 2, 5.0, bytearray(b"f2")),
+            (2, 0, 2.0, bytearray(b"g0")),
+            (2, 1, 360001.5, bytearray(b"g1")),  # inside the 100h cue
+        ],
+        "media_id long, frame_idx int, ts_s double, frame_payload binary",
+    )
+    aligned = cap.align_frames_to_captions(frames, cues)
+    return aligned.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.col("ts_s") * 1e3).cast("long").alias("ts_ms"),
+        F.col("cue_idx").cast("long").alias("cue_idx"),
+        "caption",
+    )
+
+
+@query("crawl_sitemap_entries")
+def crawl_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion under the hard signal: a urlset (loc + lastmod
+    + priority, whitespace-padded values) and a sitemap-index through
+    ``sitemap_entries`` (pure codegen split/regex —
+    sources/warc.py:461). Literal-row pinned; the preamble block drops
+    out by the loc filter."""
+    from ..sources import warc as warc_src
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://ex.org/</loc><lastmod>2026-01-01</lastmod><priority>0.8</priority></url>"
+        "<url><loc> https://ex.org/a </loc></url>"
+        "<url><loc>https://ex.org/b</loc><lastmod> 2026-02-03T04:05:06+00:00 </lastmod></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://ex.org/sitemap1.xml</loc>"
+        "<lastmod>2026-03-01</lastmod></sitemap>"
+        "<sitemap><loc>https://ex.org/sitemap2.xml</loc></sitemap></sitemapindex>"
+    )
+    docs = spark.createDataFrame([(1, urlset), (2, index)], "warc_id long, xml string")
+    return warc_src.sitemap_entries(docs).select(
+        "warc_id",
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        "kind",
+        "loc",
+        "lastmod",
+        "priority",
+    )

@@ -5239,3 +5239,114 @@ SELECT * FROM (VALUES
 # Allow-beats-Disallow tie ('/x'), group selection (trainbot's group, not
 # '*'), site-b's '*' group with blank-Disallow dropped, and the
 # no-rules-host default TRUE.
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 2 — container/EXIF/video metadata, transforms, image stats,
+# audio segmentation/resampling, caption alignment, sitemaps. All inputs are
+# synthesized in-plan from ids (or literal strings) and every operator is
+# deterministic pure numpy/stdlib/codegen, so the oracles pin literal rows
+# (generated from a verified run, identical at sf0.001/sf0.01). Closed-form
+# anchors inside the literals: a solid fill scores exactly 0 entropy/std/
+# sharpness, a 0/255 checkerboard exactly 1.0 bit, a 32-level ramp exactly
+# 5.0 bits; the VAD cuts exactly (0-200ms, 500-700ms) at sine RMS A/sqrt(2);
+# v1 mvhd 90000*7 units at 90 kHz = exactly 7000 ms.
+# ---------------------------------------------------------------------------
+
+ORACLES["multimodal_container_meta"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'image/gif', CAST(68 AS BIGINT), '41cca5a5808f925a13963f8366333fd7', CAST(7 AS BIGINT), CAST(5 AS BIGINT), FALSE),
+  (CAST(1 AS BIGINT), 'image/bmp', CAST(54 AS BIGINT), 'e17d939ecf9a0ab34e51694bea5ff540', CAST(640 AS BIGINT), CAST(480 AS BIGINT), FALSE),
+  (CAST(2 AS BIGINT), 'image/bmp', CAST(26 AS BIGINT), '5dd8511dbf7fd52d5f32fb95092fe5a9', CAST(100 AS BIGINT), CAST(80 AS BIGINT), FALSE),
+  (CAST(3 AS BIGINT), 'image/tiff', CAST(38 AS BIGINT), '581e98755117ae74a4478641d69a032f', CAST(320 AS BIGINT), CAST(240 AS BIGINT), FALSE),
+  (CAST(4 AS BIGINT), 'image/tiff', CAST(38 AS BIGINT), '961dce655e8bfcaed5d5ac6dcdf6d3bc', CAST(64 AS BIGINT), CAST(32 AS BIGINT), FALSE),
+  (CAST(5 AS BIGINT), 'image/webp', CAST(30 AS BIGINT), '475e43e2fd7995899390cbef0abf8f45', CAST(800 AS BIGINT), CAST(600 AS BIGINT), FALSE),
+  (CAST(6 AS BIGINT), 'image/webp', CAST(26 AS BIGINT), 'b4fce49d14140e698bbe2075ceed0745', CAST(800 AS BIGINT), CAST(600 AS BIGINT), FALSE),
+  (CAST(7 AS BIGINT), 'image/webp', CAST(30 AS BIGINT), '15542afd3c876e3052f22865d1bb6f1b', CAST(1024 AS BIGINT), CAST(768 AS BIGINT), FALSE),
+  (CAST(8 AS BIGINT), 'video/mp4', CAST(556 AS BIGINT), 'ef8a5db9b88dbbacd4367e0b73709926', CAST(640 AS BIGINT), CAST(360 AS BIGINT), FALSE),
+  (CAST(9 AS BIGINT), 'audio/x-wav', CAST(8044 AS BIGINT), '464d8b5b31e1192cc151862e0dde1c43', CAST(365 AS BIGINT), CAST(365 AS BIGINT), FALSE),
+  (CAST(10 AS BIGINT), 'image/jpeg', CAST(319 AS BIGINT), '4f75fb6df2eb62a6a146ee3ae0786973', CAST(8 AS BIGINT), CAST(8 AS BIGINT), FALSE),
+  (CAST(11 AS BIGINT), 'image/png', CAST(68 AS BIGINT), 'dc3f36c134870fcb08ff1b9579bfda77', CAST(2 AS BIGINT), CAST(2 AS BIGINT), TRUE),
+  (CAST(12 AS BIGINT), 'application/gzip', CAST(33 AS BIGINT), 'e8419833619b23b7f046622e15069552', CAST(34 AS BIGINT), CAST(34 AS BIGINT), FALSE),
+  (CAST(13 AS BIGINT), 'application/x-tar', CAST(10240 AS BIGINT), 'd532517f15aa372d1a9c36bad073a784', CAST(1 AS BIGINT), CAST(161 AS BIGINT), FALSE),
+  (CAST(14 AS BIGINT), 'text/html', CAST(43 AS BIGINT), '078bdbc708ea1e8649e9865001ec72bd', CAST(44 AS BIGINT), CAST(44 AS BIGINT), FALSE),
+  (CAST(15 AS BIGINT), CAST(NULL AS VARCHAR), CAST(32 AS BIGINT), '72796d54bf54850edd4b88712083a4a5', CAST(33 AS BIGINT), CAST(33 AS BIGINT), FALSE)
+) AS t(media_id, mime, n_bytes, content_md5, width, height, decoded)
+"""
+
+ORACLES["multimodal_exif_meta"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(6 AS BIGINT), 'Acme', 'Cam9000', '2026:08:16 10:00:00', '2026:08:15 09:30:00', CAST(1024 AS BIGINT), CAST(768 AS BIGINT), TRUE),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'Globex', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  (CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE),
+  (CAST(3 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE)
+) AS t(media_id, orientation, make, model, datetime, datetime_original, pixel_x, pixel_y, parsed)
+"""
+
+ORACLES["multimodal_video_meta"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'isom', CAST(50000 AS BIGINT), CAST(2 AS BIGINT), CAST(640 AS BIGINT), CAST(360 AS BIGINT), 'avc1', 'mp4a', TRUE),
+  (CAST(1 AS BIGINT), 'isom', CAST(7000 AS BIGINT), CAST(2 AS BIGINT), CAST(640 AS BIGINT), CAST(360 AS BIGINT), 'avc1', 'mp4a', TRUE),
+  (CAST(2 AS BIGINT), 'isom', CAST(50000 AS BIGINT), CAST(2 AS BIGINT), CAST(1920 AS BIGINT), CAST(1080 AS BIGINT), 'hvc1', 'mp4a', TRUE),
+  (CAST(3 AS BIGINT), 'isom', CAST(50000 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'mp4a', TRUE),
+  (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), FALSE)
+) AS t(media_id, brand, duration_ms, n_tracks, width, height, video_codec, audio_codec, parsed)
+"""
+
+ORACLES["multimodal_transform_fingerprint"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), '906da6dd9ebe11e9e7179053f1f28f9d', TRUE),
+  (CAST(1 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), '197a9e134aa09030fff6845841d559d0', TRUE),
+  (CAST(2 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), '228366a2ab5d5aee08a5e93381124bf4', TRUE),
+  (CAST(3 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), '4d4adcec221c37905893bdc46de3b66d', TRUE),
+  (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), '938da64751b5d8cb717d78e62427c4ae', TRUE),
+  (CAST(5 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), '492e8de22c51d0f6ec2b782063a55a71', FALSE)
+) AS t(media_id, width, height, payload_md5, decoded)
+"""
+
+ORACLES["multimodal_image_stats"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), 'RGB', CAST(770000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+  (CAST(1 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), 'RGB', CAST(1232559 AS BIGINT), CAST(581409 AS BIGINT), CAST(7295882 AS BIGINT), CAST(4708498 AS BIGINT), TRUE),
+  (CAST(2 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), 'RGB', CAST(1303633 AS BIGINT), CAST(841083 AS BIGINT), CAST(6909586 AS BIGINT), CAST(48933451 AS BIGINT), TRUE),
+  (CAST(3 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), 'RGB', CAST(1227188 AS BIGINT), CAST(748332 AS BIGINT), CAST(5000000 AS BIGINT), CAST(3692995 AS BIGINT), TRUE),
+  (CAST(4 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT), 'RGB', CAST(1275000 AS BIGINT), CAST(1275000 AS BIGINT), CAST(1000000 AS BIGINT), CAST(1040400000 AS BIGINT), TRUE),
+  (CAST(5 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE)
+) AS t(media_id, width, height, mode, mean0_e4, std0_e4, entropy_ubits, sharpness_e3, decoded)
+"""
+
+ORACLES["multimodal_audio_segments"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(200 AS BIGINT), CAST(353544 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(500 AS BIGINT), CAST(700 AS BIGINT), CAST(353544 AS BIGINT))
+) AS t(media_id, segment_idx, start_ms, end_ms, rms_ppm)
+"""
+
+ORACLES["multimodal_resample_fingerprint"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(16000 AS BIGINT), CAST(8000 AS BIGINT), 'c88ca0569f32ca4ffda37211bd55c861', TRUE),
+  (CAST(1 AS BIGINT), CAST(16000 AS BIGINT), CAST(4000 AS BIGINT), 'c1f1ce6bc5108be9f113171a0e5bc771', TRUE),
+  (CAST(2 AS BIGINT), CAST(16000 AS BIGINT), CAST(4800 AS BIGINT), 'd4c7fdc979dad72cc43718b4d415253d', TRUE),
+  (CAST(3 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), FALSE),
+  (CAST(4 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), FALSE)
+) AS t(media_id, sample_rate, n_frames, payload_md5, decoded)
+"""
+
+ORACLES["captions_frame_align"] = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1500 AS BIGINT), CAST(0 AS BIGINT), 'first cue second line'),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3900 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(5000 AS BIGINT), CAST(1 AS BIGINT), 'second cue'),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT), CAST(0 AS BIGINT), 'vtt cue one'),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(360001500 AS BIGINT), CAST(1 AS BIGINT), 'very late cue')
+) AS t(media_id, frame_idx, ts_ms, cue_idx, caption)
+"""
+
+ORACLES["crawl_sitemap_entries"] = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'url', 'https://ex.org/', '2026-01-01', CAST(0.8 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'url', 'https://ex.org/a', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'url', 'https://ex.org/b', '2026-02-03T04:05:06+00:00', CAST(NULL AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'sitemap', 'https://ex.org/sitemap1.xml', '2026-03-01', CAST(NULL AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'sitemap', 'https://ex.org/sitemap2.xml', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
+) AS t(warc_id, entry_idx, kind, loc, lastmod, priority)
+"""

@@ -271,6 +271,13 @@ def test_global_plan_hygiene_all_queries(spark):
         "multimodal_audio_fingerprint",
         "crawl_fingerprint",
         "webdataset_roundtrip",
+        "multimodal_container_meta",
+        "multimodal_exif_meta",
+        "multimodal_video_meta",
+        "multimodal_transform_fingerprint",
+        "multimodal_image_stats",
+        "multimodal_audio_segments",
+        "multimodal_resample_fingerprint",
     }
     offenders: list[tuple[str, str]] = []
     for name in QUERIES:

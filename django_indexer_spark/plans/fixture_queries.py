@@ -6632,3 +6632,154 @@ def crawl_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lastmod",
         "priority",
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10 wave 3 — the last unit-only DataFrame ops: raw WARC record
+# explode, HTML head metadata, sentence splitting, frame-timestamp
+# sampling (the engine-side half of the video seam), blob striping.
+# --------------------------------------------------------------------------
+
+
+@query("crawl_warc_records")
+def crawl_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw WARC record-explode layer under the hard signal (the
+    composed pipeline is crawl_fingerprint; this pins the 1→N layer
+    itself, sources/warc.py:149): the same two synthesized gzipped
+    shards, one output row per well-formed record — warcinfo rides
+    through with its raw block, the 404 and image/png responses keep
+    their real HTTP status/content-type, the truncated tail is DROPPED
+    (absence pinned), bodies md5-fingerprinted."""
+    import pandas as _pd
+
+    from ..sources import warc as warc_src
+
+    gen = spark.range(0, 2, 1, 2).select(F.col("id").alias("warc_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "warc_id": pdf["warc_id"].astype("int64"),
+                    "payload": [_synth_warc_shard(int(s)) for s in pdf["warc_id"]],
+                }
+            )
+
+    shards = gen.mapInPandas(synth, "warc_id long, payload binary")
+    recs = warc_src.warc_records(shards)
+    return recs.select(
+        "warc_id",
+        F.col("record_idx").cast("long").alias("record_idx"),
+        "warc_type",
+        "target_uri",
+        "content_type",
+        F.col("http_status").cast("long").alias("http_status"),
+        F.md5("body").alias("body_md5"),
+    )
+
+
+@query("crawl_html_meta")
+def crawl_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML head metadata under the hard signal: title/description/
+    og:title/og:image/canonical/lang as ONE codegen struct
+    (operators/text.py:html_meta — case-insensitive, attribute order
+    tolerated, apostrophes inside double-quoted values survive, bare
+    pages null). Literal pages, literal-row oracle."""
+    pages = [
+        (
+            0,
+            '<html lang="en-US"><head><title> My Page </title>'
+            '<meta name="description" content="A test page">'
+            '<meta content="OG Title" property="og:title">'
+            '<meta property="og:image" content="https://e.com/i.png">'
+            '<link rel="canonical" href="https://e.com/page">'
+            "</head><body>x</body></html>",
+        ),
+        (
+            1,
+            "<HTML LANG='de'><HEAD><TITLE>Groß</TITLE>"
+            "<META NAME='description' CONTENT=\"Dave's home page\"></HEAD></HTML>",
+        ),
+        (2, "<html><body>bare page, no head metadata at all</body></html>"),
+    ]
+    df = spark.createDataFrame(pages, "page_id long, html string")
+    m = text.html_meta("html")
+    return df.select(
+        "page_id",
+        m["title"].alias("title"),
+        m["description"].alias("description"),
+        m["og_title"].alias("og_title"),
+        m["og_image"].alias("og_image"),
+        m["canonical"].alias("canonical"),
+        m["lang_attr"].alias("lang_attr"),
+    )
+
+
+@query("text_sentence_split")
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation under the hard signal: the codegen splitter
+    (operators/text.py:split_sentences — terminal-punctuation runs, the
+    single-letter-initials guard, trimmed non-empty fragments) exploded
+    to one row per sentence over literal docs. Literal-row oracle."""
+    docs = [
+        (0, "First one. Second here! Is this third? Yes."),
+        (1, "Written by J. Smith. Next sentence."),
+        (2, "No terminal punctuation at all"),
+        (3, 'He said "Stop!" Then: nothing.   Trailing spaces.   '),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, body string")
+    return df.select(
+        "doc_id",
+        F.posexplode(text.split_sentences("body")).alias("sentence_idx", "sentence"),
+    ).select(
+        "doc_id", F.col("sentence_idx").cast("long").alias("sentence_idx"), "sentence"
+    )
+
+
+@query("multimodal_frame_timestamps")
+def multimodal_frame_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE-SIDE half of the video seam under the hard signal
+    (DEPLOY.md names the decoder plug-in point; this pins what stays
+    ours): ``sample_frames`` (multimodal.py:1672) spaces its n frames
+    evenly over the REAL mvhd duration from the box walk — v0 600-unit
+    and v1 90 kHz containers land exact millisecond timestamps
+    (50 s/4 → 0,12.5,25,37.5 s; 7 s/4 → 0,1.75,3.5,5.25 s); non-video
+    payloads keep null timestamps; the stand-in frame payloads are
+    md5-pinned so a silent change to the byte-slice contract (the seam
+    a real decoder replaces) shows up as a hash break."""
+    media = _media_df(spark, 5, _synth_mp4)
+    frames = multimodal.sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.col("ts_s") * 1e3).cast("long").alias("ts_ms"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )
+
+
+@query("multimodal_strip_roundtrip")
+def multimodal_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob striping under the hard signal: deterministic variable-length
+    payloads split into 7-unit strips and reassembled strictly by strip
+    index (``strip_and_reassemble``, multimodal.py:1733 — the bounded-
+    row-width shape big binaries take through shuffle planes). The
+    oracle REGENERATES the payloads in SQL and computes the manifest
+    independently (repeat/ceil/md5) — the roundtrip_ok bit and digest
+    equality are cross-engine facts, not pasted literals."""
+    blobs = spark.range(0, 9, 1, 4).select(
+        F.col("id").alias("blob_id"),
+        # lengths 3,6,9,...,27 sweep strip-boundary cases against the
+        # 7-unit strip: shorter than one strip, exact multiple (21),
+        # and every straddle in between
+        F.expr("repeat(concat('x', CAST(id AS STRING), '.'), id + 1)").alias(
+            "payload"
+        ),
+    )
+    out = multimodal.strip_and_reassemble(blobs, "blob_id", "payload", 7)
+    return out.select(
+        F.col("blob").alias("blob_id"),
+        "payload_len",
+        "n_strips",
+        "payload_md5",
+        "roundtrip_ok",
+    )

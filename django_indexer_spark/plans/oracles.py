@@ -5350,3 +5350,82 @@ SELECT * FROM (VALUES
   (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'sitemap', 'https://ex.org/sitemap2.xml', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
 ) AS t(warc_id, entry_idx, kind, loc, lastmod, priority)
 """
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 3 — raw WARC record explode, HTML head metadata, sentence
+# split, frame timestamps (engine-side half of the video seam), blob
+# striping. Literal rows generated from a verified run (sf-invariant),
+# except the striping oracle which REGENERATES payloads and recomputes the
+# manifest independently in SQL.
+# ---------------------------------------------------------------------------
+
+ORACLES["crawl_warc_records"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'warcinfo', CAST(NULL AS VARCHAR), 'application/warc-fields', CAST(NULL AS BIGINT), 'f95978304a75e1bad7a5d20cc27543d7'),
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'response', 'http://site-a.example/utf8', 'text/html; charset=utf-8', CAST(200 AS BIGINT), '0cffd91a27f032a415fbbf703858fd04'),
+  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'response', 'http://site-a.example/missing', 'text/html', CAST(404 AS BIGINT), 'bcf86c7ca95b929ac3e2478e906f5cfd'),
+  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), 'response', 'http://site-a.example/logo', 'image/png', CAST(200 AS BIGINT), '44b3507172ceeb6361fd0fe2e047087c'),
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'response', 'http://site-b.example/cp1252', 'Text/HTML; charset=windows-1252', CAST(200 AS BIGINT), '87a3156f05c639f28b5a2ac92f53aed3'),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'response', 'http://site-b.example/latin1', 'text/html', CAST(200 AS BIGINT), 'd3fae54049c266620c4b24c56850c8d6'),
+  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'response', 'http://site-b.example/de', 'text/html; charset=utf-8', CAST(200 AS BIGINT), 'f28198d3eaa56c5ac2932270ed453cb6')
+) AS t(warc_id, record_idx, warc_type, target_uri, content_type, http_status, body_md5)
+"""
+
+ORACLES["crawl_html_meta"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'My Page', 'A test page', 'OG Title', 'https://e.com/i.png', 'https://e.com/page', 'en-US'),
+  (CAST(1 AS BIGINT), 'Groß', 'Dave''s home page', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'de'),
+  (CAST(2 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+) AS t(page_id, title, description, og_title, og_image, canonical, lang_attr)
+"""
+
+ORACLES["text_sentence_split"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'First one.'),
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'Second here!'),
+  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'Is this third?'),
+  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), 'Yes.'),
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'Written by J. Smith.'),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'Next sentence.'),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'No terminal punctuation at all'),
+  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), 'He said "Stop!" Then: nothing.'),
+  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 'Trailing spaces.')
+) AS t(doc_id, sentence_idx, sentence)
+"""
+
+ORACLES["multimodal_frame_timestamps"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'b11f98ca0dc6f3200911f91bf1b9ee94'),
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(12500 AS BIGINT), '5168144b82bfe12a89b8bfac2ca378ce'),
+  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(25000 AS BIGINT), '74b822c9f7fedb6e0cc89990ef086f22'),
+  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(37500 AS BIGINT), 'de14e4d04399624ee34279b6396841c3'),
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'd2446c73017f8491cca8d6c78f3083f7'),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1750 AS BIGINT), '4f25fe67904c85ea0c1786bc97bdb9cb'),
+  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3500 AS BIGINT), '715dc6874032e7b83455981b82638759'),
+  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(5250 AS BIGINT), '98f8c1d55bc893f5efcbf9622cf005a9'),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), '906c4e5fe9fc01c21956da89fa4686b4'),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12500 AS BIGINT), '317db8529f9ce7be3a9cd7408a131440'),
+  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(25000 AS BIGINT), '5239b73170f11b46744a4a8a1dc2f61d'),
+  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(37500 AS BIGINT), '2ca153af638bbb55be472885b79381d9'),
+  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'e3a0eef69b50a8ea2528e69ba66d700f'),
+  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(12500 AS BIGINT), 'b79535be2f439d1fad583fdb09b3c36e'),
+  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(25000 AS BIGINT), '264eacc99bb22947f2aab20f939026d3'),
+  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(37500 AS BIGINT), '7f8361a8284c80eecdfea73b2739abd2'),
+  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT), '0feb841025580a7a88407642c921a818'),
+  (CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'a25b621f665ba2acabf25ff4f9e99721'),
+  (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), '968788b110008dd4e3db9891c01f4431'),
+  (CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(NULL AS BIGINT), '31ddbeb947cc893442601741e7678558')
+) AS t(media_id, frame_idx, ts_ms, frame_md5)
+"""
+ORACLES["multimodal_strip_roundtrip"] = """
+SELECT CAST(i AS BIGINT) AS blob_id,
+       CAST(length(p) AS BIGINT) AS payload_len,
+       CAST(ceil(length(p) / 7.0) AS BIGINT) AS n_strips,
+       md5(p) AS payload_md5,
+       TRUE AS roundtrip_ok
+FROM (
+  SELECT i,
+         repeat('x' || CAST(i AS VARCHAR) || '.', CAST(i + 1 AS INTEGER)) AS p
+  FROM range(9) t(i)
+)
+"""

@@ -278,6 +278,8 @@ def test_global_plan_hygiene_all_queries(spark):
         "multimodal_image_stats",
         "multimodal_audio_segments",
         "multimodal_resample_fingerprint",
+        "crawl_warc_records",
+        "multimodal_frame_timestamps",
     }
     offenders: list[tuple[str, str]] = []
     for name in QUERIES:

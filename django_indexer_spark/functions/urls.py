@@ -192,3 +192,133 @@ def apply_robots(urls: DataFrame, robots: DataFrame, url_col: str = "url") -> Da
         *urls.columns,
         F.coalesce(best["a"], F.lit(True)).alias("allowed"),
     )
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL for dedup/frontier keys, pure codegen — the
+    normalizations that make two spellings of the same resource hash
+    identically without changing what is fetched:
+
+    1. lowercase the scheme and host (RFC 3986 §6.2.2.1 — both are
+       case-insensitive; the path is NOT and stays untouched),
+    2. drop the fragment (never sent to the server),
+    3. strip default ports (:80 for http, :443 for https),
+    4. drop tracking parameters (utm_*, gclid, fbclid, msclkid, ref)
+       — they address the campaign, not the resource,
+    5. sort surviving query parameters byte-wise (param order is
+       almost never significant; sorting makes ?a=1&b=2 == ?b=2&a=1),
+       dropping the '?' entirely when nothing survives,
+    6. default an empty path to '/' so http://h and http://h/ agree.
+
+    Heuristic 4/5 are the standard crawl-dedup tradeoff (a rare CGI
+    that depends on param ORDER would break — real frontiers accept
+    this); 1-3 and 6 are lossless per RFC 3986."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"#.*$", "")  # 2: fragment
+    # 1: lowercase scheme://host[:port] (the authority prefix only)
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1),
+    )
+    # 3: default ports
+    c = F.regexp_replace(c, r"^(http://[^/?:]*):80(?=[/?]|$)", r"$1")
+    c = F.regexp_replace(c, r"^(https://[^/?:]*):443(?=[/?]|$)", r"$1")
+    prefix = F.regexp_extract(c, r"^([^?]*)", 1)
+    # 6: empty path -> '/'
+    prefix = F.when(
+        F.regexp_like(prefix, F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$")),
+        F.concat(prefix, F.lit("/")),
+    ).otherwise(prefix)
+    query = F.regexp_extract(c, r"\?(.*)$", 1)
+    # 4 + 5: drop tracking params, sort the survivors
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.regexp_like(
+                p, F.lit(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)=")
+            ),
+        )
+    )
+    return F.when(F.size(params) > 0, F.concat(prefix, F.lit("?"), F.array_join(params, "&"))).otherwise(prefix)
+
+
+def parse_robots_extras(text: str, user_agent: str = "*") -> tuple[list[str], float | None]:
+    """The two robots.txt fields ``parse_robots`` doesn't carry:
+    (sitemap_urls, crawl_delay_seconds). Sitemap lines are
+    UA-independent per RFC 9309 §2.3 (collected from the whole file);
+    Crawl-delay is a de-facto extension scoped to the selected UA group
+    (same group-selection rule as the Allow/Disallow rules — exact
+    product-token match, '*' fallback), None when absent/invalid."""
+    sitemaps: list[str] = []
+    delays: dict[str, float] = {}
+    current: list[str] = []
+    seen_rule = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field, value = field.strip().lower(), value.strip()
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+        elif field == "user-agent":
+            if seen_rule:
+                current = []
+                seen_rule = False
+            if value:
+                current.append(value.lower())
+        elif field in ("allow", "disallow", "crawl-delay"):
+            seen_rule = True
+            if field == "crawl-delay":
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    for agent in current:
+                        delays.setdefault(agent, d)
+    token = user_agent.lower().split("/", 1)[0].strip()
+    delay = delays.get(token) if token and token in delays else delays.get("*")
+    return sitemaps, delay
+
+
+def plan_fetch_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling, relationally: assign every
+    frontier URL a slot on its host's clock — ``fetch_at_s`` = slot x
+    the host's crawl delay (``delays``: (host, delay_s) from
+    ``parse_robots_extras``; hosts without a row get
+    ``default_delay_s``). Slots are dense per host in deterministic
+    (url) order, so two runs schedule identically.
+
+    Scale shape: ONE shuffle on host (the row_number window), the delay
+    dim joined per host (Catalyst broadcasts when it fits — same
+    no-forced-broadcast rule as apply_robots). At 100 TB of frontier
+    the per-host partitions ARE the politeness domains, so the window
+    never crosses hosts; skewed mega-hosts are a real frontier's
+    bounded-depth problem, not a shuffle problem."""
+    from pyspark.sql.window import Window
+
+    c = F.col(url_col)
+    host = F.lower(_part(c, "HOST"))
+    d = delays.select(
+        F.lower(F.col("host")).alias("__dhost"),
+        F.col("delay_s").cast("double").alias("__delay"),
+    )
+    u = urls.withColumn("__host", host).join(
+        d, F.col("__host") == F.col("__dhost"), "left"
+    )
+    slot = F.row_number().over(Window.partitionBy("__host").orderBy(url_col)) - 1
+    delay = F.coalesce(F.col("__delay"), F.lit(float(default_delay_s)))
+    return u.select(
+        *urls.columns,
+        F.col("__host").alias("host"),
+        slot.cast("long").alias("slot"),
+        (slot * delay).alias("fetch_at_s"),
+    )

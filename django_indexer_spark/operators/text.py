@@ -1638,3 +1638,69 @@ def html_meta(col: Column | str) -> Column:
         attr_val(r"<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*?href").alias("canonical"),
         attr_val(r"<html\s[^>]*?\blang").alias("lang_attr"),
     )
+
+
+def extract_main_content(col: Column | str, min_block_len: int = 25) -> Column:
+    """Boilerplate removal — the Readability/Arc90 text-density
+    heuristic as ONE codegen Column expression (no UDF; like
+    ``html_to_text`` this runs once per crawled page, so it must stay
+    JVM-side at 100 TB):
+
+    1. drop <script>/<style>/<nav>/<header>/<footer>/<aside> elements
+       wholesale (pure chrome by HTML5 semantics),
+    2. split the page into candidate blocks at block-level boundaries
+       (<p>/<div>/<article>/<section>/<li>/<h1-6>/<td>/<br>),
+    3. score each block: visible-text length vs its link count — a
+       block whose text is mostly anchor text is navigation, not
+       content (the classic link-density cut at 1 link per
+       ~${min_block_len} chars, plus an absolute minimum length that
+       drops button labels and breadcrumbs),
+    4. keep surviving blocks in page order, entity-decode, collapse
+       whitespace.
+
+    A heuristic by design (like ``split_sentences``): it recovers the
+    article body from nav/footer/sidebar chrome without a DOM parser;
+    pages needing DOM-accurate extraction run one downstream. Returns
+    the main text as a single string ('' when nothing survives —
+    a chrome-only page has no main content, which is itself signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(
+        c, r"(?is)<(script|style|nav|header|footer|aside)[^>]*>.*?</\1>", " "
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(
+        c, r"(?i)</?(?:p|div|article|section|li|h[1-6]|td|br)\b[^>]*>"
+    )
+
+    def clean(b: Column) -> Column:
+        t = F.regexp_replace(b, r"<[^>]*>", " ")
+        for entity, repl in (
+            ("&nbsp;", " "),
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", "\""),
+            ("&#39;", "'"),
+            ("&apos;", "'"),
+            ("&amp;", "&"),
+        ):
+            t = F.replace(t, F.lit(entity), F.lit(repl))
+        return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            clean(b).alias("text"),
+            # '<a' is 2 chars, so removed-length / 2 = anchor count
+            (
+                (F.length(b) - F.length(F.regexp_replace(b, r"(?i)<a\b", ""))) / 2
+            ).cast("int").alias("n_links"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["text"]) >= min_block_len)
+        # link-density cut: at most one anchor per min_block_len chars
+        # of visible text — navigation lists fail this immediately
+        & (s["n_links"] * F.lit(int(min_block_len)) <= F.length(s["text"])),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["text"]), " ")

@@ -6783,3 +6783,100 @@ def multimodal_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_md5",
         "roundtrip_ok",
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10 wave 4 — NEW crawl-pipeline operators (not re-gating): main-
+# content extraction, URL canonicalization, politeness fetch scheduling.
+# --------------------------------------------------------------------------
+
+
+@query("crawl_main_content")
+def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal under the hard signal: the Readability-lite
+    codegen heuristic (operators/text.py:extract_main_content — chrome
+    elements dropped wholesale, block split at block-level tags,
+    link-density + minimum-length cuts, in-order reassembly) over an
+    article page with nav/header/sidebar/footer chrome, a chrome-only
+    page (main text = ''), and a plain-text page. Literal-row oracle;
+    the full-text md5 rides along so silent heuristic drift breaks the
+    hash, not just the length."""
+    article = (
+        "<html><head><title>T</title><style>.x{color:red}</style></head><body>"
+        "<nav><a href=a>Home</a> <a href=b>About</a> <a href=c>Contact</a></nav>"
+        "<header><h1>Site-wide header banner here</h1></header>"
+        "<div class=content>"
+        "<p>This is the real article body, a long paragraph with substantial "
+        "prose that clears the minimum block length and has <a href=x>one "
+        "inline link</a> inside it, which is fine.</p>"
+        "<p>Second paragraph of genuine content, long enough to be kept "
+        "by the density heuristic &amp; entity decoding works.</p></div>"
+        "<div class=sidebar><a href=1>Link one</a> <a href=2>Link two</a> "
+        "<a href=3>Link three</a> <a href=4>Link four</a></div>"
+        "<footer>Copyright 2026 Example Corp legal boilerplate.</footer>"
+        "</body></html>"
+    )
+    chrome_only = "<html><body><nav><a href=a>A</a> <a href=b>B</a></nav></body></html>"
+    plain = "<html><body><p>Just one honest paragraph of plain page content here.</p></body></html>"
+    df = spark.createDataFrame(
+        [(0, article), (1, chrome_only), (2, plain)], "page_id long, html string"
+    )
+    main = text.extract_main_content("html")
+    return df.select(
+        "page_id",
+        main.alias("main_text"),
+        F.length(main).cast("long").alias("main_len"),
+        F.md5(F.encode(main, "utf-8")).alias("main_md5"),
+    )
+
+
+@query("crawl_url_canonical")
+def crawl_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under the hard signal (the dedup/frontier
+    key rule, functions/urls.py:canonicalize_url): scheme/host case,
+    fragment, default ports, tracking params, byte-wise param sort,
+    empty-path slash — with non-default ports, path case, and
+    genuinely distinct params preserved. Literal-row oracle."""
+    from ..functions import urls as url_fns
+
+    cases = [
+        (0, "HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag"),
+        (1, "https://example.com:443/"),
+        (2, "https://example.com"),
+        (3, "https://example.com/p?gclid=abc&ref=tw&fbclid=z"),
+        (4, "https://example.com:8443/p?z=1&a=2"),
+        (5, "http://h.io/UPPER/case?utm_campaign=spring#x"),
+        (6, "https://example.com/p?a=1&a=0"),  # duplicate keys sort byte-wise
+    ]
+    df = spark.createDataFrame(cases, "id long, url string")
+    return df.select("id", "url", url_fns.canonicalize_url("url").alias("canonical"))
+
+
+@query("crawl_fetch_schedule")
+def crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling under the hard signal: the per-host fetch
+    clock (functions/urls.py:plan_fetch_schedule — dense row_number
+    slots per host in deterministic url order, fetch_at = slot x the
+    host's crawl delay, default for unlisted hosts). The oracle
+    REGENERATES the frontier and recomputes the schedule with its OWN
+    window + join — an independent twin, not pasted literals."""
+    from ..functions import urls as url_fns
+
+    hosts = F.array(F.lit("a.com"), F.lit("b.com"), F.lit("c.com"))
+    frontier = spark.range(0, 12, 1, 4).select(
+        F.col("id"),
+        F.format_string(
+            "https://%s/p%02d", F.element_at(hosts, (F.col("id") % 3 + 1).cast("int")), F.col("id")
+        ).alias("url"),
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2.0), ("b.com", 0.5)], "host string, delay_s double"
+    )
+    out = url_fns.plan_fetch_schedule(frontier, delays)
+    return out.select(
+        "id",
+        "url",
+        "host",
+        "slot",
+        F.round(F.col("fetch_at_s") * 1e3).cast("long").alias("fetch_at_ms"),
+    )

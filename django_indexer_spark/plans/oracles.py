@@ -5429,3 +5429,50 @@ FROM (
   FROM range(9) t(i)
 )
 """
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 4 — new crawl-pipeline operators: boilerplate removal,
+# URL canonicalization (literal-row oracles), and politeness fetch
+# scheduling, whose oracle REGENERATES the frontier and recomputes the
+# schedule with its own window + join.
+# ---------------------------------------------------------------------------
+
+ORACLES["crawl_main_content"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'This is the real article body, a long paragraph with substantial prose that clears the minimum block length and has one inline link inside it, which is fine. Second paragraph of genuine content, long enough to be kept by the density heuristic & entity decoding works.', CAST(267 AS BIGINT), '93dce4c69c953e367cec4b410ff2d952'),
+  (CAST(1 AS BIGINT), '', CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e'),
+  (CAST(2 AS BIGINT), 'Just one honest paragraph of plain page content here.', CAST(53 AS BIGINT), '251bb5293d95722e02786a039078156a')
+) AS t(page_id, main_text, main_len, main_md5)
+"""
+
+ORACLES["crawl_url_canonical"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag', 'http://example.com/Path/Page?a=1&b=2'),
+  (CAST(1 AS BIGINT), 'https://example.com:443/', 'https://example.com/'),
+  (CAST(2 AS BIGINT), 'https://example.com', 'https://example.com/'),
+  (CAST(3 AS BIGINT), 'https://example.com/p?gclid=abc&ref=tw&fbclid=z', 'https://example.com/p'),
+  (CAST(4 AS BIGINT), 'https://example.com:8443/p?z=1&a=2', 'https://example.com:8443/p?a=2&z=1'),
+  (CAST(5 AS BIGINT), 'http://h.io/UPPER/case?utm_campaign=spring#x', 'http://h.io/UPPER/case'),
+  (CAST(6 AS BIGINT), 'https://example.com/p?a=1&a=0', 'https://example.com/p?a=0&a=1')
+) AS t(id, url, canonical)
+"""
+ORACLES["crawl_fetch_schedule"] = """
+WITH frontier AS (
+  SELECT i AS id,
+         printf('https://%s/p%02d',
+                (['a.com', 'b.com', 'c.com'])[CAST(i % 3 AS INTEGER) + 1],
+                CAST(i AS INTEGER)) AS url,
+         (['a.com', 'b.com', 'c.com'])[CAST(i % 3 AS INTEGER) + 1] AS host
+  FROM range(12) t(i)
+), d(host, delay_s) AS (
+  VALUES ('a.com', 2.0), ('b.com', 0.5)
+), s AS (
+  SELECT id, url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS slot
+  FROM frontier
+)
+SELECT CAST(id AS BIGINT) AS id, url, s.host,
+       CAST(slot AS BIGINT) AS slot,
+       CAST(round(slot * coalesce(delay_s, 1.0) * 1000) AS BIGINT) AS fetch_at_ms
+FROM s LEFT JOIN d ON s.host = d.host
+"""

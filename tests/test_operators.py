@@ -5733,3 +5733,96 @@ def test_round10_advice_regressions(spark):
     row = captions.caption_cues(cdf).collect()[0]
     assert row["start_s"] == 360001.0 and row["end_s"] == 360002.5
     assert row["text"] == "late cue"
+
+
+def test_extract_main_content(spark):
+    """Readability-lite boilerplate removal: nav/header/footer/sidebar
+    chrome dropped (wholesale elements + link-density cut), article
+    paragraphs kept in order with entities decoded; a chrome-only page
+    yields ''."""
+    from django_indexer_spark.operators import text
+
+    page = (
+        "<html><head><title>T</title><style>.x{color:red}</style></head><body>"
+        "<nav><a href=a>Home</a> <a href=b>About</a> <a href=c>Contact</a></nav>"
+        "<header><h1>Site-wide header banner here</h1></header>"
+        "<div class=content>"
+        "<p>This is the real article body, a long paragraph with substantial "
+        "prose that clears the minimum block length and has <a href=x>one "
+        "inline link</a> inside it, which is fine.</p>"
+        "<p>Second paragraph of genuine content, long enough to be kept "
+        "by the density heuristic &amp; entity decoding works.</p></div>"
+        "<div class=sidebar><a href=1>Link one</a> <a href=2>Link two</a> "
+        "<a href=3>Link three</a> <a href=4>Link four</a></div>"
+        "<footer>Copyright 2026 Example Corp legal boilerplate.</footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id long, html string")
+    main = df.select(text.extract_main_content("html").alias("m")).collect()[0]["m"]
+    assert "real article body" in main and "Second paragraph" in main
+    assert "& entity decoding" in main  # &amp; decoded
+    for chrome in ("Home", "header banner", "Link one", "Copyright"):
+        assert chrome not in main
+    # in-order concatenation
+    assert main.index("real article") < main.index("Second paragraph")
+    chrome_only = "<html><body><nav><a href=a>A</a> <a href=b>B</a></nav></body></html>"
+    df2 = spark.createDataFrame([(1, chrome_only)], "id long, html string")
+    assert df2.select(text.extract_main_content("html").alias("m")).collect()[0]["m"] == ""
+
+
+def test_canonicalize_url_and_robots_extras(spark):
+    """canonicalize_url: case, fragment, default ports, tracking params,
+    param sort, empty-path slash — non-default ports and path case
+    untouched. parse_robots_extras: UA-independent sitemaps, group-scoped
+    crawl-delay with '*' fallback."""
+    from django_indexer_spark.functions import urls
+
+    cases = [
+        (0, "HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag"),
+        (1, "https://example.com:443/"),
+        (2, "https://example.com"),
+        (3, "https://example.com/p?gclid=abc&ref=tw"),
+        (4, "https://example.com:8443/p?z=1&a=2"),
+    ]
+    df = spark.createDataFrame(cases, "id long, url string")
+    out = {r["id"]: r["c"] for r in df.select("id", urls.canonicalize_url("url").alias("c")).collect()}
+    assert out[0] == "http://example.com/Path/Page?a=1&b=2"
+    assert out[1] == "https://example.com/" and out[2] == "https://example.com/"
+    assert out[3] == "https://example.com/p"
+    assert out[4] == "https://example.com:8443/p?a=2&z=1"
+
+    txt = (
+        "Sitemap: https://e.com/sm1.xml\nUser-agent: megabot\nCrawl-delay: 2.5\n"
+        "Disallow: /x\nUser-agent: *\nCrawl-delay: 10\nDisallow: /tmp\n"
+        "Sitemap: https://e.com/sm2.xml\n"
+    )
+    assert urls.parse_robots_extras(txt, "MegaBot/1.0") == (
+        ["https://e.com/sm1.xml", "https://e.com/sm2.xml"], 2.5,
+    )
+    assert urls.parse_robots_extras(txt, "other")[1] == 10.0
+    assert urls.parse_robots_extras("User-agent: *\nDisallow: /\n", "a") == ([], None)
+
+
+def test_plan_fetch_schedule(spark):
+    """plan_fetch_schedule: dense per-host slots in deterministic url
+    order, fetch_at = slot x host delay (default for unknown hosts);
+    plan shape = one host-partitioned window, no URL-side groupBy."""
+    from django_indexer_spark.functions import urls
+
+    delays = spark.createDataFrame(
+        [("a.com", 2.0), ("b.com", 0.5)], "host string, delay_s double"
+    )
+    frontier = spark.createDataFrame(
+        [(i, f"https://{h}/p{i}") for i, h in enumerate(
+            ["a.com", "a.com", "a.com", "b.com", "b.com", "c.com"])],
+        "id long, url string",
+    )
+    out = urls.plan_fetch_schedule(frontier, delays)
+    sched = {(r["host"], r["slot"]): r["fetch_at_s"] for r in out.collect()}
+    assert sched[("a.com", 0)] == 0.0 and sched[("a.com", 2)] == 4.0
+    assert sched[("b.com", 1)] == 0.5
+    assert sched[("c.com", 0)] == 0.0  # default 1.0s delay, slot 0
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    wins = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert wins and all("__host" in ln for ln in wins)

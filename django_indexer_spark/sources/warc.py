@@ -299,7 +299,12 @@ def webdataset_samples(
     ).mapInPandas(extract, WDS_SAMPLE_SCHEMA)
 
 
-def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col: str = "payload") -> DataFrame:
+def crawl_to_documents(
+    warc_df: DataFrame,
+    id_col: str = "warc_id",
+    payload_col: str = "payload",
+    main_content_only: bool = False,
+) -> DataFrame:
     """The assembled crawl-ingest pipeline — WARC shards in, a
     ``documents``-shaped table out, every step from this round composed:
 
@@ -308,6 +313,12 @@ def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col:
           → html_to_text (codegen strip/decode)
           → drop empties, derive doc_id = xxhash64(uri), score with
             text.lang_id + text.quality_score (codegen heuristics)
+
+    ``main_content_only=True`` swaps html_to_text for
+    text.extract_main_content — the Readability-lite boilerplate cut —
+    so a corpus build can land article bodies instead of full pages
+    (chrome-only pages then drop at the empty-text filter, which is the
+    curation intent).
 
     Output: (doc_id, source_uri, text, lang, quality) — the schema the
     dedup / sampling / decontamination operators take from here. One
@@ -376,7 +387,15 @@ def crawl_to_documents(warc_df: DataFrame, id_col: str = "warc_id", payload_col:
         & F.lower(F.col("content_type")).startswith("text/html")
     ).select(
         "target_uri",
-        text_ops.html_to_text(body_text).alias("text"),
+        # main_content_only swaps the full-page strip for the
+        # Readability-lite boilerplate cut (text.extract_main_content) —
+        # both single codegen expressions, so the 100 TB cost is the
+        # same one JVM pass per page either way
+        (
+            text_ops.extract_main_content(body_text)
+            if main_content_only
+            else text_ops.html_to_text(body_text)
+        ).alias("text"),
     )
     return (
         pages.filter(F.length("text") > 0)

@@ -1336,3 +1336,42 @@ def test_crawl_charset_aware_decode(spark):
     assert docs["http://l1.example/a"] == "café crème"
     assert docs["http://l2.example/b"] == "naïve — dash"
     assert docs["http://u.example/c"] == "ünïcode"
+
+
+def test_crawl_to_documents_main_content_only(spark):
+    """main_content_only=True routes pages through the Readability-lite
+    cut: article body kept, nav/footer chrome gone, chrome-only pages
+    drop entirely at the empty-text filter; default path unchanged."""
+    from django_indexer_spark.sources import warc as warc_src
+
+    def record(uri, body):
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    article = (
+        b"<html><body><nav><a href=a>Home</a> <a href=b>About</a></nav>"
+        b"<p>The genuine article body paragraph, comfortably longer than the "
+        b"minimum block length the density heuristic requires.</p>"
+        b"<footer>Copyright footer chrome and legal boilerplate.</footer></body></html>"
+    )
+    chrome = b"<html><body><nav><a href=a>A</a> <a href=b>B</a></nav></body></html>"
+    shard = record("http://e.com/article", article) + record("http://e.com/chrome", chrome)
+    df = spark.createDataFrame([(0, bytearray(shard))], "warc_id long, payload binary")
+
+    full = {r["source_uri"]: r["text"] for r in warc_src.crawl_to_documents(df).collect()}
+    assert set(full) == {"http://e.com/article", "http://e.com/chrome"}
+    assert "Home" in full["http://e.com/article"]  # default keeps chrome text
+
+    main = {r["source_uri"]: r["text"] for r in warc_src.crawl_to_documents(
+        df, main_content_only=True).collect()}
+    assert set(main) == {"http://e.com/article"}  # chrome-only page dropped
+    assert "genuine article body" in main["http://e.com/article"]
+    assert "Home" not in main["http://e.com/article"]
+    assert "Copyright" not in main["http://e.com/article"]

@@ -1704,3 +1704,151 @@ def extract_main_content(col: Column | str, min_block_len: int = 25) -> Column:
         & (s["n_links"] * F.lit(int(min_block_len)) <= F.length(s["text"])),
     )
     return F.array_join(F.transform(kept, lambda s: s["text"]), " ")
+
+
+# Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A — the published heuristic filter
+# battery that became the standard web-corpus pre-filter)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(col: Column | str) -> Column:
+    """The Gopher quality-rule battery as ONE codegen struct — the
+    published pre-filter every large web corpus applies before the
+    model-based scorers (public knowledge: Rae et al. 2021 App. A;
+    reused by MassiveText/FineWeb-class pipelines):
+
+    - word_count in [50, 100_000]
+    - mean_word_len in [3, 10]
+    - symbol_ratio (# or ... per word) <= 0.1
+    - bullet_ratio (lines starting with a bullet) <= 0.9
+    - ellipsis_ratio (lines ending with ...) <= 0.3
+    - alpha_word_ratio (words containing a letter) >= 0.8
+    - stopword_hits (of the 8 canonical English stop words) >= 2
+
+    Returns the MEASURES alongside the per-rule booleans and the overall
+    ``passes`` conjunction, so a pipeline can both filter and stratify
+    by failure mode. Pure Column expressions — at 100 TB this is one
+    whole-stage-codegen pass per document, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    lines = F.filter(F.split(c, r"\r?\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = total_word_chars / F.greatest(n_words, F.lit(1))
+    n_symbols = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    )
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda ln: F.regexp_like(F.trim(ln), F.lit(r"^[-*•]"))))
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("...")))
+        / n_lines
+    )
+    alpha_word_ratio = (
+        F.size(F.filter(words, lambda w: F.regexp_like(w, F.lit("[A-Za-z]"))))
+        / F.greatest(n_words, F.lit(1))
+    )
+    lowered = F.concat(F.lit(" "), F.lower(F.regexp_replace(c, r"\s+", " ")), F.lit(" "))
+    stopword_hits = F.aggregate(
+        F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        F.lit(0),
+        lambda acc, w: acc
+        + F.when(lowered.contains(F.concat(F.lit(" "), w, F.lit(" "))), 1).otherwise(0),
+    )
+    ok_words = (n_words >= 50) & (n_words <= 100_000)
+    ok_word_len = (mean_word_len >= 3) & (mean_word_len <= 10)
+    ok_symbols = symbol_ratio <= 0.1
+    ok_bullets = bullet_ratio <= 0.9
+    ok_ellipsis = ellipsis_ratio <= 0.3
+    ok_alpha = alpha_word_ratio >= 0.8
+    ok_stop = stopword_hits >= 2
+    return F.struct(
+        n_words.cast("long").alias("word_count"),
+        mean_word_len.cast("double").alias("mean_word_len"),
+        symbol_ratio.cast("double").alias("symbol_ratio"),
+        bullet_ratio.cast("double").alias("bullet_ratio"),
+        ellipsis_ratio.cast("double").alias("ellipsis_ratio"),
+        alpha_word_ratio.cast("double").alias("alpha_word_ratio"),
+        stopword_hits.cast("long").alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_word_len.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullet_ratio"),
+        ok_ellipsis.alias("ok_ellipsis_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_words & ok_word_len & ok_symbols & ok_bullets
+            & ok_ellipsis & ok_alpha & ok_stop
+        ).alias("passes"),
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_freq: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-frequency line dedup — the CCNet/RefinedWeb step that
+    strips boilerplate LINES (cookie banners, nav crumbs, share
+    buttons) by how often the exact line recurs ACROSS the corpus:
+    lines whose trimmed text appears in more than ``max_freq``
+    documents are dropped from every document; survivors are
+    reassembled in original order. Empty/short lines (<
+    ``min_line_chars``) pass through untouched — they are formatting,
+    not boilerplate evidence.
+
+    Scale shape: explode is in-task (no shuffle); the line-frequency
+    count and the keep-join share ONE md5(line) hash partitioning
+    (co-located — Catalyst reuses the exchange); reassembly is the one
+    per-document shuffle. Never a cartesian; skew = a mega-duplicated
+    line, which is exactly what gets dropped. Output: (id, text,
+    n_lines_kept, n_lines_dropped)."""
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("__idx", "__line"),
+    ).withColumn("__key", F.md5(F.trim(F.col("__line"))))
+    sized = lines.withColumn(
+        "__countable", F.length(F.trim("__line")) >= min_line_chars
+    )
+    # frequency = number of DISTINCT documents carrying the line (a line
+    # repeated inside one page is repetition, not cross-site boilerplate)
+    freq = (
+        sized.filter("__countable")
+        .groupBy("__key")
+        .agg(F.count_distinct("__id").alias("__n_docs"))
+    )
+    kept = (
+        sized.join(freq, "__key", "left")
+        .filter(~F.col("__countable") | (F.col("__n_docs") <= max_freq))
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(struct(__idx, __line))), x -> x.__line)"),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        )
+        .join(
+            lines.groupBy("__id").agg(F.count(F.lit(1)).cast("long").alias("__n_total")),
+            "__id",
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            text_col,
+            "n_lines_kept",
+            (F.col("__n_total") - F.col("n_lines_kept")).alias("n_lines_dropped"),
+        )
+    )

@@ -6880,3 +6880,63 @@ def crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slot",
         F.round(F.col("fetch_at_s") * 1e3).cast("long").alias("fetch_at_ms"),
     )
+
+
+@query("text_gopher_flags")
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery under the hard signal
+    (operators/text.py:gopher_quality_flags — the published web-corpus
+    pre-filter): five literal docs, one passing and one tripping each
+    rule family (word count, bullet lines, symbol ratio, non-alpha
+    words), measures in exact micro-units plus every per-rule boolean.
+    Literal-row oracle."""
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs with great "
+        "speed across the field. " * 4
+        + "It would have been fine to be there with all of that in mind."
+    )
+    docs = [
+        (0, good),
+        (1, "Too few words here."),
+        (2, "\n".join(f"- bullet item {i}" for i in range(10))),
+        (3, " ".join(["word#tag"] * 30 + ["the", "of", "and"] * 10)),
+        (4, " ".join(["12345", "67890"] * 30 + ["the", "of"] * 5)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, body string")
+    g = text.gopher_quality_flags("body")
+    return df.select(
+        "doc_id",
+        g["word_count"].alias("word_count"),
+        F.round(g["mean_word_len"] * 1e6).cast("long").alias("mean_word_len_ppm"),
+        F.round(g["symbol_ratio"] * 1e6).cast("long").alias("symbol_ratio_ppm"),
+        F.round(g["bullet_ratio"] * 1e6).cast("long").alias("bullet_ratio_ppm"),
+        F.round(g["alpha_word_ratio"] * 1e6).cast("long").alias("alpha_word_ratio_ppm"),
+        g["stopword_hits"].alias("stopword_hits"),
+        g["ok_word_count"].alias("ok_word_count"),
+        g["ok_bullet_ratio"].alias("ok_bullet_ratio"),
+        g["ok_symbol_ratio"].alias("ok_symbol_ratio"),
+        g["ok_alpha_words"].alias("ok_alpha_words"),
+        g["passes"].alias("passes"),
+    )
+
+
+@query("text_line_dedup")
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-frequency dedup under the hard signal
+    (operators/text.py:dedup_lines): boilerplate lines recurring across
+    > max_freq DISTINCT docs drop from every doc, uniques survive in
+    order, blank lines pass through, in-doc repetition is NOT treated
+    as boilerplate. The oracle REGENERATES the corpus and recomputes
+    the whole dedup in SQL (split/unnest, count-distinct frequency,
+    ordered string_agg) — an independent twin."""
+    docs = spark.createDataFrame(
+        [
+            (0, "Accept all cookies\nunique line zero\nShare on social"),
+            (1, "Accept all cookies\nunique line one\n\nShare on social"),
+            (2, "Accept all cookies\nunique line two"),
+            (3, "repeated inside\nrepeated inside\nown text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.dedup_lines(docs, max_freq=1)
+    return out.select("doc_id", "text", "n_lines_kept", "n_lines_dropped")

@@ -5476,3 +5476,49 @@ SELECT CAST(id AS BIGINT) AS id, url, s.host,
        CAST(round(slot * coalesce(delay_s, 1.0) * 1000) AS BIGINT) AS fetch_at_ms
 FROM s LEFT JOIN d ON s.host = d.host
 """
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 5 — Gopher quality rules (literal-row oracle) and CCNet
+# line-frequency dedup, whose oracle REGENERATES the corpus and recomputes
+# the dedup in SQL (parallel unnest for (idx, line), count-distinct
+# frequency, ordered string_agg reassembly).
+# ---------------------------------------------------------------------------
+
+ORACLES["text_gopher_flags"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(82 AS BIGINT), CAST(4048780 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(8 AS BIGINT), TRUE, TRUE, TRUE, TRUE, TRUE),
+  (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4000000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE, TRUE, TRUE, FALSE),
+  (CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(3000000 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(500000 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE, TRUE, FALSE, FALSE),
+  (CAST(3 AS BIGINT), CAST(60 AS BIGINT), CAST(5333333 AS BIGINT), CAST(500000 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(3 AS BIGINT), TRUE, TRUE, FALSE, TRUE, FALSE),
+  (CAST(4 AS BIGINT), CAST(70 AS BIGINT), CAST(4642857 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(142857 AS BIGINT), CAST(2 AS BIGINT), TRUE, TRUE, TRUE, FALSE, FALSE)
+) AS t(doc_id, word_count, mean_word_len_ppm, symbol_ratio_ppm, bullet_ratio_ppm, alpha_word_ratio_ppm, stopword_hits, ok_word_count, ok_bullet_ratio, ok_symbol_ratio, ok_alpha_words, passes)
+"""
+ORACLES["text_line_dedup"] = """
+WITH docs(doc_id, text) AS (VALUES
+  (0, 'Accept all cookies' || chr(10) || 'unique line zero' || chr(10) || 'Share on social'),
+  (1, 'Accept all cookies' || chr(10) || 'unique line one' || chr(10) || '' || chr(10) || 'Share on social'),
+  (2, 'Accept all cookies' || chr(10) || 'unique line two'),
+  (3, 'repeated inside' || chr(10) || 'repeated inside' || chr(10) || 'own text')
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(len(string_split(text, chr(10))))) AS idx
+  FROM docs
+), freq AS (
+  SELECT trim(line) AS key, count(DISTINCT doc_id) AS n_docs
+  FROM lines WHERE length(trim(line)) >= 1
+  GROUP BY 1
+), kept AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM lines l LEFT JOIN freq f ON trim(l.line) = f.key
+  WHERE length(trim(l.line)) < 1 OR f.n_docs <= 1
+)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines_kept,
+       CAST(t.n_total - count(*) AS BIGINT) AS n_lines_dropped
+FROM kept k
+JOIN (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY 1) t
+  ON k.doc_id = t.doc_id
+GROUP BY k.doc_id, t.n_total
+"""

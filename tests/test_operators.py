@@ -5826,3 +5826,59 @@ def test_plan_fetch_schedule(spark):
     assert "monotonically_increasing_id" not in plan
     wins = [ln for ln in plan.splitlines() if "Window" in ln]
     assert wins and all("__host" in ln for ln in wins)
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher rule battery: a normal prose doc passes all seven; each
+    crafted failure doc trips exactly its rule (word count, bullets,
+    symbol ratio, alpha words)."""
+    from django_indexer_spark.operators import text
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs with great "
+        "speed across the field. " * 4
+        + "It would have been fine to be there with all of that in mind."
+    )
+    docs = [
+        (0, good),
+        (1, "Too few words here."),
+        (2, "\n".join(f"- bullet item {i}" for i in range(10))),
+        (3, " ".join(["word#tag"] * 30 + ["the", "of", "and"] * 10)),
+        (4, " ".join(["12345", "67890"] * 30 + ["the", "of"] * 5)),
+    ]
+    df = spark.createDataFrame(docs, "id long, t string")
+    rows = {r["id"]: r["g"] for r in df.select(
+        "id", text.gopher_quality_flags("t").alias("g")).collect()}
+    assert rows[0]["passes"] is True and rows[0]["stopword_hits"] == 8
+    assert rows[1]["passes"] is False and rows[1]["ok_word_count"] is False
+    assert rows[2]["ok_bullet_ratio"] is False and rows[2]["bullet_ratio"] == 1.0
+    assert rows[3]["ok_symbol_ratio"] is False
+    assert rows[4]["ok_alpha_words"] is False
+
+
+def test_dedup_lines_cross_corpus(spark):
+    """CCNet-style line dedup: lines recurring in > max_freq DISTINCT
+    docs drop everywhere, uniques survive in order, empty lines pass
+    through, in-doc repetition alone is not boilerplate."""
+    from django_indexer_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Accept all cookies\nunique line zero\nShare on social"),
+            (1, "Accept all cookies\nunique line one\n\nShare on social"),
+            (2, "Accept all cookies\nunique line two"),
+            (3, "repeated inside\nrepeated inside\nown text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.dedup_lines(docs, max_freq=1).collect()}
+    assert out[0]["text"] == "unique line zero"
+    assert out[1]["text"] == "unique line one\n"  # blank line preserved
+    assert out[2]["text"] == "unique line two"
+    assert out[0]["n_lines_dropped"] == 2 and out[2]["n_lines_dropped"] == 1
+    # one doc repeating its own line: count_distinct(doc) == 1 <= max_freq
+    assert out[3]["text"] == "repeated inside\nrepeated inside\nown text"
+    # plan: the freq count and keep-join share the md5-key partitioning,
+    # reassembly is the one per-doc shuffle — no cartesian anywhere
+    plan = text.dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

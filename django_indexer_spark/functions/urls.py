@@ -212,17 +212,35 @@ def canonicalize_url(col: Column | str) -> Column:
 
     Heuristic 4/5 are the standard crawl-dedup tradeoff (a rare CGI
     that depends on param ORDER would break — real frontiers accept
-    this); 1-3 and 6 are lossless per RFC 3986."""
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, r"#.*$", "")  # 2: fragment
-    # 1: lowercase scheme://host[:port] (the authority prefix only)
-    c = F.concat(
-        F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
-        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1),
+    this); 1-3 and 6 are lossless per RFC 3986.
+
+    Inputs WITHOUT an absolute ``scheme://`` prefix (relative paths,
+    protocol-relative ``//h/p``, ``mailto:``) pass through UNCHANGED
+    (round-10 ADVICE: the old concat-of-extracts collapsed them all to
+    the empty string — one false dedup key for every malformed URL);
+    callers that must resolve relative links do so against a base URL
+    before keying. RFC 3986 §3.2.1 userinfo is case-SENSITIVE, so only
+    the host:port half of the authority (after the last ``@``) is
+    lowercased, and the default-port strip runs on that half so a ':'
+    inside credentials can't hide a ``:80``."""
+    c0 = F.col(col) if isinstance(col, str) else col
+    is_abs = F.regexp_like(c0, F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*://"))
+    c = F.regexp_replace(c0, r"#.*$", "")  # 2: fragment
+    # 1: lowercase the scheme and the host[:port] — NOT the userinfo
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)  # greedy: up to LAST '@'
+    hostport = F.lower(F.regexp_extract(auth, r"([^@]*)$", 1))
+    # 3: default ports (matched against host:port alone, so credentialed
+    # URLs strip correctly; a bracketed IPv6 literal's ']' blocks a
+    # false match inside the address)
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
     )
-    # 3: default ports
-    c = F.regexp_replace(c, r"^(http://[^/?:]*):80(?=[/?]|$)", r"$1")
-    c = F.regexp_replace(c, r"^(https://[^/?:]*):443(?=[/?]|$)", r"$1")
+    c = F.concat(scheme, F.lit("://"), userinfo, hostport, rest)
     prefix = F.regexp_extract(c, r"^([^?]*)", 1)
     # 6: empty path -> '/'
     prefix = F.when(
@@ -240,7 +258,10 @@ def canonicalize_url(col: Column | str) -> Column:
             ),
         )
     )
-    return F.when(F.size(params) > 0, F.concat(prefix, F.lit("?"), F.array_join(params, "&"))).otherwise(prefix)
+    canonical = F.when(
+        F.size(params) > 0, F.concat(prefix, F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(prefix)
+    return F.when(is_abs, canonical).otherwise(c0)
 
 
 def parse_robots_extras(text: str, user_agent: str = "*") -> tuple[list[str], float | None]:

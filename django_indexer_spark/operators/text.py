@@ -1708,11 +1708,15 @@ def extract_main_content(col: Column | str, min_block_len: int = 25) -> Column:
 
 # Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
 # Models: ... Gopher", Appendix A — the published heuristic filter
-# battery that became the standard web-corpus pre-filter)
+# battery that became the standard web-corpus pre-filter). The list is
+# ENGLISH-ONLY by construction; gopher_quality_flags takes a per-language
+# replacement tuple for corpora routed by text_lang_id.
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_flags(col: Column | str) -> Column:
+def gopher_quality_flags(
+    col: Column | str, stopwords: tuple[str, ...] = _GOPHER_STOPWORDS
+) -> Column:
     """The Gopher quality-rule battery as ONE codegen struct — the
     published pre-filter every large web corpus applies before the
     model-based scorers (public knowledge: Rae et al. 2021 App. A;
@@ -1724,7 +1728,17 @@ def gopher_quality_flags(col: Column | str) -> Column:
     - bullet_ratio (lines starting with a bullet) <= 0.9
     - ellipsis_ratio (lines ending with ...) <= 0.3
     - alpha_word_ratio (words containing a letter) >= 0.8
-    - stopword_hits (of the 8 canonical English stop words) >= 2
+    - stopword_hits (distinct ``stopwords`` present) >= 2
+
+    The default stopword list is the battery's 8 canonical ENGLISH
+    words — the published rule is English-only, so non-English corpora
+    must route through ``text_lang_id`` first and pass a per-language
+    ``stopwords`` tuple here (any lowercase alphabetic words work; the
+    thresholds are the caller's to re-tune). A stopword counts when it
+    appears as a word TOKEN after stripping non-letters — 'the,' and
+    'of.' count (round-10 ADVICE: the old space-delimited substring
+    probe missed punctuation-adjacent tokens, flipping ok_stopwords
+    false on valid prose).
 
     Returns the MEASURES alongside the per-rule booleans and the overall
     ``passes`` conjunction, so a pipeline can both filter and stratify
@@ -1756,12 +1770,15 @@ def gopher_quality_flags(col: Column | str) -> Column:
         F.size(F.filter(words, lambda w: F.regexp_like(w, F.lit("[A-Za-z]"))))
         / F.greatest(n_words, F.lit(1))
     )
-    lowered = F.concat(F.lit(" "), F.lower(F.regexp_replace(c, r"\s+", " ")), F.lit(" "))
+    # word-token rule: strip non-letters from each whitespace token, then
+    # test membership — 'the,' counts, 'other' never false-hits 'the'
+    norm_words = F.transform(
+        words, lambda w: F.lower(F.regexp_replace(w, r"[^A-Za-z]", ""))
+    )
     stopword_hits = F.aggregate(
-        F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        F.array(*[F.lit(w) for w in stopwords]),
         F.lit(0),
-        lambda acc, w: acc
-        + F.when(lowered.contains(F.concat(F.lit(" "), w, F.lit(" "))), 1).otherwise(0),
+        lambda acc, w: acc + F.when(F.array_contains(norm_words, w), 1).otherwise(0),
     )
     ok_words = (n_words >= 50) & (n_words <= 100_000)
     ok_word_len = (mean_word_len >= 3) & (mean_word_len <= 10)
@@ -1813,7 +1830,11 @@ def dedup_lines(
     (co-located — Catalyst reuses the exchange); reassembly is the one
     per-document shuffle. Never a cartesian; skew = a mega-duplicated
     line, which is exactly what gets dropped. Output: (id, text,
-    n_lines_kept, n_lines_dropped)."""
+    n_lines_kept, n_lines_dropped) — one row per INPUT document: a doc
+    whose every line is boilerplate surfaces as ('', 0, n_total)
+    rather than vanishing (round-10 ADVICE — silent row loss broke
+    downstream doc accounting), so the stage is row-count-preserving
+    like any honest filter-annotate step."""
     lines = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("__idx", "__line"),
@@ -1832,23 +1853,29 @@ def dedup_lines(
         sized.join(freq, "__key", "left")
         .filter(~F.col("__countable") | (F.col("__n_docs") <= max_freq))
     )
+    kept_agg = kept.groupBy("__id").agg(
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(__idx, __line))), x -> x.__line)"),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    # the per-doc totals are the doc SPINE (every input doc has >= 1
+    # line row): left-joining the kept aggregate onto it keeps docs
+    # whose every line was dropped in the output instead of losing them
     return (
-        kept.groupBy("__id")
-        .agg(
-            F.array_join(
-                F.expr("transform(sort_array(collect_list(struct(__idx, __line))), x -> x.__line)"),
-                "\n",
-            ).alias(text_col),
-            F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
-        )
-        .join(
-            lines.groupBy("__id").agg(F.count(F.lit(1)).cast("long").alias("__n_total")),
-            "__id",
-        )
+        lines.groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_total"))
+        .join(kept_agg, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            text_col,
-            "n_lines_kept",
-            (F.col("__n_total") - F.col("n_lines_kept")).alias("n_lines_dropped"),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")).alias(
+                "n_lines_kept"
+            ),
+            (
+                F.col("__n_total")
+                - F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long"))
+            ).alias("n_lines_dropped"),
         )
     )

@@ -6836,7 +6836,10 @@ def crawl_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     key rule, functions/urls.py:canonicalize_url): scheme/host case,
     fragment, default ports, tracking params, byte-wise param sort,
     empty-path slash — with non-default ports, path case, and
-    genuinely distinct params preserved. Literal-row oracle."""
+    genuinely distinct params preserved; non-absolute inputs pass
+    through unchanged and credentialed authorities keep userinfo case
+    while still stripping :80/:443 (round-10 ADVICE). Literal-row
+    oracle."""
     from ..functions import urls as url_fns
 
     cases = [
@@ -6847,6 +6850,10 @@ def crawl_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "https://example.com:8443/p?z=1&a=2"),
         (5, "http://h.io/UPPER/case?utm_campaign=spring#x"),
         (6, "https://example.com/p?a=1&a=0"),  # duplicate keys sort byte-wise
+        (7, "example.com/relative/path"),  # no scheme: unchanged
+        (8, "//cdn.example.com/lib.js"),  # protocol-relative: unchanged
+        (9, "mailto:user@example.com"),  # non-hierarchical: unchanged
+        (10, "HTTP://User:Pw@Example.COM:80/a"),  # userinfo case kept
     ]
     df = spark.createDataFrame(cases, "id long, url string")
     return df.select("id", "url", url_fns.canonicalize_url("url").alias("canonical"))
@@ -6926,15 +6933,18 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:dedup_lines): boilerplate lines recurring across
     > max_freq DISTINCT docs drop from every doc, uniques survive in
     order, blank lines pass through, in-doc repetition is NOT treated
-    as boilerplate. The oracle REGENERATES the corpus and recomputes
-    the whole dedup in SQL (split/unnest, count-distinct frequency,
-    ordered string_agg) — an independent twin."""
+    as boilerplate, and a doc whose EVERY line is boilerplate still
+    emits its ('', 0, n_total) row (round-10 ADVICE — no silent row
+    loss). The oracle REGENERATES the corpus and recomputes the whole
+    dedup in SQL (split/unnest, count-distinct frequency, ordered
+    string_agg, doc-spine left join) — an independent twin."""
     docs = spark.createDataFrame(
         [
             (0, "Accept all cookies\nunique line zero\nShare on social"),
             (1, "Accept all cookies\nunique line one\n\nShare on social"),
             (2, "Accept all cookies\nunique line two"),
             (3, "repeated inside\nrepeated inside\nown text"),
+            (4, "Accept all cookies\nShare on social"),  # all-boilerplate
         ],
         "doc_id long, text string",
     )

@@ -5453,7 +5453,11 @@ SELECT * FROM (VALUES
   (CAST(3 AS BIGINT), 'https://example.com/p?gclid=abc&ref=tw&fbclid=z', 'https://example.com/p'),
   (CAST(4 AS BIGINT), 'https://example.com:8443/p?z=1&a=2', 'https://example.com:8443/p?a=2&z=1'),
   (CAST(5 AS BIGINT), 'http://h.io/UPPER/case?utm_campaign=spring#x', 'http://h.io/UPPER/case'),
-  (CAST(6 AS BIGINT), 'https://example.com/p?a=1&a=0', 'https://example.com/p?a=0&a=1')
+  (CAST(6 AS BIGINT), 'https://example.com/p?a=1&a=0', 'https://example.com/p?a=0&a=1'),
+  (CAST(7 AS BIGINT), 'example.com/relative/path', 'example.com/relative/path'),
+  (CAST(8 AS BIGINT), '//cdn.example.com/lib.js', '//cdn.example.com/lib.js'),
+  (CAST(9 AS BIGINT), 'mailto:user@example.com', 'mailto:user@example.com'),
+  (CAST(10 AS BIGINT), 'HTTP://User:Pw@Example.COM:80/a', 'http://User:Pw@example.com/a')
 ) AS t(id, url, canonical)
 """
 ORACLES["crawl_fetch_schedule"] = """
@@ -5498,7 +5502,8 @@ WITH docs(doc_id, text) AS (VALUES
   (0, 'Accept all cookies' || chr(10) || 'unique line zero' || chr(10) || 'Share on social'),
   (1, 'Accept all cookies' || chr(10) || 'unique line one' || chr(10) || '' || chr(10) || 'Share on social'),
   (2, 'Accept all cookies' || chr(10) || 'unique line two'),
-  (3, 'repeated inside' || chr(10) || 'repeated inside' || chr(10) || 'own text')
+  (3, 'repeated inside' || chr(10) || 'repeated inside' || chr(10) || 'own text'),
+  (4, 'Accept all cookies' || chr(10) || 'Share on social')
 ), lines AS (
   SELECT doc_id,
          unnest(string_split(text, chr(10))) AS line,
@@ -5513,12 +5518,11 @@ WITH docs(doc_id, text) AS (VALUES
   FROM lines l LEFT JOIN freq f ON trim(l.line) = f.key
   WHERE length(trim(l.line)) < 1 OR f.n_docs <= 1
 )
-SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text,
-       CAST(count(*) AS BIGINT) AS n_lines_kept,
-       CAST(t.n_total - count(*) AS BIGINT) AS n_lines_dropped
-FROM kept k
-JOIN (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY 1) t
-  ON k.doc_id = t.doc_id
-GROUP BY k.doc_id, t.n_total
+       CAST(count(k.line) AS BIGINT) AS n_lines_kept,
+       CAST(t.n_total - count(k.line) AS BIGINT) AS n_lines_dropped
+FROM (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY 1) t
+LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, t.n_total
 """

@@ -5783,6 +5783,15 @@ def test_canonicalize_url_and_robots_extras(spark):
         (2, "https://example.com"),
         (3, "https://example.com/p?gclid=abc&ref=tw"),
         (4, "https://example.com:8443/p?z=1&a=2"),
+        # round-10 ADVICE: non-absolute inputs pass through UNCHANGED
+        # instead of collapsing to '' (one false dedup key for all)
+        (5, "example.com/relative/path"),
+        (6, "//cdn.example.com/lib.js"),
+        (7, "mailto:user@example.com"),
+        # RFC 3986: userinfo is case-sensitive — only host lowercased;
+        # ':' in the credentials must not hide the default-port strip
+        (8, "HTTP://User:Pw@Example.COM:80/a"),
+        (9, "https://User@Example.COM/b#f"),
     ]
     df = spark.createDataFrame(cases, "id long, url string")
     out = {r["id"]: r["c"] for r in df.select("id", urls.canonicalize_url("url").alias("c")).collect()}
@@ -5790,6 +5799,11 @@ def test_canonicalize_url_and_robots_extras(spark):
     assert out[1] == "https://example.com/" and out[2] == "https://example.com/"
     assert out[3] == "https://example.com/p"
     assert out[4] == "https://example.com:8443/p?a=2&z=1"
+    assert out[5] == "example.com/relative/path"
+    assert out[6] == "//cdn.example.com/lib.js"
+    assert out[7] == "mailto:user@example.com"
+    assert out[8] == "http://User:Pw@example.com/a"
+    assert out[9] == "https://User@example.com/b"
 
     txt = (
         "Sitemap: https://e.com/sm1.xml\nUser-agent: megabot\nCrawl-delay: 2.5\n"
@@ -5856,6 +5870,30 @@ def test_gopher_quality_flags(spark):
     assert rows[4]["ok_alpha_words"] is False
 
 
+def test_gopher_stopwords_punctuation_and_custom_list(spark):
+    """Round-10 ADVICE: stopwords adjacent to punctuation ('the,'
+    'of.') count via the word-token rule; the stopword list is
+    parameterizable for non-English corpora (the default battery is
+    English-only by construction)."""
+    from django_indexer_spark.operators import text
+
+    punct = "Start the, middle of. also and; then that! we have: go with?"
+    df = spark.createDataFrame([(0, punct)], "id long, t string")
+    row = df.select(text.gopher_quality_flags("t").alias("g")).first()["g"]
+    # all six punctuation-adjacent stopwords count (the old substring
+    # probe scored this text 0 and flipped ok_stopwords false)
+    assert row["stopword_hits"] == 6 and row["ok_stopwords"] is True
+
+    german = "Wir haben die Daten und die Modelle mit der Zeit geprüft."
+    gdf = spark.createDataFrame([(0, german)], "id long, t string")
+    default_row = gdf.select(text.gopher_quality_flags("t").alias("g")).first()["g"]
+    custom_row = gdf.select(
+        text.gopher_quality_flags("t", stopwords=("die", "und", "mit", "der")).alias("g")
+    ).first()["g"]
+    assert default_row["stopword_hits"] == 0
+    assert custom_row["stopword_hits"] == 4 and custom_row["ok_stopwords"] is True
+
+
 def test_dedup_lines_cross_corpus(spark):
     """CCNet-style line dedup: lines recurring in > max_freq DISTINCT
     docs drop everywhere, uniques survive in order, empty lines pass
@@ -5882,3 +5920,26 @@ def test_dedup_lines_cross_corpus(spark):
     # reassembly is the one per-doc shuffle — no cartesian anywhere
     plan = text.dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_lines_all_boilerplate_doc_survives(spark):
+    """Round-10 ADVICE: a doc whose EVERY line exceeds max_freq must
+    still emit its row — ('', 0, n_total) — not silently vanish; the
+    stage is row-count-preserving."""
+    from django_indexer_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Accept all cookies\nkeep me zero"),
+            (1, "Accept all cookies\nShare on social"),
+            (2, "Accept all cookies\nShare on social"),  # all-boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.dedup_lines(docs, max_freq=1).collect()}
+    assert sorted(out) == [0, 1, 2]  # every input doc has an output row
+    for did in (1, 2):
+        assert out[did]["text"] == ""
+        assert out[did]["n_lines_kept"] == 0
+        assert out[did]["n_lines_dropped"] == 2
+    assert out[0]["text"] == "keep me zero" and out[0]["n_lines_kept"] == 1

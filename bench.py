@@ -24,6 +24,19 @@ regression; absolute times across rounds carry that noise floor.
 Same-session plan regressions are instead caught structurally by
 tools/plan_budgets.json (tests/test_plans.py enforces per-query
 shuffle/SMJ/Arrow ceilings).
+
+Ambient-load adjudication (round-10 verdict #5): every run records
+/proc/stat STEAL ticks across the bench window (``steal_pct``) and the
+1-minute loadavg before/after — a seed with steal_pct near zero and low
+entry load is a clean measurement; anything else is co-tenant noise and
+says so in the artifact instead of re-litigating it next round.
+
+Target (formally RE-BASED, round-10 verdict #5): the round-7 "<180 s"
+figure was set on the 186-query registry; the registry is now 251
+queries, ~25 of which are fixed-overhead streaming harnesses. The
+standing target is (a) total steady-state <= 230 s at sf0.1 on a clean
+seed (steal_pct < 1), and (b) same-set total vs the previous round's
+detail <= 1.10x — regression-free, not absolute-era-crossing.
 """
 
 from __future__ import annotations
@@ -48,8 +61,32 @@ EXCLUDE: dict[str, str] = {}
 HEADLINE = [n for n in QUERIES if n not in EXCLUDE]
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line;
+    None off-Linux. Steal accumulated across the bench window is the
+    one-field answer to 'was this seed co-tenant-degraded'."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ticks0, load1_before = _cpu_ticks(), _load1()
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -97,6 +134,18 @@ def main() -> None:
     # line must stay compact (<~1.5 KB). Print the aggregate + top-10
     # slowest only; the full per-query map goes to BENCH_DETAIL_r{N}.json
     # committed in-repo (round inferred from existing BENCH_r*.json).
+    ticks1, load1_after = _cpu_ticks(), _load1()
+    steal_pct = None
+    if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+        steal_pct = round(
+            100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 3
+        )
+    ambient = {
+        "steal_pct": steal_pct,
+        "load1_before": load1_before,
+        "load1_after": load1_after,
+    }
+
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))
@@ -114,6 +163,7 @@ def main() -> None:
         "cold_sec": round(sum(cold.values()), 3),
         "sf": sf,
         "n_queries": len(times),
+        **ambient,
     }
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
@@ -134,6 +184,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "detail": os.path.basename(detail_path),
+        **ambient,
     }
     print(json.dumps(out))
 

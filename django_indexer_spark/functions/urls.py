@@ -117,6 +117,204 @@ def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
     return groups.get("*", [])
 
 
+def _robots_blocks(
+    robots: DataFrame, host_col: str, body_col: str, rule_fields: tuple[str, ...]
+) -> DataFrame:
+    """Shared line-parse + group-assignment machinery for the
+    distributed robots.txt readers: explode lines with positions, strip
+    comments, extract lowercased field / trimmed value at the FIRST
+    ':', keep user-agent lines plus ``rule_fields`` lines, and assign
+    each row its GROUP id — a group starts at a User-agent line whose
+    previous participating line was not one (lag + running sum over
+    the per-host line-order window; the one shuffle here). Returns
+    (host, __ln, __field, __value, __is_ua, __block)."""
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("__ln", "__raw"),
+    )
+    clean = F.trim(F.regexp_replace("__raw", r"#.*$", ""))
+    parsed = lines.select(
+        "host",
+        "__ln",
+        F.lower(F.trim(F.regexp_extract(clean, r"^([^:]*):", 1))).alias("__field"),
+        F.trim(F.regexp_extract(clean, r"^[^:]*:(.*)$", 1)).alias("__value"),
+        clean.contains(":").alias("__has_colon"),
+    ).filter(
+        F.col("__has_colon")
+        & F.col("__field").isin("user-agent", *rule_fields)
+    )
+    w = Window.partitionBy("host").orderBy("__ln")
+    return (
+        parsed.withColumn("__is_ua", F.col("__field") == "user-agent")
+        .withColumn("__prev_ua", F.lag("__is_ua").over(w))
+        .withColumn(
+            "__block",
+            F.sum(
+                (F.col("__is_ua") & ~F.coalesce("__prev_ua", F.lit(False))).cast(
+                    "int"
+                )
+            ).over(w),
+        )
+    )
+
+
+def _robots_agents(blocks: DataFrame) -> DataFrame:
+    """(host, __block, __agent) — the deduped agents each group names
+    (empty-valued User-agent lines mark group boundaries but name no
+    one)."""
+    return (
+        blocks.filter(F.col("__is_ua") & (F.col("__value") != ""))
+        .select("host", "__block", F.lower("__value").alias("__agent"))
+        .distinct()
+    )
+
+
+def rules_from_robots(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_body",
+) -> DataFrame:
+    """DISTRIBUTED robots.txt parsing: (host, robots_body) — tens of
+    millions of fetched robots.txt payloads at Common-Crawl scale —
+    → (host, line_no, path_prefix, allowed), the exploded rule rows
+    ``apply_robots`` consumes, with RFC 9309 §2.2.1 group selection for
+    ``user_agent`` done relationally. Mirrors the per-file semantics of
+    ``parse_robots`` (round-10 verdict #1: that parser is driver-side
+    only; this is its in-engine form — the ``sitemap_entries`` pattern:
+    split/posexplode + regexp extraction + window group assignment, no
+    Python per file):
+
+    - lines split on newline; comments ('#'…) stripped; only lines with
+      ':' and a user-agent/allow/disallow field (case-insensitive)
+      participate,
+    - a GROUP = a maximal run of consecutive User-agent lines (other
+      participating lines between them end the run) plus the rules that
+      follow; rules before any User-agent line belong to no one,
+    - blank Disallow = no restriction (dropped); blank Allow is a real
+      ('' , allow) rule; duplicate agents in one group are deduped
+      (``parse_robots`` keeps the duplicate rule rows — harmless for
+      matching, noisy for a relational output),
+    - selection: hosts that declare the crawler's product token
+      (lowercased, before '/') anywhere use THAT agent's rules — even
+      when the group is empty (zero rows, everything allowed); all
+      other hosts fall back to '*'.
+
+    Scale shape: ONE shuffle on host (the window that assigns group
+    ids — per-host robots bodies are KB-sized, so per-host partitions
+    are trivially bounded), then the agent⋈rule join co-keyed on
+    (host, group) and the per-host selection flag join. No UDF, no
+    driver loop, nothing collected."""
+    token = user_agent.lower().split("/", 1)[0].strip() or "*"
+    blocks = _robots_blocks(robots, host_col, body_col, ("allow", "disallow"))
+    agents = _robots_agents(blocks)
+    rules = blocks.filter(
+        ~F.col("__is_ua")
+        & ~((F.col("__field") == "disallow") & (F.col("__value") == ""))
+    ).select(
+        "host",
+        "__block",
+        F.col("__ln").cast("long").alias("line_no"),
+        F.col("__value").alias("path_prefix"),
+        (F.col("__field") == "allow").alias("allowed"),
+    )
+    sel = agents.groupBy("host").agg(
+        F.max((F.col("__agent") == token).cast("int")).alias("__has_token")
+    )
+    picked = F.when(F.col("__has_token") == 1, F.lit(token)).otherwise(F.lit("*"))
+    return (
+        rules.join(agents, ["host", "__block"])
+        .join(sel, "host")
+        .filter(F.col("__agent") == picked)
+        .select("host", "line_no", "path_prefix", "allowed")
+    )
+
+
+def sitemaps_from_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_body"
+) -> DataFrame:
+    """Distributed form of ``parse_robots_extras``' sitemap half:
+    Sitemap lines are UA-INDEPENDENT (RFC 9309 §2.3 — collected from
+    the whole file), so this is a pure line explode + filter, no group
+    machinery: (host, line_no, sitemap_url). Feeds ``sitemap_entries``
+    for the fetched XML."""
+    lines = robots.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("__ln", "__raw"),
+    )
+    clean = F.trim(F.regexp_replace("__raw", r"#.*$", ""))
+    return (
+        lines.select(
+            "host",
+            F.col("__ln").cast("long").alias("line_no"),
+            F.lower(F.trim(F.regexp_extract(clean, r"^([^:]*):", 1))).alias(
+                "__field"
+            ),
+            F.trim(F.regexp_extract(clean, r"^[^:]*:(.*)$", 1)).alias(
+                "sitemap_url"
+            ),
+            clean.contains(":").alias("__has_colon"),
+        )
+        .filter(
+            F.col("__has_colon")
+            & (F.col("__field") == "sitemap")
+            & (F.col("sitemap_url") != "")
+        )
+        .select("host", "line_no", "sitemap_url")
+    )
+
+
+def delays_from_robots(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_body",
+) -> DataFrame:
+    """Distributed form of ``parse_robots_extras``' crawl-delay half:
+    (host, robots_body) → (host, delay_s), the dim table
+    ``plan_fetch_schedule`` joins. Crawl-delay is the de-facto
+    extension scoped to UA groups; per that parser's semantics the
+    FIRST delay an agent sees wins (earliest line), a delay line
+    counts as a rule for group-boundary purposes (unlike in
+    ``rules_from_robots``, where only allow/disallow do — matching
+    ``parse_robots`` exactly), invalid or negative values are ignored
+    (cast-to-double null-rejects), and selection falls back from the
+    crawler's token to '*' when the TOKEN HAS NO DELAY — even if the
+    token's group exists (``delays.get(token) ... else
+    delays.get('*')``). Hosts with no applicable delay emit no row
+    (callers supply the default). Same one-window scale shape as
+    ``rules_from_robots``."""
+    token = user_agent.lower().split("/", 1)[0].strip() or "*"
+    blocks = _robots_blocks(
+        robots, host_col, body_col, ("allow", "disallow", "crawl-delay")
+    )
+    agents = _robots_agents(blocks)
+    # try_cast: malformed delays null-reject instead of failing the job
+    # under ANSI mode (python float() raising ValueError is `continue`
+    # in parse_robots_extras — same skip semantics)
+    d = F.col("__value").try_cast("double")
+    delays = blocks.filter(
+        (F.col("__field") == "crawl-delay") & d.isNotNull() & (d >= 0)
+    ).select("host", "__block", "__ln", d.alias("__delay"))
+    # first delay per (host, agent): earliest line wins (setdefault)
+    per_agent = (
+        delays.join(agents, ["host", "__block"])
+        .groupBy("host", "__agent")
+        .agg(F.min_by("__delay", "__ln").alias("__delay"))
+    )
+    sel = per_agent.groupBy("host").agg(
+        F.max((F.col("__agent") == token).cast("int")).alias("__has_token")
+    )
+    picked = F.when(F.col("__has_token") == 1, F.lit(token)).otherwise(F.lit("*"))
+    return (
+        per_agent.join(sel, "host")
+        .filter(F.col("__agent") == picked)
+        .select("host", F.col("__delay").alias("delay_s"))
+    )
+
+
 def _robots_rule_regex(pattern: Column) -> Column:
     """Anchored Java regex for one RFC 9309 §2.2.3 path pattern: '*'
     matches any character run, a trailing '$' anchors the end of the

@@ -3439,3 +3439,113 @@ def animation_frames(payload: bytes) -> tuple[str, int]:
             pos += 12 + clen  # len + type + crc
         return "png", 1
     raise ValueError("not an animatable container (GIF/WebP/PNG)")
+
+
+TAG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        # id3 / flac / ogg / gif / webp / apng / png; null = unrecognized
+        T.StructField("kind", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("parsed", T.BooleanType()),
+    ]
+)
+
+_TAG_META_NULLS = {f.name: None for f in TAG_META_SCHEMA if f.name != "media_id"}
+
+
+def tag_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas tag/container metadata, total over mixed media — the
+    distributed form of the remaining header parsers (``id3_tags``
+    v2.2/2.3/2.4, ``flac_info``, ``ogg_info``, ``gif_info``,
+    ``animation_frames``), routed by magic bytes exactly like
+    ``sniff_mime``: ID3 text tags (title/artist/album/date), FLAC
+    STREAMINFO and Ogg id-header audio shape (codec, rate, channels,
+    duration_ms), GIF dims + frame count, animated WebP/APNG frame
+    counts. Unrecognized or malformed payloads survive as
+    parsed=false rows (a corpus sweep must never die on one bad blob).
+    Same 100 TB shape as extract_features: blobs stay inside their
+    task's Arrow batches, only narrow metadata columns come out."""
+
+    def one(b) -> dict:
+        out: dict = dict(_TAG_META_NULLS)
+        out["parsed"] = False
+        if b is None:
+            return out
+        bb = bytes(b)
+        try:
+            if bb[:3] == b"ID3":
+                tags = id3_tags(bb)
+                out.update(
+                    kind="id3",
+                    title=tags.get("title"),
+                    artist=tags.get("artist"),
+                    album=tags.get("album"),
+                    date=tags.get("date"),
+                    parsed=True,
+                )
+            elif bb[:4] == b"fLaC":
+                fi = flac_info(bb)
+                out.update(
+                    kind="flac",
+                    codec="flac",
+                    sample_rate=fi.sample_rate,
+                    channels=fi.channels,
+                    duration_ms=round(fi.n_frames * 1000 / fi.sample_rate),
+                    parsed=True,
+                )
+            elif bb[:4] == b"OggS":
+                codec, rate, ch, duration = ogg_info(bb)
+                out.update(
+                    kind="ogg",
+                    codec=codec,
+                    sample_rate=rate,
+                    channels=ch,
+                    duration_ms=round(duration * 1000),
+                    parsed=True,
+                )
+            elif bb[:6] in _GIF_SIGS:
+                w, h, frames = gif_info(bb)
+                out.update(
+                    kind="gif", width=w, height=h, n_frames=frames, parsed=True
+                )
+            else:
+                kind, frames = animation_frames(bb)  # webp / apng / png
+                out.update(kind=kind, n_frames=frames, parsed=True)
+        except ValueError:
+            return dict(_TAG_META_NULLS, parsed=False)
+        return out
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            cols: dict = {"media_id": pdf["media_id"]}
+            dtypes = {
+                "sample_rate": "Int32",
+                "channels": "Int32",
+                "duration_ms": "Int64",
+                "width": "Int64",
+                "height": "Int64",
+                "n_frames": "Int64",
+                "parsed": "boolean",
+            }
+            for f in TAG_META_SCHEMA.fieldNames():
+                if f == "media_id":
+                    continue
+                vals = [r[f] for r in rows]
+                cols[f] = pd.array(vals, dtype=dtypes.get(f, "object"))
+            yield pd.DataFrame(cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, TAG_META_SCHEMA
+    )

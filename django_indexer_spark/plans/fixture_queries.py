@@ -6950,3 +6950,406 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = text.dedup_lines(docs, max_freq=1)
     return out.select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+
+
+# --------------------------------------------------------------------------
+# Round 11 — distributed robots.txt parsing (the last driver-side-only crawl
+# step moves in-engine), tag/container metadata for the five unit-only
+# parsers, and the end-to-end streaming crawl frontier.
+# --------------------------------------------------------------------------
+
+_ROBOTS_BODIES = [
+    # stacked UA lines share one group; crawl-delay doesn't split it;
+    # trainbot's group beats '*'
+    (
+        "site-a.example",
+        "# crawl policy\n"
+        "User-agent: trainbot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /private\n"
+        "Allow: /private/public\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /tmp\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n",
+    ),
+    # declared-but-EMPTY trainbot group at EOF: selection picks it and
+    # yields zero rows (everything allowed), NOT the '*' group
+    ("site-b.example", "User-agent: *\nDisallow: /\nUser-agent: trainbot\n"),
+    # blank Allow is a real ('', allow) rule; blank Disallow drops
+    (
+        "site-c.example",
+        "User-agent: megabot\nUser-agent: trainbot\nDisallow: /no\nAllow:\n",
+    ),
+    # orphan rule before any UA belongs to no one; '*' fallback; verbatim
+    # wildcard/anchor pattern
+    (
+        "site-d.example",
+        "Disallow: /early-orphan\n"
+        "User-agent: *\nDisallow: /d\nAllow: /d/ok$\nDisallow:\n",
+    ),
+    # case-insensitive fields/agents; inline comment stripped
+    ("site-e.example", "USER-AGENT: TrainBot\nDisAllow: /x # inline comment\n"),
+]
+
+
+@query("crawl_robots_rules")
+def crawl_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed robots.txt parsing under the hard signal (round-10
+    verdict #1: parse_robots was the one driver-side-only crawl step):
+    five synthesized robots.txt bodies → functions/urls.py:
+    rules_from_robots — split/posexplode lines, regexp field/value
+    extraction, window-sum group assignment, relational RFC 9309 §2.2.1
+    group selection for 'trainbot/1.0' — producing the exact rule rows
+    apply_robots consumes. The oracle REGENERATES the bodies and
+    recomputes the whole parse INCLUDING group selection in SQL
+    (parallel unnest, lag/sum window blocks, agent⋈rule join, per-host
+    token flag) — an independent twin, not pasted literals."""
+    from ..functions import urls as url_fns
+
+    df = spark.createDataFrame(_ROBOTS_BODIES, "host string, robots_body string")
+    out = url_fns.rules_from_robots(df, "trainbot/1.0")
+    return out.select("host", "line_no", "path_prefix", "allowed")
+
+
+def _synth_id3(mid: int) -> bytes:
+    """One ID3 tag per version: v2.4 (syncsafe frame sizes, TDRC, all
+    three text encodings), v2.3 (plain frame sizes, TYER), v2.2
+    (6-byte frames with 3-char ids)."""
+    import struct as _struct
+
+    def txt(s: str, enc: int) -> bytes:
+        if enc == 0:
+            return bytes([0]) + s.encode("latin-1")
+        if enc == 1:
+            return bytes([1]) + s.encode("utf-16")
+        return bytes([3]) + s.encode("utf-8")
+
+    def frame10(fid: bytes, body: bytes, syncsafe: bool) -> bytes:
+        if syncsafe:
+            sz = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        else:
+            sz = _struct.pack(">I", len(body))
+        return fid + sz + b"\x00\x00" + body
+
+    def frame6(fid: bytes, body: bytes) -> bytes:
+        return fid + len(body).to_bytes(3, "big") + body
+
+    def tag(ver: int, frames: list) -> bytes:
+        body = b"".join(frames) + b"\x00" * 12  # padding
+        sz = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        return b"ID3" + bytes([ver, 0, 0]) + sz + body
+
+    if mid == 0:
+        return tag(
+            4,
+            [
+                frame10(b"TIT2", txt("Né So", 3), True),
+                frame10(b"TPE1", txt("Ünicode Band", 1), True),
+                frame10(b"TALB", txt("Plain Album", 0), True),
+                frame10(b"TDRC", txt("2026", 3), True),
+            ],
+        )
+    if mid == 1:
+        return tag(
+            3,
+            [
+                frame10(b"TIT2", txt("Old School", 0), False),
+                frame10(b"TYER", txt("1999", 0), False),
+            ],
+        )
+    return tag(
+        2,
+        [
+            frame6(b"TT2", txt("Hi22", 0)),
+            frame6(b"TP1", txt("Band 22", 0)),
+            frame6(b"TYE", txt("1987", 0)),
+        ],
+    )
+
+
+def _synth_flac_streaminfo(rate: int, channels: int, bits: int, total: int) -> bytes:
+    """fLaC marker + bit-packed STREAMINFO (rate 20 bits, channels 3,
+    bits-per-sample 5, total samples 36 — big-endian per the spec)."""
+    b = bytearray(34)
+    b[10] = (rate >> 12) & 0xFF
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = ((rate & 0x0F) << 4) | (((channels - 1) & 0x07) << 1) | (((bits - 1) >> 4) & 1)
+    b[13] = (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)
+    b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + len(b).to_bytes(3, "big") + bytes(b)
+
+
+def _synth_ogg(codec: bytes, rate: int, channels: int, last_granule: int) -> bytes:
+    """Two-page Ogg stream: codec id-header page (OpusHead with 312
+    pre-skip, or \\x01vorbis) + a final page carrying the granule."""
+    import struct as _struct
+
+    def page(body: bytes, granule: int, seq: int, header_type: int) -> bytes:
+        segs, rem = [], len(body)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        return (
+            b"OggS"
+            + bytes([0, header_type])
+            + _struct.pack("<q", granule)
+            + _struct.pack("<II", 1, seq)
+            + b"\x00" * 4
+            + bytes([len(segs)])
+            + bytes(segs)
+            + body
+        )
+
+    if codec == b"vorbis":
+        head = (
+            b"\x01vorbis"
+            + _struct.pack("<I", 0)
+            + bytes([channels])
+            + _struct.pack("<I", rate)
+            + b"\x00" * 16
+        )
+    else:
+        head = (
+            b"OpusHead"
+            + bytes([1, channels])
+            + _struct.pack("<H", 312)
+            + _struct.pack("<I", rate)
+            + b"\x00" * 3
+        )
+    return page(head, 0, 0, 2) + page(b"\x00" * 20, last_granule, 1, 4)
+
+
+def _synth_tag_payload(mid: int) -> bytes:
+    import struct as _struct
+
+    if mid <= 2:
+        return _synth_id3(mid)
+    if mid == 3:
+        return _synth_flac_streaminfo(96000, 2, 24, 480000)  # 5000 ms
+    if mid == 4:
+        return _synth_ogg(b"vorbis", 8000, 1, 16000)  # 2000 ms
+    if mid == 5:
+        # Opus granules tick at 48 kHz; (48312 - 312 pre-skip) = 1000 ms
+        return _synth_ogg(b"opus", 48000, 2, 48312)
+    if mid == 6:
+        return _synth_gif(7, 5, 3)
+    if mid == 7:  # animated WebP: VP8X + two ANMF chunks
+        body = b"WEBP" + b"".join(
+            cid + _struct.pack("<I", len(d)) + d
+            for cid, d in [(b"VP8X", b"\x00" * 10), (b"ANMF", b"\x00" * 16), (b"ANMF", b"\x00" * 16)]
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+    png = multimodal.encode_png(4, 4, bytes(48), "RGB")
+    if mid == 8:  # APNG: acTL (12 declared frames) spliced before IDAT
+        actl = _struct.pack(">I", 8) + b"acTL" + _struct.pack(">II", 12, 0) + b"\x00" * 4
+        return png[: 8 + 25] + actl + png[8 + 25 :]
+    if mid == 9:
+        return png  # static PNG: 1 frame
+    return b"not a tagged container"
+
+
+@query("multimodal_tag_meta")
+def multimodal_tag_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five remaining unit-only parsers under the hard signal
+    (round-10 verdict #2) through ONE routed Arrow stage
+    (operators/multimodal.py:tag_meta): ID3v2.2/2.3/2.4 text tags
+    (6-byte vs 10-byte frames, syncsafe vs plain sizes, latin-1/
+    UTF-16/UTF-8 encodings), FLAC STREAMINFO (bit-packed rate/channels/
+    total-samples → exact 5000 ms), Ogg Vorbis and Opus id headers
+    (Opus granules at 48 kHz minus pre-skip → exact 1000 ms), GIF dims
+    + frame count, animated-WebP ANMF count, APNG acTL count, static
+    PNG = 1, and a junk row surviving as parsed=false. Deterministic
+    bytes → literal-row oracle."""
+    media = _media_df(spark, 11, _synth_tag_payload)
+    out = multimodal.tag_meta(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "title",
+        "artist",
+        "album",
+        "date",
+        "codec",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        "duration_ms",
+        "width",
+        "height",
+        "n_frames",
+        "parsed",
+    )
+
+
+def _frontier_urls(spark: SparkSession) -> DataFrame:
+    """96 deterministic frontier URLs = 24 base resources x 4 spellings
+    (plain, +utm tracking param, upper-case host + :443 + fragment, and
+    a genuinely distinct unsorted-query variant) across 5 hosts — so
+    canonicalization collapses 96 raw URLs to 48 canonical keys with
+    n_seen 3 (the three same-resource spellings) or 1 (the query
+    variant)."""
+    return (
+        spark.range(0, 96, 1, 4)
+        .select(
+            "id",
+            F.expr("CAST(id % 24 AS INT)").alias("b"),
+            F.expr("CAST((id % 24) % 5 AS INT)").alias("k"),
+            F.expr("CAST(id DIV 24 AS INT)").alias("v"),
+        )
+        .select(
+            "id",
+            F.when(
+                F.col("v") == 0,
+                F.format_string("https://h%d.example/p/%02d", "k", "b"),
+            )
+            .when(
+                F.col("v") == 1,
+                F.format_string("https://h%d.example/p/%02d?utm_source=x", "k", "b"),
+            )
+            .when(
+                F.col("v") == 2,
+                F.format_string("HTTPS://H%d.EXAMPLE:443/p/%02d#frag", "k", "b"),
+            )
+            .otherwise(
+                F.format_string("https://h%d.example/p/%02d?b=2&a=1", "k", "b")
+            )
+            .alias("url"),
+        )
+    )
+
+
+@query("s_stream_frontier")
+def s_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-engine crawl loop closed end-to-end under the hard signal
+    (round-10 verdict #6): a URL frontier arrives as two REAL micro-
+    batches (file readStream, maxFilesPerTrigger=1, availableNow);
+    each batch runs streaming/crawl.py:frontier_update — canonicalize
+    (the dedup/frontier key) → fold into the visited-set state with
+    the mergeable count/min monoid, batch-id-versioned state writes
+    (idempotent under replay, the s_stream_exact_dedup contract) —
+    and the FINAL visited set is handed to plan_fetch_schedule for
+    politeness slots (per-host crawl-delay clocks). Batch-split
+    invariance is what makes it oracle-checkable: the oracle
+    REGENERATES the 96 raw URLs, recomputes canonicals by formula,
+    groups, and re-derives the schedule with its OWN window + delay
+    join."""
+    import glob as _glob
+    import tempfile
+
+    from ..functions import urls as url_fns
+    from ..streaming import crawl as crawl_stream
+
+    work = tempfile.mkdtemp(prefix="stream_frontier_")
+    state_dir = f"{work}/state"
+    ckpt = f"{work}/ckpt"
+    frontier = _frontier_urls(spark)
+    in_dir = _staged_input(
+        spark,
+        sf_dir,
+        "frontier",
+        lambda root: _write_halves(
+            frontier.withColumn("half", (F.col("id") % 2).cast("int")), root
+        ),
+    ) + "/in"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        prev = f"{state_dir}/v{batch_id - 1}"
+        gold = spark.read.parquet(prev) if batch_id > 0 else None
+        new_state = crawl_stream.frontier_update(gold, batch_df, "url")
+        new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    stream = (
+        spark.readStream.schema(frontier.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    with _scoped_shuffle_width(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+    versions = sorted(
+        _glob.glob(f"{state_dir}/v*"),
+        key=lambda p: int(p.rsplit("v", 1)[-1]),
+    )
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "frontier gate timed out after 120s with "
+            f"{len(versions)} state version(s) written"
+        )
+    if not versions:
+        raise RuntimeError("frontier gate produced no state versions")
+    state = spark.read.parquet(versions[-1])
+    delays = spark.createDataFrame(
+        [("h0.example", 2.0), ("h1.example", 0.5)], "host string, delay_s double"
+    )
+    sched = url_fns.plan_fetch_schedule(state, delays, url_col="url_canon")
+    return sched.select(
+        "url_canon",
+        F.col("n_seen").cast("long").alias("n_seen"),
+        "first_url",
+        "host",
+        F.col("slot").cast("long").alias("slot"),
+        F.round(F.col("fetch_at_s") * 1e3).cast("long").alias("fetch_at_ms"),
+    )
+
+
+_ROBOTS_EXTRA_BODIES = [
+    # token group carries its own delay; sitemaps collected file-wide
+    (
+        "r1.example",
+        "Sitemap: https://r1.example/a.xml\n"
+        "User-agent: megabot\nCrawl-delay: 2.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+        "Sitemap: https://r1.example/b.xml\n",
+    ),
+    # megabot's group EXISTS but has no delay -> '*' delay applies
+    ("r2.example", "User-agent: megabot\nDisallow: /a\nUser-agent: *\nCrawl-delay: 3\n"),
+    # invalid and negative delays skipped; duplicate keeps the FIRST
+    (
+        "r3.example",
+        "User-agent: *\nCrawl-delay: nope\nCrawl-delay: -1\n"
+        "Crawl-delay: 4\nCrawl-delay: 9\n",
+    ),
+    # no delay anywhere (no delay row); sitemap still collected
+    ("r4.example", "User-agent: *\nDisallow: /\nSitemap: https://r4.example/s.xml\n"),
+]
+
+
+@query("crawl_robots_extras")
+def crawl_robots_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots.txt EXTRAS distributed under the hard signal
+    (functions/urls.py:sitemaps_from_robots + delays_from_robots — the
+    in-engine forms of parse_robots_extras): UA-independent Sitemap
+    collection and group-scoped Crawl-delay with per-agent first-wins,
+    token→'*' fallback when the token has no delay, and invalid/
+    negative values skipped. Long-format (kind = sitemap|delay) union.
+    The oracle REGENERATES the bodies and recomputes BOTH halves in SQL
+    (line explode + the same lag/sum group machinery + arg_min first-
+    delay + per-host token flag)."""
+    from ..functions import urls as url_fns
+
+    df = spark.createDataFrame(
+        _ROBOTS_EXTRA_BODIES, "host string, robots_body string"
+    )
+    sm = url_fns.sitemaps_from_robots(df).select(
+        "host",
+        F.lit("sitemap").alias("kind"),
+        "line_no",
+        "sitemap_url",
+        F.lit(None).cast("double").alias("delay_s"),
+    )
+    dl = url_fns.delays_from_robots(df, "megabot/2.0").select(
+        "host",
+        F.lit("delay").alias("kind"),
+        F.lit(None).cast("long").alias("line_no"),
+        F.lit(None).cast("string").alias("sitemap_url"),
+        "delay_s",
+    )
+    return sm.unionByName(dl)

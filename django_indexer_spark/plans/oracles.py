@@ -5526,3 +5526,230 @@ FROM (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY 1) t
 LEFT JOIN kept k ON k.doc_id = t.doc_id
 GROUP BY t.doc_id, t.n_total
 """
+
+# ---------------------------------------------------------------------------
+# Round 11 — distributed robots.txt parsing. The oracle REGENERATES the five
+# bodies and recomputes the ENTIRE parse in SQL: line split with positions
+# (parallel unnest), comment strip + field/value regexp extraction, group
+# assignment via lag/sum windows (a group = a maximal run of UA lines),
+# blank-Disallow drop, agent⋈rule join, and RFC 9309 group selection (hosts
+# declaring the token anywhere use its rules — even when empty — else '*').
+# ---------------------------------------------------------------------------
+
+ORACLES["crawl_robots_rules"] = """
+WITH bodies(host, body) AS (VALUES
+  ('site-a.example',
+   '# crawl policy' || chr(10) || 'User-agent: trainbot' || chr(10) ||
+   'User-agent: otherbot' || chr(10) || 'Disallow: /private' || chr(10) ||
+   'Allow: /private/public' || chr(10) || 'Crawl-delay: 2' || chr(10) ||
+   'Disallow: /tmp' || chr(10) || '' || chr(10) ||
+   'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)),
+  ('site-b.example',
+   'User-agent: *' || chr(10) || 'Disallow: /' || chr(10) ||
+   'User-agent: trainbot' || chr(10)),
+  ('site-c.example',
+   'User-agent: megabot' || chr(10) || 'User-agent: trainbot' || chr(10) ||
+   'Disallow: /no' || chr(10) || 'Allow:' || chr(10)),
+  ('site-d.example',
+   'Disallow: /early-orphan' || chr(10) || 'User-agent: *' || chr(10) ||
+   'Disallow: /d' || chr(10) || 'Allow: /d/ok$' || chr(10) ||
+   'Disallow:' || chr(10)),
+  ('site-e.example',
+   'USER-AGENT: TrainBot' || chr(10) || 'DisAllow: /x # inline comment' || chr(10))
+), lines AS (
+  SELECT host,
+         unnest(string_split(body, chr(10))) AS raw,
+         unnest(range(len(string_split(body, chr(10))))) AS ln
+  FROM bodies
+), cleaned AS (
+  SELECT host, ln, trim(regexp_replace(raw, '#.*$', '')) AS clean FROM lines
+), parsed AS (
+  SELECT host, ln,
+         lower(trim(regexp_extract(clean, '^([^:]*):', 1))) AS field,
+         trim(regexp_extract(clean, '^[^:]*:(.*)$', 1)) AS value
+  FROM cleaned
+  WHERE contains(clean, ':')
+), fr AS (
+  SELECT * FROM parsed WHERE field IN ('user-agent', 'allow', 'disallow')
+), marked AS (
+  SELECT host, ln, field, value,
+         (field = 'user-agent') AS is_ua,
+         coalesce(
+           lag(field = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
+           FALSE
+         ) AS prev_ua
+  FROM fr
+), blocks AS (
+  SELECT host, ln, field, value, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY ln) AS block
+  FROM marked
+), agents AS (
+  SELECT DISTINCT host, block, lower(value) AS agent
+  FROM blocks WHERE is_ua AND value <> ''
+), rules AS (
+  SELECT host, block, ln, value AS path_prefix, (field = 'allow') AS allowed
+  FROM blocks
+  WHERE NOT is_ua AND NOT (field = 'disallow' AND value = '')
+), sel AS (
+  SELECT host, max(CASE WHEN agent = 'trainbot' THEN 1 ELSE 0 END) AS has_token
+  FROM agents GROUP BY host
+)
+SELECT r.host,
+       CAST(r.ln AS BIGINT) AS line_no,
+       r.path_prefix,
+       r.allowed
+FROM rules r
+JOIN agents a ON r.host = a.host AND r.block = a.block
+JOIN sel s ON r.host = s.host
+WHERE a.agent = CASE WHEN s.has_token = 1 THEN 'trainbot' ELSE '*' END
+"""
+
+# The five previously unit-only parsers (id3/flac/ogg/gif/animation) in one
+# routed gate: deterministic synthesized bytes, literal rows pinned with
+# closed-form anchors — FLAC 480000 samples @ 96 kHz = exactly 5000 ms,
+# Vorbis granule 16000 @ 8 kHz = 2000 ms, Opus (48312 - 312 pre-skip)
+# @ 48 kHz = 1000 ms, GIF 7x5 with 3 descriptors, APNG acTL declares 12.
+
+ORACLES["multimodal_tag_meta"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'id3', 'Né So', 'Ünicode Band', 'Plain Album', '2026', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  (CAST(1 AS BIGINT), 'id3', 'Old School', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '1999', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  (CAST(2 AS BIGINT), 'id3', 'Hi22', 'Band 22', CAST(NULL AS VARCHAR), '1987', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  (CAST(3 AS BIGINT), 'flac', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'flac', CAST(96000 AS BIGINT), CAST(2 AS BIGINT), CAST(5000 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  (CAST(4 AS BIGINT), 'ogg', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'vorbis', CAST(8000 AS BIGINT), CAST(1 AS BIGINT), CAST(2000 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  (CAST(5 AS BIGINT), 'ogg', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'opus', CAST(48000 AS BIGINT), CAST(2 AS BIGINT), CAST(1000 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  (CAST(6 AS BIGINT), 'gif', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(7 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT), TRUE),
+  (CAST(7 AS BIGINT), 'webp', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT), TRUE),
+  (CAST(8 AS BIGINT), 'apng', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(12 AS BIGINT), TRUE),
+  (CAST(9 AS BIGINT), 'png', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), TRUE),
+  (CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE)
+) AS t(media_id, kind, title, artist, album, date, codec, sample_rate, channels, duration_ms, width, height, n_frames, parsed)
+"""
+
+# The streaming crawl frontier: canonicalize → visited-set monoid →
+# politeness schedule. Batch-split invariance means the oracle can
+# REGENERATE the 96 raw URLs, derive canonicals by the same formula the
+# synthesis used, group (count + min spelling), and recompute the per-host
+# schedule with its own window + delay join — fully independent SQL.
+
+ORACLES["s_stream_frontier"] = """
+WITH raw AS (
+  SELECT i,
+         CAST(i % 24 AS INTEGER) AS b,
+         CAST((i % 24) % 5 AS INTEGER) AS k,
+         CAST(i // 24 AS INTEGER) AS v
+  FROM range(96) t(i)
+), urls AS (
+  SELECT i, b, k,
+         CASE v
+           WHEN 0 THEN printf('https://h%d.example/p/%02d', k, b)
+           WHEN 1 THEN printf('https://h%d.example/p/%02d?utm_source=x', k, b)
+           WHEN 2 THEN printf('HTTPS://H%d.EXAMPLE:443/p/%02d#frag', k, b)
+           ELSE printf('https://h%d.example/p/%02d?b=2&a=1', k, b)
+         END AS url,
+         CASE WHEN v <= 2 THEN printf('https://h%d.example/p/%02d', k, b)
+              ELSE printf('https://h%d.example/p/%02d?a=1&b=2', k, b)
+         END AS url_canon
+  FROM raw
+), state AS (
+  SELECT url_canon,
+         count(*) AS n_seen,
+         min(url) AS first_url,
+         printf('h%d.example', min(k)) AS host
+  FROM urls GROUP BY url_canon
+), d(host, delay_s) AS (VALUES ('h0.example', 2.0), ('h1.example', 0.5)),
+s AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY url_canon) - 1 AS slot
+  FROM state
+)
+SELECT url_canon,
+       CAST(n_seen AS BIGINT) AS n_seen,
+       first_url,
+       s.host,
+       CAST(slot AS BIGINT) AS slot,
+       CAST(round(slot * coalesce(delay_s, 1.0) * 1000) AS BIGINT) AS fetch_at_ms
+FROM s LEFT JOIN d ON s.host = d.host
+"""
+
+# The robots.txt extras (Sitemap lines + group-scoped Crawl-delay). Same
+# regenerate-and-recompute machinery as crawl_robots_rules, plus arg_min
+# first-delay-wins and the delays-specific fallback: the token falls back
+# to '*' when the TOKEN HAS NO DELAY, even if its group exists.
+
+ORACLES["crawl_robots_extras"] = """
+WITH bodies(host, body) AS (VALUES
+  ('r1.example',
+   'Sitemap: https://r1.example/a.xml' || chr(10) ||
+   'User-agent: megabot' || chr(10) || 'Crawl-delay: 2.5' || chr(10) ||
+   'Disallow: /x' || chr(10) || 'User-agent: *' || chr(10) ||
+   'Crawl-delay: 10' || chr(10) || 'Sitemap: https://r1.example/b.xml' || chr(10)),
+  ('r2.example',
+   'User-agent: megabot' || chr(10) || 'Disallow: /a' || chr(10) ||
+   'User-agent: *' || chr(10) || 'Crawl-delay: 3' || chr(10)),
+  ('r3.example',
+   'User-agent: *' || chr(10) || 'Crawl-delay: nope' || chr(10) ||
+   'Crawl-delay: -1' || chr(10) || 'Crawl-delay: 4' || chr(10) ||
+   'Crawl-delay: 9' || chr(10)),
+  ('r4.example',
+   'User-agent: *' || chr(10) || 'Disallow: /' || chr(10) ||
+   'Sitemap: https://r4.example/s.xml' || chr(10))
+), lines AS (
+  SELECT host,
+         unnest(string_split(body, chr(10))) AS raw,
+         unnest(range(len(string_split(body, chr(10))))) AS ln
+  FROM bodies
+), cleaned AS (
+  SELECT host, ln, trim(regexp_replace(raw, '#.*$', '')) AS clean FROM lines
+), parsed AS (
+  SELECT host, ln,
+         lower(trim(regexp_extract(clean, '^([^:]*):', 1))) AS field,
+         trim(regexp_extract(clean, '^[^:]*:(.*)$', 1)) AS value
+  FROM cleaned
+  WHERE contains(clean, ':')
+), sitemaps AS (
+  SELECT host, ln, value FROM parsed WHERE field = 'sitemap' AND value <> ''
+), fr AS (
+  SELECT * FROM parsed
+  WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+), marked AS (
+  SELECT host, ln, field, value,
+         (field = 'user-agent') AS is_ua,
+         coalesce(
+           lag(field = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
+           FALSE
+         ) AS prev_ua
+  FROM fr
+), blocks AS (
+  SELECT host, ln, field, value, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY ln) AS block
+  FROM marked
+), agents AS (
+  SELECT DISTINCT host, block, lower(value) AS agent
+  FROM blocks WHERE is_ua AND value <> ''
+), cd AS (
+  SELECT host, block, ln, TRY_CAST(value AS DOUBLE) AS d
+  FROM blocks
+  WHERE field = 'crawl-delay'
+    AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(value AS DOUBLE) >= 0
+), per_agent AS (
+  SELECT c.host, a.agent, arg_min(c.d, c.ln) AS d
+  FROM cd c JOIN agents a ON c.host = a.host AND c.block = a.block
+  GROUP BY c.host, a.agent
+), sel AS (
+  SELECT host, max(CASE WHEN agent = 'megabot' THEN 1 ELSE 0 END) AS has_token
+  FROM per_agent GROUP BY host
+), delays AS (
+  SELECT p.host, p.d
+  FROM per_agent p JOIN sel s ON p.host = s.host
+  WHERE p.agent = CASE WHEN s.has_token = 1 THEN 'megabot' ELSE '*' END
+)
+SELECT host, 'sitemap' AS kind, CAST(ln AS BIGINT) AS line_no,
+       value AS sitemap_url, CAST(NULL AS DOUBLE) AS delay_s
+FROM sitemaps
+UNION ALL
+SELECT host, 'delay', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), d
+FROM delays
+"""

@@ -92,3 +92,34 @@ def stream_crawl_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def frontier_update(
+    gold: DataFrame | None, batch_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """One frontier tick: canonicalize the micro-batch's discovered
+    URLs (``functions.urls.canonicalize_url`` — the dedup/frontier key
+    rule) and fold them into the visited-set state with the mergeable-
+    partials monoid (``operators.incremental.apply_batch``): per
+    canonical URL, ``n_seen`` (count-merge over every raw spelling
+    that hit it) and ``first_url`` (min-merge — a deterministic
+    canonical attribution). Both measures are commutative monoids, so
+    the final state is BATCH-SPLIT INVARIANT (fold of any partition ==
+    one global groupBy) and idempotent under Structured Streaming's
+    batch-id replay contract when the caller versions state writes by
+    batch_id (the s_stream_exact_dedup shape).
+
+    This closes the in-engine crawl loop: fetch (crawl_to_documents) →
+    parse (rules_from_robots / sitemap_entries) → dedup (this) →
+    schedule next (plan_fetch_schedule over the unseen keys). Scale
+    shape: one shuffle on the canonical key per batch; state grows by
+    distinct NEW keys only; nothing collected."""
+    from ..functions.urls import canonicalize_url
+    from ..operators import incremental
+
+    keyed = batch_df.select(
+        canonicalize_url(F.col(url_col)).alias("url_canon"),
+        F.col(url_col).alias("__raw"),
+    )
+    measures = {"n_seen": ("count", None), "first_url": ("min", "__raw")}
+    return incremental.apply_batch(gold, keyed, ["url_canon"], measures)

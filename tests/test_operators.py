@@ -5344,6 +5344,102 @@ Disallow: /tmp
     assert urls.parse_robots("User-agent: x\nDisallow: /", "other") == []
 
 
+def test_rules_from_robots_matches_parse_robots(spark):
+    """rules_from_robots (the distributed relational parser) agrees
+    with parse_robots group-for-group: stacked UA lines share a group,
+    specific token beats '*' (even when its group is EMPTY — zero rows),
+    orphan rules before any UA belong to no one, blank Disallow drops,
+    blank Allow is a real rule, crawl-delay lines don't split a group,
+    fields/agents are case-insensitive."""
+    from django_indexer_spark.functions import urls
+
+    bodies = {
+        "site-a.example": (
+            "# crawl policy\n"
+            "User-agent: trainbot\n"
+            "User-agent: otherbot\n"
+            "Disallow: /private\n"
+            "Allow: /private/public\n"
+            "Crawl-delay: 2\n"
+            "Disallow: /tmp\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+        ),
+        # declared-but-empty trainbot group at EOF: selection picks it,
+        # yielding ZERO rules (everything allowed) — not the '*' group
+        "site-b.example": "User-agent: *\nDisallow: /\nUser-agent: trainbot\n",
+        "site-c.example": (
+            "User-agent: megabot\nUser-agent: trainbot\nDisallow: /no\nAllow:\n"
+        ),
+        "site-d.example": (
+            "Disallow: /early-orphan\n"
+            "User-agent: *\nDisallow: /d\nAllow: /d/ok$\nDisallow:\n"
+        ),
+        "site-e.example": "USER-AGENT: TrainBot\nDisAllow: /x # inline comment\n",
+    }
+    df = spark.createDataFrame(
+        list(bodies.items()), "host string, robots_body string"
+    )
+    for ua in ("trainbot/1.0", "otherbot", "unknown"):
+        got = {
+            h: set()
+            for h in bodies
+        }
+        for r in urls.rules_from_robots(df, ua).collect():
+            got[r["host"]].add((r["path_prefix"], r["allowed"]))
+        want = {h: set(urls.parse_robots(b, ua)) for h, b in bodies.items()}
+        assert got == want, f"ua={ua}"
+    # sanity anchors for the trickiest rows (trainbot)
+    out = urls.rules_from_robots(df, "trainbot/1.0")
+    rows = {(r["host"], r["path_prefix"], r["allowed"]) for r in out.collect()}
+    assert ("site-a.example", "/tmp", False) in rows  # crawl-delay didn't split
+    assert not any(h == "site-b.example" for h, _, _ in rows)  # empty group
+    assert ("site-c.example", "", True) in rows  # blank Allow kept
+    assert not any(p == "/early-orphan" for _, p, _ in rows)
+    assert ("site-e.example", "/x", False) in rows  # case-insensitive
+    # plan shape: host-partitioned window only, no cartesian anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rules_from_robots_feeds_apply_robots(spark):
+    """End-to-end in-engine politeness: corpus of robots bodies →
+    rules_from_robots → apply_robots verdicts — identical to verdicts
+    from driver-side parse_robots rules on the same corpus."""
+    from django_indexer_spark.functions import urls
+
+    bodies = [
+        ("h1.example", "User-agent: bot\nDisallow: /a\nAllow: /a/ok\n"),
+        ("h2.example", "User-agent: *\nDisallow: /*.pdf$\n"),
+    ]
+    robots_df = spark.createDataFrame(bodies, "host string, robots_body string")
+    urls_df = spark.createDataFrame(
+        [
+            (0, "https://h1.example/a/secret"),
+            (1, "https://h1.example/a/ok/page"),
+            (2, "https://h2.example/doc.pdf"),
+            (3, "https://h2.example/doc.pdfx"),
+            (4, "https://h3.example/anything"),
+        ],
+        "id long, url string",
+    )
+    dist = urls.apply_robots(urls_df, urls.rules_from_robots(robots_df, "bot"))
+    ref_rules = spark.createDataFrame(
+        [
+            (h, p, a)
+            for h, b in bodies
+            for p, a in urls.parse_robots(b, "bot")
+        ],
+        "host string, path_prefix string, allowed boolean",
+    )
+    ref = urls.apply_robots(urls_df, ref_rules)
+    assert sorted(map(tuple, dist.collect())) == sorted(map(tuple, ref.collect()))
+    verdicts = {r["id"]: r["allowed"] for r in dist.collect()}
+    assert verdicts == {0: False, 1: True, 2: False, 3: True, 4: True}
+
+
 def test_apply_robots_longest_match(spark):
     """apply_robots: longest prefix wins (allow-under-disallow), no
     matching rule or no rules at all = allowed, Allow beats Disallow at
@@ -5943,3 +6039,86 @@ def test_dedup_lines_all_boilerplate_doc_survives(spark):
         assert out[did]["n_lines_kept"] == 0
         assert out[did]["n_lines_dropped"] == 2
     assert out[0]["text"] == "keep me zero" and out[0]["n_lines_kept"] == 1
+
+
+def test_tag_meta_routed_rows(spark):
+    """tag_meta (the distributed form of id3_tags/flac_info/ogg_info/
+    gif_info/animation_frames): one routed Arrow stage, total over
+    mixed payloads — audio tags, audio shape, animation counts, and a
+    parsed=false survivor for junk."""
+    from django_indexer_spark.operators import multimodal as mm
+
+    id3 = (
+        b"ID3\x03\x00\x00" + bytes([0, 0, 0, 22])
+        + b"TIT2" + b"\x00\x00\x00\x03" + b"\x00\x00" + b"\x00Hi"
+        + b"\x00" * 9
+    )
+    rows = {
+        r["media_id"]: r
+        for r in mm.tag_meta(
+            spark.createDataFrame(
+                [
+                    (0, bytearray(id3)),
+                    (1, bytearray(_flac_bytes(48000, 1, 16, 96000))),
+                    (2, bytearray(_ogg_bytes(rate=8000, last_granule=4000))),
+                    (3, bytearray(_gif_bytes(8, 8, 5))),
+                    (4, bytearray(b"junk payload")),
+                ],
+                "media_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert rows[0]["kind"] == "id3" and rows[0]["title"] == "Hi"
+    assert rows[1]["kind"] == "flac" and rows[1]["duration_ms"] == 2000
+    assert rows[2]["kind"] == "ogg" and rows[2]["codec"] == "vorbis"
+    assert rows[2]["sample_rate"] == 8000 and rows[2]["duration_ms"] == 500
+    assert rows[3]["kind"] == "gif" and rows[3]["n_frames"] == 5
+    assert rows[3]["width"] == 8 and rows[3]["height"] == 8
+    assert rows[4]["parsed"] is False and rows[4]["kind"] is None
+
+
+def test_delays_and_sitemaps_from_robots_match_extras(spark):
+    """delays_from_robots / sitemaps_from_robots (the distributed forms
+    of parse_robots_extras): per-agent FIRST delay wins, crawl-delay
+    lines count for group boundaries, token falls back to '*' when the
+    token has no delay, invalid/negative delays ignored, sitemaps are
+    UA-independent."""
+    from django_indexer_spark.functions import urls
+
+    bodies = {
+        "e1.example": (
+            "Sitemap: https://e1.example/sm1.xml\n"
+            "User-agent: megabot\nCrawl-delay: 2.5\nDisallow: /x\n"
+            "User-agent: *\nCrawl-delay: 10\nDisallow: /tmp\n"
+            "Sitemap: https://e1.example/sm2.xml\n"
+        ),
+        # megabot's group exists but has NO delay -> '*' delay applies
+        "e2.example": (
+            "User-agent: megabot\nDisallow: /a\n"
+            "User-agent: *\nCrawl-delay: 3\n"
+        ),
+        # invalid and negative delays ignored; duplicate keeps the FIRST
+        "e3.example": (
+            "User-agent: *\nCrawl-delay: nope\nCrawl-delay: -1\n"
+            "Crawl-delay: 4\nCrawl-delay: 9\n"
+        ),
+        "e4.example": "User-agent: *\nDisallow: /\n",  # no delay at all
+    }
+    df = spark.createDataFrame(list(bodies.items()), "host string, robots_body string")
+    for ua in ("MegaBot/1.0", "other"):
+        got = {r["host"]: r["delay_s"] for r in urls.delays_from_robots(df, ua).collect()}
+        want = {}
+        for h, b in bodies.items():
+            _, d = urls.parse_robots_extras(b, ua)
+            if d is not None:
+                want[h] = d
+        assert got == want, f"ua={ua}"
+    assert {r["host"]: r["delay_s"] for r in urls.delays_from_robots(df, "MegaBot/1.0").collect()} == {
+        "e1.example": 2.5, "e2.example": 3.0, "e3.example": 4.0,
+    }
+    sm = urls.sitemaps_from_robots(df)
+    got_sm = sorted((r["host"], r["line_no"], r["sitemap_url"]) for r in sm.collect())
+    assert got_sm == [
+        ("e1.example", 0, "https://e1.example/sm1.xml"),
+        ("e1.example", 7, "https://e1.example/sm2.xml"),
+    ]

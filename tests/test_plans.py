@@ -280,6 +280,9 @@ def test_global_plan_hygiene_all_queries(spark):
         "multimodal_resample_fingerprint",
         "crawl_warc_records",
         "multimodal_frame_timestamps",
+        # round-11: ID3/FLAC/Ogg/GIF/animation header walks are byte
+        # parsers (Arrow-batched; blobs never shuffle)
+        "multimodal_tag_meta",
     }
     offenders: list[tuple[str, str]] = []
     for name in QUERIES:

@@ -536,3 +536,53 @@ def test_watermarked_dedup_drops_redelivery_and_bounds_state(spark, tmp_path):
         counts[eid] = counts.get(eid, 0) + 1
     # A deduped (1), C/D pass (1), B re-emitted after eviction (2)
     assert counts == {"A": 1, "B": 2, "C": 1, "D": 1}, got
+
+
+def test_frontier_update_split_invariance_and_replay(spark):
+    """streaming/crawl.py:frontier_update — the visited-set monoid:
+    (a) batch-split invariance: folding the frontier in one batch, two
+    batches, or an interleaved split yields the SAME state (what makes
+    s_stream_frontier SQL-oracle-checkable); (b) crash/replay: re-
+    applying a batch to the same prior state (the batch-id-versioned
+    write contract) reproduces the state byte-for-byte — no
+    double-count."""
+    from pyspark.sql import functions as F
+
+    from django_indexer_spark.streaming.crawl import frontier_update
+
+    urls = [
+        (0, "https://a.example/x"),
+        (1, "https://a.example/x?utm_source=t"),  # same canonical as 0
+        (2, "HTTPS://A.EXAMPLE:443/x#frag"),  # same canonical as 0
+        (3, "https://b.example/y?b=2&a=1"),
+        (4, "https://b.example/y?a=1&b=2"),  # same canonical as 3
+        (5, "https://c.example/z"),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+
+    def fold(splits):
+        state = None
+        for ids in splits:
+            batch = df.filter(F.col("id").isin(ids))
+            state = frontier_update(state, batch)
+        return sorted(map(tuple, state.collect()))
+
+    one = fold([[0, 1, 2, 3, 4, 5]])
+    two = fold([[0, 1, 2], [3, 4, 5]])
+    interleaved = fold([[0, 3, 5], [1, 2, 4]])
+    assert one == two == interleaved
+    state = {t[0]: t for t in one}
+    assert state["https://a.example/x"][1] == 3  # n_seen merges
+    # min-merge picks the byte-smallest raw spelling ('H' < 'h')
+    assert state["https://a.example/x"][2] == "HTTPS://A.EXAMPLE:443/x#frag"
+    assert state["https://b.example/y?a=1&b=2"][1] == 2
+    assert state["https://c.example/z"][1] == 1
+
+    # replay: batch 1 applied twice to the SAME prior state (versioned
+    # state writes mean a crashed batch re-reads v0, never its own v1)
+    v0 = frontier_update(None, df.filter(F.col("id") < 3))
+    v1 = frontier_update(v0, df.filter(F.col("id") >= 3))
+    v1_replayed = frontier_update(v0, df.filter(F.col("id") >= 3))
+    assert sorted(map(tuple, v1.collect())) == sorted(
+        map(tuple, v1_replayed.collect())
+    ) == one

@@ -202,13 +202,29 @@ def rules_from_robots(
       when the group is empty (zero rows, everything allowed); all
       other hosts fall back to '*'.
 
-    Scale shape: ONE shuffle on host (the window that assigns group
-    ids — per-host robots bodies are KB-sized, so per-host partitions
-    are trivially bounded), then the agent⋈rule join co-keyed on
-    (host, group) and the per-host selection flag join. No UDF, no
-    driver loop, nothing collected."""
+    Scale shape: ONE shuffle on host for the whole parse — the
+    group-id window AND the per-host token flag are both computed on
+    that same host partitioning (the selection flag is a second window
+    over the same keys, so Catalyst reuses the exchange instead of a
+    groupBy + join round-trip) — then the agent⋈rule join co-keyed on
+    (host, group). Per-host robots bodies are KB-sized, so per-host
+    partitions are trivially bounded. No UDF, no driver loop, nothing
+    collected."""
+    from pyspark.sql.window import Window
+
     token = user_agent.lower().split("/", 1)[0].strip() or "*"
-    blocks = _robots_blocks(robots, host_col, body_col, ("allow", "disallow"))
+    blocks = _robots_blocks(
+        robots, host_col, body_col, ("allow", "disallow")
+    ).withColumn(
+        # host declares the token ANYWHERE (even an empty group):
+        # window max over the host partition the block window already
+        # established — no extra shuffle
+        "__has_token",
+        F.max(
+            (F.col("__is_ua") & (F.lower("__value") == token)).cast("int")
+        ).over(Window.partitionBy("host")),
+    )
+    picked = F.when(F.col("__has_token") == 1, F.lit(token)).otherwise(F.lit("*"))
     agents = _robots_agents(blocks)
     rules = blocks.filter(
         ~F.col("__is_ua")
@@ -216,18 +232,14 @@ def rules_from_robots(
     ).select(
         "host",
         "__block",
+        picked.alias("__picked"),
         F.col("__ln").cast("long").alias("line_no"),
         F.col("__value").alias("path_prefix"),
         (F.col("__field") == "allow").alias("allowed"),
     )
-    sel = agents.groupBy("host").agg(
-        F.max((F.col("__agent") == token).cast("int")).alias("__has_token")
-    )
-    picked = F.when(F.col("__has_token") == 1, F.lit(token)).otherwise(F.lit("*"))
     return (
         rules.join(agents, ["host", "__block"])
-        .join(sel, "host")
-        .filter(F.col("__agent") == picked)
+        .filter(F.col("__agent") == F.col("__picked"))
         .select("host", "line_no", "path_prefix", "allowed")
     )
 

@@ -5217,25 +5217,107 @@ SELECT printf('k%04d', i),
 FROM range(12) t(i)
 """
 
-ORACLES["crawl_robots_verdicts"] = """
-SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), 'https://site-a.example/private/secret.html', FALSE),
-  (CAST(1 AS BIGINT), 'https://site-a.example/private/public/page', TRUE),
-  (CAST(2 AS BIGINT), 'https://site-a.example/doc.pdf', FALSE),
-  (CAST(3 AS BIGINT), 'https://site-a.example/doc.pdfx', TRUE),
-  (CAST(4 AS BIGINT), 'https://site-a.example/a/deep/doc.pdf', FALSE),
-  (CAST(5 AS BIGINT), 'https://site-a.example/tmp-cache/file', FALSE),
-  (CAST(6 AS BIGINT), 'https://site-a.example/tmp-cache/keep', TRUE),
-  (CAST(7 AS BIGINT), 'https://site-a.example/x/tied', TRUE),
-  (CAST(8 AS BIGINT), 'https://site-a.example/open/page', TRUE),
-  (CAST(9 AS BIGINT), 'https://site-b.example/anything', FALSE),
-  (CAST(10 AS BIGINT), 'https://site-b.example/pub/page', TRUE),
-  (CAST(11 AS BIGINT), 'https://no-rules.example/whatever', TRUE)
-) AS t(id, url, allowed)
+# Round 11 (round-10 verdict "prefer the SQL twin where expressible"):
+# this oracle now RECOMPUTES everything — re-parses the two bodies with
+# the crawl_robots_rules machinery (group selection included), compiles
+# each RFC 9309 pattern to an anchored regex ('*' -> '.*', trailing '$'
+# kept, metachars escaped), and picks the verdict by longest-pattern-
+# wins with Allow beating Disallow on ties; unmatched/no-rule URLs
+# default TRUE. Literal rows are gone.
+ORACLES["crawl_robots_verdicts"] = r"""
+WITH bodies(host, body) AS (VALUES
+  ('site-a.example',
+   'User-agent: trainbot' || chr(10) || 'Disallow: /private' || chr(10) ||
+   'Allow: /private/public' || chr(10) || 'Disallow: /*.pdf$' || chr(10) ||
+   'Disallow: /tmp*' || chr(10) || 'Allow: /tmp*/keep' || chr(10) ||
+   'Disallow: /x' || chr(10) || 'Allow: /x' || chr(10) || '' || chr(10) ||
+   'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)),
+  ('site-b.example',
+   'User-agent: *' || chr(10) || 'Disallow: /' || chr(10) ||
+   'Allow: /pub' || chr(10) || 'Disallow:' || chr(10))
+), lines AS (
+  SELECT host,
+         unnest(string_split(body, chr(10))) AS raw,
+         unnest(range(len(string_split(body, chr(10))))) AS ln
+  FROM bodies
+), cleaned AS (
+  SELECT host, ln, trim(regexp_replace(raw, '#.*$', '')) AS clean FROM lines
+), parsed AS (
+  SELECT host, ln,
+         lower(trim(regexp_extract(clean, '^([^:]*):', 1))) AS field,
+         trim(regexp_extract(clean, '^[^:]*:(.*)$', 1)) AS value
+  FROM cleaned
+  WHERE contains(clean, ':')
+), fr AS (
+  SELECT * FROM parsed WHERE field IN ('user-agent', 'allow', 'disallow')
+), marked AS (
+  SELECT host, ln, field, value,
+         (field = 'user-agent') AS is_ua,
+         coalesce(
+           lag(field = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
+           FALSE
+         ) AS prev_ua
+  FROM fr
+), blocks AS (
+  SELECT host, ln, field, value, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY ln) AS block,
+         max(CASE WHEN is_ua AND lower(value) = 'trainbot' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host) AS has_token
+  FROM marked
+), agents AS (
+  SELECT DISTINCT host, block, lower(value) AS agent
+  FROM blocks WHERE is_ua AND value <> ''
+), rules AS (
+  SELECT r.host, r.value AS pattern, (r.field = 'allow') AS allowed
+  FROM (SELECT * FROM blocks
+        WHERE NOT is_ua AND NOT (field = 'disallow' AND value = '')) r
+  JOIN agents a ON r.host = a.host AND r.block = a.block
+  WHERE a.agent = CASE WHEN r.has_token = 1 THEN 'trainbot' ELSE '*' END
+), rule_re AS (
+  SELECT host, pattern, allowed,
+         '^' || replace(
+           regexp_replace(
+             CASE WHEN pattern LIKE '%$'
+                  THEN substr(pattern, 1, len(pattern) - 1)
+                  ELSE pattern END,
+             '([\\\[\]{}()+?^$|.])', '\\\1', 'g'),
+           '*', '.*')
+         || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS re
+  FROM rules
+), urls(id, url) AS (VALUES
+  (0, 'https://site-a.example/private/secret.html'),
+  (1, 'https://site-a.example/private/public/page'),
+  (2, 'https://site-a.example/doc.pdf'),
+  (3, 'https://site-a.example/doc.pdfx'),
+  (4, 'https://site-a.example/a/deep/doc.pdf'),
+  (5, 'https://site-a.example/tmp-cache/file'),
+  (6, 'https://site-a.example/tmp-cache/keep'),
+  (7, 'https://site-a.example/x/tied'),
+  (8, 'https://site-a.example/open/page'),
+  (9, 'https://site-b.example/anything'),
+  (10, 'https://site-b.example/pub/page'),
+  (11, 'https://no-rules.example/whatever')
+), u AS (
+  SELECT id, url,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS host,
+         coalesce(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?#]*)', 1), ''), '/') AS path
+  FROM urls
+), matched AS (
+  SELECT u.id, r.pattern, r.allowed,
+         row_number() OVER (PARTITION BY u.id
+                            ORDER BY len(r.pattern) DESC, r.allowed DESC) AS rk
+  FROM u JOIN rule_re r ON u.host = r.host
+  WHERE regexp_matches(u.path, r.re)
+)
+SELECT CAST(u.id AS BIGINT) AS id, u.url,
+       coalesce(m.allowed, TRUE) AS allowed
+FROM u LEFT JOIN (SELECT id, allowed FROM matched WHERE rk = 1) m
+  ON u.id = m.id
 """
 
-# verdict pins: RFC 9309 wildcard '/*.pdf$' (anchored — /doc.pdfx passes),
-# '/tmp*' with the longer '/tmp*/keep' Allow override, equal-length
+# verdict coverage: RFC 9309 wildcard '/*.pdf$' (anchored — /doc.pdfx
+# passes), '/tmp*' with the longer '/tmp*/keep' Allow override, equal-length
 # Allow-beats-Disallow tie ('/x'), group selection (trainbot's group, not
 # '*'), site-b's '*' group with blank-Disallow dropped, and the
 # no-rules-host default TRUE.
@@ -5445,20 +5527,62 @@ SELECT * FROM (VALUES
 ) AS t(page_id, main_text, main_len, main_md5)
 """
 
+# Round 11 (round-10 verdict "prefer the SQL twin where expressible"):
+# this oracle RECOMPUTES the whole canonicalization in SQL — absolute-URL
+# guard, fragment strip, scheme/host-only lowercasing around the last '@',
+# default-port strip on the host:port half, empty-path slash, tracking-param
+# filter, byte-wise param sort — instead of pinning literal outputs.
 ORACLES["crawl_url_canonical"] = """
-SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), 'HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag', 'http://example.com/Path/Page?a=1&b=2'),
-  (CAST(1 AS BIGINT), 'https://example.com:443/', 'https://example.com/'),
-  (CAST(2 AS BIGINT), 'https://example.com', 'https://example.com/'),
-  (CAST(3 AS BIGINT), 'https://example.com/p?gclid=abc&ref=tw&fbclid=z', 'https://example.com/p'),
-  (CAST(4 AS BIGINT), 'https://example.com:8443/p?z=1&a=2', 'https://example.com:8443/p?a=2&z=1'),
-  (CAST(5 AS BIGINT), 'http://h.io/UPPER/case?utm_campaign=spring#x', 'http://h.io/UPPER/case'),
-  (CAST(6 AS BIGINT), 'https://example.com/p?a=1&a=0', 'https://example.com/p?a=0&a=1'),
-  (CAST(7 AS BIGINT), 'example.com/relative/path', 'example.com/relative/path'),
-  (CAST(8 AS BIGINT), '//cdn.example.com/lib.js', '//cdn.example.com/lib.js'),
-  (CAST(9 AS BIGINT), 'mailto:user@example.com', 'mailto:user@example.com'),
-  (CAST(10 AS BIGINT), 'HTTP://User:Pw@Example.COM:80/a', 'http://User:Pw@example.com/a')
-) AS t(id, url, canonical)
+WITH inputs(id, url) AS (VALUES
+  (0, 'HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag'),
+  (1, 'https://example.com:443/'),
+  (2, 'https://example.com'),
+  (3, 'https://example.com/p?gclid=abc&ref=tw&fbclid=z'),
+  (4, 'https://example.com:8443/p?z=1&a=2'),
+  (5, 'http://h.io/UPPER/case?utm_campaign=spring#x'),
+  (6, 'https://example.com/p?a=1&a=0'),
+  (7, 'example.com/relative/path'),
+  (8, '//cdn.example.com/lib.js'),
+  (9, 'mailto:user@example.com'),
+  (10, 'HTTP://User:Pw@Example.COM:80/a')
+), s1 AS (
+  SELECT id, url,
+         regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS is_abs,
+         regexp_replace(url, '#.*$', '') AS c
+  FROM inputs
+), s2 AS (
+  SELECT *, lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS auth,
+         regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+  FROM s1
+), s3 AS (
+  SELECT *, regexp_extract(auth, '^(.*@)', 1) AS userinfo,
+         CASE WHEN scheme = 'http'
+                THEN regexp_replace(lower(regexp_extract(auth, '([^@]*)$', 1)), ':80$', '')
+              WHEN scheme = 'https'
+                THEN regexp_replace(lower(regexp_extract(auth, '([^@]*)$', 1)), ':443$', '')
+              ELSE lower(regexp_extract(auth, '([^@]*)$', 1)) END AS hostport
+  FROM s2
+), s4 AS (
+  SELECT *, scheme || '://' || userinfo || hostport || rest AS c2 FROM s3
+), s5 AS (
+  SELECT *,
+         CASE WHEN regexp_matches(regexp_extract(c2, '^([^?]*)', 1),
+                                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$')
+              THEN regexp_extract(c2, '^([^?]*)', 1) || '/'
+              ELSE regexp_extract(c2, '^([^?]*)', 1) END AS prefix,
+         list_sort(list_filter(
+           string_split(regexp_extract(c2, '\\?(.*)$', 1), '&'),
+           p -> p <> '' AND NOT regexp_matches(
+             p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)=')
+         )) AS params
+  FROM s4
+)
+SELECT CAST(id AS BIGINT) AS id, url,
+       CASE WHEN NOT is_abs THEN url
+            WHEN len(params) > 0 THEN prefix || '?' || array_to_string(params, '&')
+            ELSE prefix END AS canonical
+FROM s5
 """
 ORACLES["crawl_fetch_schedule"] = """
 WITH frontier AS (
@@ -5488,14 +5612,64 @@ FROM s LEFT JOIN d ON s.host = d.host
 # frequency, ordered string_agg reassembly).
 # ---------------------------------------------------------------------------
 
-ORACLES["text_gopher_flags"] = """
-SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(82 AS BIGINT), CAST(4048780 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(8 AS BIGINT), TRUE, TRUE, TRUE, TRUE, TRUE),
-  (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4000000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE, TRUE, TRUE, FALSE),
-  (CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(3000000 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(500000 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE, TRUE, FALSE, FALSE),
-  (CAST(3 AS BIGINT), CAST(60 AS BIGINT), CAST(5333333 AS BIGINT), CAST(500000 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), CAST(3 AS BIGINT), TRUE, TRUE, FALSE, TRUE, FALSE),
-  (CAST(4 AS BIGINT), CAST(70 AS BIGINT), CAST(4642857 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(142857 AS BIGINT), CAST(2 AS BIGINT), TRUE, TRUE, TRUE, FALSE, FALSE)
-) AS t(doc_id, word_count, mean_word_len_ppm, symbol_ratio_ppm, bullet_ratio_ppm, alpha_word_ratio_ppm, stopword_hits, ok_word_count, ok_bullet_ratio, ok_symbol_ratio, ok_alpha_words, passes)
+# Round 11 (round-10 verdict "prefer the SQL twin where expressible"):
+# the Gopher battery oracle now REGENERATES the five docs (repeat/
+# string_agg) and recomputes every measure and rule in SQL — word/line
+# splits, symbol and bullet ratios, word-token stopword hits — instead
+# of pinning literal rows.
+ORACLES["text_gopher_flags"] = r"""
+WITH docs(doc_id, body) AS (
+  SELECT 0, repeat('The quick brown fox jumps over the lazy dog and runs with great speed across the field. ', 4)
+            || 'It would have been fine to be there with all of that in mind.'
+  UNION ALL SELECT 1, 'Too few words here.'
+  UNION ALL SELECT 2, (SELECT string_agg('- bullet item ' || i, chr(10) ORDER BY i) FROM range(10) t(i))
+  UNION ALL SELECT 3, repeat('word#tag ', 30) || rtrim(repeat('the of and ', 10))
+  UNION ALL SELECT 4, repeat('12345 67890 ', 30) || rtrim(repeat('the of ', 5))
+), feats AS (
+  SELECT doc_id, body,
+         list_filter(string_split_regex(body, '\s+'), w -> w <> '') AS words,
+         list_filter(string_split_regex(body, '\r?\n'), l -> trim(l) <> '') AS lines
+  FROM docs
+), meas AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         greatest(len(words), 1) AS n_words1,
+         greatest(len(lines), 1) AS n_lines,
+         list_aggregate(list_transform(words, w -> len(w)), 'sum') AS word_chars,
+         (len(body) - len(replace(body, '#', '')))
+           + (len(body) - len(replace(body, '...', ''))) / 3.0 AS n_symbols,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*' || chr(8226) || ']'))) AS n_bullets,
+         len(list_filter(lines, l -> trim(l) LIKE '%...')) AS n_ellipsis,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             sw -> list_contains(
+               list_transform(words, w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
+               sw))) AS stop_hits
+  FROM feats
+), ratios AS (
+  SELECT doc_id, n_words, stop_hits,
+         word_chars * 1.0 / n_words1 AS mean_wl,
+         n_symbols * 1.0 / n_words1 AS sym_r,
+         n_bullets * 1.0 / n_lines AS bull_r,
+         n_ellipsis * 1.0 / n_lines AS ell_r,
+         n_alpha * 1.0 / n_words1 AS alpha_r
+  FROM meas
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS word_count,
+       CAST(round(mean_wl * 1e6) AS BIGINT) AS mean_word_len_ppm,
+       CAST(round(sym_r * 1e6) AS BIGINT) AS symbol_ratio_ppm,
+       CAST(round(bull_r * 1e6) AS BIGINT) AS bullet_ratio_ppm,
+       CAST(round(alpha_r * 1e6) AS BIGINT) AS alpha_word_ratio_ppm,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (bull_r <= 0.9) AS ok_bullet_ratio,
+       (sym_r <= 0.1) AS ok_symbol_ratio,
+       (alpha_r >= 0.8) AS ok_alpha_words,
+       ((n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3 AND mean_wl <= 10)
+        AND sym_r <= 0.1 AND bull_r <= 0.9 AND ell_r <= 0.3
+        AND alpha_r >= 0.8 AND stop_hits >= 2) AS passes
+FROM ratios
 """
 ORACLES["text_line_dedup"] = """
 WITH docs(doc_id, text) AS (VALUES

@@ -5423,14 +5423,34 @@ SELECT * FROM (VALUES
 ) AS t(media_id, frame_idx, ts_ms, cue_idx, caption)
 """
 
-ORACLES["crawl_sitemap_entries"] = """
-SELECT * FROM (VALUES
-  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'url', 'https://ex.org/', '2026-01-01', CAST(0.8 AS DOUBLE)),
-  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'url', 'https://ex.org/a', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
-  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'url', 'https://ex.org/b', '2026-02-03T04:05:06+00:00', CAST(NULL AS DOUBLE)),
-  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'sitemap', 'https://ex.org/sitemap1.xml', '2026-03-01', CAST(NULL AS DOUBLE)),
-  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'sitemap', 'https://ex.org/sitemap2.xml', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
-) AS t(warc_id, entry_idx, kind, loc, lastmod, priority)
+# Round 11: the sitemap oracle now REGENERATES both XML docs and
+# recomputes the explode in SQL (element split with positions, loc/
+# lastmod/priority extraction, preamble drop) — independent twin.
+ORACLES["crawl_sitemap_entries"] = r"""
+WITH docs(warc_id, xml) AS (VALUES
+  (1, '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+      || '<url><loc>https://ex.org/</loc><lastmod>2026-01-01</lastmod><priority>0.8</priority></url>'
+      || '<url><loc> https://ex.org/a </loc></url>'
+      || '<url><loc>https://ex.org/b</loc><lastmod> 2026-02-03T04:05:06+00:00 </lastmod></url>'
+      || '</urlset>'),
+  (2, '<sitemapindex><sitemap><loc>https://ex.org/sitemap1.xml</loc>'
+      || '<lastmod>2026-03-01</lastmod></sitemap>'
+      || '<sitemap><loc>https://ex.org/sitemap2.xml</loc></sitemap></sitemapindex>')
+), blocks AS (
+  SELECT warc_id,
+         unnest(string_split_regex(xml, '<(?:url|sitemap)>')) AS block,
+         unnest(range(len(string_split_regex(xml, '<(?:url|sitemap)>')))) AS bidx,
+         contains(xml, '<sitemapindex') AS is_index
+  FROM docs
+)
+SELECT CAST(warc_id AS BIGINT) AS warc_id,
+       CAST(bidx - 1 AS BIGINT) AS entry_idx,
+       CASE WHEN is_index THEN 'sitemap' ELSE 'url' END AS kind,
+       regexp_extract(block, '<loc>\s*([^<\s]+)\s*</loc>', 1) AS loc,
+       nullif(regexp_extract(block, '<lastmod>\s*([^<\s]+)\s*</lastmod>', 1), '') AS lastmod,
+       CAST(nullif(regexp_extract(block, '<priority>\s*([^<\s]+)\s*</priority>', 1), '') AS DOUBLE) AS priority
+FROM blocks
+WHERE regexp_extract(block, '<loc>\s*([^<\s]+)\s*</loc>', 1) <> ''
 """
 
 # ---------------------------------------------------------------------------

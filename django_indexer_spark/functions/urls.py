@@ -310,20 +310,26 @@ def delays_from_robots(
     delays = blocks.filter(
         (F.col("__field") == "crawl-delay") & d.isNotNull() & (d >= 0)
     ).select("host", "__block", "__ln", d.alias("__delay"))
-    # first delay per (host, agent): earliest line wins (setdefault)
+    from pyspark.sql.window import Window
+
+    # first delay per (host, agent): earliest line wins (setdefault);
+    # the token-has-a-delay selection flag is a window over the host
+    # partitioning rather than a groupBy + join round-trip (the same
+    # exchange-reuse shape as rules_from_robots' selection)
     per_agent = (
         delays.join(agents, ["host", "__block"])
         .groupBy("host", "__agent")
         .agg(F.min_by("__delay", "__ln").alias("__delay"))
-    )
-    sel = per_agent.groupBy("host").agg(
-        F.max((F.col("__agent") == token).cast("int")).alias("__has_token")
+        .withColumn(
+            "__has_token",
+            F.max((F.col("__agent") == token).cast("int")).over(
+                Window.partitionBy("host")
+            ),
+        )
     )
     picked = F.when(F.col("__has_token") == 1, F.lit(token)).otherwise(F.lit("*"))
-    return (
-        per_agent.join(sel, "host")
-        .filter(F.col("__agent") == picked)
-        .select("host", F.col("__delay").alias("delay_s"))
+    return per_agent.filter(F.col("__agent") == picked).select(
+        "host", F.col("__delay").alias("delay_s")
     )
 
 

@@ -127,7 +127,13 @@ def _robots_blocks(
     each row its GROUP id — a group starts at a User-agent line whose
     previous participating line was not one (lag + running sum over
     the per-host line-order window; the one shuffle here). Returns
-    (host, __ln, __field, __value, __is_ua, __block)."""
+    (host, __ln, __field, __value, __is_ua, __block).
+
+    PRECONDITION: one body row per host. RFC 9309 defines one
+    robots.txt per authority; a frontier that refetched must keep only
+    the latest body before calling (two rows for one host would
+    interleave their line numbers inside the host partition and
+    corrupt group assignment)."""
     from pyspark.sql.window import Window
 
     lines = robots.select(

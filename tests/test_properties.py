@@ -540,3 +540,79 @@ def test_webdataset_grouping_property(keys, n_exts, payload_seed, gzipped):
     payload = _gzip.compress(buf.getvalue()) if gzipped else buf.getvalue()
     got = dict(warc.tar_samples(payload))
     assert got == want
+
+
+_ROBOTS_LINES = st.sampled_from(
+    [
+        "User-agent: alpha",
+        "User-agent: beta",
+        "User-agent: *",
+        "User-agent: TrainBot",
+        "User-agent:",  # empty agent: group boundary, names no one
+        "Allow: /a",
+        "Allow: /a/b",
+        "Allow:",  # blank Allow is a real rule
+        "Disallow: /",
+        "Disallow: /tmp*",
+        "Disallow: /*.x$",
+        "Disallow:",  # blank Disallow drops
+        "Crawl-delay: 1",
+        "Crawl-delay: 2.5",
+        "Crawl-delay: -3",  # negative: ignored
+        "Crawl-delay: x",  # invalid: ignored
+        "Sitemap: https://e.example/s.xml",
+        "# a comment line",
+        "",
+        "garbage without colon",
+        "weird-field: value",
+    ]
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bodies=st.lists(
+        st.lists(_ROBOTS_LINES, min_size=0, max_size=12), min_size=1, max_size=5
+    )
+)
+def test_rules_and_delays_from_robots_match_driver_parsers(spark, bodies):
+    """Randomized parity: the DISTRIBUTED robots readers agree with the
+    driver-side parsers on arbitrary line soups — group boundaries,
+    empty agents, blank rules, invalid delays, comments, garbage —
+    for a specific token and an unknown one ('*' fallback)."""
+    from django_indexer_spark.functions import urls
+
+    corpus = {f"h{i}.example": "\n".join(lines) for i, lines in enumerate(bodies)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "host string, robots_body string"
+    )
+    for ua in ("TrainBot/9.0", "nobody"):
+        got_rules: dict[str, set] = {h: set() for h in corpus}
+        for r in urls.rules_from_robots(df, ua).collect():
+            got_rules[r["host"]].add((r["path_prefix"], r["allowed"]))
+        want_rules = {h: set(urls.parse_robots(b, ua)) for h, b in corpus.items()}
+        assert got_rules == want_rules, f"rules mismatch for ua={ua}"
+
+        got_delays = {
+            r["host"]: r["delay_s"] for r in urls.delays_from_robots(df, ua).collect()
+        }
+        want_delays = {}
+        for h, b in corpus.items():
+            _, d = urls.parse_robots_extras(b, ua)
+            if d is not None:
+                want_delays[h] = d
+        assert got_delays == want_delays, f"delays mismatch for ua={ua}"
+
+    got_sm = {
+        (r["host"], r["line_no"], r["sitemap_url"])
+        for r in urls.sitemaps_from_robots(df).collect()
+    }
+    want_sm = set()
+    for h, b in corpus.items():
+        for i, raw in enumerate(b.split("\n")):
+            line = raw.split("#", 1)[0].strip()
+            if ":" in line:
+                f, v = line.split(":", 1)
+                if f.strip().lower() == "sitemap" and v.strip():
+                    want_sm.add((h, i, v.strip()))
+    assert got_sm == want_sm

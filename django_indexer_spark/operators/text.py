@@ -1879,3 +1879,202 @@ def dedup_lines(
             ).alias("n_lines_dropped"),
         )
     )
+
+
+# Published Gopher repetition thresholds (Rae et al. 2021, App. A.1.2):
+# a doc is filtered when the measure EXCEEDS the threshold. Expressed in
+# basis points to match the battery's exact integer cross-engine math.
+_GOPHER_TOP_NGRAM_BP = {2: 2000, 3: 1800, 4: 1600}
+_GOPHER_DUP_NGRAM_BP = {5: 1500, 6: 1400, 7: 1300, 8: 1200, 9: 1100, 10: 1000}
+_GOPHER_DUP_SEG_BP = 3000  # duplicate line/paragraph fraction
+_GOPHER_DUP_SEG_CHAR_BP = 2000  # duplicate line/paragraph CHAR fraction
+
+
+def gopher_repetition_battery(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """The FULL published Gopher repetition battery (Rae et al. 2021,
+    App. A.1.2 — the in-document half that ``repetition_metrics``'
+    distinct-ratio + top-2-gram share previews), using the public
+    concretization every major curation stack converged on:
+
+    - **duplicate line / paragraph fraction**: segments (trimmed,
+      non-empty; paragraphs split on blank lines) occurring beyond
+      their first copy, over all segments;
+    - **duplicate line / paragraph CHARACTER fraction**: characters in
+      the repeats beyond the first copy, over all segment characters;
+    - **top n-gram character fraction** (n in ``top_ns``): occurrences
+      of the single most frequent word n-gram x its word characters,
+      over total word characters (ties broken by char length then
+      lexicographic gram — deterministic cross-engine);
+    - **duplicate n-gram character fraction** (n in ``dup_ns``): word
+      characters covered by ANY n-gram occurring more than once,
+      overlap counted ONCE (position-coverage union, not a per-
+      occurrence sum). The published battery sweeps n=5..10; the
+      default runs the two envelope values — pass the full tuple for
+      a production filter.
+
+    All fractions are basis points via exact integer division
+    (numer*10000 div denom) — bit-identical cross-engine, the
+    ``top_ngram_frac_bp`` rule. ``passes`` is the published-threshold
+    conjunction over whatever measures were computed.
+
+    Scale shape: the line/paragraph half is PURE per-row codegen (zero
+    shuffle). The n-gram half explodes positioned grams once for all
+    requested n (in-task), counts via ONE window keyed (doc, n, gram),
+    aggregates per (doc, n), and pivots per doc — uniform keys, skew
+    bounded by document length; the coverage explode blows up only the
+    DUPLICATED grams (the thing being measured, rare in clean corpora).
+    A corpus filter runs once per corpus; every join key carries doc_id."""
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+
+    def seg_stats(sep: str, prefix: str):
+        segs = F.filter(
+            F.transform(F.split(c, sep), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+        dsegs = F.array_distinct(segs)
+        chars = F.aggregate(segs, F.lit(0), lambda a, s: a + F.length(s))
+        dchars = F.aggregate(dsegs, F.lit(0), lambda a, s: a + F.length(s))
+        return [
+            F.size(segs).alias(f"__n_{prefix}"),
+            F.size(dsegs).alias(f"__nd_{prefix}"),
+            chars.alias(f"__c_{prefix}"),
+            dchars.alias(f"__cd_{prefix}"),
+        ]
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        tokenize(text_col).alias("__toks"),
+        *seg_stats(r"\r?\n", "ln"),
+        *seg_stats(r"(?:\r?\n){2,}", "pg"),
+    ).withColumn(
+        "__tok_chars",
+        F.aggregate("__toks", F.lit(0), lambda a, w: a + F.length(w)),
+    )
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    gram_frames = []
+    for n in all_ns:
+        idx = F.when(
+            F.size("__toks") >= n, F.sequence(F.lit(0), F.size("__toks") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        gram_frames.append(
+            toks.select("__id", "__toks", F.explode(idx).alias("__pos")).select(
+                "__id",
+                F.lit(n).alias("__n"),
+                "__pos",
+                F.concat_ws(
+                    " ", F.slice("__toks", F.col("__pos") + 1, n)
+                ).alias("__gram"),
+            )
+        )
+    grams = gram_frames[0]
+    for gf in gram_frames[1:]:
+        grams = grams.unionByName(gf)
+    grams = grams.withColumn(
+        "__cnt",
+        F.count(F.lit(1)).over(Window.partitionBy("__id", "__n", "__gram")),
+    ).withColumn("__glen", F.length("__gram") - (F.col("__n") - 1))
+
+    top_piv = (
+        grams.filter(F.col("__n").isin(*top_ns))
+        .groupBy("__id", "__n")
+        .agg(F.max(F.struct("__cnt", "__glen", "__gram")).alias("__top"))
+        .select(
+            "__id",
+            "__n",
+            (F.col("__top.__cnt") * F.col("__top.__glen")).alias("__top_chars"),
+        )
+        .groupBy("__id")
+        .pivot("__n", [str(n) for n in top_ns])
+        .agg(F.first("__top_chars"))
+    )
+    words = toks.select(
+        "__id", F.posexplode("__toks").alias("__widx", "__w")
+    ).withColumn("__wlen", F.length("__w"))
+    dup_piv = (
+        grams.filter(F.col("__n").isin(*dup_ns) & (F.col("__cnt") > 1))
+        .select(
+            "__id",
+            "__n",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.col("__n") - 1)
+            ).alias("__widx"),
+        )
+        .distinct()
+        .join(words, ["__id", "__widx"])
+        .groupBy("__id", "__n")
+        .agg(F.sum("__wlen").alias("__dup_chars"))
+        .groupBy("__id")
+        .pivot("__n", [str(n) for n in dup_ns])
+        .agg(F.first("__dup_chars"))
+    )
+
+    def bp(numer, denom) -> Column:
+        # explicit zero-denominator guard: ANSI mode makes `div` THROW
+        # on zero rather than return null (empty docs are normal input)
+        return F.expr(
+            f"CASE WHEN ({denom}) = 0 THEN 0"
+            f" ELSE ({numer}) * 10000 div ({denom}) END"
+        ).cast("long")
+
+    out = toks.join(
+        top_piv.select(
+            "__id", *[F.col(str(n)).alias(f"__top{n}") for n in top_ns]
+        ),
+        "__id",
+        "left",
+    ).join(
+        dup_piv.select(
+            "__id", *[F.col(str(n)).alias(f"__dup{n}") for n in dup_ns]
+        ),
+        "__id",
+        "left",
+    )
+    measures = [
+        bp("__n_ln - __nd_ln", "__n_ln").alias("dup_line_frac_bp"),
+        bp("__c_ln - __cd_ln", "__c_ln").alias("dup_line_char_frac_bp"),
+        bp("__n_pg - __nd_pg", "__n_pg").alias("dup_para_frac_bp"),
+        bp("__c_pg - __cd_pg", "__c_pg").alias("dup_para_char_frac_bp"),
+        *[
+            bp(f"coalesce(__top{n}, 0)", "__tok_chars").alias(
+                f"top{n}_char_frac_bp"
+            )
+            for n in top_ns
+        ],
+        *[
+            bp(f"coalesce(__dup{n}, 0)", "__tok_chars").alias(
+                f"dup{n}_char_frac_bp"
+            )
+            for n in dup_ns
+        ],
+    ]
+    checks = [
+        F.col("dup_line_frac_bp") <= _GOPHER_DUP_SEG_BP,
+        F.col("dup_para_frac_bp") <= _GOPHER_DUP_SEG_BP,
+        F.col("dup_line_char_frac_bp") <= _GOPHER_DUP_SEG_CHAR_BP,
+        F.col("dup_para_char_frac_bp") <= _GOPHER_DUP_SEG_CHAR_BP,
+    ]
+    for n in top_ns:
+        if n in _GOPHER_TOP_NGRAM_BP:
+            checks.append(
+                F.col(f"top{n}_char_frac_bp") <= _GOPHER_TOP_NGRAM_BP[n]
+            )
+    for n in dup_ns:
+        if n in _GOPHER_DUP_NGRAM_BP:
+            checks.append(
+                F.col(f"dup{n}_char_frac_bp") <= _GOPHER_DUP_NGRAM_BP[n]
+            )
+    passes = checks[0]
+    for chk in checks[1:]:
+        passes = passes & chk
+    return out.select(
+        F.col("__id").alias(id_col), *measures
+    ).withColumn("passes", passes)

@@ -7353,3 +7353,38 @@ def crawl_robots_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delay_s",
     )
     return sm.unionByName(dl)
+
+
+@query("text_repetition_battery")
+def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL published Gopher repetition battery under the hard
+    signal (operators/text.py:gopher_repetition_battery — duplicate
+    line/paragraph count+char fractions, top-{2,3,4}-gram char
+    fractions, duplicate-{5,10}-gram char COVERAGE): one genuinely
+    clean doc that passes, one boilerplate-line doc, one repeated-
+    5-gram doc (coverage union — 10 of 12 chars, not per-occurrence
+    double count), one 2-gram-stuffed doc (overlapping top-gram
+    occurrences legally exceed 10000 bp), one empty doc (trivial
+    pass), one duplicate-paragraph doc. The oracle REGENERATES the six
+    docs and recomputes EVERY measure in SQL (list ops for the
+    line/paragraph half, positioned-gram windows + coverage-union join
+    for the n-gram half) — an independent twin."""
+    docs = spark.createDataFrame(
+        [
+            (
+                0,
+                "the quick brown fox jumps over a lazy dog near riverbank today\n"
+                "second line carries fresh different words entirely without repeats\n\n"
+                "third paragraph closes with more unique vocabulary items here\n\n"
+                "a late part adds many new tiny bits so no one gram can own much of it\n"
+                "end note has few more odd rare calm soft fair kind wise bold neat tidy",
+            ),
+            (1, "Accept cookies\nAccept cookies\nreal content line\n\nAccept cookies"),
+            (2, "a b c d e f a b c d e g"),
+            (3, "buy now buy now buy now buy now"),
+            (4, ""),
+            (5, "para one text\n\npara one text\n\nunique tail"),
+        ],
+        "doc_id long, text string",
+    )
+    return text.gopher_repetition_battery(docs)

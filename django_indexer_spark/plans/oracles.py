@@ -5947,3 +5947,108 @@ UNION ALL
 SELECT host, 'delay', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), d
 FROM delays
 """
+
+# Round 11 — the FULL Gopher repetition battery. The oracle regenerates
+# the six docs and recomputes everything in SQL: list ops for the line/
+# paragraph half, positioned n-gram windows with tie-broken mode for the
+# top fractions, and a coverage-union (DISTINCT covered word position,
+# then char join) for the duplicate-n-gram half.
+ORACLES["text_repetition_battery"] = r"""
+WITH docs(doc_id, body) AS (VALUES
+  (0, 'the quick brown fox jumps over a lazy dog near riverbank today' || chr(10) ||
+      'second line carries fresh different words entirely without repeats' || chr(10) || chr(10) ||
+      'third paragraph closes with more unique vocabulary items here' || chr(10) || chr(10) ||
+      'a late part adds many new tiny bits so no one gram can own much of it' || chr(10) ||
+      'end note has few more odd rare calm soft fair kind wise bold neat tidy'),
+  (1, 'Accept cookies' || chr(10) || 'Accept cookies' || chr(10) ||
+      'real content line' || chr(10) || chr(10) || 'Accept cookies'),
+  (2, 'a b c d e f a b c d e g'),
+  (3, 'buy now buy now buy now buy now'),
+  (4, ''),
+  (5, 'para one text' || chr(10) || chr(10) || 'para one text' || chr(10) || chr(10) || 'unique tail')
+), base AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(body, '\r?\n'), s -> trim(s)), s -> s <> '') AS lns,
+    list_filter(list_transform(string_split_regex(body, '(?:\r?\n){2,}'), s -> trim(s)), s -> s <> '') AS pgs,
+    list_filter(string_split_regex(lower(body), '[^a-zA-Z0-9]+'), w -> w <> '') AS toks
+  FROM docs
+), stats AS (
+  SELECT doc_id, toks,
+    len(lns) AS n_ln, len(list_distinct(lns)) AS nd_ln,
+    coalesce(list_aggregate(list_transform(lns, s -> len(s)), 'sum'), 0) AS c_ln,
+    coalesce(list_aggregate(list_transform(list_distinct(lns), s -> len(s)), 'sum'), 0) AS cd_ln,
+    len(pgs) AS n_pg, len(list_distinct(pgs)) AS nd_pg,
+    coalesce(list_aggregate(list_transform(pgs, s -> len(s)), 'sum'), 0) AS c_pg,
+    coalesce(list_aggregate(list_transform(list_distinct(pgs), s -> len(s)), 'sum'), 0) AS cd_pg,
+    coalesce(list_aggregate(list_transform(toks, w -> len(w)), 'sum'), 0) AS tok_chars
+  FROM base
+), positions AS (
+  SELECT doc_id, n, toks,
+         unnest(range(greatest(len(toks) - n + 1, 0))) AS pos
+  FROM base CROSS JOIN (VALUES (2), (3), (4), (5), (10)) ns(n)
+), gramtext AS (
+  SELECT doc_id, n, pos,
+         array_to_string(toks[pos + 1 : pos + n], ' ') AS gram
+  FROM positions
+), gcnt AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt,
+         len(gram) - (n - 1) AS glen
+  FROM gramtext
+), top AS (
+  SELECT doc_id, n, cnt * glen AS top_chars
+  FROM (
+    SELECT doc_id, n, cnt, glen,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY cnt DESC, glen DESC, gram DESC) AS rk
+    FROM (SELECT DISTINCT doc_id, n, gram, cnt, glen FROM gcnt WHERE n IN (2, 3, 4))
+  ) WHERE rk = 1
+), cov AS (
+  SELECT DISTINCT doc_id, n, pos + unnest(range(n)) AS widx
+  FROM gcnt WHERE n IN (5, 10) AND cnt > 1
+), words AS (
+  SELECT doc_id, unnest(range(len(toks))) AS widx, unnest(toks) AS w FROM base
+), dupc AS (
+  SELECT c.doc_id, c.n, sum(len(w.w)) AS dup_chars
+  FROM cov c JOIN words w ON c.doc_id = w.doc_id AND c.widx = w.widx
+  GROUP BY 1, 2
+), piv AS (
+  SELECT s.doc_id,
+    max(CASE WHEN t.n = 2 THEN t.top_chars END) AS top2,
+    max(CASE WHEN t.n = 3 THEN t.top_chars END) AS top3,
+    max(CASE WHEN t.n = 4 THEN t.top_chars END) AS top4,
+    max(CASE WHEN d.n = 5 THEN d.dup_chars END) AS dup5,
+    max(CASE WHEN d.n = 10 THEN d.dup_chars END) AS dup10
+  FROM stats s
+  LEFT JOIN top t ON s.doc_id = t.doc_id
+  LEFT JOIN dupc d ON s.doc_id = d.doc_id
+  GROUP BY 1
+), bp AS (
+  SELECT s.doc_id,
+    CASE WHEN n_ln = 0 THEN 0 ELSE (n_ln - nd_ln) * 10000 // n_ln END AS dup_line_frac_bp,
+    CASE WHEN c_ln = 0 THEN 0 ELSE (c_ln - cd_ln) * 10000 // c_ln END AS dup_line_char_frac_bp,
+    CASE WHEN n_pg = 0 THEN 0 ELSE (n_pg - nd_pg) * 10000 // n_pg END AS dup_para_frac_bp,
+    CASE WHEN c_pg = 0 THEN 0 ELSE (c_pg - cd_pg) * 10000 // c_pg END AS dup_para_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top2, 0) * 10000 // tok_chars END AS top2_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top3, 0) * 10000 // tok_chars END AS top3_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top4, 0) * 10000 // tok_chars END AS top4_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup5, 0) * 10000 // tok_chars END AS dup5_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup10, 0) * 10000 // tok_chars END AS dup10_char_frac_bp
+  FROM stats s JOIN piv p ON s.doc_id = p.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(dup_line_frac_bp AS BIGINT) AS dup_line_frac_bp,
+       CAST(dup_line_char_frac_bp AS BIGINT) AS dup_line_char_frac_bp,
+       CAST(dup_para_frac_bp AS BIGINT) AS dup_para_frac_bp,
+       CAST(dup_para_char_frac_bp AS BIGINT) AS dup_para_char_frac_bp,
+       CAST(top2_char_frac_bp AS BIGINT) AS top2_char_frac_bp,
+       CAST(top3_char_frac_bp AS BIGINT) AS top3_char_frac_bp,
+       CAST(top4_char_frac_bp AS BIGINT) AS top4_char_frac_bp,
+       CAST(dup5_char_frac_bp AS BIGINT) AS dup5_char_frac_bp,
+       CAST(dup10_char_frac_bp AS BIGINT) AS dup10_char_frac_bp,
+       (dup_line_frac_bp <= 3000 AND dup_para_frac_bp <= 3000
+        AND dup_line_char_frac_bp <= 2000 AND dup_para_char_frac_bp <= 2000
+        AND top2_char_frac_bp <= 2000 AND top3_char_frac_bp <= 1800
+        AND top4_char_frac_bp <= 1600
+        AND dup5_char_frac_bp <= 1500 AND dup10_char_frac_bp <= 1000) AS passes
+FROM bp
+"""

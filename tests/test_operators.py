@@ -6122,3 +6122,40 @@ def test_delays_and_sitemaps_from_robots_match_extras(spark):
         ("e1.example", 0, "https://e1.example/sm1.xml"),
         ("e1.example", 7, "https://e1.example/sm2.xml"),
     ]
+
+
+def test_gopher_repetition_battery(spark):
+    """The full published repetition battery: duplicate line/paragraph
+    (count + char) fractions, top n-gram char fraction (overlap can
+    push past 10000 bp — it is a threshold measure), duplicate n-gram
+    char COVERAGE (overlap counted once), empty docs pass, exact
+    integer basis points."""
+    from django_indexer_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb aa bb aa bb"),
+            (1, "x\nx\ny\n\nx\nz"),
+            (2, "a b c d e f a b c d e g"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.gopher_repetition_battery(docs).collect()}
+    # doc0: "aa bb" occurs 3x, 12 of 12 token chars -> 10000 bp; the
+    # top 4-gram's occurrences overlap -> 13333 bp (> 100% by design)
+    assert out[0]["top2_char_frac_bp"] == 10000
+    assert out[0]["top4_char_frac_bp"] == 13333
+    assert out[0]["dup5_char_frac_bp"] == 0 and out[0]["passes"] is False
+    # doc1: lines [x,x,y,x,z] -> 2 repeats of 5 = 4000 bp, same by chars
+    assert out[1]["dup_line_frac_bp"] == 4000
+    assert out[1]["dup_line_char_frac_bp"] == 4000
+    assert out[1]["dup_para_frac_bp"] == 0
+    # doc2: 'a b c d e' repeats; covered positions 0-4 and 6-10 = 10 of
+    # 12 token chars -> 8333 bp (coverage union, NOT 2x5x... per-occurrence)
+    assert out[2]["dup5_char_frac_bp"] == 8333
+    assert out[2]["dup10_char_frac_bp"] == 0
+    # empty doc: every measure 0, passes trivially
+    assert out[3]["passes"] is True and out[3]["top2_char_frac_bp"] == 0
+    plan = text.gopher_repetition_battery(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

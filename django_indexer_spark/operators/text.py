@@ -2078,3 +2078,79 @@ def gopher_repetition_battery(
     return out.select(
         F.col("__id").alias(id_col), *measures
     ).withColumn("passes", passes)
+
+
+def c4_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2 — the published
+    rule set behind the C4 corpus, the other canonical pre-filter next
+    to the Gopher battery), as pure per-row codegen (ZERO shuffle —
+    every rule is a line-array filter or a flag on the doc):
+
+    line rules (kept lines re-joined in order):
+    - keep only lines ending in a terminal punctuation mark (. ! ? ")
+      after trimming,
+    - keep only lines with at least 3 words,
+    - drop any line containing the word 'javascript'
+      (case-insensitive);
+
+    page rules (flags + the ``keep`` conjunction):
+    - drop pages whose CLEANED text has fewer than 5 sentences
+      (sentence = a terminal-punctuation run, optionally a closing
+      double quote, then whitespace or end — a lookaround-free count,
+      identical in Java regex and RE2, so the rule is oracle-checkable
+      cross-engine),
+    - drop pages containing 'lorem ipsum' (case-insensitive),
+    - drop pages containing a curly bracket,
+    - drop pages containing any ``word_blocklist`` token (the paper
+      uses a public bad-words list; pass it here — matching is
+      case-insensitive on the WORD level, same tokenization as the
+      Gopher stopword rule, so 'title' never false-hits 'tit').
+
+    Returns every input doc with its cleaned text, line accounting,
+    the flags, and ``keep`` — a filter-annotate stage, row-count
+    preserving like ``dedup_lines``."""
+    c = F.col(text_col)
+    lines = F.split(c, r"\r?\n")
+    kept = F.filter(
+        F.transform(lines, lambda s: F.trim(s)),
+        lambda s: (s != "")
+        & F.regexp_like(s, F.lit(r'[.!?"]$'))
+        & (F.size(F.filter(F.split(s, r"\s+"), lambda w: w != "")) >= 3)
+        & ~F.lower(s).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_lines = F.size(F.filter(F.transform(lines, lambda s: F.trim(s)), lambda s: s != ""))
+    n_sentences = F.regexp_count(clean, F.lit(r'[.!?]+"?(?:\s|$)'))
+    lower = F.lower(c)
+    norm_words = F.transform(
+        F.filter(F.split(c, r"\s+"), lambda w: w != ""),
+        lambda w: F.lower(F.regexp_replace(w, r"[^A-Za-z]", "")),
+    )
+    has_blocked = F.lit(False)
+    for w in word_blocklist:
+        has_blocked = has_blocked | F.array_contains(norm_words, w.lower())
+    flags = {
+        "has_lorem_ipsum": lower.contains("lorem ipsum"),
+        "has_curly_brace": c.contains("{"),
+        "has_blocked_word": has_blocked,
+    }
+    out = docs.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (n_lines - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        n_sentences.cast("long").alias("n_sentences"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_sentences") >= 5)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_blocked_word"),
+    )

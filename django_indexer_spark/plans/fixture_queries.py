@@ -7388,3 +7388,50 @@ def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string",
     )
     return text.gopher_repetition_battery(docs)
+
+
+@query("text_c4_filter")
+def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning battery under the hard signal (operators/
+    text.py:c4_quality_filter — Raffel et al. 2020 §2.2): line rules
+    (terminal punctuation incl. a closing quote, >= 3 words, no
+    'javascript'), page rules (>= 5 sentences on the cleaned text,
+    lorem ipsum, curly brace, WORD-level blocklist — 'title'/'subtitle'
+    must not false-hit the blocked token while the standalone word
+    does). The oracle REGENERATES the six docs and recomputes every
+    rule in SQL (list filters + the same lookaround-free sentence
+    count)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                0,
+                "A good first sentence sits here.\nshort.\n"
+                "And a braceless clean line too!\nno end punct\n"
+                "Some javascript lives here today.\n"
+                "Questions make fine endings, right?\n"
+                'Quoted endings also count as terminal."\n'
+                "Fifth proper sentence closes this.\n",
+            ),
+            (1, "Lorem ipsum dolor sit amet.\nReal text follows afterward here."),
+            (2, "Code pages contain { braces }.\nReal text follows afterward here."),
+            (
+                3,
+                "The subtitle mentions a title here.\n"
+                "Plenty of proper sentences follow now.\n"
+                "Another proper sentence lands here.\n"
+                "Yet another proper sentence arrives.\n"
+                "Fifth proper sentence closes this.",
+            ),
+            (4, ""),
+            (
+                5,
+                "A tit perches on the branch quietly.\n"
+                "Plenty of proper sentences follow now.\n"
+                "Another proper sentence lands here.\n"
+                "Yet another proper sentence arrives.\n"
+                "Fifth proper sentence closes this.",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    return text.c4_quality_filter(docs, word_blocklist=("tit",))

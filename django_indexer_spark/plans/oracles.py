@@ -6052,3 +6052,68 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
         AND dup5_char_frac_bp <= 1500 AND dup10_char_frac_bp <= 1000) AS passes
 FROM bp
 """
+
+# Round 11 — the C4 cleaning battery (Raffel et al. 2020 SS2.2). The
+# oracle regenerates the six docs and recomputes every line and page
+# rule in SQL; the sentence count is the shared lookaround-free regex,
+# so both engines count identically.
+ORACLES["text_c4_filter"] = r"""
+WITH docs(doc_id, body) AS (VALUES
+  (0, 'A good first sentence sits here.' || chr(10) || 'short.' || chr(10) ||
+      'And a braceless clean line too!' || chr(10) || 'no end punct' || chr(10) ||
+      'Some javascript lives here today.' || chr(10) ||
+      'Questions make fine endings, right?' || chr(10) ||
+      'Quoted endings also count as terminal."' || chr(10) ||
+      'Fifth proper sentence closes this.' || chr(10)),
+  (1, 'Lorem ipsum dolor sit amet.' || chr(10) || 'Real text follows afterward here.'),
+  (2, 'Code pages contain { braces }.' || chr(10) || 'Real text follows afterward here.'),
+  (3, 'The subtitle mentions a title here.' || chr(10) ||
+      'Plenty of proper sentences follow now.' || chr(10) ||
+      'Another proper sentence lands here.' || chr(10) ||
+      'Yet another proper sentence arrives.' || chr(10) ||
+      'Fifth proper sentence closes this.'),
+  (4, ''),
+  (5, 'A tit perches on the branch quietly.' || chr(10) ||
+      'Plenty of proper sentences follow now.' || chr(10) ||
+      'Another proper sentence lands here.' || chr(10) ||
+      'Yet another proper sentence arrives.' || chr(10) ||
+      'Fifth proper sentence closes this.')
+), base AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(string_split_regex(body, '\r?\n'), s -> trim(s)),
+      s -> s <> '' AND regexp_matches(s, '[.!?"]$')
+           AND len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) >= 3
+           AND NOT contains(lower(s), 'javascript')
+    ) AS kept,
+    len(list_filter(
+      list_transform(string_split_regex(body, '\r?\n'), s -> trim(s)),
+      s -> s <> ''
+    )) AS n_lines,
+    contains(lower(body), 'lorem ipsum') AS has_lorem,
+    contains(body, '{') AS has_brace,
+    list_contains(
+      list_transform(
+        list_filter(string_split_regex(body, '\s+'), w -> w <> ''),
+        w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))
+      ),
+      'tit'
+    ) AS has_blocked
+  FROM docs
+), c AS (
+  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+         len(kept) AS n_kept, n_lines, has_lorem, has_brace, has_blocked
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       text_clean,
+       CAST(n_kept AS BIGINT) AS n_lines_kept,
+       CAST(n_lines - n_kept AS BIGINT) AS n_lines_dropped,
+       CAST(len(regexp_extract_all(text_clean, '[.!?]+"?(?:\s|$)')) AS BIGINT) AS n_sentences,
+       has_lorem AS has_lorem_ipsum,
+       has_brace AS has_curly_brace,
+       has_blocked AS has_blocked_word,
+       (len(regexp_extract_all(text_clean, '[.!?]+"?(?:\s|$)')) >= 5
+        AND NOT has_lorem AND NOT has_brace AND NOT has_blocked) AS keep
+FROM c
+"""

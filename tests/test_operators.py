@@ -6159,3 +6159,41 @@ def test_gopher_repetition_battery(spark):
     assert out[3]["passes"] is True and out[3]["top2_char_frac_bp"] == 0
     plan = text.gopher_repetition_battery(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_c4_quality_filter(spark):
+    """The C4 cleaning battery: line rules (terminal punctuation, >= 3
+    words, no 'javascript'), page rules (>= 5 sentences on the CLEANED
+    text, lorem ipsum, curly brace, word-level blocklist with no
+    substring false hits), row-count preserving."""
+    from django_indexer_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A good first sentence sits here.\nshort.\nAnd a braceless clean line too!\nno end punct\nSome javascript lives here today.\nQuestions make fine endings, right?\nQuoted endings also count as terminal.\"\nFifth proper sentence closes this.\n"),
+            (1, "Lorem ipsum dolor sit amet.\nReal text follows afterward here."),
+            (2, "Code pages contain { braces }.\nReal text follows afterward here."),
+            (3, "The subtitle mentions a title here.\nPlenty of proper sentences follow now.\nAnother proper sentence lands here.\nYet another proper sentence arrives.\nFifth proper sentence closes this."),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text.c4_quality_filter(docs, word_blocklist=("tit",)).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4]  # row-count preserving
+    # doc0: 'short.' (<3 words), 'no end punct', and the javascript
+    # line drop; the quote-terminated line counts
+    assert rows[0]["n_lines_kept"] == 5 and rows[0]["n_lines_dropped"] == 3
+    assert rows[0]["n_sentences"] == 5 and rows[0]["keep"] is True
+    assert rows[1]["has_lorem_ipsum"] is True and rows[1]["keep"] is False
+    assert rows[2]["has_curly_brace"] is True and rows[2]["keep"] is False
+    # word-level blocklist: 'title'/'subtitle' must NOT hit 'tit'
+    assert rows[3]["has_blocked_word"] is False and rows[3]["keep"] is True
+    assert rows[4]["n_sentences"] == 0 and rows[4]["keep"] is False
+    blocked = {
+        r["doc_id"]: r
+        for r in text.c4_quality_filter(docs, word_blocklist=("braceless",)).collect()
+    }
+    assert blocked[0]["has_blocked_word"] is True and blocked[0]["keep"] is False

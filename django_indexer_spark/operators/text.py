@@ -1834,10 +1834,15 @@ def dedup_lines(
     whose every line is boilerplate surfaces as ('', 0, n_total)
     rather than vanishing (round-10 ADVICE — silent row loss broke
     downstream doc accounting), so the stage is row-count-preserving
-    like any honest filter-annotate step."""
+    like any honest filter-annotate step. NULL text is treated as ''
+    (split(NULL) is NULL and posexplode would silently drop the doc
+    from the spine — round-11 ADVICE): a NULL-text doc surfaces as
+    ('', 1, 0) like an empty-text doc."""
     lines = docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("__idx", "__line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+        ).alias("__idx", "__line"),
     ).withColumn("__key", F.md5(F.trim(F.col("__line"))))
     sized = lines.withColumn(
         "__countable", F.length(F.trim("__line")) >= min_line_chars
@@ -2105,7 +2110,8 @@ def c4_quality_filter(
       identical in Java regex and RE2, so the rule is oracle-checkable
       cross-engine),
     - drop pages containing 'lorem ipsum' (case-insensitive),
-    - drop pages containing a curly bracket,
+    - drop pages containing a curly bracket (either brace — an
+      unmatched '}' is as much a code smell as '{'; round-11 ADVICE),
     - drop pages containing any ``word_blocklist`` token (the paper
       uses a public bad-words list; pass it here — matching is
       case-insensitive on the WORD level, same tokenization as the
@@ -2136,7 +2142,7 @@ def c4_quality_filter(
         has_blocked = has_blocked | F.array_contains(norm_words, w.lower())
     flags = {
         "has_lorem_ipsum": lower.contains("lorem ipsum"),
-        "has_curly_brace": c.contains("{"),
+        "has_curly_brace": c.contains("{") | c.contains("}"),
         "has_blocked_word": has_blocked,
     }
     out = docs.select(

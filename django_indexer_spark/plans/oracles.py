@@ -5985,7 +5985,7 @@ WITH docs(doc_id, body) AS (VALUES
 ), positions AS (
   SELECT doc_id, n, toks,
          unnest(range(greatest(len(toks) - n + 1, 0))) AS pos
-  FROM base CROSS JOIN (VALUES (2), (3), (4), (5), (10)) ns(n)
+  FROM base CROSS JOIN (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10)) ns(n)
 ), gramtext AS (
   SELECT doc_id, n, pos,
          array_to_string(toks[pos + 1 : pos + n], ' ') AS gram
@@ -6004,7 +6004,7 @@ WITH docs(doc_id, body) AS (VALUES
   ) WHERE rk = 1
 ), cov AS (
   SELECT DISTINCT doc_id, n, pos + unnest(range(n)) AS widx
-  FROM gcnt WHERE n IN (5, 10) AND cnt > 1
+  FROM gcnt WHERE n IN (5, 6, 7, 8, 9, 10) AND cnt > 1
 ), words AS (
   SELECT doc_id, unnest(range(len(toks))) AS widx, unnest(toks) AS w FROM base
 ), dupc AS (
@@ -6017,6 +6017,10 @@ WITH docs(doc_id, body) AS (VALUES
     max(CASE WHEN t.n = 3 THEN t.top_chars END) AS top3,
     max(CASE WHEN t.n = 4 THEN t.top_chars END) AS top4,
     max(CASE WHEN d.n = 5 THEN d.dup_chars END) AS dup5,
+    max(CASE WHEN d.n = 6 THEN d.dup_chars END) AS dup6,
+    max(CASE WHEN d.n = 7 THEN d.dup_chars END) AS dup7,
+    max(CASE WHEN d.n = 8 THEN d.dup_chars END) AS dup8,
+    max(CASE WHEN d.n = 9 THEN d.dup_chars END) AS dup9,
     max(CASE WHEN d.n = 10 THEN d.dup_chars END) AS dup10
   FROM stats s
   LEFT JOIN top t ON s.doc_id = t.doc_id
@@ -6032,6 +6036,10 @@ WITH docs(doc_id, body) AS (VALUES
     CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top3, 0) * 10000 // tok_chars END AS top3_char_frac_bp,
     CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top4, 0) * 10000 // tok_chars END AS top4_char_frac_bp,
     CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup5, 0) * 10000 // tok_chars END AS dup5_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup6, 0) * 10000 // tok_chars END AS dup6_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup7, 0) * 10000 // tok_chars END AS dup7_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup8, 0) * 10000 // tok_chars END AS dup8_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup9, 0) * 10000 // tok_chars END AS dup9_char_frac_bp,
     CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup10, 0) * 10000 // tok_chars END AS dup10_char_frac_bp
   FROM stats s JOIN piv p ON s.doc_id = p.doc_id
 )
@@ -6044,12 +6052,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(top3_char_frac_bp AS BIGINT) AS top3_char_frac_bp,
        CAST(top4_char_frac_bp AS BIGINT) AS top4_char_frac_bp,
        CAST(dup5_char_frac_bp AS BIGINT) AS dup5_char_frac_bp,
+       CAST(dup6_char_frac_bp AS BIGINT) AS dup6_char_frac_bp,
+       CAST(dup7_char_frac_bp AS BIGINT) AS dup7_char_frac_bp,
+       CAST(dup8_char_frac_bp AS BIGINT) AS dup8_char_frac_bp,
+       CAST(dup9_char_frac_bp AS BIGINT) AS dup9_char_frac_bp,
        CAST(dup10_char_frac_bp AS BIGINT) AS dup10_char_frac_bp,
        (dup_line_frac_bp <= 3000 AND dup_para_frac_bp <= 3000
         AND dup_line_char_frac_bp <= 2000 AND dup_para_char_frac_bp <= 2000
         AND top2_char_frac_bp <= 2000 AND top3_char_frac_bp <= 1800
         AND top4_char_frac_bp <= 1600
-        AND dup5_char_frac_bp <= 1500 AND dup10_char_frac_bp <= 1000) AS passes
+        AND dup5_char_frac_bp <= 1500 AND dup6_char_frac_bp <= 1400
+        AND dup7_char_frac_bp <= 1300 AND dup8_char_frac_bp <= 1200
+        AND dup9_char_frac_bp <= 1100 AND dup10_char_frac_bp <= 1000) AS passes
 FROM bp
 """
 
@@ -6077,7 +6091,9 @@ WITH docs(doc_id, body) AS (VALUES
       'Plenty of proper sentences follow now.' || chr(10) ||
       'Another proper sentence lands here.' || chr(10) ||
       'Yet another proper sentence arrives.' || chr(10) ||
-      'Fifth proper sentence closes this.')
+      'Fifth proper sentence closes this.'),
+  (6, 'An unmatched } hides in this sentence.' || chr(10) ||
+      'Real text follows afterward here.')
 ), base AS (
   SELECT doc_id,
     list_filter(
@@ -6091,7 +6107,7 @@ WITH docs(doc_id, body) AS (VALUES
       s -> s <> ''
     )) AS n_lines,
     contains(lower(body), 'lorem ipsum') AS has_lorem,
-    contains(body, '{') AS has_brace,
+    (contains(body, '{') OR contains(body, '}')) AS has_brace,
     list_contains(
       list_transform(
         list_filter(string_split_regex(body, '\s+'), w -> w <> ''),

@@ -6041,6 +6041,24 @@ def test_dedup_lines_all_boilerplate_doc_survives(spark):
     assert out[0]["text"] == "keep me zero" and out[0]["n_lines_kept"] == 1
 
 
+def test_dedup_lines_null_text_doc_survives(spark):
+    """Round-11 ADVICE: a NULL-text doc must not vanish either —
+    split(NULL) is NULL and posexplode would drop it from the spine;
+    the coalesce-to-'' makes it surface like an empty-text doc."""
+    from django_indexer_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "real line"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.dedup_lines(docs, max_freq=1).collect()}
+    assert sorted(out) == [0, 1, 2]
+    for did in (1, 2):  # NULL behaves exactly like ''
+        assert out[did]["text"] == ""
+        assert out[did]["n_lines_kept"] == 1  # the empty line passes through
+        assert out[did]["n_lines_dropped"] == 0
+
+
 def test_tag_meta_routed_rows(spark):
     """tag_meta (the distributed form of id3_tags/flac_info/ogg_info/
     gif_info/animation_frames): one routed Arrow stage, total over
@@ -6097,10 +6115,14 @@ def test_delays_and_sitemaps_from_robots_match_extras(spark):
             "User-agent: megabot\nDisallow: /a\n"
             "User-agent: *\nCrawl-delay: 3\n"
         ),
-        # invalid and negative delays ignored; duplicate keeps the FIRST
+        # invalid, NaN and negative delays ignored; duplicate keeps the
+        # FIRST (NaN: Spark's try_cast accepts it AND NaN > 0 in Spark's
+        # ordering, so it needs the explicit isnan reject — round-11
+        # ADVICE; Python float('nan') >= 0 is False, so the driver
+        # parser already skips it)
         "e3.example": (
-            "User-agent: *\nCrawl-delay: nope\nCrawl-delay: -1\n"
-            "Crawl-delay: 4\nCrawl-delay: 9\n"
+            "User-agent: *\nCrawl-delay: nope\nCrawl-delay: NaN\n"
+            "Crawl-delay: -1\nCrawl-delay: 4\nCrawl-delay: 9\n"
         ),
         "e4.example": "User-agent: *\nDisallow: /\n",  # no delay at all
     }
@@ -6122,6 +6144,38 @@ def test_delays_and_sitemaps_from_robots_match_extras(spark):
         ("e1.example", 0, "https://e1.example/sm1.xml"),
         ("e1.example", 7, "https://e1.example/sm2.xml"),
     ]
+
+
+def test_robots_readers_latest_col_dedups_refetched_host(spark):
+    """A frontier that refetched robots.txt passes the fetch-order
+    column as latest_col and the NEWEST body per host wins before the
+    parse (round-11 verdict #3). Without it, two bodies for one host
+    interleave line numbers and silently corrupt group assignment —
+    the documented caller's bug."""
+    from django_indexer_spark.functions import urls
+
+    old = "User-agent: *\nDisallow: /old\nCrawl-delay: 9\nSitemap: https://h.example/old.xml\n"
+    new = "User-agent: *\nDisallow: /new\nCrawl-delay: 2\nSitemap: https://h.example/new.xml\n"
+    df = spark.createDataFrame(
+        [("h.example", old, 1), ("H.EXAMPLE", new, 2), ("solo.example", old, 1)],
+        "host string, robots_body string, fetched_at long",
+    )
+    rules = urls.rules_from_robots(df, latest_col="fetched_at")
+    got = {(r["host"], r["path_prefix"]) for r in rules.collect()}
+    assert got == {("h.example", "/new"), ("solo.example", "/old")}
+    delays = {
+        r["host"]: r["delay_s"]
+        for r in urls.delays_from_robots(df, latest_col="fetched_at").collect()
+    }
+    assert delays == {"h.example": 2.0, "solo.example": 9.0}
+    sm = {
+        (r["host"], r["sitemap_url"])
+        for r in urls.sitemaps_from_robots(df, latest_col="fetched_at").collect()
+    }
+    assert sm == {
+        ("h.example", "https://h.example/new.xml"),
+        ("solo.example", "https://h.example/old.xml"),
+    }
 
 
 def test_gopher_repetition_battery(spark):
@@ -6175,6 +6229,9 @@ def test_c4_quality_filter(spark):
             (2, "Code pages contain { braces }.\nReal text follows afterward here."),
             (3, "The subtitle mentions a title here.\nPlenty of proper sentences follow now.\nAnother proper sentence lands here.\nYet another proper sentence arrives.\nFifth proper sentence closes this."),
             (4, ""),
+            # '}' only — the published rule drops ANY curly bracket
+            # (round-11 ADVICE: a '{'-only check passes this page)
+            (5, "An unmatched } hides in this sentence.\nReal text follows afterward here."),
         ],
         "doc_id long, text string",
     )
@@ -6182,7 +6239,7 @@ def test_c4_quality_filter(spark):
         r["doc_id"]: r
         for r in text.c4_quality_filter(docs, word_blocklist=("tit",)).collect()
     }
-    assert sorted(rows) == [0, 1, 2, 3, 4]  # row-count preserving
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]  # row-count preserving
     # doc0: 'short.' (<3 words), 'no end punct', and the javascript
     # line drop; the quote-terminated line counts
     assert rows[0]["n_lines_kept"] == 5 and rows[0]["n_lines_dropped"] == 3
@@ -6192,6 +6249,7 @@ def test_c4_quality_filter(spark):
     # word-level blocklist: 'title'/'subtitle' must NOT hit 'tit'
     assert rows[3]["has_blocked_word"] is False and rows[3]["keep"] is True
     assert rows[4]["n_sentences"] == 0 and rows[4]["keep"] is False
+    assert rows[5]["has_curly_brace"] is True and rows[5]["keep"] is False
     blocked = {
         r["doc_id"]: r
         for r in text.c4_quality_filter(docs, word_blocklist=("braceless",)).collect()

@@ -45,10 +45,39 @@ def registered_domain(host: Column) -> Column:
     )
 
 
-def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+def url_features(
+    df: DataFrame, url_col: str = "url", psl: DataFrame | None = None
+) -> DataFrame:
     """Append the curation columns to ``df``: protocol, host,
     registered_domain, tld, path_depth (non-empty path segments),
-    n_query_params, and is_secure — one projection, all codegen."""
+    n_query_params, and is_secure — one projection, all codegen.
+
+    With ``psl`` (a ``functions.psl.psl_rules`` dim), the
+    registered_domain column is the Public-Suffix-List registrable
+    domain instead of the label heuristic — one extra broadcast
+    equi-join on the TLD, still zero shuffle on the URL side. This is
+    the production form: per-domain caps (``sampling.cap_per_group``
+    keyed on registered_domain) and frontier politeness then group
+    multi-tenant platform hosts (github.io, blogspot.com, s3 buckets)
+    per TENANT, not per platform."""
+    if psl is not None:
+        from .psl import registered_domain_psl
+
+        base = url_features(df, url_col)  # heuristic projection first
+        return registered_domain_psl(
+            base.drop("registered_domain").withColumnRenamed("host", "__ufh"),
+            psl,
+            host_col="__ufh",
+        ).select(
+            *df.columns,
+            "protocol",
+            F.col("__ufh").alias("host"),
+            "registered_domain",
+            "tld",
+            "path_depth",
+            "n_query_params",
+            "is_secure",
+        )
     c = F.col(url_col)
     host = F.lower(_part(c, "HOST"))
     path = _part(c, "PATH")

@@ -92,6 +92,13 @@ def per_group_cap(
     any run — and adding new docs to a group only ever displaces the
     hash-largest survivors (stable under append, like hash_sample).
 
+    For per-DOMAIN crawl caps, key ``group_col`` on the PSL-backed
+    registrable domain (``functions.urls.url_features(df, psl=...)`` /
+    ``functions.psl.registered_domain_psl``), not the label heuristic:
+    the heuristic collapses every *.github.io / *.blogspot.com tenant
+    to one group, turning a per-domain cap into a silent mass-drop of
+    the largest tenant hosts (round-11 verdict #1).
+
     Scale: one shuffle on the group key; the rank compiles to
     WindowGroupLimit, so each map task pre-prunes to its local top-N
     before the exchange — the shuffle carries at most tasks×N rows per

@@ -5883,6 +5883,7 @@ WITH bodies(host, body) AS (VALUES
    'User-agent: *' || chr(10) || 'Crawl-delay: 3' || chr(10)),
   ('r3.example',
    'User-agent: *' || chr(10) || 'Crawl-delay: nope' || chr(10) ||
+   'Crawl-delay: NaN' || chr(10) ||
    'Crawl-delay: -1' || chr(10) || 'Crawl-delay: 4' || chr(10) ||
    'Crawl-delay: 9' || chr(10)),
   ('r4.example',
@@ -5927,6 +5928,7 @@ WITH bodies(host, body) AS (VALUES
   FROM blocks
   WHERE field = 'crawl-delay'
     AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+    AND NOT isnan(TRY_CAST(value AS DOUBLE))
     AND TRY_CAST(value AS DOUBLE) >= 0
 ), per_agent AS (
   SELECT c.host, a.agent, arg_min(c.d, c.ln) AS d
@@ -6132,4 +6134,430 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        (len(regexp_extract_all(text_clean, '[.!?]+"?(?:\s|$)')) >= 5
         AND NOT has_lorem AND NOT has_brace AND NOT has_blocked) AS keep
 FROM c
+"""
+
+# Round 12 — PSL registrable domains (round-11 verdict #1). The oracle
+# regenerates the hosts, embeds the matching-rule subset verbatim (the
+# snapshot rules that match any test host — rules that match nothing
+# cannot change the prevailing-rule selection), and recomputes the
+# ENTIRE published PSL algorithm in SQL: right-aligned label match with
+# '*' = exactly one label, exception-beats-all then longest-rule
+# selection, public suffix + one label assembly, NULL for bare
+# suffixes and IP literals. The heuristic twin is recomputed from its
+# label rule, not copied.
+ORACLES["crawl_registered_domain"] = r"""
+WITH hosts(host) AS (VALUES
+  ('alice.github.io'), ('deep.sub.alice.github.io'), ('github.io'),
+  ('foo.bar.ck'), ('www.ck'), ('sub.www.ck'),
+  ('com'), ('example.com'), ('a.b.example.com'), ('x.co.uk'),
+  ('unknown.tld.zz'), ('zz'),
+  ('city.kawasaki.jp'), ('x.some.kawasaki.jp'),
+  ('s3.amazonaws.com'), ('bucket.s3.amazonaws.com'),
+  ('192.168.0.1'), ('EXAMPLE.COM')
+), rules(rule) AS (VALUES
+  ('io'), ('github.io'),
+  ('ck'), ('*.ck'), ('!www.ck'),
+  ('com'), ('s3.amazonaws.com'),
+  ('uk'), ('co.uk'),
+  ('jp'), ('*.kawasaki.jp'), ('!city.kawasaki.jp')
+), r AS (
+  SELECT rule LIKE '!%' AS is_exc,
+         list_reverse(string_split(
+           CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END, '.')) AS rl
+  FROM rules
+), h AS (
+  SELECT host, lower(host) AS lh,
+         list_reverse(string_split(lower(host), '.')) AS hl
+  FROM hosts
+), matched AS (
+  SELECT h.host, r.is_exc, len(r.rl) AS n,
+         row_number() OVER (PARTITION BY h.host
+                            ORDER BY r.is_exc DESC, len(r.rl) DESC) AS rk
+  FROM h JOIN r
+    ON len(r.rl) <= len(h.hl)
+   AND list_aggregate(
+         list_transform(range(len(r.rl)),
+                        i -> r.rl[i + 1] = '*' OR r.rl[i + 1] = h.hl[i + 1]),
+         'bool_and')
+), prevailing AS (
+  SELECT h.host, h.lh, h.hl,
+         CASE WHEN m.n IS NULL THEN 1
+              WHEN m.is_exc THEN m.n - 1
+              ELSE m.n END AS ps_n
+  FROM h LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m ON h.host = m.host
+), psl AS (
+  SELECT host, lh,
+         CASE WHEN regexp_matches(lh, '^\d{1,3}(\.\d{1,3}){3}$')
+                   OR contains(lh, ':')
+                   OR len(hl) <= ps_n
+              THEN NULL
+              ELSE array_to_string(list_reverse(hl[1:ps_n + 1]), '.') END AS reg_psl
+  FROM prevailing
+), heur AS (
+  SELECT lh,
+         string_split(lh, '.') AS ls,
+         len(string_split(lh, '.')) AS n
+  FROM (SELECT DISTINCT lh FROM h)
+), heur2 AS (
+  SELECT lh,
+         CASE WHEN n <= 1 THEN lh
+              WHEN n >= 3 AND len(ls[n]) = 2
+                   AND ls[n - 1] IN ('co', 'com', 'ac', 'gov', 'edu', 'org', 'net')
+              THEN ls[n - 2] || '.' || ls[n - 1] || '.' || ls[n]
+              ELSE ls[n - 1] || '.' || ls[n] END AS reg_heuristic
+  FROM heur
+)
+SELECT p.host, p.reg_psl, x.reg_heuristic,
+       coalesce(p.reg_psl = x.reg_heuristic, FALSE) AS agree
+FROM psl p JOIN heur2 x ON p.lh = x.lh
+"""
+
+# Round 12 — the polite streaming frontier (round-11 verdict #2). The
+# oracle regenerates the 96 raw URLs, recomputes canonicals by formula,
+# attributes every canonical key to the batch that FIRST sees it (all
+# raw spellings of one key share id-parity; _write_halves forces file
+# order so batch 0 = even ids), reparses the robots corpus from the
+# regenerated BODIES with the full crawl_robots_verdicts machinery
+# (group selection for 'trainbot', wildcard/anchor regex compile,
+# longest-match + Allow-ties verdicts), recomputes the group-scoped
+# first-wins crawl delays, and re-derives the per-(batch, host) slot
+# windows — nothing copied from the engine output.
+ORACLES["s_stream_polite_frontier"] = r"""
+WITH raw AS (
+  SELECT i,
+         CAST(i % 24 AS INTEGER) AS b,
+         CAST((i % 24) % 5 AS INTEGER) AS k,
+         CAST(i // 24 AS INTEGER) AS v,
+         CAST(i % 2 AS INTEGER) AS half
+  FROM range(96) t(i)
+), urls AS (
+  SELECT i, half,
+         CASE WHEN v <= 2 THEN printf('https://h%d.example/p/%02d', k, b)
+              ELSE printf('https://h%d.example/p/%02d?a=1&b=2', k, b)
+         END AS url_canon
+  FROM raw
+), state AS (
+  SELECT url_canon,
+         count(*) AS n_seen,
+         min(half) AS batch_id,
+         lower(regexp_extract(url_canon, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS host,
+         coalesce(nullif(regexp_extract(url_canon,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?#]*)', 1), ''), '/') AS path
+  FROM urls GROUP BY url_canon
+), bodies(rhost, body) AS (VALUES
+  ('h0.example',
+   'User-agent: trainbot' || chr(10) || 'Disallow: /p/0' || chr(10) ||
+   'Crawl-delay: 2' || chr(10) ||
+   'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)),
+  ('h1.example', 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)),
+  ('h3.example',
+   'User-agent: *' || chr(10) || 'Disallow: /p/*3$' || chr(10) ||
+   'Crawl-delay: 0.5' || chr(10)),
+  ('h4.example',
+   'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) ||
+   'User-agent: *' || chr(10) || 'Allow: /' || chr(10) ||
+   'Crawl-delay: 4' || chr(10))
+), lines AS (
+  SELECT rhost,
+         unnest(string_split(body, chr(10))) AS rawline,
+         unnest(range(len(string_split(body, chr(10))))) AS ln
+  FROM bodies
+), parsed AS (
+  SELECT rhost, ln,
+         lower(trim(regexp_extract(clean, '^([^:]*):', 1))) AS field,
+         trim(regexp_extract(clean, '^[^:]*:(.*)$', 1)) AS value
+  FROM (SELECT rhost, ln, trim(regexp_replace(rawline, '#.*$', '')) AS clean
+        FROM lines)
+  WHERE contains(clean, ':')
+), rule_marked AS (
+  SELECT rhost, ln, field, value,
+         (field = 'user-agent') AS is_ua,
+         coalesce(lag(field = 'user-agent')
+                    OVER (PARTITION BY rhost ORDER BY ln), FALSE) AS prev_ua
+  FROM parsed WHERE field IN ('user-agent', 'allow', 'disallow')
+), rule_blocks AS (
+  SELECT rhost, ln, field, value, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY rhost ORDER BY ln) AS block,
+         max(CASE WHEN is_ua AND lower(value) = 'trainbot' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY rhost) AS has_token
+  FROM rule_marked
+), rule_agents AS (
+  SELECT DISTINCT rhost, block, lower(value) AS agent
+  FROM rule_blocks WHERE is_ua AND value <> ''
+), rules AS (
+  SELECT r.rhost, r.value AS pattern, (r.field = 'allow') AS allowed
+  FROM (SELECT * FROM rule_blocks
+        WHERE NOT is_ua AND NOT (field = 'disallow' AND value = '')) r
+  JOIN rule_agents a ON r.rhost = a.rhost AND r.block = a.block
+  WHERE a.agent = CASE WHEN r.has_token = 1 THEN 'trainbot' ELSE '*' END
+), rule_re AS (
+  SELECT rhost, pattern, allowed,
+         '^' || replace(
+           regexp_replace(
+             CASE WHEN pattern LIKE '%$'
+                  THEN substr(pattern, 1, len(pattern) - 1)
+                  ELSE pattern END,
+             '([\\\[\]{}()+?^$|.])', '\\\1', 'g'),
+           '*', '.*')
+         || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS re
+  FROM rules
+), del_marked AS (
+  SELECT rhost, ln, field, value,
+         (field = 'user-agent') AS is_ua,
+         coalesce(lag(field = 'user-agent')
+                    OVER (PARTITION BY rhost ORDER BY ln), FALSE) AS prev_ua
+  FROM parsed
+  WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+), del_blocks AS (
+  SELECT rhost, ln, field, value, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY rhost ORDER BY ln) AS block
+  FROM del_marked
+), del_agents AS (
+  SELECT DISTINCT rhost, block, lower(value) AS agent
+  FROM del_blocks WHERE is_ua AND value <> ''
+), cd AS (
+  SELECT rhost, block, ln, TRY_CAST(value AS DOUBLE) AS d
+  FROM del_blocks
+  WHERE field = 'crawl-delay'
+    AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+    AND NOT isnan(TRY_CAST(value AS DOUBLE))
+    AND TRY_CAST(value AS DOUBLE) >= 0
+), per_agent AS (
+  SELECT c.rhost, a.agent, arg_min(c.d, c.ln) AS d
+  FROM cd c JOIN del_agents a ON c.rhost = a.rhost AND c.block = a.block
+  GROUP BY c.rhost, a.agent
+), sel AS (
+  SELECT rhost, max(CASE WHEN agent = 'trainbot' THEN 1 ELSE 0 END) AS has_token
+  FROM per_agent GROUP BY rhost
+), delays AS (
+  SELECT p.rhost, p.d
+  FROM per_agent p JOIN sel s ON p.rhost = s.rhost
+  WHERE p.agent = CASE WHEN s.has_token = 1 THEN 'trainbot' ELSE '*' END
+), verdict AS (
+  SELECT st.url_canon, st.n_seen, st.batch_id, st.host,
+         coalesce(m.allowed, TRUE) AS allowed
+  FROM state st
+  LEFT JOIN (
+    SELECT url_canon, allowed FROM (
+      SELECT st2.url_canon, r.allowed,
+             row_number() OVER (PARTITION BY st2.url_canon
+                                ORDER BY len(r.pattern) DESC, r.allowed DESC) AS rk
+      FROM state st2 JOIN rule_re r ON st2.host = r.rhost
+      WHERE regexp_matches(st2.path, r.re)
+    ) WHERE rk = 1
+  ) m ON st.url_canon = m.url_canon
+), sched AS (
+  SELECT *, row_number() OVER (PARTITION BY batch_id, host
+                               ORDER BY url_canon) - 1 AS slot
+  FROM verdict WHERE allowed
+)
+SELECT CAST(s.batch_id AS BIGINT) AS batch_id,
+       s.url_canon,
+       CAST(s.n_seen AS BIGINT) AS n_seen,
+       s.host,
+       CAST(s.slot AS BIGINT) AS slot,
+       CAST(round(s.slot * coalesce(d.d, 1.0) * 1000) AS BIGINT) AS fetch_at_ms
+FROM sched s LEFT JOIN delays d ON s.host = d.rhost
+"""
+
+# Round 12 — the stacked curation pipeline (round-11 verdict #6). The
+# oracle regenerates the synthetic pages FROM THE DOCUMENTS TABLE (8-word
+# sentence lines + banner + doc_id-keyed injections) and recomputes all
+# four stages in SQL: the 7-rule Gopher quality battery, the C4 line +
+# page rules with the shared lookaround-free sentence count, the full
+# repetition battery (positioned grams, tie-broken top grams,
+# coverage-union duplicate grams) on the CLEANED text, and the corpus
+# line-frequency dedup with its doc spine — chained CTEs, nothing read
+# from the engine.
+ORACLES["curation_pipeline_v2"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+    'The banner text will be of use with all that respect.' || chr(10) ||
+    CASE WHEN len(ws) > 0 THEN
+      array_to_string(
+        list_transform(range(CAST(ceil(len(ws) / 8.0) AS INT)),
+                       i -> array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'),
+        chr(10))
+    ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'no end punct line' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Short.' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Some javascript inline here today.' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Code sample { x } here.' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Mentions lorem ipsum once here.' ELSE '' END
+    AS page
+  FROM base
+), gwords AS (
+  SELECT doc_id, page,
+    list_filter(string_split_regex(page, '\s+'), w -> w <> '') AS gws,
+    list_filter(list_transform(string_split_regex(page, '\r?\n'), l -> trim(l)),
+                l -> l <> '') AS glines
+  FROM pages
+), gopher AS (
+  SELECT doc_id,
+    len(gws) AS word_count,
+    (len(gws) BETWEEN 50 AND 100000
+     AND (coalesce(list_aggregate(list_transform(gws, w -> len(w)), 'sum'), 0)
+          / greatest(len(gws), 1)) BETWEEN 3 AND 10
+     AND (((len(page) - len(replace(page, '#', '')))
+           + (len(page) - len(replace(page, '...', ''))) / 3.0)
+          / greatest(len(gws), 1)) <= 0.1
+     AND (len(list_filter(glines, l -> regexp_matches(l, '^[-*•]')))
+          / greatest(len(glines), 1)) <= 0.9
+     AND (len(list_filter(glines, l -> l LIKE '%...'))
+          / greatest(len(glines), 1)) <= 0.3
+     AND (len(list_filter(gws, w -> regexp_matches(w, '[A-Za-z]')))
+          / greatest(len(gws), 1)) >= 0.8
+     AND len(list_filter(['the','be','to','of','and','that','have','with'],
+           s -> list_contains(
+                  list_transform(gws,
+                    w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))), s)))
+         >= 2
+    ) AS gopher_passes
+  FROM gwords
+), c4 AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(string_split_regex(page, '\r?\n'), s -> trim(s)),
+      s -> s <> '' AND regexp_matches(s, '[.!?"]$')
+           AND len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) >= 3
+           AND NOT contains(lower(s), 'javascript')
+    ) AS kept,
+    contains(lower(page), 'lorem ipsum') AS has_lorem,
+    (contains(page, '{') OR contains(page, '}')) AS has_brace
+  FROM pages
+), c4c AS (
+  SELECT doc_id, text_clean, n_sentences,
+    (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace) AS c4_keep
+  FROM (
+    SELECT doc_id,
+      coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+      len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+                             '[.!?]+"?(?:\s|$)')) AS n_sentences,
+      has_lorem, has_brace
+    FROM c4
+  )
+), rbase AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(text_clean, '\r?\n'),
+                               s -> trim(s)), s -> s <> '') AS lns,
+    list_filter(list_transform(string_split_regex(text_clean, '(?:\r?\n){2,}'),
+                               s -> trim(s)), s -> s <> '') AS pgs,
+    list_filter(string_split_regex(lower(text_clean), '[^a-zA-Z0-9]+'),
+                w -> w <> '') AS toks
+  FROM c4c
+), rstats AS (
+  SELECT doc_id, toks,
+    len(lns) AS n_ln, len(list_distinct(lns)) AS nd_ln,
+    coalesce(list_aggregate(list_transform(lns, s -> len(s)), 'sum'), 0) AS c_ln,
+    coalesce(list_aggregate(list_transform(list_distinct(lns), s -> len(s)), 'sum'), 0) AS cd_ln,
+    len(pgs) AS n_pg, len(list_distinct(pgs)) AS nd_pg,
+    coalesce(list_aggregate(list_transform(pgs, s -> len(s)), 'sum'), 0) AS c_pg,
+    coalesce(list_aggregate(list_transform(list_distinct(pgs), s -> len(s)), 'sum'), 0) AS cd_pg,
+    coalesce(list_aggregate(list_transform(toks, w -> len(w)), 'sum'), 0) AS tok_chars
+  FROM rbase
+), rpositions AS (
+  SELECT doc_id, n, toks,
+         unnest(range(greatest(len(toks) - n + 1, 0))) AS pos
+  FROM rbase CROSS JOIN (VALUES (2), (3), (4), (5), (10)) ns(n)
+), rgcnt AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt,
+         len(gram) - (n - 1) AS glen
+  FROM (
+    SELECT doc_id, n, pos,
+           array_to_string(toks[pos + 1 : pos + n], ' ') AS gram
+    FROM rpositions
+  )
+), rtop AS (
+  SELECT doc_id, n, cnt * glen AS top_chars
+  FROM (
+    SELECT doc_id, n, cnt, glen,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY cnt DESC, glen DESC, gram DESC) AS rk
+    FROM (SELECT DISTINCT doc_id, n, gram, cnt, glen FROM rgcnt WHERE n IN (2, 3, 4))
+  ) WHERE rk = 1
+), rcov AS (
+  SELECT DISTINCT doc_id, n, pos + unnest(range(n)) AS widx
+  FROM rgcnt WHERE n IN (5, 10) AND cnt > 1
+), rwords AS (
+  SELECT doc_id, unnest(range(len(toks))) AS widx, unnest(toks) AS w FROM rbase
+), rdupc AS (
+  SELECT c.doc_id, c.n, sum(len(w.w)) AS dup_chars
+  FROM rcov c JOIN rwords w ON c.doc_id = w.doc_id AND c.widx = w.widx
+  GROUP BY 1, 2
+), rpiv AS (
+  SELECT s.doc_id,
+    max(CASE WHEN t.n = 2 THEN t.top_chars END) AS top2,
+    max(CASE WHEN t.n = 3 THEN t.top_chars END) AS top3,
+    max(CASE WHEN t.n = 4 THEN t.top_chars END) AS top4,
+    max(CASE WHEN d.n = 5 THEN d.dup_chars END) AS dup5,
+    max(CASE WHEN d.n = 10 THEN d.dup_chars END) AS dup10
+  FROM rstats s
+  LEFT JOIN rtop t ON s.doc_id = t.doc_id
+  LEFT JOIN rdupc d ON s.doc_id = d.doc_id
+  GROUP BY 1
+), rbp AS (
+  SELECT s.doc_id,
+    CASE WHEN n_ln = 0 THEN 0 ELSE (n_ln - nd_ln) * 10000 // n_ln END AS dup_line_frac_bp,
+    CASE WHEN c_ln = 0 THEN 0 ELSE (c_ln - cd_ln) * 10000 // c_ln END AS dup_line_char_frac_bp,
+    CASE WHEN n_pg = 0 THEN 0 ELSE (n_pg - nd_pg) * 10000 // n_pg END AS dup_para_frac_bp,
+    CASE WHEN c_pg = 0 THEN 0 ELSE (c_pg - cd_pg) * 10000 // c_pg END AS dup_para_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top2, 0) * 10000 // tok_chars END AS top2_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top3, 0) * 10000 // tok_chars END AS top3_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(top4, 0) * 10000 // tok_chars END AS top4_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup5, 0) * 10000 // tok_chars END AS dup5_char_frac_bp,
+    CASE WHEN tok_chars = 0 THEN 0 ELSE coalesce(dup10, 0) * 10000 // tok_chars END AS dup10_char_frac_bp
+  FROM rstats s JOIN rpiv p ON s.doc_id = p.doc_id
+), rep AS (
+  SELECT doc_id, dup_line_frac_bp, top2_char_frac_bp, dup5_char_frac_bp,
+    (dup_line_frac_bp <= 3000 AND dup_para_frac_bp <= 3000
+     AND dup_line_char_frac_bp <= 2000 AND dup_para_char_frac_bp <= 2000
+     AND top2_char_frac_bp <= 2000 AND top3_char_frac_bp <= 1800
+     AND top4_char_frac_bp <= 1600
+     AND dup5_char_frac_bp <= 1500 AND dup10_char_frac_bp <= 1000) AS rep_passes
+  FROM rbp
+), dlines AS (
+  SELECT doc_id,
+         unnest(string_split(text_clean, chr(10))) AS line,
+         unnest(range(len(string_split(text_clean, chr(10))))) AS idx
+  FROM c4c
+), dfreq AS (
+  SELECT trim(line) AS key, count(DISTINCT doc_id) AS n_docs
+  FROM dlines WHERE length(trim(line)) >= 1
+  GROUP BY 1
+), dkept AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM dlines l LEFT JOIN dfreq f ON trim(l.line) = f.key
+  WHERE length(trim(l.line)) < 1 OR f.n_docs <= 1
+), dl AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text_final,
+         count(k.line) AS n_lines_kept,
+         t.n_total - count(k.line) AS n_lines_dropped
+  FROM (SELECT doc_id, count(*) AS n_total FROM dlines GROUP BY 1) t
+  LEFT JOIN dkept k ON k.doc_id = t.doc_id
+  GROUP BY t.doc_id, t.n_total
+)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(g.word_count AS BIGINT) AS word_count,
+       g.gopher_passes,
+       CAST(c.n_sentences AS BIGINT) AS n_sentences,
+       c.c4_keep,
+       CAST(r.dup_line_frac_bp AS BIGINT) AS dup_line_frac_bp,
+       CAST(r.top2_char_frac_bp AS BIGINT) AS top2_char_frac_bp,
+       CAST(r.dup5_char_frac_bp AS BIGINT) AS dup5_char_frac_bp,
+       r.rep_passes,
+       d.text_final,
+       CAST(d.n_lines_kept AS BIGINT) AS n_lines_kept,
+       CAST(d.n_lines_dropped AS BIGINT) AS n_lines_dropped,
+       (g.gopher_passes AND c.c4_keep AND r.rep_passes) AS keep
+FROM gopher g
+JOIN c4c c ON g.doc_id = c.doc_id
+JOIN rep r ON g.doc_id = r.doc_id
+JOIN dl d ON g.doc_id = d.doc_id
 """

@@ -123,3 +123,64 @@ def frontier_update(
     )
     measures = {"n_seen": ("count", None), "first_url": ("min", "__raw")}
     return incremental.apply_batch(gold, keyed, ["url_canon"], measures)
+
+
+def polite_frontier_tick(
+    gold: DataFrame | None,
+    batch_df: DataFrame,
+    robots: DataFrame,
+    user_agent: str = "*",
+    url_col: str = "url",
+    default_delay_s: float = 1.0,
+    latest_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One POLITE frontier tick — the composition ``frontier_update``
+    runs beside (round-11 verdict #2), now in ONE plan per batch:
+
+    1. fold the batch's discovered URLs into the visited-set state
+       (``frontier_update`` — canonicalize + count/min monoid merge);
+    2. keep only the canonical keys UNSEEN before this batch (anti-join
+       against the prior state — a key is scheduled exactly once, in
+       the batch that first discovers it);
+    3. parse the robots corpus relationally (``rules_from_robots`` /
+       ``delays_from_robots`` — ``robots`` is (host, robots_body),
+       optionally refetch-deduped via ``latest_col``) and keep only
+       URLs the selected UA group ALLOWS (``apply_robots`` longest-
+       match verdicts);
+    4. assign politeness slots on each host's crawl-delay clock
+       (``plan_fetch_schedule``; slots are dense per host WITHIN the
+       tick — a real loop offsets them by the tick's wall-clock).
+
+    Returns ``(new_state, schedule)``. Idempotent under Structured
+    Streaming's batch-id replay when the caller versions BOTH writes
+    by batch_id (the ``s_stream_exact_dedup`` contract): every stage
+    is a pure function of (prior state, batch, robots corpus). Scale
+    shape per batch: one canonical-key shuffle (the state fold), one
+    anti-join on the same key, the robots parse's one host shuffle
+    (corpus-sized, not frontier-sized), and the schedule's per-host
+    window — no UDF, nothing collected, state grows by distinct new
+    keys only."""
+    from ..functions.urls import (
+        apply_robots,
+        delays_from_robots,
+        plan_fetch_schedule,
+        rules_from_robots,
+    )
+
+    new_state = frontier_update(gold, batch_df, url_col)
+    unseen = (
+        new_state
+        if gold is None
+        else new_state.join(gold.select("url_canon"), "url_canon", "left_anti")
+    )
+    rules = rules_from_robots(robots, user_agent, latest_col=latest_col)
+    allowed = (
+        apply_robots(unseen, rules, url_col="url_canon")
+        .filter(F.col("allowed"))
+        .drop("allowed")
+    )
+    delays = delays_from_robots(robots, user_agent, latest_col=latest_col)
+    schedule = plan_fetch_schedule(
+        allowed, delays, url_col="url_canon", default_delay_s=default_delay_s
+    )
+    return new_state, schedule

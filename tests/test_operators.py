@@ -5099,6 +5099,87 @@ def test_url_features_codegen(spark):
     assert out[4]["protocol"] == "ftp" and out[4]["registered_domain"] == "example.net"
 
 
+def test_registered_domain_psl(spark):
+    """registered_domain_psl (round-11 verdict #1): the PSL matching
+    algorithm — longest matching rule wins, '*' matches exactly one
+    label, '!' exceptions beat everything, unlisted TLDs fall to the
+    default '*' rule, a host that IS a public suffix has no registrable
+    domain, IP literals are NULL — over the bundled snapshot. The
+    private multi-tenant suffixes split from the heuristic (github.io
+    tenants group per tenant, not per platform)."""
+    from django_indexer_spark.functions import psl, urls
+
+    cases = {
+        "alice.github.io": "alice.github.io",  # heuristic says github.io
+        "deep.sub.alice.github.io": "alice.github.io",
+        "github.io": None,  # host IS a public suffix
+        "foo.bar.ck": "foo.bar.ck",  # *.ck wildcard
+        "www.ck": "www.ck",  # !www.ck exception
+        "sub.www.ck": "www.ck",
+        "com": None,  # bare TLD
+        "example.com": "example.com",
+        "a.b.example.com": "example.com",
+        "x.co.uk": "x.co.uk",  # multi-label ICANN rule
+        "unknown.tld.zz": "tld.zz",  # unlisted TLD -> default '*' rule
+        "zz": None,
+        "city.kawasaki.jp": "city.kawasaki.jp",  # exception under wildcard
+        "x.some.kawasaki.jp": "x.some.kawasaki.jp",  # *.kawasaki.jp
+        "s3.amazonaws.com": None,  # private suffix, host == suffix
+        "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+        "192.168.0.1": None,  # IP literal
+        "EXAMPLE.COM": "example.com",  # case-insensitive
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = psl.registered_domain_psl(df, psl.psl_rules(spark))
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    assert got == cases
+    # host side never shuffles: the one join is a broadcast equi-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # url_features accepts the PSL dim and swaps the heuristic column
+    urls_df = spark.createDataFrame(
+        [(1, "https://alice.github.io/p?x=1"), (2, "http://news.bbc.co.uk/a")],
+        "id long, url string",
+    )
+    feat = {
+        r["id"]: r
+        for r in urls.url_features(urls_df, psl=psl.psl_rules(spark)).collect()
+    }
+    assert feat[1]["registered_domain"] == "alice.github.io"
+    assert feat[2]["registered_domain"] == "bbc.co.uk"
+    assert feat[1]["path_depth"] == 1 and feat[1]["n_query_params"] == 1
+    # the full public_suffix_list.dat drops in unchanged: parse accepts
+    # comments, exceptions, wildcards, and inline whitespace
+    parsed = psl.parse_psl("// c\ncom\n!www.ck\n*.ck\nfoo.bar extra\n\n")
+    assert ("www.ck", ["ck", "www"], 2, True) in parsed
+    assert ("*.ck", ["ck", "*"], 2, False) in parsed
+    assert ("foo.bar", ["bar", "foo"], 2, False) in parsed
+    # the production composition (round-11 verdict #1): per-domain cap
+    # keyed on the PSL column caps per TENANT, not per platform
+    from django_indexer_spark.operators import sampling
+
+    tenants = spark.createDataFrame(
+        [(i, f"https://t{i % 4}.github.io/p/{i}") for i in range(40)],
+        "doc_id long, url string",
+    )
+    feat = urls.url_features(tenants, psl=psl.psl_rules(spark))
+    capped = sampling.per_group_cap(feat, "doc_id", "registered_domain", 5)
+    by_dom = {
+        r["registered_domain"]: r["n"]
+        for r in capped.groupBy("registered_domain")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_dom == {f"t{i}.github.io": 5 for i in range(4)}  # 4 tenants x 5
+    # the heuristic would have collapsed all 40 rows into ONE github.io
+    # group and kept 5 of 40 — the silent mass-drop the PSL fixes
+    heur = sampling.per_group_cap(
+        urls.url_features(tenants), "doc_id", "registered_domain", 5
+    )
+    assert heur.count() == 5
+
+
 def test_sniff_mime_magic_bytes(spark):
     """sniff_mime routes every signature this module parses — JPEG, PNG,
     GIF, WAV-vs-WebP RIFF split, TIFF, BMP, FLAC, Ogg, MP3 (ID3 and bare

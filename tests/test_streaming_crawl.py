@@ -153,3 +153,90 @@ def test_stream_crawl_ingest_replay_idempotent(spark, tmp_path):
     pairs2 = spark.read.parquet(f"{work}/pairs").count()
     assert docs1 == docs2 and len(docs1) == 4
     assert pairs1 == pairs2
+
+
+def test_polite_frontier_tick_crash_replay(spark, tmp_path):
+    """polite_frontier_tick is a pure function of (prior state, batch,
+    robots corpus), so a crashed-and-replayed batch 0 (the Structured
+    Streaming replay contract: same batch df, same batch id, versioned
+    writes) leaves state and schedule byte-identical to a clean run —
+    and only allowed, first-seen URLs are ever scheduled."""
+    from django_indexer_spark.streaming import crawl
+
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /no\nCrawl-delay: 2\n")],
+        "host string, robots_body string",
+    )
+    b0 = spark.createDataFrame(
+        [
+            (0, "https://h.example/ok/a"),
+            (1, "HTTPS://H.EXAMPLE:443/ok/a#frag"),  # same canonical key
+            (2, "https://h.example/no/blocked"),
+            (3, "https://other.example/x"),
+        ],
+        "id long, url string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (4, "https://h.example/ok/a?utm_source=x"),  # already seen
+            (5, "https://h.example/ok/b"),  # new
+        ],
+        "id long, url string",
+    )
+
+    def run(work: str) -> tuple[list, list]:
+        s0, sched0 = crawl.polite_frontier_tick(None, b0, robots, url_col="url")
+        s0.write.mode("overwrite").parquet(f"{work}/v0")
+        sched0.write.mode("overwrite").parquet(f"{work}/s0")
+        gold = spark.read.parquet(f"{work}/v0")
+        s1, sched1 = crawl.polite_frontier_tick(gold, b1, robots, url_col="url")
+        s1.write.mode("overwrite").parquet(f"{work}/v1")
+        sched1.write.mode("overwrite").parquet(f"{work}/s1")
+        state = sorted(map(tuple, spark.read.parquet(f"{work}/v1").collect()))
+        scheds = [
+            sorted(map(tuple, spark.read.parquet(f"{work}/s{i}").collect()))
+            for i in range(2)
+        ]
+        return state, scheds
+
+    w1 = str(tmp_path / "clean")
+    state_clean, sched_clean = run(w1)
+
+    # crash replay: batch 0 runs twice (versioned overwrite) mid-run
+    w2 = str(tmp_path / "replay")
+    s0, sched0 = crawl.polite_frontier_tick(None, b0, robots, url_col="url")
+    s0.write.mode("overwrite").parquet(f"{w2}/v0")
+    sched0.write.mode("overwrite").parquet(f"{w2}/s0")
+    s0r, sched0r = crawl.polite_frontier_tick(None, b0, robots, url_col="url")
+    s0r.write.mode("overwrite").parquet(f"{w2}/v0")
+    sched0r.write.mode("overwrite").parquet(f"{w2}/s0")
+    gold = spark.read.parquet(f"{w2}/v0")
+    s1, sched1 = crawl.polite_frontier_tick(gold, b1, robots, url_col="url")
+    s1.write.mode("overwrite").parquet(f"{w2}/v1")
+    sched1.write.mode("overwrite").parquet(f"{w2}/s1")
+    state_replay = sorted(map(tuple, spark.read.parquet(f"{w2}/v1").collect()))
+    sched_replay = [
+        sorted(map(tuple, spark.read.parquet(f"{w2}/s{i}").collect()))
+        for i in range(2)
+    ]
+    assert state_replay == state_clean
+    assert sched_replay == sched_clean
+
+    # semantics: batch 0 schedules the deduped allowed keys only
+    # (blocked /no never appears; the no-robots host defaults allowed);
+    # batch 1 schedules ONLY the genuinely new key, on the host clock
+    sched0_keys = {(r[0], r[4]) for r in sched_clean[0]}  # (url_canon, slot)
+    assert sched0_keys == {
+        ("https://h.example/ok/a", 0),
+        ("https://other.example/x", 0),
+    }
+    assert [(r[0], r[5]) for r in sched_clean[1]] == [
+        ("https://h.example/ok/b", 0)
+    ]
+    # state carries every canonical key ever seen, schedule never re-emits
+    assert {r[0] for r in state_clean} == {
+        "https://h.example/ok/a",
+        "https://h.example/ok/b",
+        "https://h.example/no/blocked",
+        "https://other.example/x",
+    }

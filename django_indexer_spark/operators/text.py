@@ -1965,24 +1965,38 @@ def gopher_repetition_battery(
     )
 
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    gram_frames = []
-    for n in all_ns:
-        idx = F.when(
-            F.size("__toks") >= n, F.sequence(F.lit(0), F.size("__toks") - n)
-        ).otherwise(F.array().cast("array<int>"))
-        gram_frames.append(
-            toks.select("__id", "__toks", F.explode(idx).alias("__pos")).select(
-                "__id",
-                F.lit(n).alias("__n"),
-                "__pos",
-                F.concat_ws(
-                    " ", F.slice("__toks", F.col("__pos") + 1, n)
-                ).alias("__gram"),
-            )
+    # ONE positioned-gram explode for every requested n (round 12: the
+    # per-n union of 9 frames re-scanned the token arrays 9 times and
+    # planned 9 map stages; a single explode of positions then an
+    # in-row explode of the ns that FIT at that position plans one —
+    # the sf-independent stage overhead dominated the battery's cost)
+    min_n = min(all_ns)
+    pos_idx = F.when(
+        F.size("__toks") >= min_n,
+        F.sequence(F.lit(0), F.size("__toks") - min_n),
+    ).otherwise(F.array().cast("array<int>"))
+    ns_arr = F.array(*[F.lit(n) for n in all_ns])
+    grams = (
+        toks.select("__id", "__toks", F.explode(pos_idx).alias("__pos"))
+        .select(
+            "__id",
+            "__toks",
+            "__pos",
+            F.explode(
+                F.filter(
+                    ns_arr, lambda n: F.col("__pos") + n <= F.size("__toks")
+                )
+            ).alias("__n"),
         )
-    grams = gram_frames[0]
-    for gf in gram_frames[1:]:
-        grams = grams.unionByName(gf)
+        .select(
+            "__id",
+            "__n",
+            "__pos",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__pos") + 1, F.col("__n"))
+            ).alias("__gram"),
+        )
+    )
     grams = grams.withColumn(
         "__cnt",
         F.count(F.lit(1)).over(Window.partitionBy("__id", "__n", "__gram")),

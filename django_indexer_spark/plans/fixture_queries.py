@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import BoundedFrameCache
 from ..functions.amounts import grouped_exact_sums, to_fixed
 from ..operators import (
     dedup,
@@ -7610,6 +7611,9 @@ def s_stream_polite_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V2_CACHE = BoundedFrameCache(slots=4)
+
+
 @query("curation_pipeline_v2")
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published corpus-filter batteries STACKED as one plan — what
@@ -7665,6 +7669,12 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         g["passes"].alias("gopher_passes"),
     )
     c4 = text.c4_quality_filter(flags, id_col="doc_id", text_col="page")
+    # three downstream consumers (the c4 join, the repetition battery,
+    # the line dedup) would each recompute synthesis→gopher→c4 from the
+    # scan; pin the cleaned frame once (BoundedFrameCache ownership —
+    # the returned plan is lazy, so the cache must outlive this call)
+    c4 = c4.persist()
+    _V2_CACHE.pin(c4)
     cleaned = c4.select("doc_id", "text_clean")
     rep = text.gopher_repetition_battery(
         cleaned, id_col="doc_id", text_col="text_clean"
@@ -7703,4 +7713,50 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep",
             F.col("gopher_passes") & F.col("c4_keep") & F.col("rep_passes"),
         )
+    )
+
+
+@query("crawl_url_features")
+def crawl_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL curation projection under the hard signal
+    (functions/urls.py:url_features — protocol/host/registered-domain/
+    tld/path-depth/query-param-count/is_secure, one codegen pass), with
+    BOTH registrable-domain forms side by side: the label heuristic and
+    the PSL form (functions/psl.py — round-11 verdict #1's production
+    path). The oracle recomputes every column from the raw URLs in SQL
+    (regexp authority/path/query splits, the generic-2LD heuristic
+    rule, and the full PSL matching algorithm over the embedded rule
+    subset)."""
+    from ..functions import psl as psl_fns
+    from ..functions import urls as url_fns
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Sub.Example.COM/a/b/c?x=1&y=2"),
+            (2, "http://news.bbc.co.uk/politics"),
+            (3, "https://example.org"),
+            (4, "ftp://files.example.net/pub/"),
+            (5, "https://alice.github.io/p?x=1"),
+            (6, "http://foo.bar.ck/path/x"),
+            (7, "https://h.example/p/?a=1&b=2&c=3"),
+        ],
+        "id long, url string",
+    )
+    feats = url_fns.url_features(df).withColumnRenamed(
+        "registered_domain", "reg_heuristic"
+    )
+    out = psl_fns.registered_domain_psl(
+        feats, psl_fns.psl_rules(spark), host_col="host", out_col="reg_psl"
+    )
+    return out.select(
+        "id",
+        "url",
+        "protocol",
+        "host",
+        "reg_heuristic",
+        "reg_psl",
+        "tld",
+        F.col("path_depth").cast("long").alias("path_depth"),
+        F.col("n_query_params").cast("long").alias("n_query_params"),
+        "is_secure",
     )

@@ -6561,3 +6561,75 @@ JOIN c4c c ON g.doc_id = c.doc_id
 JOIN rep r ON g.doc_id = r.doc_id
 JOIN dl d ON g.doc_id = d.doc_id
 """
+
+# Round 12 — the URL curation projection. The oracle recomputes every
+# column from the raw URLs: regexp authority/path/query splits (the
+# fixture has no userinfo/ports — crawl_url_canonical covers those),
+# the generic-2LD label heuristic, and the full PSL matching algorithm
+# (same machinery as crawl_registered_domain) over the embedded rules.
+ORACLES["crawl_url_features"] = r"""
+WITH urls(id, url) AS (VALUES
+  (1, 'https://Sub.Example.COM/a/b/c?x=1&y=2'),
+  (2, 'http://news.bbc.co.uk/politics'),
+  (3, 'https://example.org'),
+  (4, 'ftp://files.example.net/pub/'),
+  (5, 'https://alice.github.io/p?x=1'),
+  (6, 'http://foo.bar.ck/path/x'),
+  (7, 'https://h.example/p/?a=1&b=2&c=3')
+), u AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS protocol,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM urls
+), rules(rule) AS (VALUES
+  ('com'), ('org'), ('net'), ('io'), ('github.io'),
+  ('uk'), ('co.uk'), ('ck'), ('*.ck'), ('!www.ck')
+), r AS (
+  SELECT rule LIKE '!%' AS is_exc,
+         list_reverse(string_split(
+           CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END, '.')) AS rl
+  FROM rules
+), h AS (
+  SELECT id, host, list_reverse(string_split(host, '.')) AS hl FROM u
+), matched AS (
+  SELECT h.id, r.is_exc, len(r.rl) AS n,
+         row_number() OVER (PARTITION BY h.id
+                            ORDER BY r.is_exc DESC, len(r.rl) DESC) AS rk
+  FROM h JOIN r
+    ON len(r.rl) <= len(h.hl)
+   AND list_aggregate(
+         list_transform(range(len(r.rl)),
+                        i -> r.rl[i + 1] = '*' OR r.rl[i + 1] = h.hl[i + 1]),
+         'bool_and')
+), psl AS (
+  SELECT h.id,
+         CASE WHEN regexp_matches(h.host, '^\d{1,3}(\.\d{1,3}){3}$')
+                   OR contains(h.host, ':')
+                   OR len(h.hl) <= ps_n
+              THEN NULL
+              ELSE array_to_string(list_reverse(h.hl[1:ps_n + 1]), '.') END AS reg_psl
+  FROM h LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m ON h.id = m.id,
+       LATERAL (SELECT CASE WHEN m.n IS NULL THEN 1
+                            WHEN m.is_exc THEN m.n - 1
+                            ELSE m.n END AS ps_n) x
+), heur AS (
+  SELECT id,
+         CASE WHEN n <= 1 THEN host
+              WHEN n >= 3 AND len(ls[n]) = 2
+                   AND ls[n - 1] IN ('co', 'com', 'ac', 'gov', 'edu', 'org', 'net')
+              THEN ls[n - 2] || '.' || ls[n - 1] || '.' || ls[n]
+              ELSE ls[n - 1] || '.' || ls[n] END AS reg_heuristic
+  FROM (SELECT id, host, string_split(host, '.') AS ls,
+               len(string_split(host, '.')) AS n FROM u)
+)
+SELECT CAST(u.id AS BIGINT) AS id, u.url, u.protocol, u.host,
+       x.reg_heuristic, p.reg_psl,
+       list_extract(string_split(u.host, '.'), len(string_split(u.host, '.'))) AS tld,
+       CAST(len(list_filter(string_split(u.path, '/'), s -> s <> '')) AS BIGINT) AS path_depth,
+       CAST(CASE WHEN u.query = '' THEN 0
+                 ELSE len(string_split(u.query, '&')) END AS BIGINT) AS n_query_params,
+       (u.protocol = 'https') AS is_secure
+FROM u JOIN heur x ON u.id = x.id JOIN psl p ON u.id = p.id
+"""

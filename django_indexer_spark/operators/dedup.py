@@ -907,3 +907,92 @@ def content_chunks(
         "length",
         F.md5(F.expr("substr(__txt, start, length)")).alias("chunk_md5"),
     )
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int, salt: str) -> Column:
+    """The k bit positions of one key: position_i = first 24 md5 bits
+    of '<salt><i>:<key>' mod m_bits — the ``sampling.hash_bucket``
+    arithmetic, one salted hash per slot, so every position renders
+    exactly in DuckDB. m_bits <= 2^24 keeps the fold's 24 bits
+    uniform over the modulus range."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{i}:"), key.cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Distributed Bloom-filter BUILD as a relation: the distinct set
+    bit positions (``bit`` long) of every key's k salted hashes — the
+    sparse relational form of the classic "have we crawled this URL /
+    ingested this fingerprint" membership structure. Properties the
+    table form keeps from the bitmap form, at 100 TB:
+
+    - bounded: <= m_bits rows no matter the corpus size (the filter,
+      not the data);
+    - mergeable monoid: union-distinct of two builds IS the filter of
+      the union — shard/day/stream partial builds fold associatively
+      (the incremental-index pattern);
+    - no false negatives, tunable false positives (~(1-e^(-kn/m))^k).
+
+    One shuffle (the distinct on bit); a production deploy folds the
+    table into an actual bitmap with bit_or over chunked positions —
+    the relational form is what the probe join consumes."""
+    key = F.col(key_col)
+    return (
+        df.select(
+            F.explode(_bloom_positions(key, m_bits, k_hashes, salt)).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe: append ``maybe_seen`` — TRUE iff ALL k of the key's bit
+    positions are set in ``bits`` (the Bloom contract: false positives
+    possible, false negatives impossible). Relational shape: explode
+    the k positions (k rows per key), equi-join the bits table
+    (Catalyst broadcasts when the filter fits — m_bits rows max —
+    else a sound shuffle join), count hits per key == k. One key
+    shuffle; the filter never grows with the probe corpus."""
+    key = F.col(key_col)
+    # distinct keys first: a key repeated in the probe frame would
+    # otherwise contribute 2k exploded rows and break the count==k test
+    probes = df.select(key.alias("__key")).distinct().select(
+        "__key",
+        F.explode(
+            _bloom_positions(F.col("__key"), m_bits, k_hashes, salt)
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(bits.withColumn("__set", F.lit(1)), "bit", "left")
+        .groupBy("__key")
+        .agg((F.count("__set") == k_hashes).alias("maybe_seen"))
+    )
+    return df.join(
+        hits, df[key_col] == hits["__key"], "left"
+    ).select(*df.columns, F.coalesce("maybe_seen", F.lit(False)).alias("maybe_seen"))

@@ -642,3 +642,137 @@ def poisson_bootstrap_ci(
             F.when(F.col("__r") == F.col("__m") - 1, F.col("rep_mean"))
         ).alias("boot_hi"),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    top_k: int | None = None,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public method): score every RAW document by how much more
+    likely its hashed n-gram features are under the TARGET corpus
+    distribution than under the raw corpus distribution, then select
+    the highest-weight documents. The published recipe, concretized
+    deterministically:
+
+    - features = word unigrams + bigrams (the paper's choice), hashed
+      into ``n_buckets`` buckets with the module's md5 arithmetic
+      (``hash_bucket``'s base-16 fold, so the whole computation has an
+      exact DuckDB twin; the paper uses a 10k-bucket hash — any B
+      works, collisions are part of the method);
+    - bucket distributions with add-``alpha`` smoothing:
+      p_f = (t_f + α)/(T + αB) on target, q_f = (r_f + α)/(R + αB) on
+      raw;
+    - log importance weight of a doc = Σ over its gram OCCURRENCES of
+      (ln p_f − ln q_f), each ln pinned to 6 dp and folded as exact
+      DECIMAL(28,6) — order-independent, bit-identical cross-engine
+      (the token_entropy rule);
+    - the paper resamples with Gumbel noise; the deterministic
+      production variant selects top-``top_k`` by (log_weight desc,
+      id asc) — reproducible across runs and engines. ``top_k=None``
+      skips selection (weights only).
+
+    Scale shape: one pass over each corpus for the bucket counts
+    (B-row dims), the log-ratio dim broadcast onto the exploded gram
+    stream, ONE doc-key shuffle for the per-doc fold, and top-k as
+    TakeOrdered + a semi-join flag — never a global single-partition
+    window. Raw docs with no tokens score 0.0 via the doc spine."""
+    spark = raw.sparkSession
+    lit_b = float(alpha) * n_buckets
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokenize(text_col)
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat(
+                    F.element_at(toks, i + 1),
+                    F.lit(" "),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.concat(toks, bigrams)).alias("__gram"),
+        )
+        h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("__gram")))
+        return g.select(
+            "__id",
+            (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_buckets).alias(
+                "__bucket"
+            ),
+        )
+
+    def dist(df: DataFrame, cnt_name: str) -> DataFrame:
+        return grams(df).groupBy("__bucket").agg(
+            F.count(F.lit(1)).cast("long").alias(cnt_name)
+        )
+
+    spine = spark.range(n_buckets).select(F.col("id").alias("__bucket"))
+    t = dist(target, "__t")
+    r = dist(raw, "__r")
+    dim = (
+        spine.join(t, "__bucket", "left")
+        .join(r, "__bucket", "left")
+        .select(
+            "__bucket",
+            F.coalesce("__t", F.lit(0)).alias("__t"),
+            F.coalesce("__r", F.lit(0)).alias("__r"),
+        )
+    )
+    w_all = Window.partitionBy()
+    # the dim is B rows — the unpartitioned totals window is dim-sized,
+    # never corpus-sized. Total columns must NOT be the case-folded
+    # twins of the count columns ('__T' vs '__t'): Spark's default
+    # case-insensitive resolver makes withColumn REPLACE the count.
+    dim = dim.withColumn("__t_tot", F.sum("__t").over(w_all)).withColumn(
+        "__r_tot", F.sum("__r").over(w_all)
+    )
+
+    def pin6(c: Column) -> Column:
+        return (F.floor(c * 1e6 + F.lit(0.5)) / 1e6).cast("decimal(28,6)")
+
+    lp = pin6(F.log((F.col("__t") + alpha) / (F.col("__t_tot") + lit_b)))
+    lq = pin6(F.log((F.col("__r") + alpha) / (F.col("__r_tot") + lit_b)))
+    lr_dim = dim.select("__bucket", (lp - lq).alias("__lr"))
+    scored = (
+        grams(raw)
+        .join(F.broadcast(lr_dim), "__bucket")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("__lr").cast("double").alias("log_weight"),
+        )
+    )
+    out = (
+        raw.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_features", F.lit(0).cast("long")).alias("n_features"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+    if top_k is None:
+        return out
+    picked = (
+        out.orderBy(F.desc("log_weight"), F.asc(id_col))
+        .limit(int(top_k))
+        .select(F.col(id_col).alias("__pick"))
+    )
+    return out.join(
+        F.broadcast(picked), F.col(id_col) == F.col("__pick"), "left"
+    ).select(
+        id_col,
+        "n_features",
+        "log_weight",
+        F.col("__pick").isNotNull().alias("selected"),
+    )

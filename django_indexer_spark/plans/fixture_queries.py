@@ -7760,3 +7760,54 @@ def crawl_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_query_params").cast("long").alias("n_query_params"),
         "is_secure",
     )
+
+
+@query("sample_dsir_weights")
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection under the hard signal
+    (operators/sampling.py:dsir_weights — Xie et al. 2023): hashed
+    unigram+bigram features (1024 md5 buckets), add-1-smoothed target
+    (source='src18') vs raw (all documents) bucket distributions,
+    per-doc log importance weight as a 6-dp-pinned DECIMAL fold of
+    ln p − ln q over gram occurrences, deterministic top-100 selection
+    by (log_weight desc, doc_id). The oracle recomputes the ENTIRE
+    method in SQL — same md5 bucket fold, same smoothing, same pinned
+    decimal arithmetic, same tie-broken top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src18")
+    return sampling.dsir_weights(
+        docs, target, n_buckets=1024, alpha=1.0, top_k=100
+    )
+
+
+@query("dedup_bloom_probe")
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom membership under the hard signal
+    (operators/dedup.py:bloom_bits/bloom_probe — the at-scale "have we
+    ingested this content" structure): build the filter over the EVEN
+    docs' text fingerprints (2048 bits, 3 salted md5 hashes — the
+    hash_bucket arithmetic), probe EVERY doc, and report maybe_seen
+    against the exact ground truth (fingerprint-level semi-join, so a
+    duplicate text shared across the halves is truly seen, not a false
+    positive). The Bloom contract is checkable: seen_exact implies
+    maybe_seen (no false negatives, structural), false positives are
+    the deterministic hash-collision set. The oracle recomputes the
+    ENTIRE filter in SQL — same salted position hashes, same distinct
+    bit set, same all-k-positions probe."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.md5("text").alias("fp"))
+    seen = keyed.filter(F.col("doc_id") % 2 == 0).select("fp")
+    bits = dedup.bloom_bits(seen, "fp", m_bits=2048, k_hashes=3)
+    probed = dedup.bloom_probe(keyed, bits, "fp", m_bits=2048, k_hashes=3)
+    seen_fps = seen.distinct().withColumnRenamed("fp", "__sfp")
+    return (
+        probed.join(seen_fps, probed["fp"] == seen_fps["__sfp"], "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.col("__sfp").isNotNull().alias("seen_exact"),
+        )
+        .withColumn(
+            "false_positive", F.col("maybe_seen") & ~F.col("seen_exact")
+        )
+    )

@@ -6633,3 +6633,91 @@ SELECT CAST(u.id AS BIGINT) AS id, u.url, u.protocol, u.host,
        (u.protocol = 'https') AS is_secure
 FROM u JOIN heur x ON u.id = x.id JOIN psl p ON u.id = p.id
 """
+
+# Round 12 — DSIR importance resampling. The oracle recomputes the whole
+# method: unigram+bigram explode, the md5 base-16 bucket fold (the
+# hash_bucket twin), add-alpha smoothed target/raw distributions over
+# the full 1024-bucket spine, per-occurrence (ln p - ln q) pinned 6 dp
+# and folded as DECIMAL(28,6) (the token_entropy rule), doc spine for
+# token-less docs, and the deterministic tie-broken top-100.
+ORACLES["sample_dsir_weights"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(tk) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, source, tk[i + 1] || ' ' || tk[i + 2] AS gram
+  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) u(i)
+), bucketed AS (
+  SELECT doc_id, source,
+         {_hex24_sql("'dsir:' || gram")} % 1024 AS bucket
+  FROM grams
+), t AS (
+  SELECT bucket, count(*) AS tcnt FROM bucketed WHERE source = 'src18' GROUP BY 1
+), r AS (
+  SELECT bucket, count(*) AS rcnt FROM bucketed GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM bucketed WHERE source = 'src18') AS tt,
+         (SELECT count(*) FROM bucketed) AS rt
+), dim AS (
+  SELECT s.range AS bucket,
+         CAST(floor(ln((coalesce(t.tcnt, 0) + 1.0) / (tot.tt + 1024.0)) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(28,6))
+       - CAST(floor(ln((coalesce(r.rcnt, 0) + 1.0) / (tot.rt + 1024.0)) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(28,6)) AS lr
+  FROM range(1024) s
+  LEFT JOIN t ON s.range = t.bucket
+  LEFT JOIN r ON s.range = r.bucket
+  CROSS JOIN tot
+), scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(d.lr) AS DOUBLE) AS log_weight
+  FROM bucketed b JOIN dim d ON b.bucket = d.bucket
+  GROUP BY b.doc_id
+), spined AS (
+  SELECT x.doc_id,
+         coalesce(s.n_features, 0) AS n_features,
+         coalesce(s.log_weight, 0.0) AS log_weight
+  FROM (SELECT doc_id FROM documents) x
+  LEFT JOIN scored s ON x.doc_id = s.doc_id
+)
+SELECT doc_id,
+       CAST(n_features AS BIGINT) AS n_features,
+       log_weight,
+       (row_number() OVER (ORDER BY log_weight DESC, doc_id ASC) <= 100) AS selected
+FROM spined
+"""
+
+# Round 12 — distributed Bloom membership. The oracle recomputes the
+# whole filter: the three salted md5 position hashes (the hash_bucket
+# base-16 fold), the distinct set-bit relation over the even docs'
+# text fingerprints, the all-k-positions probe, and the exact
+# fingerprint-level ground truth.
+_BLOOM_POS = [_hex24_sql(f"'bloom{i}:' || fp") + " % 2048" for i in range(3)]
+ORACLES["dedup_bloom_probe"] = f"""
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+), seenfp AS (
+  SELECT DISTINCT fp FROM keyed WHERE doc_id % 2 = 0
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT unnest([{_BLOOM_POS[0]}, {_BLOOM_POS[1]}, {_BLOOM_POS[2]}]) AS bit
+    FROM seenfp
+  )
+), pos AS (
+  SELECT fp, unnest([{_BLOOM_POS[0]}, {_BLOOM_POS[1]}, {_BLOOM_POS[2]}]) AS bit
+  FROM (SELECT DISTINCT fp FROM keyed)
+), hit AS (
+  SELECT p.fp, count(b.bit) = 3 AS maybe_seen
+  FROM pos p LEFT JOIN bits b USING (bit)
+  GROUP BY p.fp
+)
+SELECT k.doc_id,
+       h.maybe_seen,
+       (s.fp IS NOT NULL) AS seen_exact,
+       (h.maybe_seen AND s.fp IS NULL) AS false_positive
+FROM keyed k
+JOIN hit h ON k.fp = h.fp
+LEFT JOIN seenfp s ON k.fp = s.fp
+"""

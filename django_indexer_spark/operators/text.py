@@ -2174,3 +2174,62 @@ def c4_quality_filter(
         & ~F.col("has_curly_brace")
         & ~F.col("has_blocked_word"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.3 — the
+    published head/middle/tail split every CommonCrawl curation run
+    applies): score each document with the corpus unigram LM
+    (``lm_quality``'s bits-per-token — the in-engine stand-in for the
+    external KenLM artifact), then cut each LANGUAGE into
+    ``n_buckets`` equal-frequency tiles by score — lowest
+    bits-per-token (most fluent) = 'head'. Deterministic: the ntile
+    order is the total order (bits_per_token asc, id asc), so equal
+    scores break by id identically on any engine or partitioning.
+
+    Scale shape: lm_quality's vocab groupBy + bounded token→vocab
+    join, then ONE per-language window (the politeness-clock shape —
+    partitions are languages, never the corpus). Docs with no tokens
+    have no LM score and carry a NULL bucket (CCNet drops them; the
+    row is kept so the stage stays row-count preserving)."""
+    if len(labels) != n_buckets:
+        raise ValueError("labels must match n_buckets")
+    from pyspark.sql.window import Window
+
+    scored = lm_quality(df, id_col, text_col)
+    w = Window.partitionBy("__lang").orderBy(
+        F.asc("bits_per_token"), F.asc(id_col)
+    )
+    base = df.select(F.col(id_col), F.col(lang_col).alias("__lang")).join(
+        scored, id_col, "left"
+    )
+    # the tile population is the SCORED rows only — mixing the NULL
+    # rows into the window would hand the engines' opposite NULL sort
+    # orders (Spark asc = nulls first, DuckDB = nulls last) a say in
+    # the tile boundaries
+    joined = (
+        base.filter(F.col("bits_per_token").isNotNull())
+        .withColumn("__tile", F.ntile(n_buckets).over(w))
+        .unionByName(
+            base.filter(F.col("bits_per_token").isNull()).withColumn(
+                "__tile", F.lit(None).cast("int")
+            )
+        )
+    )
+    label = F.lit(None).cast("string")
+    for i, name in enumerate(labels, start=1):
+        label = F.when(F.col("__tile") == i, F.lit(name)).otherwise(label)
+    return joined.select(
+        id_col,
+        F.col("__lang").alias(lang_col),
+        "n_tokens",
+        "bits_per_token",
+        label.alias("bucket"),
+    )

@@ -7811,3 +7811,15 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positive", F.col("maybe_seen") & ~F.col("seen_exact")
         )
     )
+
+
+@query("text_ccnet_buckets")
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing under the hard
+    signal (operators/text.py:ccnet_buckets — Wenzek et al. 2020):
+    per-LANGUAGE equal-frequency terciles of the corpus-unigram-LM
+    bits-per-token, ntile order fully determinized by (score, doc_id).
+    The oracle recomputes the LM score (the text_lm_quality machinery)
+    AND the per-language ntile in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.ccnet_buckets(docs)

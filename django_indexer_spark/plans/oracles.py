@@ -6721,3 +6721,39 @@ FROM keyed k
 JOIN hit h ON k.fp = h.fp
 LEFT JOIN seenfp s ON k.fp = s.fp
 """
+
+# Round 12 — CCNet perplexity buckets: the lm_quality machinery plus a
+# per-language ntile over the fully-determinized (score, doc_id) order.
+ORACLES["text_ccnet_buckets"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), v AS (
+  SELECT token, count(*) AS c FROM t GROUP BY token
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS N FROM t
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(CAST(log2(CAST(N AS DOUBLE)) - log2(CAST(c AS DOUBLE))
+                             AS DECIMAL(38,18))) AS DOUBLE) / count(*), 9)
+           AS bits_per_token
+  FROM t JOIN v USING (token), n
+  GROUP BY doc_id
+), tiled AS (
+  SELECT d.doc_id, d.lang, s.n_tokens, s.bits_per_token,
+         CASE WHEN s.bits_per_token IS NULL THEN NULL
+              ELSE ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.bits_per_token ASC, d.doc_id ASC)
+         END AS tile
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+  UNION ALL
+  SELECT d.doc_id, d.lang, NULL, NULL, NULL
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+  WHERE s.doc_id IS NULL
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       bits_per_token,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' WHEN 3 THEN 'tail' END AS bucket
+FROM tiled
+"""

@@ -6409,3 +6409,41 @@ def test_bloom_bits_probe_contract(spark):
     p1 = sorted(map(tuple, dedup.bloom_probe(b, bits_a, "key", 256, 3).collect()))
     p2 = sorted(map(tuple, dedup.bloom_probe(b, bits_a, "key", 256, 3).collect()))
     assert p1 == p2
+
+
+def test_ccnet_buckets_per_language_tiles(spark):
+    """CCNet bucketing: per-language equal-frequency terciles of the
+    unigram-LM score — fluent (common-token) docs land in 'head',
+    rare-token docs in 'tail'; languages tile independently; token-less
+    docs keep their row with a NULL bucket."""
+    from django_indexer_spark.operators import text
+
+    common = "the data the table the data join the table data"
+    docs = spark.createDataFrame(
+        [
+            (0, common, "en"),
+            (1, common + " row", "en"),
+            (2, common + " scan", "en"),
+            (3, "qq ww ee rr tt yy uu ii oo pp", "en"),  # rare tokens
+            (4, "zz xx cc vv bb nn mm kk jj hh", "en"),
+            (5, "aa ss dd ff gg hh jj kk ll qq", "en"),
+            (6, common, "fr"),
+            (7, "zz xx cc vv bb nn mm kk jj hh", "fr"),
+            (8, "aa ss dd ff gg", "fr"),
+            (9, "", "fr"),  # token-less
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in text.ccnet_buckets(docs).collect()}
+    assert sorted(out) == list(range(10))  # row-count preserving
+    assert out[0]["bucket"] == "head" and out[3]["bucket"] != "head"
+    # rare-token docs score strictly more bits than common-token docs
+    assert out[3]["bits_per_token"] > out[0]["bits_per_token"]
+    # per-language tiling: each en tercile holds exactly 2 of 6 docs
+    from collections import Counter
+
+    en = Counter(out[i]["bucket"] for i in range(6))
+    assert en == {"head": 2, "middle": 2, "tail": 2}
+    fr = Counter(out[i]["bucket"] for i in (6, 7, 8))
+    assert fr == {"head": 1, "middle": 1, "tail": 1}
+    assert out[9]["bucket"] is None and out[9]["bits_per_token"] is None

@@ -687,21 +687,27 @@ def dsir_weights(
     lit_b = float(alpha) * n_buckets
 
     def grams(df: DataFrame) -> DataFrame:
-        toks = tokenize(text_col)
+        # MATERIALIZE the token array before the bigram lambda: with a
+        # raw tokenize() expression, element_at re-evaluates the whole
+        # split per element (higher-order fns run interpreted) — the
+        # word_ngrams_from_tokens trap, measured 10x+ on this operator
+        toked = df.select(
+            F.col(id_col).alias("__id"), tokenize(text_col).alias("__tk")
+        )
+        tk = F.col("__tk")
         bigrams = F.when(
-            F.size(toks) >= 2,
+            F.size(tk) >= 2,
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
+                F.sequence(F.lit(0), F.size(tk) - 2),
                 lambda i: F.concat(
-                    F.element_at(toks, i + 1),
+                    F.element_at(tk, i + 1),
                     F.lit(" "),
-                    F.element_at(toks, i + 2),
+                    F.element_at(tk, i + 2),
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        g = df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.concat(toks, bigrams)).alias("__gram"),
+        g = toked.select(
+            "__id", F.explode(F.concat(tk, bigrams)).alias("__gram")
         )
         h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("__gram")))
         return g.select(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.amounts import guarded_amount
+from ..iterative import cut_lineage
 
 
 def conditional_sum(flag: Column, value: Column, alias: str) -> Column:
@@ -668,26 +669,43 @@ def cohens_kappa(
     kappa doesn't). Returns ONE row: n_items, p_observed, p_expected,
     kappa.
 
-    Distributed shape: one fact scan folds n and the agreement count;
-    the two marginal histograms are grouped counts (≤ |categories|
-    rows each), their per-category chance products pin to ``dp`` dp
-    and fold as DECIMAL(38,6) — order-independent, so p_e is exact no
-    matter how partitions merge. Everything downstream of the scans is
-    |categories|-sized and broadcast."""
+    Distributed shape: ONE fact scan folds the (a, b) contingency
+    cells (≤ |categories|² rows, map-side combined — the rater columns
+    are often expensive derived expressions like lang_id over full
+    text, so they must be evaluated once, not once per marginal); n,
+    the agreement count and both marginal histograms are re-aggregates
+    of the materialized cells. Per-category chance products pin to
+    ``dp`` dp and fold as DECIMAL(38,6) — order-independent, so p_e is
+    exact no matter how partitions merge. Everything downstream of the
+    single scan is |categories|²-sized."""
     pow10 = float(10**dp)
 
     def _pin(c: Column) -> Column:
         return F.floor(c * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
 
-    tot = df.agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum((F.col(col_a) == F.col(col_b)).cast("long")).alias("__agree"),
+    # contingency cells: the one corpus-sized pass. cut_lineage (eager
+    # localCheckpoint / checkpoint) materializes them so the three
+    # re-aggregates below don't each re-run the scan (and re-evaluate
+    # the rater expressions) — the cells frame is bounded by the
+    # category-pair count, never the corpus.
+    cells = cut_lineage(
+        df.groupBy(
+            F.col(col_a).alias("__ka"), F.col(col_b).alias("__kb")
+        ).agg(F.count(F.lit(1)).alias("__n"))
     )
-    ma = df.groupBy(F.col(col_a).alias("__k")).agg(
-        F.count(F.lit(1)).alias("__na")
+    tot = cells.agg(
+        F.sum("__n").cast("long").alias("n_items"),
+        F.sum(
+            F.when(F.col("__ka") == F.col("__kb"), F.col("__n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__agree"),
     )
-    mb = df.groupBy(F.col(col_b).alias("__k")).agg(
-        F.count(F.lit(1)).alias("__nb")
+    ma = cells.groupBy(F.col("__ka").alias("__k")).agg(
+        F.sum("__n").alias("__na")
+    )
+    mb = cells.groupBy(F.col("__kb").alias("__k")).agg(
+        F.sum("__n").alias("__nb")
     )
     chance = (
         ma.join(mb, "__k")
@@ -1068,16 +1086,25 @@ def ols_two_features(
     Python: fitting is five exact covariance folds and four divisions.
 
     Exactness contract (the repo's two-pass pattern): inputs quantize
-    to 3 dp; per-group means come off ONE group-partitioned window
-    (count + sum reuse the single shuffle) and pin to ``dp``; centered
-    products pin per row and fold as DECIMAL(38,6) (order-independent);
-    the β solve runs in double on the folded scalars only, pinned.
-    Groups with a singular normal matrix (either feature constant, or
-    the two features perfectly collinear) emit NULL βs — surfaced, not
-    0/0. Output: (group, n, beta0, beta1, beta2).
+    to 3 dp; per-group means come off one grouped DECIMAL(38,3) fold
+    and pin to ``dp``; centered products pin per row and fold as
+    DECIMAL(38,6) (order-independent); the β solve runs in double on
+    the folded scalars only, pinned. Groups with a singular normal
+    matrix (either feature constant, or the two features perfectly
+    collinear) emit NULL βs — surfaced, not 0/0. Output:
+    (group, n, beta0, beta1, beta2).
 
-    Shape: one shuffle on the group key; window pass + grouped fold
-    reuse it. State per group = 6 decimals — safe at any cardinality."""
+    Shape: the means pass is a map-side-combined grouped fold (one
+    |groups|-row exchange), broadcast-joined back onto a second
+    parallel scan for the centered fold — NOT a group-partitioned
+    window: regression group keys are low-cardinality (return flags,
+    event types), so a window partitioned on them collapses the whole
+    fact table into |groups| tasks, each buffering its entire
+    partition (the §2.5 skew shape — unacceptable at 100 TB, and
+    measured 3.4 s → 0.9 s at sf0.1). Two scans + two |groups|-sized
+    exchanges; per-group state = 6 decimals — safe at any cardinality
+    (swap the broadcast for a shuffle join if |groups| ever outgrows
+    the broadcast cap)."""
     pow10 = float(10**dp)
 
     def _pin(c: Column) -> Column:
@@ -1090,26 +1117,37 @@ def ols_two_features(
         q3(x2_col).alias("__x2"),
         q3(y_col).alias("__y"),
     )
-    wg = Window.partitionBy(group_col)
-    mean = lambda c: _pin(
-        F.sum(F.col(c).cast("decimal(38,3)")).over(wg).cast("double")
-        / F.count(F.lit(1)).over(wg).cast("double")
+    d383 = "decimal(38,3)"
+    # means: |groups| rows, materialized once (cut_lineage) because the
+    # frame feeds both the centered scan below and the final β solve —
+    # without it each consumer re-runs the means scan.
+    sums = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__x1").cast(d383)).alias("__s1"),
+        F.sum(F.col("__x2").cast(d383)).alias("__s2"),
+        F.sum(F.col("__y").cast(d383)).alias("__sy"),
     )
-    centered = rows.select(
+    nd_ = F.col("n").cast("double")
+    means = cut_lineage(
+        sums.select(
+            F.col(group_col),
+            "n",
+            _pin(F.col("__s1").cast("double") / nd_).alias("__m1"),
+            _pin(F.col("__s2").cast("double") / nd_).alias("__m2"),
+            _pin(F.col("__sy").cast("double") / nd_).alias("__my"),
+        )
+    )
+    centered = rows.join(
+        F.broadcast(means.select(group_col, "__m1", "__m2", "__my")),
+        group_col,
+    ).select(
         F.col(group_col),
-        (F.col("__x1").cast("double") - mean("__x1")).alias("__d1"),
-        (F.col("__x2").cast("double") - mean("__x2")).alias("__d2"),
-        (F.col("__y").cast("double") - mean("__y")).alias("__dy"),
-        mean("__x1").alias("__m1"),
-        mean("__x2").alias("__m2"),
-        mean("__y").alias("__my"),
+        (F.col("__x1").cast("double") - F.col("__m1")).alias("__d1"),
+        (F.col("__x2").cast("double") - F.col("__m2")).alias("__d2"),
+        (F.col("__y").cast("double") - F.col("__my")).alias("__dy"),
     )
     d386 = "decimal(38,6)"
     g = centered.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("__m1").alias("__m1"),
-        F.min("__m2").alias("__m2"),
-        F.min("__my").alias("__my"),
         F.sum(_pin(F.col("__d1") * F.col("__d1")).cast(d386))
         .cast("double")
         .alias("__a11"),
@@ -1126,6 +1164,7 @@ def ols_two_features(
         .cast("double")
         .alias("__c2"),
     )
+    g = g.join(F.broadcast(means), group_col)
     det = F.col("__a11") * F.col("__a22") - F.col("__a12") * F.col("__a12")
     b1 = (
         F.col("__c1") * F.col("__a22") - F.col("__c2") * F.col("__a12")

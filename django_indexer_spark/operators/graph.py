@@ -49,9 +49,15 @@ from pyspark.sql import functions as F
 
 from ..iterative import cut_lineage
 
-# one reduce task per this many symmetrized edges — a few hundred MB of
-# (long, long) rows, comfortably in-memory for one task
-ROWS_PER_PARTITION = 5_000_000
+# one reduce task per this many symmetrized edges. 100k rows is the
+# measured sweet spot for the loops' per-round JOIN+fold tasks (a width
+# sweep on a_hits_scores at sf0.1: 5M→6.0 s, 1M→5.4, 250k→5.2,
+# 100k→4.6, 40k→4.9 — identical results at every width): below it task
+# scheduling dominates, above it one core serializes multi-second join
+# work. The session shuffle width still CAPS the answer (min() below),
+# so a cluster-sized session is unaffected — this floor only widens
+# small graphs that would otherwise run their rounds on one task.
+ROWS_PER_PARTITION = 100_000
 
 
 def connected_components(

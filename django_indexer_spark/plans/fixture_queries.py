@@ -148,6 +148,26 @@ from contextlib import contextmanager
 _STAGE_CACHE: dict[tuple[str, str, str], str] = {}
 
 
+def _scratch(prefix: str) -> str:
+    """Ephemeral per-call scratch root for the streaming gates' state /
+    checkpoint / log dirs (guide §6 — scratch I/O placement). These dirs
+    live only for one gate call and are never a durability surface
+    (fresh ``mkdtemp`` every call), so they belong on the fastest local
+    storage available: ``$SPARK_GRAFT_SCRATCH`` if set (a cluster's
+    local NVMe), else a RAM-backed ``/dev/shm`` when writable (measured
+    −0.7 s on s_stream_sessionize vs disk-backed /tmp), else the
+    platform tempdir. Real deployments point checkpoints of LONG-LIVED
+    streams at durable storage — that is a different surface (DEPLOY.md);
+    this is per-call scratch."""
+    import os as _os
+    import tempfile as _tf
+
+    base = _os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None and _os.access("/dev/shm", _os.W_OK):
+        base = "/dev/shm"
+    return _tf.mkdtemp(prefix=prefix, dir=base)
+
+
 def _staged_input(spark: SparkSession, sf_dir: str, key: str, build) -> str:
     """Memoized input staging for the s_stream_* gates (round 10,
     verdict #3): each gate's staged micro-batch input files are a pure
@@ -169,7 +189,7 @@ def _staged_input(spark: SparkSession, sf_dir: str, key: str, build) -> str:
     got = _STAGE_CACHE.get(k)
     if got is not None and _os.path.isdir(got):
         return got
-    root = tempfile.mkdtemp(prefix=f"stage_{key}_")
+    root = _scratch(f"stage_{key}_")
     build(root)
     _STAGE_CACHE[k] = root
     return root
@@ -3130,7 +3150,7 @@ def s_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import incremental
 
-    work = tempfile.mkdtemp(prefix="stream_gate_")
+    work = _scratch("stream_gate_")
     state_dir = f"{work}/state"
     ckpt = f"{work}/ckpt"
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3237,7 +3257,7 @@ def s_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.windows import windowed_counts
 
-    work = tempfile.mkdtemp(prefix="stream_wroll_")
+    work = _scratch("stream_wroll_")
     out_dir = f"{work}/out"
     ckpt = f"{work}/ckpt"
 
@@ -3351,7 +3371,7 @@ def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.sessions import sessionize
 
-    work = tempfile.mkdtemp(prefix="stream_sess_")
+    work = _scratch("stream_sess_")
     out_dir = f"{work}/out"
     ckpt = f"{work}/ckpt"
 
@@ -3430,7 +3450,7 @@ def s_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.dedup_index import stream_dedup
 
-    work = tempfile.mkdtemp(prefix="stream_didx_")
+    work = _scratch("stream_didx_")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # parity-split halves; staging memoized per session (round 10)
     in_dir = _staged_input(
@@ -3489,7 +3509,7 @@ def s_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ann_index import stream_ann
 
-    work = tempfile.mkdtemp(prefix="stream_aidx_")
+    work = _scratch("stream_aidx_")
     vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def build(root: str) -> None:
@@ -3553,7 +3573,7 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.joins import interval_join_streams
 
-    work = tempfile.mkdtemp(prefix="stream_ij_")
+    work = _scratch("stream_ij_")
 
     def build(root: str) -> None:
         import glob as _glob
@@ -4125,7 +4145,7 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.merge import cdc_apply
 
-    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    work = _scratch("stream_cdc_")
     state_dir = f"{work}/state"
     ckpt = f"{work}/ckpt"
 
@@ -5582,7 +5602,10 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2nd/31st order statistic of the replicate means."""
     from ..operators.sampling import poisson_bootstrap_ci
 
-    e = _events(spark, sf_dir)
+    # _spread: the 32 per-row weight draws (7 md5s + 32 CASE-chain
+    # inverse-CDF lookups) fuse into the scan stage, which is one task
+    # on the single-row-group fixture file
+    e = _spread(spark, _events(spark, sf_dir))
     cents = F.round(F.col("value").cast("double") * 100, 0).cast("long")
     return poisson_bootstrap_ci(
         e, "event_type", "event_id", cents, b=32
@@ -5648,7 +5671,9 @@ def a_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-feature OLS."""
     from ..operators.aggregates import ols_two_features
 
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread: both moment folds are map-side-combined scans whose
+    # decimal quantize/pin work otherwise runs on the single scan task
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
     return ols_two_features(
         li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
     ).orderBy("l_returnflag")
@@ -5798,7 +5823,7 @@ def s_stream_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.phash_index import stream_phash
 
-    work = tempfile.mkdtemp(prefix="stream_pidx_")
+    work = _scratch("stream_pidx_")
     in_dir = _staged_input(
         spark,
         sf_dir,
@@ -7242,7 +7267,7 @@ def s_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import urls as url_fns
     from ..streaming import crawl as crawl_stream
 
-    work = tempfile.mkdtemp(prefix="stream_frontier_")
+    work = _scratch("stream_frontier_")
     state_dir = f"{work}/state"
     ckpt = f"{work}/ckpt"
     frontier = _frontier_urls(spark)
@@ -7527,7 +7552,7 @@ def s_stream_polite_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import crawl as crawl_stream
 
-    work = tempfile.mkdtemp(prefix="stream_polite_")
+    work = _scratch("stream_polite_")
     state_dir = f"{work}/state"
     sched_dir = f"{work}/sched"
     ckpt = f"{work}/ckpt"
@@ -7561,11 +7586,26 @@ def s_stream_polite_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host string, robots_body string",
     )
 
+    # the robots corpus is loop-invariant across both ticks: parse once
+    # and materialize (cut_lineage), so each micro-batch's plan starts
+    # from the KB-sized rules instead of re-running the 4-exchange parse
+    from ..functions.urls import delays_from_robots, rules_from_robots
+    from ..iterative import cut_lineage
+
+    parsed_rules = cut_lineage(rules_from_robots(robots, "trainbot/1.0"))
+    parsed_delays = cut_lineage(delays_from_robots(robots, "trainbot/1.0"))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         prev = f"{state_dir}/v{batch_id - 1}"
         gold = spark.read.parquet(prev) if batch_id > 0 else None
         new_state, sched = crawl_stream.polite_frontier_tick(
-            gold, batch_df, robots, user_agent="trainbot/1.0", url_col="url"
+            gold,
+            batch_df,
+            robots,
+            user_agent="trainbot/1.0",
+            url_col="url",
+            rules=parsed_rules,
+            delays=parsed_delays,
         )
         new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
         (
@@ -7773,7 +7813,8 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (log_weight desc, doc_id). The oracle recomputes the ENTIRE
     method in SQL — same md5 bucket fold, same smoothing, same pinned
     decimal arithmetic, same tie-broken top-k."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: unigram+bigram tokenize/explode fuses into the scan
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     target = docs.filter(F.col("source") == "src18")
     return sampling.dsir_weights(
         docs, target, n_buckets=1024, alpha=1.0, top_k=100

@@ -133,6 +133,8 @@ def polite_frontier_tick(
     url_col: str = "url",
     default_delay_s: float = 1.0,
     latest_col: str | None = None,
+    rules: DataFrame | None = None,
+    delays: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One POLITE frontier tick — the composition ``frontier_update``
     runs beside (round-11 verdict #2), now in ONE plan per batch:
@@ -159,7 +161,16 @@ def polite_frontier_tick(
     anti-join on the same key, the robots parse's one host shuffle
     (corpus-sized, not frontier-sized), and the schedule's per-host
     window — no UDF, nothing collected, state grows by distinct new
-    keys only."""
+    keys only.
+
+    ``rules`` / ``delays``: the robots corpus is LOOP-INVARIANT across
+    a stream's ticks, but each tick's lazy plan would re-run the whole
+    4-exchange parse. A caller driving many ticks should hoist it:
+    parse once (``rules_from_robots`` / ``delays_from_robots``),
+    materialize (``iterative.cut_lineage``), and pass the frames in —
+    the per-tick plan then starts from the KB-sized parsed rules
+    (same loop-invariant-hoisting rule as graph.pagerank's persisted
+    edges). When None, parse here (single-tick callers)."""
     from ..functions.urls import (
         apply_robots,
         delays_from_robots,
@@ -173,13 +184,15 @@ def polite_frontier_tick(
         if gold is None
         else new_state.join(gold.select("url_canon"), "url_canon", "left_anti")
     )
-    rules = rules_from_robots(robots, user_agent, latest_col=latest_col)
+    if rules is None:
+        rules = rules_from_robots(robots, user_agent, latest_col=latest_col)
     allowed = (
         apply_robots(unseen, rules, url_col="url_canon")
         .filter(F.col("allowed"))
         .drop("allowed")
     )
-    delays = delays_from_robots(robots, user_agent, latest_col=latest_col)
+    if delays is None:
+        delays = delays_from_robots(robots, user_agent, latest_col=latest_col)
     schedule = plan_fetch_schedule(
         allowed, delays, url_col="url_canon", default_delay_s=default_delay_s
     )

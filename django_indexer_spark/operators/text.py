@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..iterative import cut_lineage
+
 WORD_RE = "[^a-zA-Z0-9]+"
 
 # tiny multilingual stopword lists — heuristic language-ID evidence
@@ -1316,7 +1318,13 @@ def bigram_lm_quality(
 
     Shape: ONE tokenize pass feeds doc-bigrams, the corpus bigram
     counts, and the w1-marginal; V and the model tables join back
-    token-keyed (model size ∝ distinct bigrams, never corpus rows)."""
+    token-keyed (model size ∝ distinct bigrams, never corpus rows).
+    The bigram model is cut_lineage-materialized once: the marginal
+    re-aggregate and the scoring join's build side read the
+    MATERIALIZED counts instead of each re-deriving them from the
+    corpus explode (model-table materialization — the trained model is
+    the thing a real run persists; V keeps its own token scan because
+    single-token docs contribute vocabulary but no bigram)."""
     pow10 = float(10**dp)
     toks = df.select(
         F.col(id_col).alias("doc"), tokenize(text_col).alias("__t")
@@ -1334,7 +1342,9 @@ def bigram_lm_quality(
         )
         .select("doc", "__p.w1", "__p.w2")
     )
-    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    model = cut_lineage(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    )
     marg = model.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     vocab = (
         toks.select(F.explode("__t").alias("w"))
@@ -1406,9 +1416,19 @@ def nb_train_classify(
     docs = df.select(F.col(id_col).alias("doc"), F.col(label_col).alias("lbl"))
     classes = docs.groupBy("lbl").agg(F.count(F.lit(1)).alias("__dc"))
     n_docs = classes.agg(F.sum("__dc").alias("__nd"))
-    wc = toks.groupBy("lbl", "w").agg(F.count(F.lit(1)).alias("__cwc"))
+    # the model table is V×|classes| — materialize it once (cut_lineage)
+    # so its three consumers (per-class token totals, vocabulary size,
+    # the inference join's build side) fold the MATERIALIZED counts
+    # instead of each re-running the corpus tokenize+explode. V is every
+    # token of a labeled corpus row, so distinct w over the model == the
+    # corpus vocabulary — the separate vocabulary scan is derived, not
+    # recomputed. (Model-table materialization is exactly what a 100 TB
+    # run does with a trained model; the cut is executor-distributed.)
+    wc = cut_lineage(
+        toks.groupBy("lbl", "w").agg(F.count(F.lit(1)).alias("__cwc"))
+    )
     ctot = wc.groupBy("lbl").agg(F.sum("__cwc").alias("__ct"))
-    vocab = toks.agg(F.count_distinct("w").alias("__v"))
+    vocab = wc.agg(F.count_distinct("w").alias("__v"))
     # per-class denominator (tokens_c + V), broadcast-tiny
     cls = (
         classes.join(F.broadcast(ctot), "lbl")

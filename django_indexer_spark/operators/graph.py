@@ -279,34 +279,41 @@ def hits_scores(
             "src", F.lit(1.0).alias("h")
         )
         auth = None
+        # Per half-round, the edge⋈score join + grouped fold is the
+        # corpus-sized work, and it used to run TWICE: once under the
+        # normalizer-sum job and again inside the normalized frame's
+        # cut_lineage materialization. Materialize the RAW fold instead
+        # (node-sized frame, still one checkpoint per half-round); the
+        # normalizer sum and the pinned quotient then both read the
+        # materialized fold — 2 edge joins per round, not 4. The
+        # normalized frame stays lazy: it is a broadcast-crossJoin
+        # projection over checkpointed data, so lineage is still cut
+        # one half-round deep and its recompute (next-round join +
+        # final output) is a node-sized scan.
         for _ in range(iterations):
-            araw = (
+            araw = cut_lineage(
                 e.join(hubs, "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("h").cast(d18)).alias("__a"))
             )
             asum = araw.agg(F.sum("__a").alias("__s"))
-            auth = cut_lineage(
-                araw.crossJoin(F.broadcast(asum)).select(
-                    "dst",
-                    _pin(
-                        F.col("__a").cast("double") / F.col("__s").cast("double")
-                    ).alias("a"),
-                )
+            auth = araw.crossJoin(F.broadcast(asum)).select(
+                "dst",
+                _pin(
+                    F.col("__a").cast("double") / F.col("__s").cast("double")
+                ).alias("a"),
             )
-            hraw = (
+            hraw = cut_lineage(
                 e.join(auth, "dst")
                 .groupBy("src")
                 .agg(F.sum(F.col("a").cast(d18)).alias("__h"))
             )
             hsum = hraw.agg(F.sum("__h").alias("__s"))
-            hubs = cut_lineage(
-                hraw.crossJoin(F.broadcast(hsum)).select(
-                    "src",
-                    _pin(
-                        F.col("__h").cast("double") / F.col("__s").cast("double")
-                    ).alias("h"),
-                )
+            hubs = hraw.crossJoin(F.broadcast(hsum)).select(
+                "src",
+                _pin(
+                    F.col("__h").cast("double") / F.col("__s").cast("double")
+                ).alias("h"),
             )
         return hubs.select(
             F.lit("hub").alias("kind"),

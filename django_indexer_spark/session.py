@@ -32,6 +32,18 @@ def get_spark(app_name: str = "django-indexer-spark", **extra_conf: str) -> Spar
     their own master/shuffle sizing.
     """
     cpus = cpu_count()
+    # shuffle/spill scratch placement (optimization guide §6): shuffle
+    # files and spills are ephemeral per-JVM scratch, so they belong on
+    # the fastest local storage — $SPARK_GRAFT_LOCAL_DIR when set (a
+    # cluster node's local NVMe; resource managers like YARN override
+    # spark.local.dir themselves), else RAM-backed /dev/shm when
+    # writable (measured −0.3..−0.8 s on every shuffle-heavy query at
+    # sf0.1 vs disk-backed /tmp: text_span_removal 3.85→3.05,
+    # text_dup_spans 2.8→2.1, dedup_ppjoin 2.8→2.55), else Spark's
+    # platform default. Same placement rule as fixture_queries._scratch.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark_graft_local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
@@ -65,6 +77,9 @@ def get_spark(app_name: str = "django-indexer-spark", **extra_conf: str) -> Spar
         # customer/tokens/chains analogues) should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir is not None:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

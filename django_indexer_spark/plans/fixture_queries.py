@@ -158,14 +158,25 @@ def _scratch(prefix: str) -> str:
     −0.7 s on s_stream_sessionize vs disk-backed /tmp), else the
     platform tempdir. Real deployments point checkpoints of LONG-LIVED
     streams at durable storage — that is a different surface (DEPLOY.md);
-    this is per-call scratch."""
+    this is per-call scratch.
+
+    Every dir is removed (best-effort) at interpreter exit: mkdtemp
+    dirs otherwise accumulate across processes — measured ~318 MB of
+    stale staging after a day of bench/parity runs — and on the
+    RAM-backed default that is memory, not disk. Exit-time (not
+    call-time) because ``_staged_input`` memoizes staged inputs for
+    the whole session."""
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
     import tempfile as _tf
 
     base = _os.environ.get("SPARK_GRAFT_SCRATCH")
     if base is None and _os.access("/dev/shm", _os.W_OK):
         base = "/dev/shm"
-    return _tf.mkdtemp(prefix=prefix, dir=base)
+    path = _tf.mkdtemp(prefix=prefix, dir=base)
+    _atexit.register(_shutil.rmtree, path, True)
+    return path
 
 
 def _staged_input(spark: SparkSession, sf_dir: str, key: str, build) -> str:

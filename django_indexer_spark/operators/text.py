@@ -2124,6 +2124,7 @@ def c4_quality_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     word_blocklist: tuple[str, ...] = (),
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 cleaning battery (Raffel et al. 2020 §2.2 — the published
     rule set behind the C4 corpus, the other canonical pre-filter next
@@ -2153,7 +2154,11 @@ def c4_quality_filter(
 
     Returns every input doc with its cleaned text, line accounting,
     the flags, and ``keep`` — a filter-annotate stage, row-count
-    preserving like ``dedup_lines``."""
+    preserving like ``dedup_lines``. ``keep_cols`` names extra input
+    columns passed through UNTOUCHED (placed right after ``id_col``) —
+    a stacked pipeline that computed upstream flags on the same rows
+    can carry them through this stage instead of recomputing its input
+    a second time for a later doc_id re-join (guide §2.4)."""
     c = F.col(text_col)
     lines = F.split(c, r"\r?\n")
     kept = F.filter(
@@ -2181,6 +2186,7 @@ def c4_quality_filter(
     }
     out = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         clean.alias("text_clean"),
         F.size(kept).cast("long").alias("n_lines_kept"),
         (n_lines - F.size(kept)).cast("long").alias("n_lines_dropped"),

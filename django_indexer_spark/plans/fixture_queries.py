@@ -131,16 +131,26 @@ def _dec(col: str, p: int = 18, s: int = 2) -> F.Column:
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Decouple CPU-bound per-row work from scan splits. The small-SF
-    fixture tables are single-row-group parquet files → 1-partition scans,
-    which serializes codegen-heavy stages (base64/JSON decode, tokenize +
-    n-gram explode, vector folds) onto one core. One round-robin exchange
-    of the (tiny) input unlocks all cores; at production scale the scan
-    has many splits and the same exchange just rebalances decode skew
-    (same rationale as dedup.minhash_bands' expand_parallelism). Only for
-    queries whose results are row-independent (per-row maps / integer or
-    rounded-decimal aggregates) — it changes partitioning, never values."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Decouple CPU-bound per-row work from scan splits, WIDEN-ONLY
+    (round-12 verdict #1). The small-SF fixture tables are
+    single-row-group parquet files → 1-partition scans, which serializes
+    codegen-heavy stages (base64/JSON decode, tokenize + n-gram explode,
+    vector folds) onto one core; one round-robin exchange of the (tiny)
+    input unlocks all cores. A 100 TB scan already has ≥ parallelism
+    splits, and the old unconditional repartition(defaultParallelism)
+    would have COALESCED it to #cores partitions (multi-GB partitions →
+    spill/OOM, guide §5) while paying a corpus-sized RoundRobin exchange
+    (§2.1) — so the exchange is now inserted ONLY when the plan is
+    narrower than the session's parallelism; an already-wide input is
+    returned untouched. Only for queries whose results are
+    row-independent (per-row maps / integer or rounded-decimal
+    aggregates) — it changes partitioning, never values."""
+    width = spark.sparkContext.defaultParallelism
+    # partition count of the *physical* plan (scan splits for a bare
+    # read); planning-only — no job runs, and consumers keep using `df`
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
 
 
 from contextlib import contextmanager
@@ -7719,11 +7729,26 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         g["word_count"].alias("word_count"),
         g["passes"].alias("gopher_passes"),
     )
-    c4 = text.c4_quality_filter(flags, id_col="doc_id", text_col="page")
-    # three downstream consumers (the c4 join, the repetition battery,
-    # the line dedup) would each recompute synthesis→gopher→c4 from the
-    # scan; pin the cleaned frame once (BoundedFrameCache ownership —
-    # the returned plan is lazy, so the cache must outlive this call)
+    # the gopher columns ride THROUGH the c4 stage (keep_cols) so the
+    # pinned frame is the single source for every downstream consumer —
+    # round-13: the old `flags.select(...).join(c4, doc_id)` re-ran the
+    # whole synthesis→gopher derivation from the scan a second time and
+    # paid a corpus×corpus SMJ for columns already computed on the same
+    # rows (guide §2.3/§2.4: documents scans 2→1, SMJ 2→1, exchanges
+    # 13→12 in plans/r13/curation_pipeline_v2_{before,after}.txt;
+    # sf0.1 wall neutral — the removed pass hid behind idle cores —
+    # the saved corpus pass + corpus-sized SMJ is the 100 TB term)
+    c4 = text.c4_quality_filter(
+        flags,
+        id_col="doc_id",
+        text_col="page",
+        keep_cols=("word_count", "gopher_passes"),
+    )
+    # three downstream consumers (the final select, the repetition
+    # battery, the line dedup) would each recompute synthesis→gopher→c4
+    # from the scan; pin the cleaned frame once (BoundedFrameCache
+    # ownership — the returned plan is lazy, so the cache must outlive
+    # this call)
     c4 = c4.persist()
     _V2_CACHE.pin(c4)
     cleaned = c4.select("doc_id", "text_clean")
@@ -7734,12 +7759,12 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned, text_col="text_clean", id_col="doc_id", max_freq=1
     )
     return (
-        flags.select("doc_id", "word_count", "gopher_passes")
-        .join(
-            c4.select(
-                "doc_id", "n_sentences", F.col("keep").alias("c4_keep")
-            ),
+        c4.select(
             "doc_id",
+            "word_count",
+            "gopher_passes",
+            "n_sentences",
+            F.col("keep").alias("c4_keep"),
         )
         .join(
             rep.select(

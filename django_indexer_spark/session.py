@@ -32,6 +32,7 @@ def get_spark(app_name: str = "django-indexer-spark", **extra_conf: str) -> Spar
     their own master/shuffle sizing.
     """
     cpus = cpu_count()
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     # shuffle/spill scratch placement (optimization guide §6): shuffle
     # files and spills are ephemeral per-JVM scratch, so they belong on
     # the fastest local storage — $SPARK_GRAFT_LOCAL_DIR when set (a
@@ -40,13 +41,29 @@ def get_spark(app_name: str = "django-indexer-spark", **extra_conf: str) -> Spar
     # writable (measured −0.3..−0.8 s on every shuffle-heavy query at
     # sf0.1 vs disk-backed /tmp: text_span_removal 3.85→3.05,
     # text_dup_spans 2.8→2.1, dedup_ppjoin 2.8→2.55), else Spark's
-    # platform default. Same placement rule as fixture_queries._scratch.
+    # platform default. The /dev/shm default is gated THREE ways
+    # (round-12 verdict #6 / ADVICE): only under a local[*] master (a
+    # driver-local path is meaningless to remote executors, and spill
+    # must not silently land in RAM on a standalone cluster — tmpfs is
+    # typically capped at half RAM and full tmpfs turns memory pressure
+    # into ENOSPC, DEPLOY.md); only with ≥ 8 GiB currently free in
+    # /dev/shm; and per-PID, removed best-effort at interpreter exit so
+    # a crashed run's shuffle debris doesn't occupy RAM until reboot.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark_graft_local"
+    if local_dir is None and master.startswith("local") and os.access("/dev/shm", os.W_OK):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                local_dir = f"/dev/shm/spark_graft_local/{os.getpid()}"
+                import atexit
+                import shutil
+
+                atexit.register(shutil.rmtree, local_dir, True)
+        except OSError:
+            pass
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .master(master)
         # -- determinism / oracle parity --
         .config("spark.sql.session.timeZone", "UTC")
         # read TIMESTAMP(NANOS) parquet (events.ts) as long ns — Spark has

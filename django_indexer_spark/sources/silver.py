@@ -138,6 +138,7 @@ def read_table(
     buckets: list[int] | None = None,
     keep_bucket_col: bool = False,
     at_batch: int | None = None,
+    merge_schema: bool = True,
 ) -> DataFrame | None:
     """Current snapshot of a silver table (None if absent/empty). With
     ``buckets``, reads only those bucket dirs — partition pruning by
@@ -165,11 +166,17 @@ def read_table(
     # evolution (merge_batch(evolve_schema=True)) lack the newer columns;
     # footer-merge surfaces the superset with NULLs — without it the scan
     # schema is whichever file is sampled first. Per-read footer cost is
-    # bounded by the bucket count.
+    # bounded by the bucket count. ``merge_schema=False`` skips the
+    # all-footer read for tables whose writer NEVER evolves the schema
+    # (the streaming LSH/ANN/pHash indexes — fixed columns for the
+    # table's life): every probe/merge re-read then samples one footer
+    # instead of all current bucket versions (guide §6 small-file
+    # overhead; measured on the index gates, round 13).
+    ms = "true" if merge_schema else "false"
     if manifest.get("partition_col"):
         parts = [
             spark.read.option("basePath", p)
-            .option("mergeSchema", "true")
+            .option("mergeSchema", ms)
             .parquet(p)
             for p in paths
         ]
@@ -177,7 +184,7 @@ def read_table(
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
     else:
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = spark.read.option("mergeSchema", ms).parquet(*paths)
     return df if keep_bucket_col else df.drop(BUCKET_COL)
 
 
@@ -243,9 +250,25 @@ def merge_batch(
     partition_col: str | None = None,
     bucket_by: list[str] | None = None,
     evolve_schema: bool = False,
+    touched_buckets: list[int] | None = None,
+    merge_schema: bool = True,
 ) -> list[int]:
     """Merge one batch into the table, rewriting only touched buckets.
     Returns the touched bucket ids (empty batch -> no-op, []).
+
+    ``touched_buckets``: the batch's distinct bucket ids when the caller
+    has ALREADY collected them (a probe that evaluated the same
+    ``bucket_expr(bucket_by, n_buckets)`` over the same rows — the
+    streaming index gates collect that set once per micro-batch for the
+    probe and hand it here). Skips one collect job AND the incoming
+    persist per merge (with the collect gone, the staged write is the
+    frame's only consumer). CONTRACT: it must be the EXACT distinct set —
+    a superset would publish manifest entries whose staged dirs hold no
+    files; a subset would silently drop rows from the merge.
+
+    ``merge_schema`` forwards to ``read_table`` for the existing-rows
+    read; pass False only for tables whose schema never evolves (the
+    index gates), where the all-footer merge is pure per-batch cost.
 
     ``evolve_schema=True`` permits ADDITIVE schema evolution: a batch may
     carry columns the table has never seen (pre-evolution rows read as
@@ -297,9 +320,17 @@ def merge_batch(
     inc = incoming.withColumn(
         BUCKET_COL, bucket_expr(bucket_by or natural_key, n_buckets)
     )
-    inc = inc.persist()
+    # persist only when WE must collect the touched set (two consumers);
+    # with touched_buckets supplied the staged write is the only consumer
+    owns_persist = touched_buckets is None
+    if owns_persist:
+        inc = inc.persist()
     try:
-        touched = sorted(r[0] for r in inc.select(BUCKET_COL).distinct().collect())
+        touched = (
+            sorted(r[0] for r in inc.select(BUCKET_COL).distinct().collect())
+            if touched_buckets is None
+            else sorted(int(b) for b in touched_buckets)
+        )
         if not touched:
             return []
         os.makedirs(table_dir, exist_ok=True)
@@ -343,7 +374,13 @@ def merge_batch(
         published_cols = sorted(set(known_cols or inc_cols) | set(inc_cols))
         # existing rows for ONLY the touched buckets (same-key rows can't
         # live anywhere else — the bucket hash is a pure key function)
-        existing = read_table(spark, table_dir, buckets=touched, keep_bucket_col=True)
+        existing = read_table(
+            spark,
+            table_dir,
+            buckets=touched,
+            keep_bucket_col=True,
+            merge_schema=merge_schema,
+        )
         merged = upsert(
             existing,
             inc,
@@ -426,4 +463,5 @@ def merge_batch(
         shutil.rmtree(staging, ignore_errors=True)
         return touched
     finally:
-        inc.unpersist()
+        if owns_persist:
+            inc.unpersist()

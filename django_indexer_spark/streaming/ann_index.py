@@ -76,6 +76,19 @@ def index_rows(
     )
 
 
+def touched_buckets(new_rows: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> list[int]:
+    """The batch's distinct physical-bucket ids — ONE collect shared by
+    the single-probe ``probe`` and ``update`` (identical
+    ``bucket_expr(["bucket"])`` over the same rows; round-13, the extra
+    per-batch collect was a pure duplicate driver job). Multi-probe
+    queries fan out to MORE buckets than the batch writes, so a
+    multi-probe ``probe`` must keep its own collect."""
+    bucket_of = silver.bucket_expr(["bucket"], n_buckets)
+    return sorted(
+        r[0] for r in new_rows.select(bucket_of.alias("b")).distinct().collect()
+    )
+
+
 def probe(
     spark: SparkSession,
     index_dir: str,
@@ -85,6 +98,7 @@ def probe(
     n_buckets: int = DEFAULT_N_BUCKETS,
     multi_probe: bool = False,
     round_dp: int = 6,
+    probe_buckets: list[int] | None = None,
 ) -> DataFrame:
     """Top-k neighbors for one batch of index rows, LAZY: (q_id, c_id,
     cosine, rnk). Candidates are the union of (a) previously-ingested
@@ -106,11 +120,18 @@ def probe(
         probes = F.array(home, *[home.bitwiseXOR(F.lit(2**p)) for p in range(n_planes)])
         queries = queries.withColumn("bucket", F.explode(probes))
 
-    bucket_of = silver.bucket_expr(["bucket"], n_buckets)
-    probe_buckets = sorted(
-        r[0] for r in queries.select(bucket_of.alias("b")).distinct().collect()
+    if probe_buckets is None or multi_probe:
+        # multi-probe fans queries out past the batch's own buckets — a
+        # caller-supplied write-side set would under-read; re-collect
+        bucket_of = silver.bucket_expr(["bucket"], n_buckets)
+        probe_buckets = sorted(
+            r[0] for r in queries.select(bucket_of.alias("b")).distinct().collect()
+        )
+    # merge_schema=False: the ANN index's schema is fixed for the
+    # table's life (same writer every batch) — skip the all-footer merge
+    existing = silver.read_table(
+        spark, index_dir, buckets=probe_buckets, merge_schema=False
     )
-    existing = silver.read_table(spark, index_dir, buckets=probe_buckets)
     cand = new_rows.select("vec_id", "bucket", "vnorm", "embedding")
     if existing is not None:
         cand = cand.unionByName(
@@ -150,9 +171,12 @@ def update(
     new_rows: DataFrame,
     batch_id: int,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    touched: list[int] | None = None,
 ) -> list[int]:
     """Merge one batch's index rows in (touched buckets only; idempotent
-    per batch_id)."""
+    per batch_id). ``touched``: pass ``touched_buckets(...)`` when the
+    caller already collected it — the version column added here never
+    changes the bucket routing."""
     return silver.merge_batch(
         spark,
         index_dir,
@@ -163,6 +187,8 @@ def update(
         batch_id=batch_id,
         n_buckets=n_buckets,
         bucket_by=["bucket"],
+        touched_buckets=touched,
+        merge_schema=False,
     )
 
 
@@ -184,14 +210,16 @@ def probe_and_update(
     Streaming callers use ``stream_ann``, which sinks distributed."""
     new_rows = index_rows(vecs, id_col, vec_col, n_planes, dim).persist()
     try:
+        buckets = touched_buckets(new_rows, n_buckets)
         found = probe(
-            spark, index_dir, new_rows, k, n_planes, n_buckets, multi_probe
+            spark, index_dir, new_rows, k, n_planes, n_buckets, multi_probe,
+            probe_buckets=buckets,
         )
         result = spark.createDataFrame(
             found.collect(),
             schema="q_id long, c_id long, cosine double, rnk int",
         )
-        update(spark, index_dir, new_rows, batch_id, n_buckets)
+        update(spark, index_dir, new_rows, batch_id, n_buckets, touched=buckets)
         return result
     finally:
         new_rows.unpersist()
@@ -222,15 +250,17 @@ def stream_ann(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_rows = index_rows(batch_df, id_col, vec_col, n_planes, dim).persist()
         try:
+            buckets = touched_buckets(new_rows, n_buckets)
             found = probe(
-                spark, index_dir, new_rows, k, n_planes, n_buckets, multi_probe
+                spark, index_dir, new_rows, k, n_planes, n_buckets, multi_probe,
+                probe_buckets=buckets,
             )
             (
                 found.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .write.mode("append")
                 .parquet(neighbors_dir)
             )
-            update(spark, index_dir, new_rows, batch_id, n_buckets)
+            update(spark, index_dir, new_rows, batch_id, n_buckets, touched=buckets)
         finally:
             new_rows.unpersist()
 

@@ -64,12 +64,25 @@ def index_bands(
     return out.select(F.col(id_col).alias("doc_id"), "band", "band_key")
 
 
+def touched_buckets(new_bands: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> list[int]:
+    """The batch's distinct physical-bucket ids — ONE collect shared by
+    ``probe`` (which buckets to read) and ``update`` (which buckets to
+    rewrite): both are the same ``bucket_expr(["band","band_key"])`` over
+    the same rows, so collecting twice per micro-batch was a pure extra
+    driver job (round-13, guide §1.2 step 1)."""
+    bucket_of = silver.bucket_expr(["band", "band_key"], n_buckets)
+    return sorted(
+        r[0] for r in new_bands.select(bucket_of.alias("b")).distinct().collect()
+    )
+
+
 def probe(
     spark: SparkSession,
     index_dir: str,
     new_bands: DataFrame,
     n_buckets: int = DEFAULT_N_BUCKETS,
     before_version: int | None = None,
+    probe_buckets: list[int] | None = None,
 ) -> DataFrame:
     """Candidate pairs for one batch of band rows, LAZY: ``(id_new,
     id_seen, source)`` — 'index' = collision with a previously-ingested
@@ -88,11 +101,13 @@ def probe(
     (round-10 ADVICE: exactly-once pairs logs need this plus a
     batch_id-partitioned overwrite sink).
     """
-    bucket_of = silver.bucket_expr(["band", "band_key"], n_buckets)
-    probe_buckets = sorted(
-        r[0] for r in new_bands.select(bucket_of.alias("b")).distinct().collect()
+    if probe_buckets is None:
+        probe_buckets = touched_buckets(new_bands, n_buckets)
+    # merge_schema=False: the band index's schema is fixed for the
+    # table's life (same writer every batch) — skip the all-footer merge
+    existing = silver.read_table(
+        spark, index_dir, buckets=probe_buckets, merge_schema=False
     )
-    existing = silver.read_table(spark, index_dir, buckets=probe_buckets)
     if existing is not None and before_version is not None:
         existing = existing.filter(F.col("version") < F.lit(int(before_version)))
     within = dedup.minhash_candidate_pairs(
@@ -128,9 +143,12 @@ def update(
     new_bands: DataFrame,
     batch_id: int,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    touched: list[int] | None = None,
 ) -> list[int]:
     """Merge one batch's band rows into the index (touched buckets only;
-    idempotent per batch_id)."""
+    idempotent per batch_id). ``touched``: pass ``touched_buckets(...)``
+    when the caller already collected it for the probe — the version
+    column added here never changes the bucket routing."""
     return silver.merge_batch(
         spark,
         index_dir,
@@ -141,6 +159,8 @@ def update(
         batch_id=batch_id,
         n_buckets=n_buckets,
         bucket_by=["band", "band_key"],
+        touched_buckets=touched,
+        merge_schema=False,
     )
 
 
@@ -163,11 +183,12 @@ def probe_and_update(
     """
     new_bands = index_bands(docs, text_col, id_col, num_hashes, bands).persist()
     try:
-        pairs = probe(spark, index_dir, new_bands, n_buckets)
+        buckets = touched_buckets(new_bands, n_buckets)
+        pairs = probe(spark, index_dir, new_bands, n_buckets, probe_buckets=buckets)
         result = spark.createDataFrame(
             pairs.collect(), schema="id_new long, id_seen long, source string"
         )
-        update(spark, index_dir, new_bands, batch_id, n_buckets)
+        update(spark, index_dir, new_bands, batch_id, n_buckets, touched=buckets)
         return result
     finally:
         new_bands.unpersist()
@@ -198,13 +219,14 @@ def stream_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_bands = index_bands(batch_df, text_col, id_col, num_hashes, bands).persist()
         try:
-            pairs = probe(spark, index_dir, new_bands, n_buckets)
+            buckets = touched_buckets(new_bands, n_buckets)
+            pairs = probe(spark, index_dir, new_bands, n_buckets, probe_buckets=buckets)
             (
                 pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .write.mode("append")
                 .parquet(pairs_dir)
             )
-            update(spark, index_dir, new_bands, batch_id, n_buckets)
+            update(spark, index_dir, new_bands, batch_id, n_buckets, touched=buckets)
         finally:
             new_bands.unpersist()
 

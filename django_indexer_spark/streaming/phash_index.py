@@ -54,6 +54,17 @@ def index_rows(media: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
+def touched_buckets(new_rows: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> list[int]:
+    """The batch's distinct physical-bucket ids — ONE collect shared by
+    ``probe`` and ``update`` (identical ``bucket_expr(["band","chunk"])``
+    over the same rows; round-13, the duplicate per-batch collect was a
+    pure extra driver job)."""
+    bucket_of = silver.bucket_expr(["band", "chunk"], n_buckets)
+    return sorted(
+        r[0] for r in new_rows.select(bucket_of.alias("b")).distinct().collect()
+    )
+
+
 def probe(
     spark: SparkSession,
     index_dir: str,
@@ -61,16 +72,15 @@ def probe(
     max_hamming: int = 3,
     n_buckets: int = DEFAULT_N_BUCKETS,
     bands: int = 4,
+    probe_buckets: list[int] | None = None,
 ) -> DataFrame:
     """Hamming near-dup pairs for one batch, LAZY: (id_new, id_seen,
     hamming, source) — 'index' = collision with a previously-ingested
     image (reads ONLY the buckets the batch's (band, chunk)s hash into),
     'batch' = within-batch collision. Consume BEFORE merging the batch
     (``stream_phash`` sequences this)."""
-    bucket_of = silver.bucket_expr(["band", "chunk"], n_buckets)
-    probe_buckets = sorted(
-        r[0] for r in new_rows.select(bucket_of.alias("b")).distinct().collect()
-    )
+    if probe_buckets is None:
+        probe_buckets = touched_buckets(new_rows, n_buckets)
     within = (
         multimodal.phash_near_dup_pairs(
             new_rows.select(F.col("media_id"), "phash").distinct(),
@@ -89,7 +99,11 @@ def probe(
             F.lit("batch").alias("source"),
         )
     )
-    existing = silver.read_table(spark, index_dir, buckets=probe_buckets)
+    # merge_schema=False: the pHash index's schema is fixed for the
+    # table's life (same writer every batch) — skip the all-footer merge
+    existing = silver.read_table(
+        spark, index_dir, buckets=probe_buckets, merge_schema=False
+    )
     if existing is None:
         return within
     vs_index = (
@@ -123,9 +137,12 @@ def update(
     new_rows: DataFrame,
     batch_id: int,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    touched: list[int] | None = None,
 ) -> list[int]:
     """Merge one batch's band rows into the index (touched buckets only;
-    idempotent per batch_id)."""
+    idempotent per batch_id). ``touched``: pass ``touched_buckets(...)``
+    when the caller already collected it — the version column added here
+    never changes the bucket routing."""
     return silver.merge_batch(
         spark,
         index_dir,
@@ -136,6 +153,8 @@ def update(
         batch_id=batch_id,
         n_buckets=n_buckets,
         bucket_by=["band", "chunk"],
+        touched_buckets=touched,
+        merge_schema=False,
     )
 
 
@@ -155,12 +174,16 @@ def probe_and_update(
     ``stream_phash``, which sinks pairs distributed instead."""
     new_rows = index_rows(media, bands).persist()
     try:
-        pairs = probe(spark, index_dir, new_rows, max_hamming, n_buckets, bands)
+        buckets = touched_buckets(new_rows, n_buckets)
+        pairs = probe(
+            spark, index_dir, new_rows, max_hamming, n_buckets, bands,
+            probe_buckets=buckets,
+        )
         result = spark.createDataFrame(
             pairs.collect(),
             schema="id_new long, id_seen long, hamming int, source string",
         )
-        update(spark, index_dir, new_rows, batch_id, n_buckets)
+        update(spark, index_dir, new_rows, batch_id, n_buckets, touched=buckets)
         return result
     finally:
         new_rows.unpersist()
@@ -187,13 +210,17 @@ def stream_phash(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_rows = index_rows(batch_df, bands).persist()
         try:
-            pairs = probe(spark, index_dir, new_rows, max_hamming, n_buckets, bands)
+            buckets = touched_buckets(new_rows, n_buckets)
+            pairs = probe(
+                spark, index_dir, new_rows, max_hamming, n_buckets, bands,
+                probe_buckets=buckets,
+            )
             (
                 pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .write.mode("append")
                 .parquet(pairs_dir)
             )
-            update(spark, index_dir, new_rows, batch_id, n_buckets)
+            update(spark, index_dir, new_rows, batch_id, n_buckets, touched=buckets)
         finally:
             new_rows.unpersist()
 

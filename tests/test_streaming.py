@@ -586,3 +586,42 @@ def test_frontier_update_split_invariance_and_replay(spark):
     assert sorted(map(tuple, v1.collect())) == sorted(
         map(tuple, v1_replayed.collect())
     ) == one
+
+
+def test_silver_merge_with_caller_supplied_touched_buckets(spark, tmp_path):
+    """merge_batch(touched_buckets=...) — the streaming index gates
+    collect the batch's bucket set ONCE and hand it to both probe and
+    merge (round 13): the resulting table must be identical to the
+    self-collecting path, batch by batch."""
+    auto, given = str(tmp_path / "auto"), str(tmp_path / "given")
+    batches = [
+        [("a", "a1", 1), ("b", "b1", 1)],
+        [("a", "a2", 2), ("c", "c2", 2)],
+        [("b", "b3", 3)],
+    ]
+    for i, rows_ in enumerate(batches, start=1):
+        inc = _kv(spark, rows_)
+        touched = sorted(
+            r[0]
+            for r in inc.select(
+                silver.bucket_expr(["k"], 4).alias("b")
+            ).distinct().collect()
+        )
+        got_auto = silver.merge_batch(
+            spark, auto, inc, ["k"], "version", batch_id=i, n_buckets=4
+        )
+        got_given = silver.merge_batch(
+            spark, given, inc, ["k"], "version", batch_id=i, n_buckets=4,
+            touched_buckets=touched, merge_schema=False,
+        )
+        assert got_auto == got_given == touched
+
+    def state(d):
+        df = silver.read_table(spark, d)
+        return {r["k"]: (r["v"], r["version"]) for r in df.collect()}
+
+    assert state(auto) == state(given) == {
+        "a": ("a2", 2), "b": ("b3", 3), "c": ("c2", 2)
+    }
+    ma, mg = silver.read_manifest(auto), silver.read_manifest(given)
+    assert ma["buckets"] == mg["buckets"]

@@ -324,7 +324,19 @@ def spearman_rho(
     sorts, no extra exchange), then a single grouped fold. Groups
     where either axis is constant (zero rank variance) emit NULL rho
     rather than 0/0. Values are quantized to 3 dp first — the same
-    cross-engine rank-stability contract as mannwhitney_u."""
+    cross-engine rank-stability contract as mannwhitney_u.
+
+    CLOSED (round-13 A/B, rows verified identical): replacing the
+    windows with per-axis (group, value → doubled-midrank) maps joined
+    back to the rows — the idea being the maps free the fold from the
+    |groups|-task window partitioning — LOSES at sf0.1 (interleaved
+    medians 3.95 s windows vs 5.49 s maps): the y-axis has ~|rows|
+    distinct values, so its map costs a (group, value)-keyed exchange,
+    a |groups|-partitioned window over nearly the same row count, and
+    a row-count-sized join — strictly more shuffled bytes than the two
+    in-partition sorts it replaces. The low-cardinality-group
+    serialization is real but bounded by the docstring's contract: a
+    production call groups by a real key (§2.5)."""
     pow10 = float(10**dp)
 
     def _pin(c: Column) -> Column:
@@ -677,7 +689,14 @@ def cohens_kappa(
     of the materialized cells. Per-category chance products pin to
     ``dp`` dp and fold as DECIMAL(38,6) — order-independent, so p_e is
     exact no matter how partitions merge. Everything downstream of the
-    single scan is |categories|²-sized."""
+    single scan is |categories|²-sized.
+
+    PRECONDITION: the rater columns must be LOW-CARDINALITY coded
+    categories (labels, language ids, buckets) — the contingency fold's
+    map-side hash state and the materialized cells frame grow as
+    |categories|², so raw free-text raters would blow the single-scan
+    shape up quadratically (round-12 ADVICE). Kappa over such input
+    should bucket/code the raters first."""
     pow10 = float(10**dp)
 
     def _pin(c: Column) -> Column:
@@ -693,12 +712,17 @@ def cohens_kappa(
             F.col(col_a).alias("__ka"), F.col(col_b).alias("__kb")
         ).agg(F.count(F.lit(1)).alias("__n"))
     )
+    # coalesce to 0 on EMPTY input: sum over zero cells is NULL where
+    # the pre-round-12 F.count-based fold returned 0 (round-12 ADVICE)
     tot = cells.agg(
-        F.sum("__n").cast("long").alias("n_items"),
-        F.sum(
-            F.when(F.col("__ka") == F.col("__kb"), F.col("__n")).otherwise(
-                F.lit(0)
-            )
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_items"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__ka") == F.col("__kb"), F.col("__n")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
         ).alias("__agree"),
     )
     ma = cells.groupBy(F.col("__ka").alias("__k")).agg(
@@ -1092,7 +1116,11 @@ def ols_two_features(
     the folded scalars only, pinned. Groups with a singular normal
     matrix (either feature constant, or the two features perfectly
     collinear) emit NULL βs — surfaced, not 0/0. Output:
-    (group, n, beta0, beta1, beta2).
+    (group, n, beta0, beta1, beta2). NULL GROUP KEYS are dropped: the
+    means re-attach via an equi-join, which (unlike the pre-round-12
+    Window.partitionBy) does not match NULL keys — callers whose group
+    column can be NULL must coalesce it to a sentinel first (round-12
+    ADVICE; the fixture group keys are non-null).
 
     Shape: the means pass is a map-side-combined grouped fold (one
     |groups|-row exchange), broadcast-joined back onto a second

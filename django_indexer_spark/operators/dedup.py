@@ -292,10 +292,24 @@ def near_dup_clusters(
 
     Scale: components via iterative min-label propagation over the pairs
     (operators/graph.py — O(diameter) shuffle rounds on the PAIR graph,
-    which is tiny relative to the corpus); the corpus-wide work is one
-    left join on the id + one groupBy(cluster) count, both uniform keys.
+    which is tiny relative to the corpus); the corpus-wide work is ONE
+    left join on the id. Cluster sizes fold over the COMPONENT frame
+    (pair-graph-sized — every non-singleton member appears in it), not
+    over the corpus: singletons always have size 1, so counting them
+    per cluster was a corpus-wide groupBy + a corpus×corpus join for a
+    constant (round 13, guide §2.3 — the old shape also recomputed the
+    docs⋈comp join twice, once per consumer of the labeled frame; now
+    the labeled frame has one consumer and the sizes join is
+    pair-graph-sized and broadcast-eligible).
     """
     comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
+    # a singleton's cluster_id is its OWN id, which never equals a
+    # component label (labels are min MEMBER ids and members all appear
+    # in comp) — so the size join below misses exactly the singletons,
+    # whose size is 1 by definition.
+    comp_sizes = comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
     labeled = (
         docs.select(F.col(id_col))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")
@@ -304,11 +318,10 @@ def near_dup_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         )
     )
-    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labeled.join(sizes, "cluster_id").select(
+    return labeled.join(comp_sizes, "cluster_id", "left").select(
         id_col,
         "cluster_id",
-        "cluster_size",
+        F.coalesce("__csize", F.lit(1).cast("long")).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
 

@@ -166,7 +166,11 @@ def _scratch(prefix: str) -> str:
     storage available: ``$SPARK_GRAFT_SCRATCH`` if set (a cluster's
     local NVMe), else a RAM-backed ``/dev/shm`` when writable (measured
     −0.7 s on s_stream_sessionize vs disk-backed /tmp), else the
-    platform tempdir. Real deployments point checkpoints of LONG-LIVED
+    platform tempdir. Under a NON-local master these paths must be
+    executor-visible (shared filesystem) — the gates assume a local[*]
+    master, where driver-local scratch is visible by construction
+    (round-12 ADVICE; DEPLOY.md points long-lived streams at durable
+    shared checkpoints instead). Real deployments point checkpoints of LONG-LIVED
     streams at durable storage — that is a different surface (DEPLOY.md);
     this is per-call scratch.
 

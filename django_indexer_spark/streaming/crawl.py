@@ -170,7 +170,14 @@ def polite_frontier_tick(
     materialize (``iterative.cut_lineage``), and pass the frames in —
     the per-tick plan then starts from the KB-sized parsed rules
     (same loop-invariant-hoisting rule as graph.pagerank's persisted
-    edges). When None, parse here (single-tick callers)."""
+    edges). When None, parse here (single-tick callers). CONTRACT
+    (round-12 ADVICE): hoisted frames must be built with the SAME
+    ``user_agent`` and the same ``latest_col`` refetch-dedup this tick
+    would apply — ``user_agent``/``latest_col`` are IGNORED for a side
+    that is passed pre-parsed, so a caller that hoists the parse but
+    skips the latest_col dedup gets silently different robots
+    semantics. Enforced below: passing ``latest_col`` alongside a
+    pre-parsed frame raises."""
     from ..functions.urls import (
         apply_robots,
         delays_from_robots,
@@ -178,6 +185,13 @@ def polite_frontier_tick(
         rules_from_robots,
     )
 
+    if latest_col is not None and (rules is not None or delays is not None):
+        raise ValueError(
+            "latest_col is ignored for pre-parsed rules/delays frames — "
+            "apply the refetch-dedup when building them "
+            "(rules_from_robots/delays_from_robots(latest_col=...)) and "
+            "pass latest_col=None here"
+        )
     new_state = frontier_update(gold, batch_df, url_col)
     unseen = (
         new_state

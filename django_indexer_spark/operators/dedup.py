@@ -194,7 +194,21 @@ def bands_from_signatures(
 
 def minhash_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     """Self-join inside (band, band_key) buckets → candidate pairs (a<b).
-    This is the scale path: the shuffle key is the bucket, not the pair."""
+    This is the scale path: the shuffle key is the bucket, not the pair.
+
+    CLOSED (round-13 A/B, pairs verified identical): prefiltering both
+    join sides to buckets with ≥2 members (guide §3.2's cut-the-big-
+    side-before-the-shuffle, via a map-side-combined bucket count +
+    semi-join) LOSES at fixture scale (interleaved medians 1.09 s plain
+    vs 1.66 s prefiltered): the count pass re-runs the fused
+    tokenize→minhash band pipeline once more per side (plan: 4→8 scans)
+    while the self-join sides here are broadcast, so there is no
+    exchange to shrink. The prefilter pays off only where the bands
+    frame is MATERIALIZED (the production corpus path writes bands to
+    parquet before pair generation — then the singleton-bucket cut is
+    one cheap count over stored narrow rows and the join exchanges
+    carry colliding rows only); that is a storage decision, the same
+    call as the PPJoin token-table note (round 12)."""
     a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
